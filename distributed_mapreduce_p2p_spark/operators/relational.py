@@ -1,0 +1,143 @@
+"""Relational operators over the star schema.
+
+Covers the reference's projection/filter/partition/sort surface
+(SURVEY.md §2.3-2.7) re-expressed declaratively, plus the standard
+join/aggregate/window/set-op surface the north star requires (the
+reference has no joins — SURVEY.md §2.7 — but a capability-complete
+engine must).
+
+Everything here is pure DataFrame API: filters and projections reach
+the parquet scan (PushedFilters / ReadSchema), small dimensions are
+broadcast explicitly, and aggregations rely on Catalyst's
+partial+final split so shuffles carry pre-combined rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+# ---------------------------------------------------------------- filters
+
+def range_filter(df: DataFrame, col: str, lo, hi) -> DataFrame:
+    """P2/P3: inclusive range predicate (replication/replication.go:
+    497-521 selects DataItems with startId <= Id <= endId). Pushed
+    down to the parquet scan as two comparison filters."""
+    return df.where(F.col(col).between(lo, hi))
+
+
+def staleness_filter(df: DataFrame, ts_col: str, cutoff) -> DataFrame:
+    """P4: drop rows older than a cutoff (the reference drops messages
+    older than 2 s — raft/raft.go:88). Batch analog of a watermark."""
+    return df.where(F.col(ts_col) >= F.lit(cutoff))
+
+
+# ------------------------------------------------------------ numbering
+
+def with_row_number(df: DataFrame, order_col: str, id_col: str = "id") -> DataFrame:
+    """S4: 1-based line numbering in key order (replication/
+    replication.go:524-550 counts lines by hand). Single-partition
+    window — use for result-table-sized data only."""
+    w = Window.orderBy(order_col)
+    return df.withColumn(id_col, F.row_number().over(w).cast("long"))
+
+
+def dedupe_keep_last(df: DataFrame, key: str, order_col: str) -> DataFrame:
+    """O4: keep-latest upsert semantics (insertDataItemSorted,
+    replication/replication.go:553-575 replaces an existing item with
+    the same Id). row_number over (key, order desc) == 1; ties broken
+    deterministically by the ordering column only — callers should
+    pass a unique ordering column."""
+    w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------- gap healing
+
+def detect_gaps(df: DataFrame, id_col: str, max_id: int | None = None) -> DataFrame:
+    """J3/R4: find missing ids in 1..max (CheckAndDump, replication/
+    replication.go:344-407 scans for absent id ranges).
+
+    Window-lag formulation — O(n log n) sort, no materialized
+    ``sequence(1, max_id)`` explode (which blows up at scale,
+    SURVEY.md §7). Returns (gap_start, gap_end) rows.
+    """
+    w = Window.orderBy("id")
+    gaps = (
+        df.select(F.col(id_col).alias("id"))
+        .distinct()
+        .withColumn("prev", F.lag("id").over(w))
+        .where(
+            (F.col("prev").isNotNull() & (F.col("id") - F.col("prev") > 1))
+            | (F.col("prev").isNull() & (F.col("id") > 1))
+        )
+        .select(
+            F.when(F.col("prev").isNull(), F.lit(1))
+            .otherwise(F.col("prev") + 1)
+            .cast("long")
+            .alias("gap_start"),
+            (F.col("id") - 1).cast("long").alias("gap_end"),
+        )
+    )
+    return gaps
+
+
+def split_range(start: int, end: int, n_workers: int) -> list[tuple[int, int]]:
+    """H2: split [start, end] into <= n contiguous sub-ranges
+    (AssignData, replication/replication.go:100-150: remainder spread
+    round-robin over the first ranges). Driver-side planning helper —
+    the Spark analog for data is ``repartitionByRange``."""
+    total = end - start + 1
+    if total <= 0 or n_workers <= 0:
+        return []
+    n = min(n_workers, total)
+    base, rem = divmod(total, n)
+    out, cur = [], start
+    for i in range(n):
+        size = base + (1 if i < rem else 0)
+        out.append((cur, cur + size - 1))
+        cur += size
+    return out
+
+
+# ---------------------------------------------------------------- joins
+
+def join_star(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Standard star join: fact → orders → customer → nation → region.
+
+    nation/region (25 / 5 rows at every SF) are broadcast — at 100 TB
+    the lineitem↔orders join shuffles on orderkey while the dimension
+    joins stay broadcast hash joins with zero shuffle.
+    """
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+
+
+def membership_merge(left: DataFrame, right: DataFrame, key: str, counter: str) -> DataFrame:
+    """J2: gossip full-outer merge-by-key, higher heartbeat wins
+    (MergeLeft, gossip/gossip.go:87-108). Full outer join +
+    greatest() conflict resolution."""
+    l = left.select(F.col(key).alias("k"), F.col(counter).alias("lc"))
+    r = right.select(F.col(key).alias("k"), F.col(counter).alias("rc"))
+    return l.join(r, "k", "full_outer").select(
+        F.col("k").alias(key),
+        F.greatest(
+            F.coalesce("lc", "rc"), F.coalesce("rc", "lc")
+        ).alias(counter),
+    )

@@ -1,0 +1,89 @@
+"""Tokenization and word count — the reference's one and only query.
+
+Reference pipeline (SURVEY.md §3.1/§3.2): chunk scan → Map tokenizer
+(wc/wc.go:26-39, split on non-letters, emit {word,"1"}) → FNV hash
+shuffle (mapreduce/worker.go:117-143) → per-key count reduce
+(wc/wc.go:44-47) → per-partition sort (worker.go:191-210) → global
+merge re-sum + sort (worker.go:218-272). Output: 26,010 sorted
+``word count`` lines, byte-identical to the sequential oracle
+(mrsequential.go:80-142).
+
+Spark expression: the whole distributed pipeline is one declarative
+plan — ``explode(split(...)) → groupBy(word).count() → orderBy`` —
+where Catalyst gives partial+final aggregation (A3) automatically and
+the exchange subsumes the shuffle-file machinery. Stays entirely in
+whole-stage codegen (no Python in the hot path).
+
+Tokenizer parity note (SURVEY.md §7): Go ``FieldsFunc(unicode.
+IsLetter)`` is Unicode-aware; we standardize on ``[^A-Za-z]+`` which
+both Spark and the DuckDB oracle implement identically. Spark's
+``split`` yields empty strings at boundaries where Go drops them, so
+the non-empty filter is required for parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_SEP = "[^A-Za-z]+"
+
+
+def tokenize(df: DataFrame, text_col: str = "text", lowercase: bool = False) -> DataFrame:
+    """P1: flat-map each row's text into one row per token.
+
+    Case-preserving by default like the reference (wc/wc.go:26-39).
+    """
+    col: Column = F.col(text_col)
+    if lowercase:
+        col = F.lower(col)
+    return df.select(F.explode(F.split(col, TOKEN_SEP)).alias("word")).where(
+        F.col("word") != ""
+    )
+
+
+def word_count(df: DataFrame, text_col: str = "text", lowercase: bool = False) -> DataFrame:
+    """A1+A2+A3: count per token. Returns (word, cnt), unordered.
+
+    Catalyst plans this as partial_count → hash exchange on word →
+    final count (exactly the reference's map-side emit / reduce-side
+    count / merge re-sum split, worker.go:151-258), with map-side
+    combine so the shuffle carries one row per (partition, word) —
+    the property that makes this survive 100 TB of text.
+    """
+    return tokenize(df, text_col, lowercase).groupBy("word").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def word_count_sorted(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """O3: globally key-sorted counts — the ``mr-out-final`` shape
+    (worker.go:261-265). Range exchange + sort; at scale keep the sort
+    but never coalesce to one partition."""
+    return word_count(df, text_col).orderBy("word")
+
+
+def numbered_result(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """S4 analog: the replication payload ``(id, word, cnt)`` where id
+    is the 1-based line number of the sorted result
+    (replication/replication.go:13-16, 524-550).
+
+    ``row_number`` over a global order is a single-partition window —
+    fine for a result table (26k rows in the reference); for 100 TB
+    results use ``zipWithIndex``-style partition-offset numbering.
+    """
+    w = Window.orderBy("word")
+    return word_count(df, text_col).withColumn(
+        "id", F.row_number().over(w).cast("long")
+    ).select("id", "word", "cnt")
+
+
+def top_k_words(df: DataFrame, k: int, text_col: str = "text") -> DataFrame:
+    """Top-k extension (no LIMIT/top-k exists in the reference —
+    SURVEY.md §2.6). TakeOrdered pattern: partial top-k per partition,
+    merged on the driver — no global sort materialization."""
+    return (
+        word_count(df, text_col)
+        .orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(k)
+    )

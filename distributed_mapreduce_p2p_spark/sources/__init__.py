@@ -1,0 +1,8 @@
+from distributed_mapreduce_p2p_spark.sources.io import (  # noqa: F401
+    load_tables,
+    read_table,
+    read_text_corpus,
+    write_hash_partitioned,
+    write_merged_result,
+    write_sorted_partitions,
+)

@@ -1,0 +1,107 @@
+"""Batch sources and sinks (SURVEY.md §2.1 scans S1-S7, §2.2 sinks K1-K5).
+
+The reference moves data through files: byte-range chunk scans
+(chunks/chunks.go:18-47), boundary-aligned reads
+(mapreduce/worker.go:37-89), hash-partitioned JSON shuffle files
+(mapreduce/worker.go:117-143), sorted per-partition text outputs
+(worker.go:191-210) and a single merged global output
+(worker.go:218-272). In Spark the scan side is the built-in FileScan
+(split granularity via ``spark.sql.files.maxPartitionBytes``) and the
+shuffle side is the exchange under ``groupBy`` — these helpers expose
+the *explicit* analogs where a user would want them as sinks, plus
+typed parquet readers for the star schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from distributed_mapreduce_p2p_spark import TABLES
+
+# Reference chunk size: CHUNK_SIZE = 102400 (chunks/chunks.go:10).
+REFERENCE_CHUNK_BYTES = 102400
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one star-schema parquet table (S1/S3 analog).
+
+    Columnar parquet scan with predicate pushdown + column pruning left
+    to Catalyst — filters applied by callers reach the scan.
+
+    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark's reader
+    rejects; it is read via the ``nanosAsLong`` legacy conf and
+    truncated to microseconds — matching DuckDB's nanos→micros
+    truncation exactly.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        return (
+            spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load the star schema and register temp views for spark.sql use."""
+    out = {}
+    for name in names:
+        df = read_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def read_text_corpus(
+    spark: SparkSession, paths: list[str] | str, chunk_bytes: int = REFERENCE_CHUNK_BYTES
+) -> DataFrame:
+    """Line-oriented scan of a raw text corpus (S1+S2+J1).
+
+    Reproduces the reference's 100 KiB byte-range chunking
+    (chunks/chunks.go:10) as FileScan split granularity; Spark's text
+    source already does boundary-aligned splits at newline granularity
+    (the reference aligns at spaces — mapreduce/worker.go:37-89).
+    Multi-path read is the union-all of per-file scans (J1,
+    mrsequential.go:104-105).
+    """
+    reader = spark.read.option("wholetext", "false")
+    if chunk_bytes:
+        # Only affects this read's split planning at scan time.
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(chunk_bytes))
+    return reader.text(paths)
+
+
+def write_hash_partitioned(df: DataFrame, path: str, key: str, n: int = 8) -> None:
+    """K1 analog: explicit hash-partitioned write.
+
+    The reference buckets map output into ``nReduce`` files by
+    ``ihash(key) % nReduce`` (mapreduce/worker.go:117-143, FNV-32a).
+    Spark's exchange does this implicitly under groupBy; the explicit
+    sink is ``repartition(n, key)`` (Murmur3 — partition *assignment*
+    differs, downstream results identical).
+    """
+    df.repartition(n, key).write.mode("overwrite").parquet(path)
+
+
+def write_sorted_partitions(df: DataFrame, path: str, key: str, n: int = 8) -> None:
+    """K2 analog: per-partition key-sorted output (worker.go:191-210)."""
+    (
+        df.repartition(n, key)
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def write_merged_result(df: DataFrame, path: str, order_col: str) -> None:
+    """K3 analog: single globally-sorted merged output (worker.go:218-272).
+
+    ``coalesce(1)`` matches the reference's single ``mr-out-final``
+    file; at 100 TB you would keep the global sort (range exchange) but
+    never coalesce to one file — callers opt in for parity only.
+    """
+    df.orderBy(order_col).coalesce(1).write.mode("overwrite").parquet(path)
