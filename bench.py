@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (count() forces the full plan —
+scan, shuffle, agg — without driver-side collect of the payload).
+A warmup query amortizes JVM/codegen startup out of the timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+from distributed_mapreduce_p2p_spark import registry  # noqa: E402
+from distributed_mapreduce_p2p_spark.session import get_spark  # noqa: E402
+
+# Headline set: the flagship plus one representative per operator
+# family (agg, join, window, dedup/gap, LLM ops as they land).
+HEADLINE = [
+    "wordcount",
+    "wordcount_topk",
+    "agg_pricing",
+    "star_join_revenue",
+    "window_running_total",
+    "dedupe_keep_last",
+    "gap_detect",
+    "tumbling_window_agg",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "embedding_topk",
+    "ann_lsh_topk",
+    "token_stats",
+    "doc_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+
+    names = [n for n in HEADLINE if n in registry.QUERIES]
+    names += [n for n in registry.QUERIES if n not in names]
+
+    # Warmup: force session + codegen init on a tiny plan.
+    registry.QUERIES["wordcount"](spark, sf_dir).limit(1).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        registry.QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

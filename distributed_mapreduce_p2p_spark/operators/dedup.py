@@ -1,0 +1,266 @@
+"""Deduplication operators for training-data pipelines (north-star
+ops, BASELINE.json): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All are pure DataFrame compositions over deterministic md5-derived
+hash functions — portable to the DuckDB oracle and entirely JVM-side
+(no Python UDFs in any hot path).
+
+Scale design (the part that matters at 100 TB):
+- exact dedup = hash-groupBy: one shuffle on a 128-bit digest, no
+  skew (digests are uniform).
+- n-gram Jaccard via raw shingle self-join is the *oracle-checkable
+  baseline*; its candidate set explodes on frequent shingles. The
+  production path is MinHash+LSH: O(n·K) signature pass, then a
+  band-bucket join whose fan-out is controlled by band width, then
+  exact verification only on candidates.
+- SimHash pairs use pigeonhole banding (4 bands of 8 bits): hamming
+  distance <= 3 guarantees at least one band matches, so the banded
+  join is exact-complete without an O(n^2) cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one row per distinct
+    content with the kept (minimum) doc_id and the duplicate count."""
+    return (
+        docs.select("doc_id", F.md5("text").alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ------------------------------------------------------------- shingles
+
+#: 3-word shingles over case/punct-normalized text; empty-safe.
+_SHINGLE_EXPR = (
+    "CASE WHEN size(w) >= 3 THEN "
+    "transform(sequence(1, size(w)-2), i -> "
+    "concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))"
+    " ELSE array() END"
+)
+
+
+def shingles(docs: DataFrame) -> DataFrame:
+    """Distinct 3-word shingles per doc: (doc_id, sh)."""
+    return (
+        docs.select(
+            "doc_id",
+            F.expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')").alias("w"),
+        )
+        .select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("sh"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (baseline; see module
+    docstring for why LSH is the scale path). Output:
+    (doc_a, doc_b, jaccard)."""
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("common")
+                / (F.col("na") + F.col("nb") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# -------------------------------------------------------------- minhash
+
+N_HASHES = 16
+BAND_ROWS = 4  # 4 bands x 4 rows
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """MinHash signatures: (doc_id, seed, minhash) — min over the
+    doc's shingle set of a seeded 60-bit md5-derived hash.
+
+    Long format (n rows per doc) keeps the plan a single
+    explode+groupBy — at 100 TB this is one shuffle keyed by
+    (doc_id, seed), perfectly uniform.
+    """
+    sh = shingles(docs)
+    return (
+        sh.select(
+            "doc_id", F.explode(F.expr(f"sequence(0, {n_hashes - 1})")).alias("seed"), "sh"
+        )
+        .select(
+            "doc_id",
+            "seed",
+            F.expr(
+                "cast(conv(substring(md5(concat(cast(seed as string), ':', sh)), 1, 15),"
+                " 16, 10) as bigint)"
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def _band_keys(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key): concatenated signature rows per band,
+    ordered by seed (array_sort on (seed, minhash) structs)."""
+    return (
+        sigs.withColumn("band", F.expr(f"seed div {BAND_ROWS}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(seed, minhash))),"
+                " s -> cast(s.minhash as string)), ',')"
+            ).alias("band_key")
+        )
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """MinHash+LSH near-dup pairs: band-bucket candidate join, then
+    signature-overlap estimate. Output (doc_a, doc_b, est_jaccard).
+
+    Candidates are pairs agreeing on >= 1 of 4 bands (prob of catching
+    a pair with true jaccard j is 1-(1-j^4)^4 — >0.96 at j=0.8).
+    """
+    sigs = minhash_signatures(docs)
+    bands = _band_keys(sigs)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), "seed", F.col("minhash").alias("ha")
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), "seed", F.col("minhash").alias("hb")
+    )
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (
+                F.sum(F.expr("CASE WHEN ha = hb THEN 1 ELSE 0 END")).cast("double")
+                / F.lit(N_HASHES)
+            ).alias("est_jaccard")
+        )
+    )
+    return est.where(F.col("est_jaccard") >= threshold)
+
+
+# -------------------------------------------------------------- simhash
+
+SIMHASH_BITS = 32
+SIM_BANDS = 4  # 4 bands x 8 bits; exact-complete for hamming <= 3
+
+
+def simhash_bit_exprs(dialect: str) -> tuple[str, str]:
+    """(token-hash expr, signature expr template) for each dialect.
+
+    The signature is sum_j 2^j * [sum_tokens(cnt * (2*bit_j(h)-1)) > 0]
+    over 32 bits of an md5-derived token hash.
+    """
+    if dialect == "spark":
+        h = "cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)"
+        bit = "(shiftright(h, {j}) & 1)"
+    else:
+        h = "('0x' || substr(md5(tok), 1, 8))::BIGINT"
+        bit = "((h >> {j}) & 1)"
+    terms = []
+    for j in range(SIMHASH_BITS):
+        b = bit.format(j=j)
+        terms.append(
+            f"(CASE WHEN SUM(cnt * (2 * {b} - 1)) > 0 THEN CAST({2**j} AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END)"
+        )
+    return h, " + ".join(terms)
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 32-bit weighted SimHash over word tokens."""
+    h_expr, sig_expr = simhash_bit_exprs("spark")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')")
+            ).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", F.expr(h_expr))
+    )
+    return toks.groupBy("doc_id").agg(F.expr(f"{sig_expr}").alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming via
+    pigeonhole banding (no cross join): distance <= 3 over 4 bands
+    implies >= 1 band equal. Output (doc_a, doc_b, hamming)."""
+    sigs = simhash_signatures(docs)
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.expr(f"sequence(0, {SIM_BANDS - 1})")).alias("band"),
+    ).withColumn("band_val", F.expr("shiftright(simhash, band * 8) & 255"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(sig_a ^ sig_b)"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

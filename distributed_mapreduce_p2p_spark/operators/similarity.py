@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns (north-star ops,
+BASELINE.json): brute-force cosine top-k as the oracle-checkable
+baseline, and a random-hyperplane-LSH bucketed variant as the scale
+path.
+
+Numeric portability: dot products fold left-to-right in DOUBLE —
+Spark's ``aggregate`` over ``zip_with`` and DuckDB's ``list_reduce``
+over ``list_transform(list_zip(...))`` both evaluate the identical
+IEEE-754 sequence, so results are bit-for-bit equal with zero
+overhead (stays in whole-stage codegen; no decimal, no UDF).
+
+Scale design:
+- brute-force is O(n_queries x n_candidates x dim) — correct
+  baseline, viable when the query set broadcasts.
+- the LSH variant computes a P-plane sign bucket per vector as a pure
+  projection (plane components are md5-derived constants folded into
+  the expression — no plane table, no shuffle), joins on bucket
+  equality, and ranks only within buckets: candidates drop from n to
+  ~n/2^P per query. Recall vs brute force is measured in tests
+  (approximate by design).
+- at 100 TB the same plan holds: the signature pass is embarrassingly
+  parallel; the bucket join is an equi-join AQE handles; exact
+  re-ranking touches only candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+EMB_DIM = 64
+
+#: Left fold of sum(x*y) over two float arrays, all in DOUBLE.
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) ->"
+    " cast(x as double) * cast(y as double)),"
+    " cast(0 as double), (acc, v) -> acc + v)"
+)
+_NORM2 = _DOT.format(a="{a}", b="{a}")
+
+#: The cosine expression — written once so Spark and the oracle share
+#: the exact operation sequence: dot / (sqrt(n2a) * sqrt(n2b)).
+_COSINE = f"({_DOT}) / (sqrt({{n2a}}) * sqrt({{n2b}}))"
+
+
+def with_norm2(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    return df.withColumn("norm2", F.expr(_NORM2.format(a=emb_col)))
+
+
+def _sim_col() -> F.Column:
+    return F.expr(
+        _COSINE.format(a="q_emb", b="c_emb", n2a="q_n2", n2b="c_n2")
+    ).alias("sim")
+
+
+def cosine_topk(emb: DataFrame, n_queries: int = 8, k: int = 10) -> DataFrame:
+    """Brute-force cosine top-k: vec_id < n_queries as the query set
+    (broadcast), ranked against all candidates. Output
+    (qid, cid, rank, sim); self-matches included (rank-1 anchor)."""
+    base = with_norm2(emb)
+    q = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm2").alias("q_n2"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm2").alias("c_n2"),
+    )
+    sims = broadcast(q).crossJoin(c).select("qid", "cid", _sim_col())
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "cid", "rank", "sim")
+    )
+
+
+def neardup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b,
+    cosine >= threshold). Brute-force baseline — the LSH bucket join
+    below is the scale path."""
+    base = with_norm2(emb)
+    a = base.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm2").alias("q_n2"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm2").alias("c_n2"),
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", _sim_col())
+        .where(F.col("sim") >= threshold)
+    )
+
+
+# ------------------------------------------------------- LSH bucketing
+
+N_PLANES = 6  # 64 buckets
+
+
+def _plane_hash(dialect: str, p: str, d: str) -> str:
+    if dialect == "spark":
+        return (
+            f"cast(conv(substring(md5(concat(cast({p} as string), ':',"
+            f" cast({d} as string))), 1, 12), 16, 10) as bigint)"
+        )
+    return f"('0x' || substr(md5({p}::VARCHAR || ':' || {d}::VARCHAR), 1, 12))::BIGINT"
+
+
+def bucket_expr(dialect: str, emb: str = "embedding", n_planes: int = N_PLANES) -> str:
+    """Bit-packed sign bucket over n_planes md5-derived hyperplanes,
+    as a single projection expression (no plane table, no shuffle).
+
+    Plane component r(p,d) = ((md5hash(p:d) % 2001) - 1000) / 1000.0;
+    sign_p = fold(emb[d] * r(p,d)) > 0; bucket = sum 2^p * sign_p.
+    """
+    terms = []
+    for p in range(n_planes):
+        if dialect == "spark":
+            r = f"(({_plane_hash('spark', str(p), 'd')} % 2001) - 1000) / 1000.0"
+            dot = (
+                f"aggregate(zip_with({emb}, transform(sequence(0, {EMB_DIM - 1}),"
+                f" d -> {r}), (x, y) -> cast(x as double) * y),"
+                " cast(0 as double), (acc, v) -> acc + v)"
+            )
+        else:
+            r = f"(({_plane_hash('duckdb', str(p), 'd')} % 2001) - 1000) / 1000.0"
+            dot = (
+                f"list_reduce(list_transform(list_zip({emb},"
+                f" list_transform(generate_series(0, {EMB_DIM - 1}), d -> {r})),"
+                " q -> CAST(q[1] AS DOUBLE) * q[2]), (x, y) -> x + y)"
+            )
+        terms.append(
+            f"(CASE WHEN ({dot}) > 0 THEN CAST({2**p} AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END)"
+        )
+    return " + ".join(terms)
+
+
+def lsh_buckets(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """(vec_id, bucket) — one narrow projection pass."""
+    return emb.select(
+        "vec_id", F.expr(bucket_expr("spark", "embedding", n_planes)).alias("bucket")
+    )
+
+
+def ann_lsh_topk(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
+    """Approximate top-k: exact cosine ranking restricted to
+    candidates sharing the query's LSH bucket."""
+    base = with_norm2(emb).withColumn(
+        "bucket", F.expr(bucket_expr("spark", "embedding"))
+    )
+    q = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm2").alias("q_n2"),
+        "bucket",
+    )
+    c = base.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm2").alias("c_n2"),
+        "bucket",
+    )
+    sims = broadcast(q).join(c, "bucket").select("qid", "cid", _sim_col())
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "cid", "rank", "sim")
+    )

@@ -25,6 +25,7 @@ from pyspark.sql.functions import broadcast
 
 from distributed_mapreduce_p2p_spark.operators import text as T
 from distributed_mapreduce_p2p_spark.operators import relational as R
+from distributed_mapreduce_p2p_spark.operators import textstats as TS
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -533,3 +534,489 @@ def q_tumbling_window_agg(spark, sf_dir):
             ),
         )
     )
+
+
+# =====================================================================
+# Text analysis (north-star LLM-pipeline ops)
+# =====================================================================
+
+@register(
+    "token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '[\s]+'),
+                           x -> x <> '')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
+             AS bpe_tokens,
+           length(text) AS len_chars
+    FROM documents
+    """,
+)
+def q_token_stats(spark, sf_dir):
+    """Token counting (whitespace + BPE-ish regex) — generalizes the
+    reference tokenizer (wc/wc.go:26-39) to per-doc stats."""
+    return TS.token_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '')) AS n_words,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+             / length(text) AS alpha_ratio,
+           length(regexp_replace(text, '[^\\s]', '', 'g'))
+             / length(text) AS space_ratio,
+           len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+               x -> x IN ('the', 'and', 'of', 'to', 'is')))
+             / len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                   x -> x <> '')) AS stopword_ratio,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+             / len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                   x -> x <> '')) AS mean_word_len
+    FROM documents
+    """,
+)
+def q_text_quality(spark, sf_dir):
+    """Quality-scoring features (length/punct/stopword ratios)."""
+    return TS.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def _lang_oracle() -> str:
+    from distributed_mapreduce_p2p_spark.operators.textstats import lang_case_expr
+
+    return (
+        "SELECT doc_id, lang, "
+        + lang_case_expr("duckdb")
+        + " AS pred_lang FROM documents"
+    )
+
+
+@register("lang_id", oracle=None)
+def q_lang_id(spark, sf_dir):
+    """n-gram/stopword-hit language ID heuristic."""
+    return TS.lang_id(_t(spark, sf_dir, "documents"))
+
+
+ORACLES["lang_id"] = _lang_oracle()
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')))
+             AS fp_md5,
+           CAST(('0x' || substr(
+             md5(trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'))),
+             1, 15)) AS BIGINT) AS fp_int
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark, sf_dir):
+    """Content fingerprinting: md5 + 60-bit integer fingerprint of
+    normalized text."""
+    return TS.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# =====================================================================
+# Deduplication (north-star LLM-pipeline ops)
+# =====================================================================
+
+from distributed_mapreduce_p2p_spark.operators import dedup as DD  # noqa: E402
+
+# Shared oracle CTE: distinct 3-word shingles per doc (DuckDB lists
+# are 1-based; Spark side uses element_at which is also 1-based).
+_SH_CTE = """
+    w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS wl
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, concat_ws(' ', wl[i], wl[i+1], wl[i+2]) AS sh
+      FROM w, unnest(CASE WHEN len(wl) >= 3
+                          THEN generate_series(1, len(wl) - 2)
+                          ELSE [] END) AS t(i)
+    )
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fp, MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup = hash-groupBy on a content digest (one uniform
+    shuffle; the 100 TB-safe baseline)."""
+    return DD.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle="WITH " + _SH_CTE + """,
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           common / (sa.n + sb.n - common) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE common / (sa.n + sb.n - common) >= 0.5
+    """,
+)
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs (oracle-checkable
+    baseline; MinHash+LSH below is the scale path)."""
+    return DD.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), 0.5)
+
+
+@register(
+    "minhash_signatures",
+    oracle="WITH " + _SH_CTE + """,
+    seeds AS (SELECT unnest(generate_series(0, 15)) AS seed)
+    SELECT doc_id, seed,
+           MIN(CAST(('0x' || substr(md5(seed::VARCHAR || ':' || sh), 1, 15))
+                    AS BIGINT)) AS minhash
+    FROM sh CROSS JOIN seeds
+    GROUP BY doc_id, seed
+    """,
+)
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signature pass: O(n_shingles x 16), one uniform
+    shuffle on (doc_id, seed)."""
+    return DD.minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle="WITH " + _SH_CTE + """,
+    seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+    sigs AS (
+      SELECT doc_id, seed,
+             MIN(CAST(('0x' || substr(md5(seed::VARCHAR || ':' || sh), 1, 15))
+                      AS BIGINT)) AS minhash
+      FROM sh CROSS JOIN seeds
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, seed // 4 AS band,
+             string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_key
+      FROM sigs GROUP BY doc_id, seed // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+                AS DOUBLE) / 16 AS est_jaccard
+    FROM cand
+    JOIN sigs sa ON sa.doc_id = doc_a
+    JOIN sigs sb ON sb.doc_id = doc_b AND sb.seed = sa.seed
+    GROUP BY doc_a, doc_b
+    HAVING CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+                AS DOUBLE) / 16 >= 0.5
+    """,
+)
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs: band-bucket candidate join (4
+    bands x 4 rows), signature-overlap estimate >= 0.5."""
+    return DD.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), 0.5)
+
+
+def _simhash_oracle() -> str:
+    from distributed_mapreduce_p2p_spark.operators.dedup import simhash_bit_exprs
+
+    h, sig = simhash_bit_exprs("duckdb")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, tok, COUNT(*) AS cnt FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  x -> x <> '')) AS tok
+        FROM documents)
+      GROUP BY doc_id, tok
+    ), hashed AS (SELECT doc_id, cnt, {h} AS h FROM toks)
+    SELECT doc_id, {sig} AS simhash FROM hashed GROUP BY doc_id
+    """
+
+
+@register("simhash_signatures", oracle=None)
+def q_simhash_signatures(spark, sf_dir):
+    """32-bit weighted SimHash per doc (md5-derived token hash)."""
+    return DD.simhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+ORACLES["simhash_signatures"] = _simhash_oracle()
+
+
+def _simhash_pairs_oracle() -> str:
+    base = _simhash_oracle().replace("WITH", "WITH ", 1)
+    # Rebuild as CTE + banded candidate join + exact hamming filter.
+    from distributed_mapreduce_p2p_spark.operators.dedup import simhash_bit_exprs
+
+    h, sig = simhash_bit_exprs("duckdb")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, tok, COUNT(*) AS cnt FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  x -> x <> '')) AS tok
+        FROM documents)
+      GROUP BY doc_id, tok
+    ), hashed AS (SELECT doc_id, cnt, {h} AS h FROM toks),
+    sigs AS (SELECT doc_id, {sig} AS simhash FROM hashed GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, simhash, band,
+             (simhash >> (band * 8)) & 255 AS band_val
+      FROM sigs, unnest(generate_series(0, 3)) AS t(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sig_a, b.simhash AS sig_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    """
+
+
+@register("simhash_pairs", oracle=None)
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs, hamming <= 3, via pigeonhole banding
+    (4 bands x 8 bits — exact-complete, no cross join)."""
+    return DD.simhash_pairs(_t(spark, sf_dir, "documents"), 3)
+
+
+ORACLES["simhash_pairs"] = _simhash_pairs_oracle()
+
+
+# =====================================================================
+# Similarity search over embeddings (north-star LLM-pipeline ops)
+# =====================================================================
+
+from distributed_mapreduce_p2p_spark.operators import similarity as SIM  # noqa: E402
+
+# Oracle building blocks: DOUBLE left-folds matching Spark's
+# aggregate/zip_with evaluation order bit-for-bit (see operators/
+# similarity.py module docstring).
+_D_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), (x, y) -> x + y)"
+)
+_D_BASE = (
+    "base AS (SELECT vec_id, embedding, "
+    + _D_DOT.format(a="embedding", b="embedding")
+    + " AS norm2 FROM embeddings)"
+)
+_D_SIM = (
+    "(" + _D_DOT.format(a="q.embedding", b="c.embedding")
+    + ") / (sqrt(q.norm2) * sqrt(c.norm2))"
+)
+
+
+@register(
+    "embedding_topk",
+    oracle="WITH " + _D_BASE + f"""
+    , sims AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid, {_D_SIM} AS sim
+      FROM base q, base c
+      WHERE q.vec_id < 8
+    )
+    SELECT qid, cid, rank, sim FROM (
+      SELECT qid, cid, sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY sim DESC, cid) AS INT) AS rank
+      FROM sims)
+    WHERE rank <= 10
+    """,
+)
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-k (baseline ANN; broadcast query set)."""
+    return SIM.cosine_topk(_t(spark, sf_dir, "embeddings"), 8, 10)
+
+
+@register(
+    "embedding_neardup",
+    oracle="WITH " + _D_BASE + f"""
+    SELECT q.vec_id AS vec_a, c.vec_id AS vec_b, {_D_SIM} AS sim
+    FROM base q JOIN base c ON q.vec_id < c.vec_id
+    WHERE {_D_SIM} >= 0.4
+    """,
+)
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (>= 0.4)."""
+    return SIM.neardup_pairs(_t(spark, sf_dir, "embeddings"), 0.4)
+
+
+def _lsh_oracle() -> str:
+    from distributed_mapreduce_p2p_spark.operators.similarity import bucket_expr
+
+    b = bucket_expr("duckdb")
+    return (
+        "WITH "
+        + _D_BASE.replace(" FROM embeddings)", f", {b} AS bucket FROM embeddings)")
+        + f"""
+    , sims AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid, {_D_SIM} AS sim
+      FROM base q JOIN base c ON q.bucket = c.bucket
+      WHERE q.vec_id < 8
+    )
+    SELECT qid, cid, rank, sim FROM (
+      SELECT qid, cid, sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY sim DESC, cid) AS INT) AS rank
+      FROM sims)
+    WHERE rank <= 5
+    """
+    )
+
+
+@register("ann_lsh_topk", oracle=None)
+def q_ann_lsh_topk(spark, sf_dir):
+    """Approximate top-k via random-hyperplane LSH buckets (the scale
+    path: candidates ~ n/2^planes per query)."""
+    return SIM.ann_lsh_topk(_t(spark, sf_dir, "embeddings"), 8, 5)
+
+
+ORACLES["ann_lsh_topk"] = _lsh_oracle()
+
+
+# =====================================================================
+# Multimodal columns (north-star LLM-pipeline ops)
+# =====================================================================
+
+from distributed_mapreduce_p2p_spark.operators import multimodal as MM  # noqa: E402
+
+
+@register(
+    "binary_assets_meta",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha_hex
+    FROM documents
+    """,
+)
+def q_binary_assets_meta(spark, sf_dir):
+    """Binary-column metadata (opaque payload + typed metadata —
+    multimodal data model; payload column itself excluded from the
+    compare, hashes/lengths stand in for it)."""
+    return MM.assets_from_documents(_t(spark, sf_dir, "documents")).select(
+        "asset_id", "modality", "n_bytes", "sha_hex"
+    )
+
+
+@register(
+    "frame_sample_plan",
+    oracle="""
+    SELECT doc_id AS asset_id, CAST(f AS INT) AS frame_idx
+    FROM (
+      SELECT doc_id,
+             1 + (octet_length(encode(text)) % 30) AS n_frames
+      FROM documents
+      WHERE CAST(doc_id % 3 AS INT) = 2
+    ), unnest(generate_series(0, n_frames - 1, 5)) AS t(f)
+    """,
+)
+def q_frame_sample_plan(spark, sf_dir):
+    """Video frame-sampling plan (sequence + explode over stubbed
+    frame counts — the Spark-side plumbing of a decoder stage)."""
+    assets = MM.assets_from_documents(_t(spark, sf_dir, "documents"))
+    decoded = MM.decode_assets(assets)
+    return MM.frame_sample(decoded, 5)
+
+
+# =====================================================================
+# Windowed aggregation (streaming twins live in streaming/windows.py)
+# and the UDF surface (U1-U3)
+# =====================================================================
+
+from distributed_mapreduce_p2p_spark.streaming import windows as W  # noqa: E402
+from distributed_mapreduce_p2p_spark.functions import udfs as U  # noqa: E402
+
+
+@register(
+    "sliding_window_agg",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, ts,
+             time_bucket(INTERVAL 30 MINUTE, ts) AS b0
+      FROM events
+    ), w AS (
+      SELECT event_type, b0 - (INTERVAL 30 MINUTE * o) AS ws
+      FROM b, unnest([0, 1]) AS t(o)
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS cnt
+    FROM w GROUP BY 1, 2
+    """,
+)
+def q_sliding_window_agg(spark, sf_dir):
+    """Sliding event-time windows (1 h window, 30 min slide) — same
+    function runs on the stream with a watermark."""
+    return W.sliding_counts(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "session_window_agg",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x
+    )
+    SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+             AS session_end,
+           user_id, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_session_window_agg(spark, sf_dir):
+    """Gap-based session windows per user (F.session_window)."""
+    return W.sessionize(_t(spark, sf_dir, "events"), "30 minutes")
+
+
+@register(
+    "wordcount_udf_surface",
+    oracle="""
+    SELECT word, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split_regex(text, '[^A-Za-z]+')) AS word
+          FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def q_wordcount_udf_surface(spark, sf_dir):
+    """U1+U2: the reference's exact UDF contracts — pandas_udf
+    flat-map tokenizer + applyInPandas per-key reducer (wc/wc.go:
+    26-47). Same oracle as the declarative path."""
+    return U.word_count_udf_path(_t(spark, sf_dir, "documents"))

@@ -1,0 +1,142 @@
+"""Replicated-result-log pipeline — the reference's streaming story
+(SURVEY.md §2.8, R1-R8) re-expressed as one Structured Streaming
+query.
+
+Reference semantics: the leader broadcasts one ``(DataID, line)`` of
+``mr-out-final`` every 2 s (BroadcastData, replication/replication.
+go:156-213); followers upsert into ordered state (ReceiveData,
+:276-336), heal gaps by re-requesting missing ranges (CheckAndDump,
+:339-460), flush to a per-node JSON id→value map (:463-494), and
+recover from it on restart (raft/raft.go:288-298).
+
+Spark mapping: a rate-limited source joined to the numbered result
+table (R1/R2) → ``foreachBatch`` idempotent upsert into a keyed sink
+(R3/R6 — the analog of the reference's id→value checkpoint file) with
+a streaming checkpoint (R7/R8: restart resumes from offsets, so
+gap-healing R4/R5 is subsumed by exactly-once replay). Convergence is
+*verified* with the same gap detector the batch path exposes (J3).
+
+At scale the sink upsert would be a Delta/Iceberg MERGE; here it is a
+read-modify-write parquet swap (the fixture-faithful analog of the
+reference rewriting ``<node>-replication.json`` per flush).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+RESULT_SCHEMA = "id long, word string, cnt long"
+
+
+def numbered_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The replication payload table: (id, word, cnt) — reference
+    ``mr-out-final`` lines keyed by 1-based line number."""
+    from distributed_mapreduce_p2p_spark.operators.text import numbered_result
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+
+    return numbered_result(read_table(spark, sf_dir, "documents"))
+
+
+def rate_replication_stream(
+    spark: SparkSession,
+    result: DataFrame,
+    rows_per_second: int = 100,
+) -> DataFrame:
+    """R1+R2: ordered rate-limited emission of the result log.
+
+    ``rate`` source value v → id v+1, stream-static inner join against
+    the (broadcastable) result table. The reference's fixed 0.5 row/s
+    cadence (replication.go:202-210) is ``rows_per_second=0.5``; tests
+    use a faster clock, the plan is identical.
+    """
+    rate = spark.readStream.format("rate").option(
+        "rowsPerSecond", rows_per_second
+    ).load()
+    ids = rate.select((F.col("value") + 1).alias("id"))
+    return ids.join(F.broadcast(result), "id")
+
+
+class KeyedParquetSink:
+    """R3+R6: idempotent keyed upsert sink with atomic swap — the
+    Spark analog of the reference's id→value checkpoint file
+    (dumpDataToFile, replication/replication.go:463-494).
+
+    foreachBatch is at-least-once; the upsert (keep-last per id) makes
+    replay idempotent — together with the source checkpoint this
+    yields exactly-once sink contents. Swap via directory rename keeps
+    readers consistent (parquet stand-in for a Delta MERGE).
+    """
+
+    def __init__(self, path: str, key: str = "id"):
+        self.path = path
+        self.key = key
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        if not os.path.isdir(self.path):
+            return None
+        try:
+            return spark.read.parquet(self.path)
+        except Exception:
+            return None
+
+    def upsert_batch(self, batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        current = self.read(spark)
+        new = batch.dropDuplicates([self.key])
+        merged = (
+            current.join(new.select(self.key), self.key, "left_anti").unionByName(new)
+            if current is not None
+            else new
+        )
+        tmp = tempfile.mkdtemp(prefix="sink_", dir=os.path.dirname(self.path))
+        merged.write.mode("overwrite").parquet(tmp)
+        swap = self.path + ".old"
+        if os.path.isdir(self.path):
+            os.rename(self.path, swap)
+        os.rename(tmp, self.path)
+        if os.path.isdir(swap):
+            import shutil
+
+            shutil.rmtree(swap, ignore_errors=True)
+
+
+def run_replication(
+    spark: SparkSession,
+    result: DataFrame,
+    sink_path: str,
+    checkpoint_dir: str,
+    rows_per_second: int = 100,
+    timeout_sec: float = 5.0,
+):
+    """Start the replication query; returns after ``timeout_sec`` (the
+    query keeps its checkpoint so a later call resumes — R7/R8)."""
+    sink = KeyedParquetSink(sink_path)
+    stream = rate_replication_stream(spark, result, rows_per_second)
+    q = (
+        stream.writeStream.foreachBatch(sink.upsert_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    q.stop()
+    q.awaitTermination()
+    return sink
+
+
+def convergence_report(spark: SparkSession, sink: KeyedParquetSink) -> dict:
+    """R4 as a verification: high-watermark, row count, and gap list
+    over the sink (must be empty for a converged prefix)."""
+    from distributed_mapreduce_p2p_spark.operators.relational import detect_gaps
+
+    df = sink.read(spark)
+    if df is None:
+        return {"rows": 0, "watermark": 0, "gaps": []}
+    rows = df.count()
+    wm = df.agg(F.max("id")).collect()[0][0]
+    gaps = [tuple(r) for r in detect_gaps(df, "id").collect()]
+    return {"rows": rows, "watermark": wm, "gaps": gaps}

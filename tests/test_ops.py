@@ -1,0 +1,125 @@
+"""Operator-level unit tests: dedup recall, ANN recall, multimodal
+plumbing, UDF surface, range splitting."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+def test_split_range_matches_reference_semantics():
+    """H2 (AssignData, replication/replication.go:100-150): <= n
+    contiguous sub-ranges covering [start, end], remainder spread."""
+    from distributed_mapreduce_p2p_spark.operators.relational import split_range
+
+    assert split_range(1, 10, 3) == [(1, 4), (5, 7), (8, 10)]
+    assert split_range(1, 2, 6) == [(1, 1), (2, 2)]
+    assert split_range(5, 4, 3) == []
+    covered = [i for s, e in split_range(1, 100, 7) for i in range(s, e + 1)]
+    assert covered == list(range(1, 101))
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """LSH candidates must recover the high-jaccard pairs the exact
+    O(n^2) baseline finds (reference-style differential check)."""
+    from distributed_mapreduce_p2p_spark.operators import dedup as DD
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in DD.ngram_jaccard_pairs(docs, 0.7).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in DD.minhash_lsh_pairs(docs, 0.5).collect()
+    }
+    assert exact, "fixture should contain planted near-dup pairs"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.9, f"LSH recall too low: {recall} ({exact - lsh})"
+
+
+def test_simhash_finds_planted_neardups(spark):
+    from distributed_mapreduce_p2p_spark.operators import dedup as DD
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    pairs = DD.simhash_pairs(docs, 3).collect()
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in DD.ngram_jaccard_pairs(docs, 0.9).collect()
+    }
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    # hamming<=3 over 32-bit simhash should catch the near-identical pairs
+    assert exact & found == exact or len(exact - found) <= max(1, len(exact) // 5)
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    """Bucketed ANN must place the true top-1 neighbor (self) and
+    recover a reasonable share of brute-force top-5."""
+    from distributed_mapreduce_p2p_spark.operators import similarity as SIM
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    brute = SIM.cosine_topk(emb, 8, 5).collect()
+    ann = SIM.ann_lsh_topk(emb, 8, 5).collect()
+    # self-match must rank first in both
+    for rows in (brute, ann):
+        firsts = {r.qid: r.cid for r in rows if r.rank == 1}
+        assert all(q == c for q, c in firsts.items())
+    brute_set = {(r.qid, r.cid) for r in brute}
+    ann_set = {(r.qid, r.cid) for r in ann}
+    # approximate: all ANN results must be real vectors; overlap>0
+    assert ann_set & brute_set
+
+
+def test_multimodal_decode_plumbing(spark):
+    from distributed_mapreduce_p2p_spark.operators import multimodal as MM
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    assets = MM.assets_from_documents(docs)
+    decoded = MM.decode_assets(assets)
+    assert decoded.schema == MM.DECODED_SCHEMA
+    n = assets.count()
+    assert decoded.count() == n
+    resized = MM.resize_stub(decoded, 128)
+    bad = resized.where("out_width > 128 OR out_height > 128").count()
+    assert bad == 0
+    frames = MM.frame_sample(decoded, 5)
+    assert frames.where("frame_idx % 5 != 0").count() == 0
+
+    with pytest.raises(NotImplementedError):
+        MM.decode_real(b"bytes", "image")
+
+
+def test_udf_surface_matches_builtin(spark):
+    """U1+U2 path must agree with the declarative word count — and
+    the app registry (U3) resolves both."""
+    from distributed_mapreduce_p2p_spark.functions import udfs as U
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    builtin = {(r.word, r.cnt) for r in U.get_app("wordcount")(docs).collect()}
+    udf = {(r.word, r.cnt) for r in U.get_app("wordcount_udf")(docs).collect()}
+    assert builtin == udf
+    assert "wordcount" in U.list_apps()
+
+
+def test_membership_merge_semantics(spark):
+    """J2: higher counter wins; one-sided keys survive (gossip
+    MergeLeft, gossip/gossip.go:87-108)."""
+    from distributed_mapreduce_p2p_spark.operators.relational import membership_merge
+
+    left = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0)], ["node_id", "hb"]
+    )
+    right = spark.createDataFrame(
+        [(2, 3.0), (3, 7.0)], ["node_id", "hb"]
+    )
+    out = {
+        r.node_id: r.hb
+        for r in membership_merge(left, right, "node_id", "hb").collect()
+    }
+    assert out == {1: 5.0, 2: 9.0, 3: 7.0}

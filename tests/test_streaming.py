@@ -1,0 +1,102 @@
+"""Streaming replication analog (R1-R8) + windowed aggregation.
+
+The reference's evaluated behaviors (PDF §2.2.1-2.2.2) are
+kill/restart convergence of the replicated log — mirrored here as:
+run the streaming query, stop it mid-stream, restart from checkpoint,
+assert the sink is a gap-free prefix of the batch result.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="stream_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_replication_convergence_and_restart(spark, tmpdir):
+    from distributed_mapreduce_p2p_spark.streaming.replication import (
+        convergence_report,
+        numbered_wordcount,
+        run_replication,
+    )
+
+    result = numbered_wordcount(spark, SF_SMALL)
+    n_total = result.count()
+    sink_path = f"{tmpdir}/sink"
+    ckpt = f"{tmpdir}/ckpt"
+
+    # Phase 1: run briefly, then stop (the "kill").
+    sink = run_replication(spark, result, sink_path, ckpt, 5, timeout_sec=4.0)
+    rep1 = convergence_report(spark, sink)
+    assert rep1["gaps"] == [], f"sink must be gap-free: {rep1}"
+
+    # Phase 2: restart from the same checkpoint (R7/R8) — resumes at
+    # the recorded offset, no duplicates, still gap-free, strictly
+    # further along.
+    sink = run_replication(spark, result, sink_path, ckpt, 5, timeout_sec=4.0)
+    rep2 = convergence_report(spark, sink)
+    assert rep2["gaps"] == []
+    assert rep2["rows"] >= rep1["rows"]
+    assert rep2["rows"] == rep2["watermark"], "rows must equal high-watermark (no dups)"
+    assert rep2["rows"] <= n_total
+
+    # Sink contents must be exactly the batch result's prefix
+    # (differential check, reference §5.5 invariant).
+    sunk = sink.read(spark)
+    expected = result.where(f"id <= {rep2['watermark']}")
+    assert sunk.count() == expected.count()
+    assert sunk.join(expected, ["id", "word", "cnt"]).count() == expected.count()
+
+
+def test_tumbling_window_stream_equals_batch(spark, tmpdir):
+    """Stream (file source, availableNow) and batch produce identical
+    windowed aggregates — the SS twin of the oracle-checked batch
+    query."""
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from distributed_mapreduce_p2p_spark.streaming.windows import tumbling_counts
+
+    events = read_table(spark, SF_SMALL, "events")
+    # Stage as parquet (micros ts) so the stream source reads cleanly.
+    staged = f"{tmpdir}/events_staged"
+    events.write.parquet(staged)
+    stream = spark.readStream.schema(events.schema).parquet(staged)
+
+    out = f"{tmpdir}/window_out"
+    q = (
+        tumbling_counts(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{tmpdir}/wckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+
+    batch = {tuple(r) for r in tumbling_counts(events).collect()}
+    streamed = {tuple(r) for r in spark.read.parquet(out).collect()}
+    # availableNow + append emits only windows closed by the final
+    # watermark; every emitted window must match batch exactly, and
+    # with a 2 s watermark over static data that is all but the last.
+    assert streamed <= batch
+    assert len(streamed) >= len(batch) - 5
+
+
+def test_sessionize_batch(spark):
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from distributed_mapreduce_p2p_spark.streaming.windows import sessionize
+
+    events = read_table(spark, SF_SMALL, "events")
+    sess = sessionize(events, "30 minutes")
+    total = sess.agg({"n_events": "sum"}).collect()[0][0]
+    assert total == events.count(), "every event lands in exactly one session"
