@@ -102,31 +102,53 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
 N_HASHES = 16
 BAND_ROWS = 4  # 4 bands x 4 rows
 
+#: One md5 per shingle; the K seeded hashes are linear universal
+#: hashes of its 40-bit prefix (h_i = (A_i*base + B_i) mod 2^40 —
+#: products stay < 2^61, overflow-safe in both engines). 16x fewer
+#: md5 evaluations than hashing (seed, shingle) pairs.
+_MINHASH_MOD = 1 << 40
+
+
+def minhash_base_expr(dialect: str) -> str:
+    if dialect == "spark":
+        return "cast(conv(substring(md5(sh), 1, 10), 16, 10) as bigint)"
+    return "('0x' || substr(md5(sh), 1, 10))::BIGINT"
+
+
+def minhash_coeffs(i: int) -> tuple[int, int]:
+    return 976369 + 2 * i, 13 + 97 * i
+
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     """MinHash signatures: (doc_id, seed, minhash) — min over the
     doc's shingle set of a seeded 60-bit md5-derived hash.
 
-    Long format (n rows per doc) keeps the plan a single
-    explode+groupBy — at 100 TB this is one shuffle keyed by
-    (doc_id, seed), perfectly uniform.
+    Plan: one wide aggregate — all ``n_hashes`` mins computed in a
+    single groupBy(doc_id) pass with map-side partial aggregation, so
+    the shuffle carries ``n_hashes`` values per (partition, doc)
+    instead of ``n_hashes x n_shingles`` exploded rows; the long
+    (doc_id, seed, minhash) shape is unpivoted afterwards with
+    ``stack`` (zero-shuffle). This is the form that survives 100 TB
+    of shingles.
     """
-    sh = shingles(docs)
-    return (
-        sh.select(
-            "doc_id", F.explode(F.expr(f"sequence(0, {n_hashes - 1})")).alias("seed"), "sh"
-        )
-        .select(
-            "doc_id",
-            "seed",
-            F.expr(
-                "cast(conv(substring(md5(concat(cast(seed as string), ':', sh)), 1, 15),"
-                " 16, 10) as bigint)"
-            ).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
+    sh = shingles(docs).withColumn("base", F.expr(minhash_base_expr("spark")))
+    wide = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.expr(
+                    "({a} * base + {b}) % {m}".format(
+                        a=minhash_coeffs(i)[0], b=minhash_coeffs(i)[1], m=_MINHASH_MOD
+                    )
+                )
+            ).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
     )
+    stack_args = ", ".join(f"{i}, h{i}" for i in range(n_hashes))
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({n_hashes}, {stack_args}) as (seed, minhash)"),
+    ).select("doc_id", F.col("seed").cast("long").alias("seed"), "minhash")
 
 
 def _band_keys(sigs: DataFrame) -> DataFrame:
@@ -260,7 +282,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .distinct()
     )
     return (
-        cand.withColumn("hamming", F.expr("bit_count(sig_a ^ sig_b)"))
+        cand.withColumn("hamming", F.expr("cast(bit_count(sig_a ^ sig_b) as bigint)"))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )

@@ -151,7 +151,10 @@ def frame_sample(decoded: DataFrame, every_n: int = 5) -> DataFrame:
         .select(
             "asset_id",
             F.explode(
-                F.expr(f"sequence(0, n_frames - 1, {every_n})")
+                F.expr(
+                    f"sequence(cast(0 as bigint), cast(n_frames - 1 as bigint),"
+                    f" cast({every_n} as bigint))"
+                )
             ).alias("frame_idx"),
         )
     )

@@ -72,7 +72,7 @@ def cosine_topk(emb: DataFrame, n_queries: int = 8, k: int = 10) -> DataFrame:
     sims = broadcast(q).crossJoin(c).select("qid", "cid", _sim_col())
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
     return (
-        sims.withColumn("rank", F.row_number().over(w))
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("qid", "cid", "rank", "sim")
     )
@@ -80,8 +80,50 @@ def cosine_topk(emb: DataFrame, n_queries: int = 8, k: int = 10) -> DataFrame:
 
 def neardup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b,
-    cosine >= threshold). Brute-force baseline — the LSH bucket join
-    below is the scale path."""
+    cosine >= threshold).
+
+    Two-stage candidate/verify plan:
+    1. *Vectorized candidate generation*: Arrow batches of vectors are
+       matmul'd (numpy, float64) against a broadcast of the full
+       matrix — each executor scans its partition against the
+       broadcast side, like a broadcast join. Pairs above
+       ``threshold - 1e-6`` survive (the slack covers the ~1e-15
+       summation-order difference vs the exact fold).
+    2. *Exact verification*: survivors (a tiny set) get the canonical
+       left-to-right double fold — so emitted ``sim`` values are
+       bit-identical to the declarative baseline / DuckDB oracle.
+
+    Scale note: a broadcastable candidate side caps this at ~1M
+    vectors; beyond that, swap stage 1 for the LSH bucket join
+    (ann_lsh_topk) or a block-partitioned matmul. Verification stage
+    is unchanged either way.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    mat_rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in mat_rows], dtype=np.int64)
+    m = np.array([r.embedding for r in mat_rows], dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mn))
+    eps = 1e-6
+
+    def _candidates(batches):
+        b_ids, b_mn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.array(list(pdf["embedding"]), dtype=np.float64)
+            q = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ b_mn.T
+            qa = pdf["vec_id"].to_numpy()
+            qi, ci = np.nonzero(sims >= threshold - eps)
+            va, vb = qa[qi], b_ids[ci]
+            keep = va < vb
+            yield pd.DataFrame({"vec_a": va[keep], "vec_b": vb[keep]})
+
+    cand = emb.mapInPandas(_candidates, "vec_a long, vec_b long")
     base = with_norm2(emb)
     a = base.select(
         F.col("vec_id").alias("vec_a"),
@@ -94,7 +136,8 @@ def neardup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
         F.col("norm2").alias("c_n2"),
     )
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
         .select("vec_a", "vec_b", _sim_col())
         .where(F.col("sim") >= threshold)
     )
@@ -172,7 +215,7 @@ def ann_lsh_topk(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
     sims = broadcast(q).join(c, "bucket").select("qid", "cid", _sim_col())
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
     return (
-        sims.withColumn("rank", F.row_number().over(w))
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("qid", "cid", "rank", "sim")
     )

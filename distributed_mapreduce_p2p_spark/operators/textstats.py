@@ -72,11 +72,11 @@ def token_stats(df: DataFrame) -> DataFrame:
         "doc_id",
         F.expr(
             r"size(filter(split(text, '[\\s]+'), x -> x <> ''))"
-        ).alias("ws_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit(BPE_REGEX), F.lit(0))).alias(
-            "bpe_tokens"
-        ),
-        F.length("text").alias("len_chars"),
+        ).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_REGEX), F.lit(0)))
+        .cast("long")
+        .alias("bpe_tokens"),
+        F.length("text").cast("long").alias("len_chars"),
     )
 
 
@@ -91,8 +91,8 @@ def quality_score(df: DataFrame) -> DataFrame:
     stop = F.expr(_hits_expr(LANG_STOPWORDS["en"], "size"))
     return df.select(
         "doc_id",
-        total.alias("n_chars"),
-        words.alias("n_words"),
+        total.cast("long").alias("n_chars"),
+        words.cast("long").alias("n_words"),
         (alpha / total).alias("alpha_ratio"),
         (spaces / total).alias("space_ratio"),
         (stop / words).alias("stopword_ratio"),

@@ -686,11 +686,14 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 @register(
     "minhash_signatures",
     oracle="WITH " + _SH_CTE + """,
+    based AS (SELECT doc_id,
+                      ('0x' || substr(md5(sh), 1, 10))::BIGINT AS base
+               FROM sh),
     seeds AS (SELECT unnest(generate_series(0, 15)) AS seed)
     SELECT doc_id, seed,
-           MIN(CAST(('0x' || substr(md5(seed::VARCHAR || ':' || sh), 1, 15))
-                    AS BIGINT)) AS minhash
-    FROM sh CROSS JOIN seeds
+           MIN(((976369 + 2 * seed) * base + (13 + 97 * seed))
+               % 1099511627776) AS minhash
+    FROM based CROSS JOIN seeds
     GROUP BY doc_id, seed
     """,
 )
@@ -703,12 +706,15 @@ def q_minhash_signatures(spark, sf_dir):
 @register(
     "minhash_lsh_pairs",
     oracle="WITH " + _SH_CTE + """,
+    based AS (SELECT doc_id,
+                      ('0x' || substr(md5(sh), 1, 10))::BIGINT AS base
+               FROM sh),
     seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
     sigs AS (
       SELECT doc_id, seed,
-             MIN(CAST(('0x' || substr(md5(seed::VARCHAR || ':' || sh), 1, 15))
-                      AS BIGINT)) AS minhash
-      FROM sh CROSS JOIN seeds
+             MIN(((976369 + 2 * seed) * base + (13 + 97 * seed))
+                 % 1099511627776) AS minhash
+      FROM based CROSS JOIN seeds
       GROUP BY doc_id, seed
     ),
     bands AS (
@@ -793,7 +799,7 @@ def _simhash_pairs_oracle() -> str:
         ON a.band = b.band AND a.band_val = b.band_val
        AND a.doc_id < b.doc_id
     )
-    SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
     FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
     """
 
@@ -843,7 +849,7 @@ _D_SIM = (
     SELECT qid, cid, rank, sim FROM (
       SELECT qid, cid, sim,
              CAST(ROW_NUMBER() OVER (PARTITION BY qid
-                                     ORDER BY sim DESC, cid) AS INT) AS rank
+                                     ORDER BY sim DESC, cid) AS BIGINT) AS rank
       FROM sims)
     WHERE rank <= 10
     """,
@@ -882,7 +888,7 @@ def _lsh_oracle() -> str:
     SELECT qid, cid, rank, sim FROM (
       SELECT qid, cid, sim,
              CAST(ROW_NUMBER() OVER (PARTITION BY qid
-                                     ORDER BY sim DESC, cid) AS INT) AS rank
+                                     ORDER BY sim DESC, cid) AS BIGINT) AS rank
       FROM sims)
     WHERE rank <= 5
     """
@@ -929,7 +935,7 @@ def q_binary_assets_meta(spark, sf_dir):
 @register(
     "frame_sample_plan",
     oracle="""
-    SELECT doc_id AS asset_id, CAST(f AS INT) AS frame_idx
+    SELECT doc_id AS asset_id, CAST(f AS BIGINT) AS frame_idx
     FROM (
       SELECT doc_id,
              1 + (octet_length(encode(text)) % 30) AS n_frames
