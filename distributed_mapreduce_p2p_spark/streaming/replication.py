@@ -140,3 +140,63 @@ def convergence_report(spark: SparkSession, sink: KeyedParquetSink) -> dict:
     wm = df.agg(F.max("id")).collect()[0][0]
     gaps = [tuple(r) for r in detect_gaps(df, "id").collect()]
     return {"rows": rows, "watermark": wm, "gaps": gaps}
+
+
+# ---------------------------------------------------------------- R3
+# Faithful stateful-ingest mapping: applyInPandasWithState.
+
+INGEST_OUTPUT_SCHEMA = "bucket int, watermark long, n_total long, n_batch long"
+INGEST_STATE_SCHEMA = "watermark long, n_total long"
+
+
+def stateful_ordered_ingest(stream: DataFrame, n_buckets: int = 8) -> DataFrame:
+    """R3: per-key stateful ordered ingest (ReceiveData, replication/
+    replication.go:276-336) via ``applyInPandasWithState``.
+
+    The reference keeps each node's item list + high-watermark in
+    memory; here state is partitioned by id-bucket and holds exactly
+    the high-watermark and the running count — the upsert itself is
+    delegated to the sink (KeyedParquetSink), keeping state O(1) per
+    bucket no matter how long the stream runs (the property that
+    matters at 100 TB; buffering items in state would not survive).
+
+    Emits one row per (bucket, batch): the advanced watermark and
+    counts — the observable the reference exposes via its
+    ``DataId`` watermark.
+    """
+    import pandas as pd  # noqa: F401
+
+    def ingest(key, pdfs, state):
+        if state.exists:
+            watermark, n_total = state.get
+        else:
+            watermark, n_total = 0, 0
+        n_batch = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n_batch += len(pdf)
+            m = int(pdf["id"].max())
+            if m > watermark:
+                watermark = m
+        n_total += n_batch
+        state.update((watermark, n_total))
+        yield pd.DataFrame(
+            {
+                "bucket": [key[0]],
+                "watermark": [watermark],
+                "n_total": [n_total],
+                "n_batch": [n_batch],
+            }
+        )
+
+    bucketed = stream.withColumn(
+        "bucket", (F.col("id") % n_buckets).cast("int")
+    )
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        ingest,
+        outputStructType=INGEST_OUTPUT_SCHEMA,
+        stateStructType=INGEST_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

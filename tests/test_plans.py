@@ -1,0 +1,83 @@
+"""Plan-quality assertions: pushdown, pruning, broadcast, partial
+aggregation, codegen. These encode the 100 TB design bar — a change
+that silently turns a broadcast join into a shuffle or drops a
+pushed filter fails here."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMALL
+
+
+def _q(name, spark):
+    from distributed_mapreduce_p2p_spark import registry
+
+    return registry.QUERIES[name](spark, SF_SMALL)
+
+
+def test_range_filter_pushdown(spark):
+    from distributed_mapreduce_p2p_spark.plans.explain import pushed_filters
+
+    pf = " ".join(pushed_filters(_q("range_filter", spark)))
+    assert "event_id" in pf and ("GreaterThanOrEqual" in pf or "IsNotNull" in pf), pf
+
+
+def test_agg_pricing_pushdown_and_partial(spark):
+    from distributed_mapreduce_p2p_spark.plans.explain import (
+        has_partial_aggregate,
+        pushed_filters,
+        read_schemas,
+    )
+
+    df = _q("agg_pricing", spark)
+    assert any("l_shipdate" in p for p in pushed_filters(df))
+    assert has_partial_aggregate(df)
+    # Column pruning: the scan must not read l_orderkey/l_partkey etc.
+    schemas = " ".join(read_schemas(df))
+    assert "l_returnflag" in schemas
+    assert "l_partkey" not in schemas and "l_suppkey" not in schemas
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    from distributed_mapreduce_p2p_spark.plans.explain import join_strategies
+
+    strategies = join_strategies(_q("star_join_revenue", spark))
+    assert "BroadcastHashJoin" in strategies, strategies
+    assert "CartesianProduct" not in strategies
+
+
+def test_wordcount_partial_agg_and_codegen(spark):
+    from distributed_mapreduce_p2p_spark.plans.explain import (
+        codegen_stage_count,
+        has_partial_aggregate,
+        shuffle_count,
+    )
+
+    df = _q("wordcount", spark)
+    assert has_partial_aggregate(df), "map-side combine required for 100TB text"
+    assert codegen_stage_count(df) >= 1
+    assert shuffle_count(df) == 1, "word count must be a single exchange"
+
+
+def test_wordcount_topk_no_global_sort_materialization(spark):
+    from distributed_mapreduce_p2p_spark.plans.explain import explain_str
+
+    plan = explain_str(_q("wordcount_topk", spark))
+    assert "TakeOrderedAndProject" in plan, (
+        "top-k must be partial-top-k merge, not a global sort + limit"
+    )
+
+
+def test_minhash_single_shuffle_for_signatures(spark):
+    from distributed_mapreduce_p2p_spark.plans.explain import shuffle_count
+
+    df = _q("minhash_signatures", spark)
+    assert shuffle_count(df) <= 1, "wide agg must keep one exchange"
+
+
+def test_scan_reads_only_needed_columns(spark):
+    from distributed_mapreduce_p2p_spark.plans.explain import read_schemas
+
+    df = _q("wordcount", spark)
+    schemas = " ".join(read_schemas(df))
+    assert "text" in schemas
+    assert "lang" not in schemas and "source" not in schemas

@@ -100,3 +100,53 @@ def test_sessionize_batch(spark):
     sess = sessionize(events, "30 minutes")
     total = sess.agg({"n_events": "sum"}).collect()[0][0]
     assert total == events.count(), "every event lands in exactly one session"
+
+
+def test_stateful_ordered_ingest(spark, tmpdir):
+    """R3 via applyInPandasWithState: per-bucket watermark/count state
+    across micro-batches; totals must reconcile with the input."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_p2p_spark.streaming.replication import (
+        numbered_wordcount,
+        stateful_ordered_ingest,
+    )
+
+    result = numbered_wordcount(spark, SF_SMALL)
+    staged = f"{tmpdir}/ingest_src"
+    # Stage in several files so availableNow produces multiple batches.
+    result.repartition(4).write.parquet(staged)
+    stream = (
+        spark.readStream.schema(result.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    out = f"{tmpdir}/ingest_out"
+    q = (
+        stateful_ordered_ingest(stream, n_buckets=4)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{tmpdir}/ingest_ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    emitted = spark.read.parquet(out)
+    # Last emission per bucket carries the final state.
+    final = (
+        emitted.groupBy("bucket")
+        .agg(F.max("watermark").alias("wm"), F.max("n_total").alias("n"))
+        .collect()
+    )
+    expected = (
+        result.withColumn("bucket", (F.col("id") % 4).cast("int"))
+        .groupBy("bucket")
+        .agg(F.max("id").alias("wm"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert {(r.bucket, r.wm, r.n) for r in final} == {
+        (r.bucket, r.wm, r.n) for r in expected
+    }
