@@ -286,3 +286,57 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ------------------------------------------------------------ clusters
+
+def dedup_clusters(
+    docs: DataFrame, threshold: float = 0.5, max_iter: int = 25
+) -> DataFrame:
+    """Duplicate clusters: connected components over the MinHash-LSH
+    near-dup pair graph; every doc labeled with the minimum doc_id
+    reachable from it (singletons label themselves).
+
+    Iterative min-label propagation — the standard DataFrame CC loop:
+    each round joins labels across edges and keeps the elementwise
+    min; ``localCheckpoint`` truncates lineage per round. Converges in
+    O(component diameter) rounds (near-dup components are tiny); at
+    100 TB graph scale you would bound rounds or switch to a
+    large-star/small-star algorithm, same join shapes.
+    """
+    pairs = minhash_lsh_pairs(docs, threshold).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.localCheckpoint()
+
+    labels = docs.select(
+        F.col("doc_id"), F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "cluster_id", F.coalesce("nbr_min", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -1026,3 +1026,382 @@ def q_wordcount_udf_surface(spark, sf_dir):
     flat-map tokenizer + applyInPandas per-key reducer (wc/wc.go:
     26-47). Same oracle as the declarative path."""
     return U.word_count_udf_path(_t(spark, sf_dir, "documents"))
+
+
+# =====================================================================
+# Extended relational surface: TPC-H-shaped queries, rollup, distinct
+# aggregates, date/string functions
+# =====================================================================
+
+@register(
+    "filter_agg_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_filter_agg_revenue(spark, sf_dir):
+    """TPC-H-Q6-shaped: multi-predicate scan (all pushed down) + one
+    global aggregate — the minimal full-scan query."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(l_extendedprice AS DECIMAL(12,2))"
+                    " * CAST(l_discount AS DECIMAL(4,2))"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "join_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderdate < TIMESTAMP '1996-06-01 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q_join_topk_orders(spark, sf_dir):
+    """TPC-H-Q3-shaped: fact join + grouped revenue + top-k (compiles
+    to TakeOrderedAndProject, no global sort)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1996-06-01 00:00:00").cast("timestamp")
+    )
+    rev = F.expr(
+        "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))"
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "rollup_agg",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_rollup_agg(spark, sf_dir):
+    """Hierarchical ROLLUP aggregate (subtotals + grand total)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total",
+        )
+    )
+
+
+@register(
+    "distinct_agg",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(*) AS n_customers,
+           CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_distinct_agg(spark, sf_dir):
+    """Distinct aggregate (expand + two-phase agg under the hood)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("c_acctbal").cast("double").alias("min_bal"),
+        F.max("c_acctbal").cast("double").alias("max_bal"),
+    )
+
+
+@register(
+    "date_buckets",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q_date_buckets(spark, sf_dir):
+    """Date-function surface: year/quarter extraction + agg."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@register(
+    "string_funcs",
+    oracle="""
+    SELECT p_brand,
+           upper(p_type) AS type_upper,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           substr(p_name, 1, 5) AS name_prefix,
+           replace(p_type, ' ', '_') AS type_snake
+    FROM part
+    WHERE p_name LIKE '%a%' AND p_size BETWEEN 1 AND 25
+    """,
+)
+def q_string_funcs(spark, sf_dir):
+    """String-function surface with LIKE + range predicates."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.where(F.col("p_name").like("%a%") & F.col("p_size").between(1, 25))
+        .select(
+            "p_brand",
+            F.upper("p_type").alias("type_upper"),
+            F.length("p_name").cast("long").alias("name_len"),
+            F.substring("p_name", 1, 5).alias("name_prefix"),
+            F.expr("replace(p_type, ' ', '_')").alias("type_snake"),
+        )
+    )
+
+
+@register(
+    "window_rank_lead_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           LAG(o_orderkey) OVER w AS prev_order,
+           LEAD(o_orderkey) OVER w AS next_order,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_rank_lead_lag(spark, sf_dir):
+    """Window-function surface: rank/dense_rank/lag/lead/first."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+    )
+
+
+@register(
+    "conditional_agg_pivot",
+    oracle="""
+    SELECT n_name AS nation,
+           COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_conditional_agg_pivot(spark, sf_dir):
+    """Pivot-style conditional aggregation (manual, portable form)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_o"),
+            F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_p"),
+        )
+    )
+
+
+@register(
+    "dedup_clusters",
+    oracle="WITH RECURSIVE " + _SH_CTE + """,
+    based AS (SELECT doc_id,
+                      ('0x' || substr(md5(sh), 1, 10))::BIGINT AS base
+               FROM sh),
+    seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+    sigs AS (
+      SELECT doc_id, seed,
+             MIN(((976369 + 2 * seed) * base + (13 + 97 * seed))
+                 % 1099511627776) AS minhash
+      FROM based CROSS JOIN seeds
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, seed // 4 AS band,
+             string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_key
+      FROM sigs GROUP BY doc_id, seed // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM cand
+      JOIN sigs sa ON sa.doc_id = doc_a
+      JOIN sigs sb ON sb.doc_id = doc_b AND sb.seed = sa.seed
+      GROUP BY doc_a, doc_b
+      HAVING CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+                  AS DOUBLE) / 16 >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate clustering: connected components (iterative min-label
+    propagation) over the MinHash-LSH pair graph — the genuinely
+    iterative, non-single-pass op; oracle uses a recursive CTE."""
+    return DD.dedup_clusters(_t(spark, sf_dir, "documents"), 0.5)
+
+
+@register(
+    "curation_pipeline",
+    oracle="WITH RECURSIVE " + _SH_CTE + """,
+    based AS (SELECT doc_id,
+                      ('0x' || substr(md5(sh), 1, 10))::BIGINT AS base
+               FROM sh),
+    seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+    sigs AS (
+      SELECT doc_id, seed,
+             MIN(((976369 + 2 * seed) * base + (13 + 97 * seed))
+                 % 1099511627776) AS minhash
+      FROM based CROSS JOIN seeds
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, seed // 4 AS band,
+             string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_key
+      FROM sigs GROUP BY doc_id, seed // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM cand
+      JOIN sigs sa ON sa.doc_id = doc_a
+      JOIN sigs sb ON sb.doc_id = doc_b AND sb.seed = sa.seed
+      GROUP BY doc_a, doc_b
+      HAVING CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+                  AS DOUBLE) / 16 >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src
+    ),
+    clusters AS (
+      SELECT node AS doc_id, MIN(label) AS cluster_id
+      FROM reach GROUP BY node
+    )
+    SELECT d.doc_id, d.lang,
+           len(list_filter(string_split_regex(lower(d.text), '[^a-z]+'),
+                           x -> x <> '')) AS n_words
+    FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
+    WHERE c.cluster_id = d.doc_id
+      AND length(regexp_replace(d.text, '[^A-Za-z]', '', 'g'))
+            / length(d.text) >= 0.5
+      AND len(list_filter(string_split_regex(lower(d.text), '[^a-z]+'),
+              x -> x <> '')) >= 20
+    """,
+)
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end corpus curation: MinHash-LSH cluster-representative
+    dedup + quality filters + token counts — the composite flow a
+    training-data pipeline runs; each stage is an operator above."""
+    docs = _t(spark, sf_dir, "documents")
+    clusters = DD.dedup_clusters(docs, 0.5)
+    reps = clusters.where(F.col("cluster_id") == F.col("doc_id")).select("doc_id")
+    alpha_ratio = F.length(F.regexp_replace("text", "[^A-Za-z]", "")) / F.length(
+        "text"
+    )
+    n_words = F.expr(
+        "size(filter(split(lower(text), '[^a-z]+'), x -> x <> ''))"
+    ).cast("long")
+    return (
+        docs.join(reps, "doc_id", "left_semi")
+        .where((alpha_ratio >= 0.5) & (n_words >= 20))
+        .select("doc_id", "lang", n_words.alias("n_words"))
+    )
