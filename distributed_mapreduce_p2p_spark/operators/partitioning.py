@@ -1,0 +1,63 @@
+"""Partitioning and skew-handling operators (SURVEY.md §2.4).
+
+H1 (FNV-hash bucketing, mapreduce/worker.go:31-35,119-122) and H2
+(contiguous range splitting, replication/replication.go:100-150) are
+Spark exchanges: ``repartition(n, key)`` and
+``repartitionByRange(n, key)``. This module adds the piece Spark does
+NOT do automatically for hand-written two-stage plans: salted
+aggregation for skewed keys.
+
+(For *joins*, AQE's skew-join handles it at runtime — enabled in
+session.py. Salting matters for heavy-hitter aggregations where one
+key dominates a partition; the word-count corpus here has ~31
+distinct words across millions of tokens — exactly that shape.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_partition(df: DataFrame, n: int, *cols: str) -> DataFrame:
+    """H1: explicit hash exchange (Murmur3 where the reference used
+    FNV-32a — partition assignment differs, results identical)."""
+    return df.repartition(n, *[F.col(c) for c in cols])
+
+
+def range_partition(df: DataFrame, n: int, *cols: str) -> DataFrame:
+    """H2: contiguous range exchange (the reference's AssignData
+    splits an id range into <= 6 contiguous sub-ranges)."""
+    return df.repartitionByRange(n, *[F.col(c) for c in cols])
+
+
+def salted_count(
+    df: DataFrame,
+    key: str,
+    salt_src: str | Column,
+    n_salts: int = 16,
+    out_col: str = "cnt",
+) -> DataFrame:
+    """Two-stage skew-safe count per key.
+
+    Stage 1 groups by (key, salt) — the hot key's rows spread over
+    ``n_salts`` reducers; stage 2 sums the partial counts per key.
+    The salt derives from a data column (deterministic, no rand()),
+    and the result is independent of the salt by construction —
+    equal to a plain ``groupBy(key).count()``.
+
+    Note Spark's built-in partial aggregation already handles *count*
+    skew when upstream partitions are balanced; explicit salting is
+    the pattern for skewed high-cardinality partition keys and for
+    aggs without map-side combine. It's exposed here as the
+    reference-free demonstration of that plan shape.
+    """
+    salt = F.pmod(F.xxhash64(salt_src if isinstance(salt_src, Column) else F.col(salt_src)), F.lit(n_salts))
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(key, "__salt")
+        .agg(F.count(F.lit(1)).alias("__partial"))
+    )
+    return partial.groupBy(key).agg(
+        F.sum("__partial").cast("long").alias(out_col)
+    )

@@ -27,9 +27,20 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_SEP = "[^A-Za-z]+"
+#: Exact Go-parity separator: ``FieldsFunc(unicode.IsLetter)`` ==
+#: split on non-letters, Unicode-aware (Java ``\p{L}``). Verified
+#: byte-identical to the reference's checked-in ``mr-out-final``
+#: golden output (tests/test_reference_golden.py). The ASCII TOKEN_SEP
+#: is the default because the DuckDB oracle shares it.
+TOKEN_SEP_UNICODE = r"[^\p{L}]+"
 
 
-def tokenize(df: DataFrame, text_col: str = "text", lowercase: bool = False) -> DataFrame:
+def tokenize(
+    df: DataFrame,
+    text_col: str = "text",
+    lowercase: bool = False,
+    sep: str = TOKEN_SEP,
+) -> DataFrame:
     """P1: flat-map each row's text into one row per token.
 
     Case-preserving by default like the reference (wc/wc.go:26-39).
@@ -37,12 +48,17 @@ def tokenize(df: DataFrame, text_col: str = "text", lowercase: bool = False) -> 
     col: Column = F.col(text_col)
     if lowercase:
         col = F.lower(col)
-    return df.select(F.explode(F.split(col, TOKEN_SEP)).alias("word")).where(
+    return df.select(F.explode(F.split(col, sep)).alias("word")).where(
         F.col("word") != ""
     )
 
 
-def word_count(df: DataFrame, text_col: str = "text", lowercase: bool = False) -> DataFrame:
+def word_count(
+    df: DataFrame,
+    text_col: str = "text",
+    lowercase: bool = False,
+    sep: str = TOKEN_SEP,
+) -> DataFrame:
     """A1+A2+A3: count per token. Returns (word, cnt), unordered.
 
     Catalyst plans this as partial_count → hash exchange on word →
@@ -51,7 +67,7 @@ def word_count(df: DataFrame, text_col: str = "text", lowercase: bool = False) -
     combine so the shuffle carries one row per (partition, word) —
     the property that makes this survive 100 TB of text.
     """
-    return tokenize(df, text_col, lowercase).groupBy("word").agg(
+    return tokenize(df, text_col, lowercase, sep).groupBy("word").agg(
         F.count(F.lit(1)).alias("cnt")
     )
 

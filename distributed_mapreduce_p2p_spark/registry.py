@@ -1405,3 +1405,33 @@ def q_curation_pipeline(spark, sf_dir):
         .where((alpha_ratio >= 0.5) & (n_words >= 20))
         .select("doc_id", "lang", n_words.alias("n_words"))
     )
+
+
+# =====================================================================
+# Partitioning / skew (H1, H2 + salted aggregation)
+# =====================================================================
+
+from distributed_mapreduce_p2p_spark.operators import partitioning as PT  # noqa: E402
+
+
+@register(
+    "salted_wordcount",
+    oracle="""
+    SELECT word, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split_regex(text, '[^A-Za-z]+')) AS word
+          FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def q_salted_wordcount(spark, sf_dir):
+    """Skew-safe two-stage salted count: ~31 distinct words over the
+    whole corpus is a pathological key distribution; salting spreads
+    each hot key over 16 reducers before the final sum. Result is
+    provably identical to the plain count (same oracle)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split("text", "[^A-Za-z]+")).alias("word"),
+    ).where(F.col("word") != "")
+    return PT.salted_count(toks, "word", "doc_id", 16)

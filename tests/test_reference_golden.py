@@ -1,0 +1,87 @@
+"""Differential test against the reference's own golden output.
+
+The reference checks in ``mr-out-final`` / ``seq-mr-out-0`` — the
+word count of its 8-file Gutenberg corpus, byte-identical between its
+distributed and sequential engines (SURVEY.md §5.1). Our engine, with
+the Unicode-parity tokenizer (``[^\\p{L}]+`` == Go
+``FieldsFunc(unicode.IsLetter)``), must reproduce that exact result:
+same 26,010 words, same counts.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+REF_DATA = "/root/reference/data"
+REF_GOLDEN = "/root/reference/mr-out-final"
+
+# client.go:28-37 — the fixed input corpus.
+REF_FILES = [
+    "19626.txt",
+    "pg-being_ernest.txt",
+    "pg-metamorphosis.txt",
+    "pg1342.txt",
+    "pg1513.txt",
+    "pg16389.txt",
+    "pg2701.txt",
+    "pg84.txt",
+]
+
+
+@pytest.mark.skipif(
+    not os.path.isfile(REF_GOLDEN), reason="reference checkout not present"
+)
+def test_wordcount_matches_reference_golden_output(spark):
+    from distributed_mapreduce_p2p_spark.operators.text import (
+        TOKEN_SEP_UNICODE,
+        word_count,
+    )
+    from distributed_mapreduce_p2p_spark.sources.io import read_text_corpus
+
+    corpus = read_text_corpus(
+        spark, [f"{REF_DATA}/{f}" for f in REF_FILES]
+    )
+    ours = {
+        r.word: r.cnt
+        for r in word_count(corpus, "value", sep=TOKEN_SEP_UNICODE).collect()
+    }
+
+    golden = {}
+    with open(REF_GOLDEN) as fh:
+        for line in fh:
+            word, cnt = line.rstrip("\n").rsplit(" ", 1)
+            golden[word] = int(cnt)
+
+    assert len(golden) == 26010  # BASELINE.md result cardinality
+    assert ours == golden
+
+
+@pytest.mark.skipif(
+    not os.path.isfile(REF_GOLDEN), reason="reference checkout not present"
+)
+def test_chunked_scan_matches_whole_file_scan(spark):
+    """S1/S2: reading with reference-sized 100 KiB splits must give
+    the same tokens as one-partition reads (boundary alignment is the
+    file source's job — this pins it)."""
+    from distributed_mapreduce_p2p_spark.operators.text import (
+        TOKEN_SEP_UNICODE,
+        word_count,
+    )
+    from distributed_mapreduce_p2p_spark.sources.io import read_text_corpus
+
+    paths = [f"{REF_DATA}/{f}" for f in REF_FILES]
+    chunked = read_text_corpus(spark, paths, chunk_bytes=102400)
+    n_parts = chunked.rdd.getNumPartitions()
+    whole = read_text_corpus(spark, paths, chunk_bytes=64 * 1024 * 1024)
+    a = {
+        (r.word, r.cnt)
+        for r in word_count(chunked, "value", sep=TOKEN_SEP_UNICODE).collect()
+    }
+    b = {
+        (r.word, r.cnt)
+        for r in word_count(whole, "value", sep=TOKEN_SEP_UNICODE).collect()
+    }
+    assert a == b
+    assert n_parts > 8, f"100KiB splits should yield >8 partitions, got {n_parts}"

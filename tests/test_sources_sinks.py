@@ -1,0 +1,103 @@
+"""Source/sink round-trips (SURVEY.md §2.1-2.2, K1-K3, S1) and
+explicit partitioning exchanges (H1/H2)."""
+
+from __future__ import annotations
+
+import glob
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="sink_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _wc(spark):
+    from distributed_mapreduce_p2p_spark.operators.text import word_count
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+
+    return word_count(read_table(spark, SF_SMALL, "documents"))
+
+
+def test_hash_partitioned_write_roundtrip(spark, tmpdir):
+    """K1: nReduce-way hash-bucketed files; same key never splits
+    across buckets (mapreduce/worker.go:117-143 semantics)."""
+    from distributed_mapreduce_p2p_spark.sources.io import write_hash_partitioned
+
+    wc = _wc(spark)
+    path = f"{tmpdir}/hashed"
+    write_hash_partitioned(wc, path, "word", n=8)
+    files = glob.glob(f"{path}/part-*")
+    assert len(files) <= 8
+    back = spark.read.parquet(path)
+    assert {(r.word, r.cnt) for r in back.collect()} == {
+        (r.word, r.cnt) for r in wc.collect()
+    }
+    # one key -> one file (the hash-bucket invariant)
+    per_key_files = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("word")
+        .agg(F.countDistinct("f").alias("nf"))
+        .agg(F.max("nf"))
+        .collect()[0][0]
+    )
+    assert per_key_files == 1
+
+
+def test_sorted_partition_write(spark, tmpdir):
+    """K2: files are key-sorted within each partition
+    (worker.go:191-210)."""
+    from distributed_mapreduce_p2p_spark.sources.io import write_sorted_partitions
+
+    wc = _wc(spark)
+    path = f"{tmpdir}/sorted"
+    write_sorted_partitions(wc, path, "word", n=4)
+    back = spark.read.parquet(path).withColumn("f", F.input_file_name())
+    # within every file, words must appear in ascending order
+    import pandas as pd  # noqa: F401
+
+    pdf = back.toPandas()
+    for _, grp in pdf.groupby("f"):
+        words = list(grp["word"])
+        assert words == sorted(words)
+
+
+def test_merged_global_output(spark, tmpdir):
+    """K3: single globally-sorted merged result (worker.go:218-272 —
+    the ``mr-out-final`` shape)."""
+    from distributed_mapreduce_p2p_spark.sources.io import write_merged_result
+
+    wc = _wc(spark)
+    path = f"{tmpdir}/final"
+    write_merged_result(wc, path, "word")
+    files = glob.glob(f"{path}/part-*")
+    assert len(files) == 1
+    words = [r.word for r in spark.read.parquet(path).collect()]
+    assert words == sorted(words)
+
+
+def test_explicit_exchanges(spark):
+    """H1/H2: hash vs range partitioning produce the requested
+    scheme (plan-level) and preserve data."""
+    from distributed_mapreduce_p2p_spark.operators.partitioning import (
+        hash_partition,
+        range_partition,
+    )
+    from distributed_mapreduce_p2p_spark.plans.explain import explain_str
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+
+    ev = read_table(spark, SF_SMALL, "events")
+    h = hash_partition(ev, 8, "user_id")
+    r = range_partition(ev, 8, "event_id")
+    assert "hashpartitioning(user_id" in explain_str(h, "simple")
+    assert "rangepartitioning(event_id" in explain_str(r, "simple")
+    assert h.count() == ev.count() == r.count()
+    assert h.rdd.getNumPartitions() == 8
