@@ -64,6 +64,25 @@ def main() -> None:
         registry.QUERIES[name](spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    # Head-to-head with the reference's own workload: word count of
+    # its 3.4 MB Gutenberg corpus (BASELINE.md: the reference schedules
+    # 38 map + 8 reduce tasks at <= 2 tasks/s handout => >= 23 s of
+    # scheduling alone before any execution).
+    ref_data = "/root/reference/data"
+    if os.path.isdir(ref_data):
+        from pyspark.sql import functions as F
+
+        from distributed_mapreduce_p2p_spark.operators.text import (
+            TOKEN_SEP_UNICODE,
+            word_count,
+        )
+
+        t0 = time.perf_counter()
+        corpus = spark.read.text(f"{ref_data}/*.txt")
+        n = word_count(corpus, "value", sep=TOKEN_SEP_UNICODE).count()
+        timings["reference_corpus_wordcount"] = round(time.perf_counter() - t0, 4)
+        assert n == 26010, f"golden cardinality mismatch: {n}"
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

@@ -1435,3 +1435,229 @@ def q_salted_wordcount(spark, sf_dir):
         F.explode(F.split("text", "[^A-Za-z]+")).alias("word"),
     ).where(F.col("word") != "")
     return PT.salted_count(toks, "word", "doc_id", 16)
+
+
+# =====================================================================
+# Advanced surface: as-of join, exact median, cube, nested outputs,
+# deterministic train/val split, sequence packing
+# =====================================================================
+
+@register(
+    "asof_join_last_order",
+    oracle="""
+    SELECT event_id, user_id, ts_s, o_orderkey AS last_orderkey
+    FROM (
+      SELECT e.event_id, e.user_id,
+             strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             o.o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC,
+                                         o.o_orderkey DESC) AS rn
+      FROM events e
+      JOIN orders o ON o.o_custkey = e.user_id
+                   AND o.o_orderdate <= e.ts
+    ) WHERE rn = 1
+    """,
+)
+def q_asof_join_last_order(spark, sf_dir):
+    """As-of join (a classic op Spark lacks natively): for each event,
+    the latest order of the matching customer at-or-before the event
+    time. Range join + keep-latest window. At scale: partition both
+    sides by key, sort by time, and use a merge-style mapInPandas if
+    the range join fans out too far."""
+    ev = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders")
+    joined = ev.join(
+        o,
+        (F.col("o_custkey") == F.col("user_id"))
+        & (F.col("o_orderdate") <= F.col("ts")),
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            F.col("o_orderkey").alias("last_orderkey"),
+        )
+    )
+
+
+@register(
+    "median_by_group",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
+                         THEN CAST(value AS DECIMAL(18,4)) ELSE 0 END)
+                AS DOUBLE)
+             / COUNT(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
+                          THEN 1 END) AS median_value
+    FROM ranked
+    GROUP BY event_type
+    """,
+)
+def q_median_by_group(spark, sf_dir):
+    """Exact median per group, computed portably (rank-based midpoint
+    mean — no engine-specific interpolation)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    mid = F.expr("rn IN (CAST((n + 1) / 2 AS BIGINT), CAST((n + 2) / 2 AS BIGINT))")
+    return ranked.groupBy("event_type").agg(
+        (
+            F.sum(
+                F.when(mid, F.col("value").cast("decimal(18,4)")).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )
+            ).cast("double")
+            / F.count(F.when(mid, 1))
+        ).alias("median_value")
+    )
+
+
+@register(
+    "cube_agg",
+    oracle="""
+    SELECT COALESCE(event_type, 'ALL') AS etype,
+           COALESCE(CAST(user_id % 4 AS VARCHAR), 'ALL') AS ubucket,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY CUBE (event_type, CAST(user_id % 4 AS VARCHAR))
+    """,
+)
+def q_cube_agg(spark, sf_dir):
+    """CUBE aggregate: all grouping-set combinations."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ubucket", (F.col("user_id") % 4).cast("string")
+    )
+    return (
+        ev.cube("event_type", "ubucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("etype"),
+            F.coalesce("ubucket", F.lit("ALL")).alias("ubucket"),
+            "n",
+        )
+    )
+
+
+@register(
+    "array_agg_sorted",
+    oracle="""
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS types,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_array_agg_sorted(spark, sf_dir):
+    """Nested output types: per-user sorted distinct array of event
+    types (canonical order makes the array hash-stable)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "train_val_split",
+    oracle="""
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT
+                       % 100 < 90
+                  THEN 'train' ELSE 'val' END AS split,
+             n_chars
+      FROM documents
+    )
+    GROUP BY split
+    """,
+)
+def q_train_val_split(spark, sf_dir):
+    """Deterministic hash-based train/val split (90/10) — the
+    reproducible-sampling primitive every training pipeline needs
+    (no rand(): same doc always lands in the same split, any engine,
+    any partitioning)."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "cast(conv(substring(md5(concat('split:', cast(doc_id as string))), 1, 8),"
+        " 16, 10) as bigint) % 100"
+    )
+    return (
+        docs.select(
+            F.when(bucket < 90, "train").otherwise("val").alias("split"),
+            "n_chars",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '[\\s]+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, n_tokens,
+             (SUM(n_tokens) OVER (ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - n_tokens) // 2048
+               AS pack_id
+      FROM toks
+    )
+    SELECT CAST(pack_id AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM packed
+    GROUP BY pack_id
+    """,
+)
+def q_sequence_packing(spark, sf_dir):
+    """Sequence packing for training: concatenation-order (doc_id)
+    packing into ~2048-token context windows via running-sum
+    bucketing — one window pass, no driver loop. (Greedy best-fit
+    packing would need applyInPandas per shard; this is the
+    order-preserving variant.)"""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr(r"size(filter(split(text, '[\\s]+'), x -> x <> ''))").alias(
+            "n_tokens"
+        ),
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed = toks.withColumn(
+        "pack_id",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048).cast("bigint"),
+    )
+    return packed.groupBy(F.col("pack_id").cast("long").alias("pack_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("pack_tokens"),
+    )

@@ -15,7 +15,18 @@ SF_MED = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     from distributed_mapreduce_p2p_spark.session import get_spark
 
-    spark = get_spark(app_name="tests", cores=8, shuffle_partitions=8)
+    wh = tempfile.mkdtemp(prefix="spark_wh_")
+    spark = get_spark(
+        app_name="tests",
+        cores=8,
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.sql.warehouse.dir": wh,
+            "spark.driver.extraJavaOptions": f"-Dderby.system.home={wh}",
+        },
+    )
     yield spark

@@ -101,3 +101,62 @@ def test_explicit_exchanges(spark):
     assert "rangepartitioning(event_id" in explain_str(r, "simple")
     assert h.count() == ev.count() == r.count()
     assert h.rdd.getNumPartitions() == 8
+
+
+def test_bucketed_join_no_shuffle(spark, tmpdir):
+    """Bucketed tables co-locate the join: writing both sides
+    bucketed by the join key lets the SortMergeJoin run without any
+    shuffle exchange — the pre-partitioning strategy for repeated
+    100 TB fact-fact joins."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_p2p_spark.plans.explain import (
+        explain_str,
+        shuffle_count,
+    )
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS bktdb")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # disable broadcast so the bucketed SortMergeJoin path is exercised
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = read_table(spark, SF_SMALL, "orders")
+        lineitem = read_table(spark, SF_SMALL, "lineitem")
+        (
+            orders.write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", f"{tmpdir}/orders_b")
+            .mode("overwrite")
+            .saveAsTable("bktdb.orders_b")
+        )
+        (
+            lineitem.write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", f"{tmpdir}/lineitem_b")
+            .mode("overwrite")
+            .saveAsTable("bktdb.lineitem_b")
+        )
+        ob = spark.table("bktdb.orders_b")
+        lb = spark.table("bktdb.lineitem_b")
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        # the join itself must not shuffle; only the final agg may
+        plan = explain_str(joined, "simple")
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert shuffle_count(joined) <= 1, plan
+        # correctness: equals the unbucketed join
+        plain = (
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert {tuple(r) for r in joined.collect()} == {
+            tuple(r) for r in plain.collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS bktdb.orders_b")
+        spark.sql("DROP TABLE IF EXISTS bktdb.lineitem_b")
+        spark.sql("DROP DATABASE IF EXISTS bktdb")
