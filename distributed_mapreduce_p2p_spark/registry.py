@@ -1661,3 +1661,167 @@ def q_sequence_packing(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("pack_tokens"),
     )
+
+
+# =====================================================================
+# Streaming execution under the oracle; n-grams; portable FM sketch
+# =====================================================================
+
+@register(
+    "streaming_tumbling_window",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type, COUNT(*) AS cnt
+    FROM events
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+          <= (SELECT max(ts) - INTERVAL 2 SECOND FROM events)
+    GROUP BY 1, 2
+    """,
+)
+def q_streaming_tumbling_window(spark, sf_dir):
+    """The tumbling-window aggregation executed through the REAL
+    Structured Streaming engine (file source, availableNow trigger,
+    2 s watermark, append mode) — the oracle reproduces the emitted
+    set exactly: windows whose end <= final watermark
+    (max event time - 2 s). Batch/stream unification, oracle-checked.
+    """
+    import tempfile
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="sswin_")
+    staged = f"{tmp}/staged"
+    events.write.parquet(staged)
+    out = f"{tmp}/out"
+    # State-store partition count is fixed by the first run against a
+    # checkpoint; a host session's default (e.g. 200) makes this tiny
+    # demo spin up 200 state stores — scope it down for the run.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    stream = spark.readStream.schema(events.schema).parquet(staged)
+    q = (
+        stream.withWatermark("ts", "2 seconds")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "cnt",
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(out)
+
+
+@register(
+    "bigram_counts",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS wl
+      FROM documents
+    )
+    SELECT bigram, COUNT(*) AS cnt FROM (
+      SELECT concat_ws(' ', wl[i], wl[i+1]) AS bigram
+      FROM w, unnest(CASE WHEN len(wl) >= 2
+                          THEN generate_series(1, len(wl) - 1)
+                          ELSE [] END) AS t(i)
+    )
+    GROUP BY bigram
+    ORDER BY cnt DESC, bigram
+    LIMIT 50
+    """,
+)
+def q_bigram_counts(spark, sf_dir):
+    """n-gram frequency surface (top-50 bigrams) — the language-model
+    statistics pass over the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.expr(
+                "filter(split(lower(text), '[^a-z]+'), x -> x <> '')"
+            ).alias("w")
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w)-1),"
+                    " i -> concat_ws(' ', element_at(w, i), element_at(w, i+1)))"
+                    " ELSE array() END"
+                )
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(50)
+    )
+
+
+@register(
+    "fm_sketch_distinct",
+    oracle="""
+    WITH hashed AS (
+      SELECT user_id,
+             ('0x' || substr(md5('fm:' || user_id), 1, 10))::BIGINT AS h
+      FROM events
+    ),
+    tz AS (
+      SELECT h % 64 AS bucket,
+             MAX(CAST(log2((h // 64) & (-(h // 64))) AS BIGINT)) AS max_tz
+      FROM hashed WHERE h // 64 <> 0
+      GROUP BY h % 64
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(max_tz) AS BIGINT) AS sum_max_tz,
+           CAST(64 * pow(2.0, CAST(SUM(max_tz) AS DOUBLE) / COUNT(*))
+                / 0.77351 AS DOUBLE) AS est_distinct
+    FROM tz
+    """,
+)
+def q_fm_sketch_distinct(spark, sf_dir):
+    """Custom distinct-count sketch (Flajolet-Martin with stochastic
+    averaging over 64 buckets), built from portable integer/log2
+    arithmetic so the estimate itself is oracle-checkable — the
+    'novel sketch as composition of built-ins' pattern. One narrow
+    aggregation; sketch state is 64 longs regardless of input size.
+    (Spark's approx_count_distinct provides HLL++ natively; this
+    demonstrates the custom-sketch construction path.)"""
+    ev = _t(spark, sf_dir, "events")
+    hashed = ev.select(
+        F.expr(
+            "cast(conv(substring(md5(concat('fm:', cast(user_id as string))), 1, 10),"
+            " 16, 10) as bigint)"
+        ).alias("h")
+    )
+    tz = (
+        hashed.where(F.expr("h div 64 <> 0"))
+        .groupBy(F.expr("h % 64").alias("bucket"))
+        .agg(
+            F.expr(
+                "max(cast(log2((h div 64) & (-(h div 64))) as bigint))"
+            ).alias("max_tz")
+        )
+    )
+    return tz.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("max_tz").cast("long").alias("sum_max_tz"),
+        F.expr(
+            "cast(64 * pow(2.0, cast(sum(max_tz) as double) / count(1))"
+            " / 0.77351 as double)"
+        ).alias("est_distinct"),
+    )

@@ -123,3 +123,19 @@ def test_membership_merge_semantics(spark):
         for r in membership_merge(left, right, "node_id", "hb").collect()
     }
     assert out == {1: 5.0, 2: 9.0, 3: 7.0}
+
+
+def test_fm_sketch_accuracy(spark):
+    """The FM estimate must land within a small factor of the exact
+    distinct count. Uses sf0.1 (1500 users): classic FM without
+    corrections over-estimates when n/buckets < ~5, which the smaller
+    fixtures hit (15 and 150 users over 64 buckets)."""
+    from distributed_mapreduce_p2p_spark import registry
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+
+    sf = "/root/testdata/sf0.1"
+    est = registry.QUERIES["fm_sketch_distinct"](spark, sf).collect()[0]
+    exact = (
+        read_table(spark, sf, "events").select("user_id").distinct().count()
+    )
+    assert 0.5 * exact <= est.est_distinct <= 2 * exact, (est.est_distinct, exact)
