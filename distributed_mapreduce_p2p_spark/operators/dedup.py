@@ -172,8 +172,13 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
 
     Candidates are pairs agreeing on >= 1 of 4 bands (prob of catching
     a pair with true jaccard j is 1-(1-j^4)^4 — >0.96 at j=0.8).
+
+    The signature table feeds three consumers (band keys + both sides
+    of the overlap join); ``localCheckpoint`` materializes it once
+    instead of recomputing the shingle+hash pass three times (on a
+    cluster: ``persist(MEMORY_AND_DISK)`` / a staging table).
     """
-    sigs = minhash_signatures(docs)
+    sigs = minhash_signatures(docs).localCheckpoint()
     bands = _band_keys(sigs)
     a = bands.alias("a")
     b = bands.alias("b")

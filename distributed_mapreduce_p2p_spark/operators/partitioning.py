@@ -61,3 +61,30 @@ def salted_count(
     return partial.groupBy(key).agg(
         F.sum("__partial").cast("long").alias(out_col)
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-safe equi-join: the (large, possibly skewed) left side
+    gets a deterministic salt in [0, n_salts); the (smaller) right
+    side is replicated n_salts times; the join key becomes
+    (key, salt), spreading each hot key over n_salts reducers.
+    Result set is provably identical to ``left.join(right, key)``.
+
+    AQE's skew-join covers most cases at runtime; explicit salting is
+    for static plans (e.g. writing pre-salted tables) or engines/
+    stages where AQE can't split (aggregation buffers behind the
+    join). The replicate-small-side cost is n_salts x |right|.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    l_s = left.withColumn("__salt", salt)
+    r_s = right.crossJoin(
+        left.sparkSession.range(n_salts).select(
+            F.col("id").cast("int").alias("__salt")
+        )
+    )
+    return l_s.join(r_s, [key, "__salt"]).drop("__salt")

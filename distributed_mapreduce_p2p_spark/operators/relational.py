@@ -141,3 +141,94 @@ def membership_merge(left: DataFrame, right: DataFrame, key: str, counter: str) 
             F.coalesce("lc", "rc"), F.coalesce("rc", "lc")
         ).alias(counter),
     )
+
+
+def asof_join_window(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_val: str,
+) -> DataFrame:
+    """As-of join, window formulation: for each left row, the latest
+    right row with the same key and right_ts <= left_ts. Range join +
+    keep-latest window; fan-out is |matches per left row| — fine when
+    keys are selective, explosive when one key holds a long history."""
+    from pyspark.sql import Window
+
+    joined = left.join(
+        right,
+        (F.col(right_key) == F.col(left_key))
+        & (F.col(right_ts) <= F.col(left_ts)),
+        "left",
+    )
+    w = Window.partitionBy(*left.columns).orderBy(
+        F.col(right_ts).desc(), F.col(right_val).desc()
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def asof_join_merge(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_val: str,
+    out_col: str = "asof_val",
+) -> DataFrame:
+    """As-of join, merge formulation (the 100 TB path): co-partition
+    both sides by key, sort by time within each group, and walk them
+    once with pandas ``merge_asof`` inside ``applyInPandas`` — cost
+    O(n log n) per key instead of the window variant's O(matches)
+    fan-out. This is the (b)-route custom operator: a capability the
+    built-in operators can't express without quadratic blow-up."""
+    import pandas as pd
+
+    l2 = left.select(
+        F.col(left_key).alias("k"), F.col(left_ts).alias("lt"), "*"
+    ).drop(left_key, left_ts)
+    r2 = right.select(
+        F.col(right_key).alias("k"),
+        F.col(right_ts).alias("rt"),
+        F.col(right_val).alias("rv"),
+    )
+    lcols = [c for c in l2.columns if c not in ("k", "lt")]
+    out_schema = (
+        f"k long, lt timestamp, "
+        + ", ".join(f"{c} {dict(l2.dtypes)[c]}" for c in lcols)
+        + f", {out_col} long"
+    )
+    tagged = l2.withColumn("__side", F.lit(0)).unionByName(
+        r2.withColumn("__side", F.lit(1)), allowMissingColumns=True
+    )
+
+    def merge(key, pdf):
+        lp = pdf[pdf["__side"] == 0]
+        rp = pdf[pdf["__side"] == 1]
+        # the union filled right-side columns with nulls on left rows
+        lp = lp.drop(columns=["rt", "rv"], errors="ignore").sort_values("lt")
+        rp = rp.sort_values(["rt", "rv"])[["rt", "rv"]].dropna(subset=["rt"])
+        if len(rp):
+            m = pd.merge_asof(
+                lp, rp, left_on="lt", right_on="rt", direction="backward"
+            )
+            vals = m["rv"]
+        else:
+            vals = pd.Series([None] * len(lp), dtype="float64")
+        out = lp[["k", "lt", *lcols]].copy()
+        out[out_col] = vals.astype("object").where(vals.notna(), None).values
+        return out
+
+    return (
+        tagged.groupBy("k")
+        .applyInPandas(merge, out_schema)
+        .withColumnsRenamed({"k": left_key, "lt": left_ts})
+    )

@@ -16,15 +16,15 @@ a streaming checkpoint (R7/R8: restart resumes from offsets, so
 gap-healing R4/R5 is subsumed by exactly-once replay). Convergence is
 *verified* with the same gap detector the batch path exposes (J3).
 
-At scale the sink upsert would be a Delta/Iceberg MERGE; here it is a
-read-modify-write parquet swap (the fixture-faithful analog of the
-reference rewriting ``<node>-replication.json`` per flush).
+At scale the sink upsert would be a Delta/Iceberg MERGE; here it is
+a versioned parquet directory behind an atomically-replaced CURRENT
+pointer (the fixture-faithful analog of the reference rewriting
+``<node>-replication.json`` per flush, made kill-safe).
 """
 
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -61,29 +61,49 @@ def rate_replication_stream(
 
 
 class KeyedParquetSink:
-    """R3+R6: idempotent keyed upsert sink with atomic swap — the
-    Spark analog of the reference's id→value checkpoint file
-    (dumpDataToFile, replication/replication.go:463-494).
+    """R3+R6: idempotent keyed upsert sink — the Spark analog of the
+    reference's id→value checkpoint file (dumpDataToFile,
+    replication/replication.go:463-494).
 
     foreachBatch is at-least-once; the upsert (keep-last per id) makes
     replay idempotent — together with the source checkpoint this
-    yields exactly-once sink contents. Swap via directory rename keeps
-    readers consistent (parquet stand-in for a Delta MERGE).
+    yields exactly-once sink contents.
+
+    Durability: Delta-style version pointer. Each upsert writes a new
+    versioned directory, then atomically repoints a CURRENT file
+    (``os.replace`` — a single atomic step, so a kill at ANY moment
+    leaves the previous consistent version readable; the earlier
+    double-directory-rename design had a window where the sink
+    vanished). Parquet stand-in for a real Delta/Iceberg MERGE.
     """
 
     def __init__(self, path: str, key: str = "id"):
         self.path = path
         self.key = key
+        os.makedirs(path, exist_ok=True)
+
+    def _current(self) -> str | None:
+        ptr = os.path.join(self.path, "CURRENT")
+        try:
+            with open(ptr) as fh:
+                name = fh.read().strip()
+        except FileNotFoundError:
+            return None
+        d = os.path.join(self.path, name)
+        return d if os.path.isdir(d) else None
 
     def read(self, spark: SparkSession) -> DataFrame | None:
-        if not os.path.isdir(self.path):
+        cur = self._current()
+        if cur is None:
             return None
         try:
-            return spark.read.parquet(self.path)
+            return spark.read.parquet(cur)
         except Exception:
             return None
 
     def upsert_batch(self, batch: DataFrame, batch_id: int) -> None:
+        import shutil
+
         spark = batch.sparkSession
         current = self.read(spark)
         new = batch.dropDuplicates([self.key])
@@ -92,16 +112,15 @@ class KeyedParquetSink:
             if current is not None
             else new
         )
-        tmp = tempfile.mkdtemp(prefix="sink_", dir=os.path.dirname(self.path))
-        merged.write.mode("overwrite").parquet(tmp)
-        swap = self.path + ".old"
-        if os.path.isdir(self.path):
-            os.rename(self.path, swap)
-        os.rename(tmp, self.path)
-        if os.path.isdir(swap):
-            import shutil
-
-            shutil.rmtree(swap, ignore_errors=True)
+        prev = self._current()
+        vdir = os.path.join(self.path, f"v{batch_id}_{os.getpid()}")
+        merged.write.mode("overwrite").parquet(vdir)
+        tmp_ptr = os.path.join(self.path, f".CURRENT.{os.getpid()}")
+        with open(tmp_ptr, "w") as fh:
+            fh.write(os.path.basename(vdir))
+        os.replace(tmp_ptr, os.path.join(self.path, "CURRENT"))  # atomic
+        if prev and prev != vdir:
+            shutil.rmtree(prev, ignore_errors=True)
 
 
 def run_replication(

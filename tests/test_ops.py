@@ -139,3 +139,60 @@ def test_fm_sketch_accuracy(spark):
         read_table(spark, sf, "events").select("user_id").distinct().count()
     )
     assert 0.5 * exact <= est.est_distinct <= 2 * exact, (est.est_distinct, exact)
+
+
+def test_asof_merge_matches_window_variant(spark):
+    """The mapInPandas merge_asof path must agree with the window
+    formulation (scale path vs baseline differential)."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_p2p_spark.operators.relational import asof_join_merge
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+
+    ev = read_table(spark, SF_SMALL, "events").select("event_id", "user_id", "ts")
+    o = read_table(spark, SF_SMALL, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    merged = asof_join_merge(
+        ev, o, "user_id", "o_custkey", "ts", "o_orderdate", "o_orderkey"
+    )
+    # window-formulation baseline (same tie-break: latest date, then
+    # highest key — merge_asof takes the LAST row among equal rt, so
+    # sort right by (rt, rv) ascending gives the max rv per rt)
+    joined = ev.join(
+        o, (F.col("o_custkey") == F.col("user_id")) & (F.col("o_orderdate") <= F.col("ts"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    base = (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("event_id", F.col("o_orderkey").alias("asof_val"))
+    )
+    got = {(r.event_id, r.asof_val) for r in merged.where("asof_val is not null").collect()}
+    want = {(r.event_id, r.asof_val) for r in base.collect()}
+    assert got == want
+    # left rows with no match survive with null
+    n_left = ev.count()
+    assert merged.count() == n_left
+
+
+def test_salted_join_matches_plain_join(spark):
+    from distributed_mapreduce_p2p_spark.operators.partitioning import salted_join
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+
+    li = read_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    ).withColumnRenamed("l_orderkey", "k")
+    o = read_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    ).withColumnRenamed("o_orderkey", "k")
+    salted = salted_join(li, o, "k", 8)
+    plain = li.join(o, "k")
+    assert salted.count() == plain.count()
+    a = {tuple(r) for r in salted.collect()}
+    b = {tuple(r) for r in plain.collect()}
+    assert a == b
