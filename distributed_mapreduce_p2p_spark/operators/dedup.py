@@ -49,16 +49,19 @@ _SHINGLE_EXPR = (
 )
 
 
-def shingles(docs: DataFrame) -> DataFrame:
-    """Distinct 3-word shingles per doc: (doc_id, sh)."""
-    return (
-        docs.select(
-            "doc_id",
-            F.expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')").alias("w"),
-        )
-        .select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("sh"))
-        .distinct()
-    )
+def shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
+    """3-word shingles per doc: (doc_id, sh).
+
+    ``distinct=True`` (a shuffle) is required for exact Jaccard set
+    semantics; MinHash passes ``False`` — min over the shingle
+    *multiset* equals min over the set, so the dedup shuffle is pure
+    waste there.
+    """
+    sh = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')").alias("w"),
+    ).select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("sh"))
+    return sh.distinct() if distinct else sh
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
@@ -131,7 +134,9 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     ``stack`` (zero-shuffle). This is the form that survives 100 TB
     of shingles.
     """
-    sh = shingles(docs).withColumn("base", F.expr(minhash_base_expr("spark")))
+    sh = shingles(docs, distinct=False).withColumn(
+        "base", F.expr(minhash_base_expr("spark"))
+    )
     wide = sh.groupBy("doc_id").agg(
         *[
             F.min(

@@ -54,7 +54,6 @@ def lang_case_expr(dialect: str) -> str:
     langs = list(LANG_STOPWORDS)
     whens = []
     for i, lang in enumerate(langs):
-        others = [langs[j] for j in range(len(langs)) if j != i]
         later = [langs[j] for j in range(i + 1, len(langs))]
         earlier = [langs[j] for j in range(i)]
         cond = " AND ".join(

@@ -772,8 +772,7 @@ ORACLES["simhash_signatures"] = _simhash_oracle()
 
 
 def _simhash_pairs_oracle() -> str:
-    base = _simhash_oracle().replace("WITH", "WITH ", 1)
-    # Rebuild as CTE + banded candidate join + exact hamming filter.
+    # Same signature CTEs + banded candidate join + exact hamming filter.
     from distributed_mapreduce_p2p_spark.operators.dedup import simhash_bit_exprs
 
     h, sig = simhash_bit_exprs("duckdb")
