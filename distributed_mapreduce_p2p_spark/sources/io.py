@@ -105,3 +105,41 @@ def write_merged_result(df: DataFrame, path: str, order_col: str) -> None:
     never coalesce to one file — callers opt in for parity only.
     """
     df.orderBy(order_col).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+# ----------------------------------------------------- format breadth
+
+def write_jsonl(df: DataFrame, path: str, n: int | None = None, key: str | None = None) -> None:
+    """JSON-lines sink — the reference's intermediate-file format
+    (one JSON KeyValue per line, mapreduce/worker.go:126-143).
+    Optionally hash-bucketed like the shuffle files."""
+    w = df.repartition(n, key) if (n and key) else df
+    w.write.mode("overwrite").json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Schema'd JSON-lines scan (S6 analog: the reference reads its
+    JSON checkpoint back, replication/replication.go:578-598).
+    Explicit schema — schema inference is a full extra pass at 100 TB."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_csv(df: DataFrame, path: str, sep: str = " ") -> None:
+    """Delimited-text sink — the reference's reduce-output format
+    ('<word> <count>' lines, mapreduce/worker.go:199-210)."""
+    df.write.mode("overwrite").option("sep", sep).option("header", "false").csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: str, sep: str = " ") -> DataFrame:
+    """Schema'd delimited scan (P5: schema-on-read line parse,
+    mapreduce/worker.go:240-258)."""
+    return spark.read.schema(schema).option("sep", sep).csv(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """Columnar ORC sink (second columnar format beside parquet)."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

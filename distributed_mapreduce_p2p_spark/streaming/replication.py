@@ -92,14 +92,25 @@ class KeyedParquetSink:
         d = os.path.join(self.path, name)
         return d if os.path.isdir(d) else None
 
+    def version_count(self) -> int:
+        """Number of committed upserts so far (monotonic batch ids —
+        used by callers to wait for progress)."""
+        cur = self._current()
+        if cur is None:
+            return 0
+        return 1 + int(os.path.basename(cur)[1:].split("_")[0])
+
     def read(self, spark: SparkSession) -> DataFrame | None:
+        """Current sink contents; None only when no version was ever
+        committed. A committed-but-unreadable version RAISES — in the
+        upsert path that fails the micro-batch so Spark replays it
+        against the intact previous version. (Silently treating a
+        transient read failure as an empty sink would merge the next
+        batch against nothing and drop every committed row.)"""
         cur = self._current()
         if cur is None:
             return None
-        try:
-            return spark.read.parquet(cur)
-        except Exception:
-            return None
+        return spark.read.parquet(cur)
 
     def upsert_batch(self, batch: DataFrame, batch_id: int) -> None:
         import shutil
@@ -113,7 +124,14 @@ class KeyedParquetSink:
             else new
         )
         prev = self._current()
-        vdir = os.path.join(self.path, f"v{batch_id}_{os.getpid()}")
+        # Unique suffix per invocation: a REPLAYED batch id must not
+        # reuse the committed version's directory — mode("overwrite")
+        # would clobber the very files the merge plan lazily reads.
+        import uuid
+
+        vdir = os.path.join(
+            self.path, f"v{batch_id}_{uuid.uuid4().hex[:8]}"
+        )
         merged.write.mode("overwrite").parquet(vdir)
         tmp_ptr = os.path.join(self.path, f".CURRENT.{os.getpid()}")
         with open(tmp_ptr, "w") as fh:
@@ -130,10 +148,16 @@ def run_replication(
     checkpoint_dir: str,
     rows_per_second: int = 100,
     timeout_sec: float = 5.0,
+    min_new_batches: int = 1,
 ):
-    """Start the replication query; returns after ``timeout_sec`` (the
-    query keeps its checkpoint so a later call resumes — R7/R8)."""
+    """Start the replication query; stop after ``timeout_sec`` — but
+    never before ``min_new_batches`` upserts landed (bounded by a hard
+    10x deadline), so a loaded machine can't produce an empty run.
+    The checkpoint persists, so a later call resumes (R7/R8)."""
+    import time
+
     sink = KeyedParquetSink(sink_path)
+    n_before = sink.version_count()
     stream = rate_replication_stream(spark, result, rows_per_second)
     q = (
         stream.writeStream.foreachBatch(sink.upsert_batch)
@@ -141,7 +165,13 @@ def run_replication(
         .trigger(processingTime="1 second")
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    deadline = time.monotonic() + timeout_sec
+    hard_deadline = time.monotonic() + 10 * timeout_sec
+    while time.monotonic() < deadline or (
+        sink.version_count() - n_before < min_new_batches
+        and time.monotonic() < hard_deadline
+    ):
+        q.awaitTermination(0.5)
     q.stop()
     q.awaitTermination()
     return sink

@@ -160,3 +160,84 @@ def test_bucketed_join_no_shuffle(spark, tmpdir):
         spark.sql("DROP TABLE IF EXISTS bktdb.orders_b")
         spark.sql("DROP TABLE IF EXISTS bktdb.lineitem_b")
         spark.sql("DROP DATABASE IF EXISTS bktdb")
+
+
+def test_format_roundtrips(spark, tmpdir):
+    """Format breadth: the word-count result survives JSON-lines (the
+    reference's shuffle-file format), space-separated CSV (its
+    reduce-output format), and ORC, bit-identically."""
+    from distributed_mapreduce_p2p_spark.sources import io as sio
+
+    wc = _wc(spark)
+    want = {(r.word, r.cnt) for r in wc.collect()}
+
+    sio.write_jsonl(wc, f"{tmpdir}/j", n=8, key="word")
+    got_j = {
+        (r.word, r.cnt)
+        for r in sio.read_jsonl(spark, f"{tmpdir}/j", "word string, cnt long").collect()
+    }
+    assert got_j == want
+
+    sio.write_csv(wc, f"{tmpdir}/c", sep=" ")
+    got_c = {
+        (r.word, r.cnt)
+        for r in sio.read_csv(
+            spark, f"{tmpdir}/c", "word string, cnt long", sep=" "
+        ).collect()
+    }
+    assert got_c == want
+
+    sio.write_orc(wc, f"{tmpdir}/o")
+    got_o = {(r.word, r.cnt) for r in sio.read_orc(spark, f"{tmpdir}/o").collect()}
+    assert got_o == want
+
+
+def test_streaming_query_listener_observability(spark, tmpdir):
+    """K5 analog: the reference WAL-logs every task transition
+    (tracker.go:153-165); the Spark observable is a
+    StreamingQueryListener receiving progress events."""
+    import threading
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    from distributed_mapreduce_p2p_spark.streaming.replication import (
+        numbered_wordcount,
+    )
+
+    events = {"progress": 0, "started": 0}
+    done = threading.Event()
+
+    class L(StreamingQueryListener):
+        def onQueryStarted(self, e):
+            events["started"] += 1
+
+        def onQueryProgress(self, e):
+            events["progress"] += 1
+            done.set()
+
+        def onQueryIdle(self, e):
+            pass
+
+        def onQueryTerminated(self, e):
+            pass
+
+    listener = L()
+    spark.streams.addListener(listener)
+    try:
+        result = numbered_wordcount(spark, SF_SMALL)
+        src = f"{tmpdir}/lsrc"
+        result.write.parquet(src)
+        q = (
+            spark.readStream.schema(result.schema)
+            .parquet(src)
+            .writeStream.format("noop")
+            .option("checkpointLocation", f"{tmpdir}/lckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        done.wait(10)
+    finally:
+        spark.streams.removeListener(listener)
+    assert events["started"] >= 1
+    assert events["progress"] >= 1
