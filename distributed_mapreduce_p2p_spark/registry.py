@@ -1824,3 +1824,42 @@ def q_fm_sketch_distinct(spark, sf_dir):
             " / 0.77351 as double)"
         ).alias("est_distinct"),
     )
+
+
+@register(
+    "scalar_subquery_above_avg",
+    oracle="""
+    WITH nat AS (
+      SELECT c_nationkey AS nk,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_bal
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT c_custkey, c_name, c_nationkey,
+           CAST(c_acctbal AS DOUBLE) AS acctbal
+    FROM customer JOIN nat ON c_nationkey = nk
+    WHERE c_acctbal > avg_bal
+    """,
+)
+def q_scalar_subquery_above_avg(spark, sf_dir):
+    """Correlated-scalar-subquery shape (customers above their
+    nation's average balance), written in its decorrelated form —
+    aggregate + join — which is exactly what Catalyst rewrites the
+    subquery into."""
+    c = _t(spark, sf_dir, "customer")
+    nat = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    return (
+        c.join(nat, c.c_nationkey == nat.nk)
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+        )
+    )
