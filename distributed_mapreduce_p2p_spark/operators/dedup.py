@@ -122,22 +122,21 @@ def minhash_coeffs(i: int) -> tuple[int, int]:
     return 976369 + 2 * i, 13 + 97 * i
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """MinHash signatures: (doc_id, seed, minhash) — min over the
-    doc's shingle set of a seeded 60-bit md5-derived hash.
+def minhash_wide(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """Wide MinHash signatures: (doc_id, h0..h{K-1}).
 
     Plan: one wide aggregate — all ``n_hashes`` mins computed in a
     single groupBy(doc_id) pass with map-side partial aggregation, so
     the shuffle carries ``n_hashes`` values per (partition, doc)
-    instead of ``n_hashes x n_shingles`` exploded rows; the long
-    (doc_id, seed, minhash) shape is unpivoted afterwards with
-    ``stack`` (zero-shuffle). This is the form that survives 100 TB
-    of shingles.
+    instead of ``n_hashes x n_shingles`` exploded rows. This is the
+    form that survives 100 TB of shingles, and the form every
+    downstream consumer (banding, overlap estimation) wants: one row
+    per doc, no 16x unpivot in any join.
     """
     sh = shingles(docs, distinct=False).withColumn(
         "base", F.expr(minhash_base_expr("spark"))
     )
-    wide = sh.groupBy("doc_id").agg(
+    return sh.groupBy("doc_id").agg(
         *[
             F.min(
                 F.expr(
@@ -149,25 +148,36 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
             for i in range(n_hashes)
         ]
     )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """MinHash signatures, long view: (doc_id, seed, minhash) — min
+    over the doc's shingle set of a seeded 60-bit md5-derived hash;
+    a zero-shuffle ``stack`` over ``minhash_wide``."""
     stack_args = ", ".join(f"{i}, h{i}" for i in range(n_hashes))
-    return wide.select(
+    return minhash_wide(docs, n_hashes).select(
         "doc_id",
         F.expr(f"stack({n_hashes}, {stack_args}) as (seed, minhash)"),
     ).select("doc_id", F.col("seed").cast("long").alias("seed"), "minhash")
 
 
-def _band_keys(sigs: DataFrame) -> DataFrame:
-    """(doc_id, band, band_key): concatenated signature rows per band,
-    ordered by seed (array_sort on (seed, minhash) structs)."""
-    return (
-        sigs.withColumn("band", F.expr(f"seed div {BAND_ROWS}"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.expr(
-                "array_join(transform(array_sort(collect_list(struct(seed, minhash))),"
-                " s -> cast(s.minhash as string)), ',')"
-            ).alias("band_key")
+def _band_keys_wide(wide: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, band, band_key) from the wide signature form: each
+    band key is the comma-joined run of its ``BAND_ROWS`` signature
+    columns in seed order — a zero-shuffle ``stack`` projection
+    (vs. the long-form group-by, which re-shuffles 16x rows)."""
+    n_bands = n_hashes // BAND_ROWS
+    args = ", ".join(
+        "{b}, concat_ws(',', {cols})".format(
+            b=b,
+            cols=", ".join(
+                f"h{i}" for i in range(b * BAND_ROWS, (b + 1) * BAND_ROWS)
+            ),
         )
+        for b in range(n_bands)
+    )
+    return wide.select(
+        "doc_id", F.expr(f"stack({n_bands}, {args}) as (band, band_key)")
     )
 
 
@@ -178,13 +188,16 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     Candidates are pairs agreeing on >= 1 of 4 bands (prob of catching
     a pair with true jaccard j is 1-(1-j^4)^4 — >0.96 at j=0.8).
 
-    The signature table feeds three consumers (band keys + both sides
-    of the overlap join); ``localCheckpoint`` materializes it once
-    instead of recomputing the shingle+hash pass three times (on a
-    cluster: ``persist(MEMORY_AND_DISK)`` / a staging table).
+    Everything downstream of the signature aggregate stays in the
+    wide one-row-per-doc form: band keys are a stack projection, and
+    the overlap estimate joins the candidate list back to the wide
+    table once per side (one row per doc) and counts equal columns in
+    a single expression — no 16x long-form join fan-out. The wide
+    table feeds three consumers; ``localCheckpoint`` materializes it
+    once (on a cluster: ``persist(MEMORY_AND_DISK)`` / staging table).
     """
-    sigs = minhash_signatures(docs).localCheckpoint()
-    bands = _band_keys(sigs)
+    wide = minhash_wide(docs).localCheckpoint()
+    bands = _band_keys_wide(wide)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -199,21 +212,26 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         )
         .distinct()
     )
-    sa = sigs.select(
-        F.col("doc_id").alias("doc_a"), "seed", F.col("minhash").alias("ha")
+    wa = wide.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASHES)],
     )
-    sb = sigs.select(
-        F.col("doc_id").alias("doc_b"), "seed", F.col("minhash").alias("hb")
+    wb = wide.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_HASHES)],
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES)
     )
     est = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "seed"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            (
-                F.sum(F.expr("CASE WHEN ha = hb THEN 1 ELSE 0 END")).cast("double")
-                / F.lit(N_HASHES)
-            ).alias("est_jaccard")
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(f"CAST(({matches}) AS DOUBLE) / {N_HASHES}").alias(
+                "est_jaccard"
+            ),
         )
     )
     return est.where(F.col("est_jaccard") >= threshold)

@@ -219,3 +219,81 @@ def ann_lsh_topk(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("qid", "cid", "rank", "sim")
     )
+
+
+# ------------------------------------------------------ IVF (coarse
+# quantizer + inverted cells) — the second scale path beside LSH.
+
+IVF_CELLS = 16
+IVF_NPROBE = 2
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF approximate top-k: assign every vector to its nearest
+    coarse centroid (an inverted cell), probe only the query's
+    ``nprobe`` nearest cells, exact-rank the candidates.
+
+    The centroid set is the deterministic stand-in for a trained
+    coarse quantizer: the first ``n_cells`` vectors by id (on a real
+    pipeline: k-means over a sample, broadcast the centroid table —
+    identical plan shape, the centroid table is just not a slice of
+    the input).
+
+    Scale design: the assignment pass is a broadcast-nested-loop
+    against ``n_cells`` rows (embarrassingly parallel, one scan); the
+    candidate join is an equi-join on cell id whose fan-in per query
+    is ~n*nprobe/n_cells rather than n; exact ranking touches only
+    candidates. All sims use the shared left-to-right double fold, so
+    results are bit-comparable with the DuckDB oracle.
+    """
+    base = with_norm2(emb)
+    cent = base.where(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm2").alias("c_n2"),
+    )
+    asg = (
+        base.select(
+            "vec_id",
+            F.col("embedding").alias("q_emb"),
+            F.col("norm2").alias("q_n2"),
+        )
+        .crossJoin(broadcast(cent))
+        .select("vec_id", "cent_id", _sim_col())
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cent_id")
+    ranked = asg.withColumn("rnk", F.row_number().over(w))
+    cells = ranked.where(F.col("rnk") == 1).select(
+        "vec_id", F.col("cent_id").alias("cell")
+    )
+    probes = ranked.where(
+        (F.col("vec_id") < n_queries) & (F.col("rnk") <= nprobe)
+    ).select(F.col("vec_id").alias("qid"), F.col("cent_id").alias("cell"))
+    cand = broadcast(probes).join(cells, "cell").select(
+        "qid", F.col("vec_id").alias("cid")
+    )
+    q = base.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm2").alias("q_n2"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm2").alias("c_n2"),
+    )
+    sims = cand.join(broadcast(q), "qid").join(c, "cid").select(
+        "qid", "cid", _sim_col()
+    )
+    wk = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    return (
+        sims.withColumn("rank", F.row_number().over(wk).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "cid", "rank", "sim")
+    )

@@ -1863,3 +1863,270 @@ def q_scalar_subquery_above_avg(spark, sf_dir):
             F.col("c_acctbal").cast("double").alias("acctbal"),
         )
     )
+
+
+@register(
+    "grouping_sets_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q_grouping_sets_agg(spark, sf_dir):
+    """GROUPING SETS — the general form rollup/cube specialize; all
+    three granularities in one pass (Expand + single aggregate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+def _dec2dbl(col: str) -> str:
+    """Portable DECIMAL→DOUBLE: a direct cast is NOT bit-stable across
+    engines once the unscaled value exceeds 2^53 (DuckDB converts
+    unscaled-int and scale separately — two roundings; Spark's
+    BigDecimal.doubleValue rounds the exact rational once). Split into
+    an exactly-convertible integer part (int64→double is one correctly
+    rounded hardware op in both) plus a tiny exact fraction; the
+    single division and addition then round identically."""
+    f = f"FLOOR({col})"
+    return (
+        f"(CAST(CAST({f} AS BIGINT) AS DOUBLE)"
+        f" + CAST(CAST(({col} - {f}) * 10000 AS BIGINT) AS DOUBLE) / 10000.0)"
+    )
+
+
+_MOMENTS_CTE = """
+      SELECT l_returnflag, COUNT(*) AS n,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS dsx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS dsxx
+      FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register(
+    "stats_moments",
+    oracle=f"""
+    WITH s0 AS ({_MOMENTS_CTE})
+    , s AS (SELECT l_returnflag, n, {_dec2dbl('dsx')} AS sx,
+                   {_dec2dbl('dsxx')} AS sxx FROM s0)
+    SELECT l_returnflag, n,
+           sx / n AS mean_price,
+           (sxx - sx * sx / n) / (n - 1) AS var_price,
+           SQRT((sxx - sx * sx / n) / (n - 1)) AS stddev_price
+    FROM s
+    """,
+)
+def q_stats_moments(spark, sf_dir):
+    """Sample mean/variance/stddev per group, computed portably:
+    exact DECIMAL sums of x and x^2, then one shared double
+    expression — not the engines' own (differently-ordered, hence
+    differently-rounded) var_samp/stddev_samp kernels. Same
+    single-shuffle partial+final plan as any sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).alias("dsx"),
+        F.sum(dec * dec).alias("dsxx"),
+    ).select(
+        "l_returnflag",
+        "n",
+        F.expr(_dec2dbl("dsx")).alias("sx"),
+        F.expr(_dec2dbl("dsxx")).alias("sxx"),
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.expr("sx / n").alias("mean_price"),
+        F.expr("(sxx - sx * sx / n) / (n - 1)").alias("var_price"),
+        F.expr("SQRT((sxx - sx * sx / n) / (n - 1))").alias("stddev_price"),
+    )
+
+
+_CORR_CTE = """
+      SELECT l_returnflag, COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS dsx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS dsy,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2))) AS dsxx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS dsyy,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS dsxy
+      FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register(
+    "corr_slope",
+    oracle=f"""
+    WITH s0 AS ({_CORR_CTE})
+    , s AS (SELECT l_returnflag, n,
+                   {_dec2dbl('dsx')} AS sx, {_dec2dbl('dsy')} AS sy,
+                   {_dec2dbl('dsxx')} AS sxx, {_dec2dbl('dsyy')} AS syy,
+                   {_dec2dbl('dsxy')} AS sxy
+            FROM s0)
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy)
+             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+    FROM s
+    """,
+)
+def q_corr_slope(spark, sf_dir):
+    """Pearson correlation + OLS slope per group from the five exact
+    co-moment sums (one aggregate pass), shared double arithmetic."""
+    li = _t(spark, sf_dir, "lineitem")
+    dx = F.col("l_quantity").cast("decimal(18,2)")
+    dy = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dx).alias("dsx"),
+        F.sum(dy).alias("dsy"),
+        F.sum(dx * dx).alias("dsxx"),
+        F.sum(dy * dy).alias("dsyy"),
+        F.sum(dx * dy).alias("dsxy"),
+    ).select(
+        "l_returnflag",
+        "n",
+        F.expr(_dec2dbl("dsx")).alias("sx"),
+        F.expr(_dec2dbl("dsy")).alias("sy"),
+        F.expr(_dec2dbl("dsxx")).alias("sxx"),
+        F.expr(_dec2dbl("dsyy")).alias("syy"),
+        F.expr(_dec2dbl("dsxy")).alias("sxy"),
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.expr(
+            "(n * sxy - sx * sy)"
+            " / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))"
+        ).alias("corr_qty_price"),
+        F.expr("(n * sxy - sx * sy) / (n * sxx - sx * sx)").alias("slope"),
+    )
+
+
+@register(
+    "interval_overlap_join",
+    oracle="""
+    SELECT a.user_id AS user_id, COUNT(*) AS n_followups,
+           CAST(SUM(epoch_us(b.ts) - epoch_us(a.ts)) AS DOUBLE)
+             / (COUNT(*) * 1000000.0) AS avg_gap_s
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    GROUP BY a.user_id
+    """,
+)
+def q_interval_overlap_join(spark, sf_dir):
+    """Range/interval self-join: follow-up events within 10 minutes of
+    an earlier event by the same user. The equi-key (user_id) carries
+    the shuffle; the interval predicate is evaluated within each
+    joined group, so this never degenerates to a cross join. Gap sums
+    are exact BIGINT microseconds; only the final mean is double."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    a, b = ev.alias("a"), ev.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 10 MINUTE")),
+    )
+    cnt = F.count(F.lit(1))
+    return joined.groupBy(F.col("a.user_id").alias("user_id")).agg(
+        cnt.alias("n_followups"),
+        (
+            F.sum(
+                F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))
+            ).cast("double")
+            / (cnt * F.lit(1000000.0))
+        ).alias("avg_gap_s"),
+    )
+
+
+@register(
+    "window_percent_ntile",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST() OVER w AS cd,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_percent_ntile(spark, sf_dir):
+    """Distribution window functions (percent_rank / cume_dist /
+    ntile) — both engines define them as exact integer-rank ratios,
+    so doubles match bit-for-bit under a deterministic total order."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+_IVF_SIM_Q_C = (
+    "(" + _D_DOT.format(a="q.embedding", b="c.embedding")
+    + ") / (sqrt(q.norm2) * sqrt(c.norm2))"
+)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle="WITH " + _D_BASE + f"""
+    , cent AS (SELECT vec_id AS cent_id, embedding, norm2
+               FROM base WHERE vec_id < {SIM.IVF_CELLS})
+    , asg0 AS (
+        SELECT q.vec_id, c.cent_id, {_IVF_SIM_Q_C} AS sim
+        FROM base q CROSS JOIN cent c
+    )
+    , asg AS (
+        SELECT vec_id, cent_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cent_id) AS rnk
+        FROM asg0
+    )
+    , cells AS (SELECT vec_id, cent_id AS cell FROM asg WHERE rnk = 1)
+    , probes AS (SELECT vec_id AS qid, cent_id AS cell FROM asg
+                 WHERE vec_id < 8 AND rnk <= {SIM.IVF_NPROBE})
+    , cand AS (SELECT p.qid, cl.vec_id AS cid
+               FROM probes p JOIN cells cl USING (cell))
+    , sims AS (
+        SELECT cand.qid, cand.cid, {_IVF_SIM_Q_C} AS sim
+        FROM cand
+        JOIN base q ON q.vec_id = cand.qid
+        JOIN base c ON c.vec_id = cand.cid
+    )
+    SELECT qid, cid, rank, sim FROM (
+      SELECT qid, cid, sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY sim DESC, cid) AS BIGINT) AS rank
+      FROM sims)
+    WHERE rank <= 10
+    """,
+)
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (operators/similarity.py::ivf_topk): nearest-cell
+    assignment + nprobe=2 probing + exact re-rank. Fully
+    SQL-expressible with the deterministic centroid stand-in, so —
+    unlike most ANN implementations — this one is oracle-checked."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(emb)

@@ -196,3 +196,20 @@ def test_salted_join_matches_plain_join(spark):
     a = {tuple(r) for r in salted.collect()}
     b = {tuple(r) for r in plain.collect()}
     assert a == b
+
+
+def test_ann_ivf_recall_vs_brute_force(spark):
+    """IVF must self-match at rank 1 (a query's own cell is always
+    probed) and overlap substantially with brute-force top-5."""
+    from distributed_mapreduce_p2p_spark.operators import similarity as SIM
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    brute = SIM.cosine_topk(emb, 8, 5).collect()
+    ivf = SIM.ivf_topk(emb, 8, 5).collect()
+    firsts = {r.qid: (r.cid, r.sim) for r in ivf if r.rank == 1}
+    assert all(q == c for q, (c, _) in firsts.items())
+    assert all(abs(s - 1.0) < 1e-12 for (_, s) in firsts.values())
+    brute_set = {(r.qid, r.cid) for r in brute}
+    ivf_set = {(r.qid, r.cid) for r in ivf}
+    assert len(ivf_set & brute_set) >= len(brute_set) // 4
