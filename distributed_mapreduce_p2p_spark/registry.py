@@ -2130,3 +2130,116 @@ def q_ann_ivf_topk(spark, sf_dir):
     unlike most ANN implementations — this one is oracle-checked."""
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.ivf_topk(emb)
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dimension filter -> two shuffled
+    fact joins -> aggregate -> global top-10 (TakeOrderedAndProject,
+    never a full sort). The customer side is broadcast after its
+    segment filter; both date predicates push to the parquet scans."""
+    c = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-06-01 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-06-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE ('0x' || substr(md5(c_custkey::VARCHAR), 1, 4))::BIGINT % 100 < 20
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic 20% hash sample — the reproducible, cluster-safe
+    alternative to TABLESAMPLE/rand() (same rows on every run, every
+    engine, any partitioning; the sampling key hash is uniform, so
+    each c_mktsegment stratum is sampled at ~the same rate). A pure
+    scan-side filter: no shuffle, prunes to three columns."""
+    c = _t(spark, sf_dir, "customer")
+    return c.where(
+        F.expr(
+            "conv(substring(md5(cast(c_custkey as string)), 1, 4), 16, 10)"
+            " % 100 < 20"
+        )
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "levenshtein_close_names",
+    oracle="""
+    SELECT a.c_nationkey AS nationkey,
+           COUNT(*) AS n_close_pairs,
+           CAST(SUM(levenshtein(a.c_name, b.c_name)) AS DOUBLE) / COUNT(*)
+             AS avg_distance
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+     AND levenshtein(a.c_name, b.c_name) <= 2
+    GROUP BY a.c_nationkey
+    """,
+)
+def q_levenshtein_close_names(spark, sf_dir):
+    """Edit-distance blocking join: within-nation candidate pairs
+    scored by levenshtein (JVM built-in on both engines — no UDF).
+    The equi-key (nationkey) bounds the pair space the same way the
+    LSH band key does for MinHash; distance sums are exact ints."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    a, b = c.alias("a"), c.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    cnt = F.count(F.lit(1))
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+            & (dist <= 2),
+        )
+        .groupBy(F.col("a.c_nationkey").alias("nationkey"))
+        .agg(
+            cnt.alias("n_close_pairs"),
+            (F.sum(dist).cast("double") / cnt).alias("avg_distance"),
+        )
+    )
