@@ -81,3 +81,54 @@ def test_scan_reads_only_needed_columns(spark):
     schemas = " ".join(read_schemas(df))
     assert "text" in schemas
     assert "lang" not in schemas and "source" not in schemas
+
+
+def test_q3_topk_broadcast_and_pushdown(spark):
+    from distributed_mapreduce_p2p_spark.plans.explain import (
+        explain_str,
+        join_strategies,
+        pushed_filters,
+    )
+
+    df = _q("tpch_q3_shipping_priority", spark)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, "top-10 must not be a global sort"
+    assert "BroadcastHashJoin" in join_strategies(df)
+    pf = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pf and "l_shipdate" in pf and "c_mktsegment" in pf
+
+
+def test_interval_join_is_equi_not_nested_loop(spark):
+    from distributed_mapreduce_p2p_spark.plans.explain import (
+        explain_str,
+        join_strategies,
+    )
+
+    df = _q("interval_overlap_join", spark)
+    strategies = join_strategies(df)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "interval predicate must ride the user_id equi-join"
+    )
+
+
+def test_grouping_sets_single_exchange(spark):
+    from distributed_mapreduce_p2p_spark.plans.explain import (
+        explain_str,
+        has_partial_aggregate,
+        shuffle_count,
+    )
+
+    df = _q("grouping_sets_agg", spark)
+    assert "Expand" in explain_str(df)
+    assert has_partial_aggregate(df)
+    assert shuffle_count(df) == 1, "all grouping sets in one aggregate pass"
+
+
+def test_stratified_sample_no_shuffle(spark):
+    from distributed_mapreduce_p2p_spark.plans.explain import shuffle_count
+
+    assert shuffle_count(_q("stratified_sample", spark)) == 0, (
+        "hash sampling is a pure scan-side filter"
+    )
