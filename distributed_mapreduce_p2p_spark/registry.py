@@ -2243,3 +2243,68 @@ def q_levenshtein_close_names(spark, sf_dir):
             (F.sum(dist).cast("double") / cnt).alias("avg_distance"),
         )
     )
+
+
+@register(
+    "range_frame_trailing",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             AS trailing_10m_sum,
+           COUNT(*) OVER w AS trailing_10m_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_range_frame_trailing(spark, sf_dir):
+    """Time-RANGE window frame: per user, the trailing-10-minute
+    event sum/count at every event — the batch twin of the sliding
+    streaming window, with frame bounds in exact epoch microseconds
+    (RANGE peers behave identically in both engines). Decimal sums
+    keep the frame aggregation order-insensitive."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_10m_sum"),
+        F.count(F.lit(1)).over(w).alias("trailing_10m_n"),
+    )
+
+
+@register(
+    "unpivot_metrics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'price' AS metric,
+           CAST(l_extendedprice AS DOUBLE) AS val
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'qty', CAST(l_quantity AS DOUBLE)
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', CAST(l_discount AS DOUBLE)
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def q_unpivot_metrics(spark, sf_dir):
+    """Unpivot/melt (wide -> long): ``stack`` generator, the inverse
+    of the pivot in conditional_agg_pivot — a zero-shuffle projection
+    (values pass through untouched, so doubles are bit-identical)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'price', CAST(l_extendedprice AS DOUBLE),"
+            " 'qty', CAST(l_quantity AS DOUBLE),"
+            " 'discount', CAST(l_discount AS DOUBLE)) as (metric, val)"
+        ),
+    )

@@ -143,3 +143,13 @@ def write_orc(df: DataFrame, path: str) -> None:
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def write_partitioned_by(df: DataFrame, path: str, col: str) -> None:
+    """Hive-style directory-partitioned sink (partition *pruning*
+    companion to the hash-bucketed K1 sink): a reader filtering on
+    the partition column opens only matching directories
+    (PartitionFilters in the scan — zero bytes read elsewhere). At
+    100 TB this is the difference between scanning one day and
+    scanning the lake."""
+    df.write.mode("overwrite").partitionBy(col).parquet(path)

@@ -241,3 +241,22 @@ def test_streaming_query_listener_observability(spark, tmpdir):
         spark.streams.removeListener(listener)
     assert events["started"] >= 1
     assert events["progress"] >= 1
+
+
+def test_partitioned_write_prunes_at_scan(spark, tmp_path):
+    from distributed_mapreduce_p2p_spark.plans.explain import explain_str
+    from distributed_mapreduce_p2p_spark.sources.io import (
+        read_table,
+        write_partitioned_by,
+    )
+
+    ev = read_table(spark, SF_SMALL, "events")
+    path = str(tmp_path / "events_by_type")
+    write_partitioned_by(ev, path, "event_type")
+    back = spark.read.parquet(path).where(F.col("event_type") == "click")
+    plan = explain_str(back)
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters"
+    )[1][:200], "filter on the partition column must prune directories"
+    expected = ev.where(F.col("event_type") == "click").count()
+    assert back.count() == expected
