@@ -297,3 +297,88 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("qid", "cid", "rank", "sim")
     )
+
+
+# ------------------------------------------------- blocked all-pairs
+
+def neardup_pairs_blocked(
+    emb: DataFrame, threshold: float = 0.4, block_size: int = 256
+) -> DataFrame:
+    """Near-dup pairs via BLOCK-PARTITIONED matmul — the 100 TB form
+    of ``neardup_pairs``, with no driver ``collect()`` and no
+    broadcast of the full matrix.
+
+    Vectors are tiled into blocks of ``block_size``; the (tiny)
+    block-pair index (b1 <= b2) fans each block out to its pair
+    tasks; a cogrouped ``applyInPandas`` computes the numpy matmul
+    per block pair on executors. Shuffle volume is n_vectors x
+    n_blocks rows — the classic O(n * n/B) all-pairs tiling, each
+    task bounded at block_size^2 work and 2 x block_size x dim
+    memory. Survivors (``threshold - 1e-6`` slack for summation
+    order) get the exact left-to-right fold, so the final output is
+    bit-identical to the broadcast variant and the DuckDB oracle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    eps = 1e-6
+    tagged = emb.select(
+        "vec_id",
+        "embedding",
+        (F.col("vec_id") / block_size).cast("long").alias("blk"),
+    )
+    blocks = tagged.select("blk").distinct()
+    b1 = blocks.select(F.col("blk").alias("b1"))
+    b2 = blocks.select(F.col("blk").alias("b2"))
+    pairs = b1.crossJoin(b2).where(F.col("b1") <= F.col("b2"))
+
+    def _fan(side: str) -> DataFrame:
+        t, p = tagged.alias("t"), pairs.alias("p")
+        return t.join(
+            broadcast(p), F.col("t.blk") == F.col(f"p.{side}")
+        ).select(
+            F.col("p.b1").alias("b1"),
+            F.col("p.b2").alias("b2"),
+            F.col("t.vec_id").alias("vec_id"),
+            F.col("t.embedding").alias("embedding"),
+        )
+
+    left, right = _fan("b1"), _fan("b2")
+
+    def _block_pair(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(lpdf) or not len(rpdf):
+            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
+        a = np.array(list(lpdf["embedding"]), dtype=np.float64)
+        b = np.array(list(rpdf["embedding"]), dtype=np.float64)
+        a /= np.linalg.norm(a, axis=1, keepdims=True)
+        b /= np.linalg.norm(b, axis=1, keepdims=True)
+        sims = a @ b.T
+        ai = lpdf["vec_id"].to_numpy()
+        bi = rpdf["vec_id"].to_numpy()
+        ii, jj = np.nonzero(sims >= threshold - eps)
+        va, vb = ai[ii], bi[jj]
+        keep = va < vb
+        return pd.DataFrame({"vec_a": va[keep], "vec_b": vb[keep]})
+
+    cand = (
+        left.groupBy("b1", "b2")
+        .cogroup(right.groupBy("b1", "b2"))
+        .applyInPandas(_block_pair, "vec_a long, vec_b long")
+    )
+    base = with_norm2(emb)
+    a = base.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm2").alias("q_n2"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm2").alias("c_n2"),
+    )
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", _sim_col())
+        .where(F.col("sim") >= threshold)
+    )

@@ -2308,3 +2308,20 @@ def q_unpivot_metrics(spark, sf_dir):
             " 'discount', CAST(l_discount AS DOUBLE)) as (metric, val)"
         ),
     )
+
+
+@register(
+    "embedding_neardup_blocked",
+    oracle="WITH " + _D_BASE + f"""
+    SELECT q.vec_id AS vec_a, c.vec_id AS vec_b, {_D_SIM} AS sim
+    FROM base q JOIN base c ON q.vec_id < c.vec_id
+    WHERE {_D_SIM} >= 0.4
+    """,
+)
+def q_embedding_neardup_blocked(spark, sf_dir):
+    """Block-partitioned-matmul near-dup (similarity.py::
+    neardup_pairs_blocked) — identical results to embedding_neardup
+    with no driver collect / full-matrix broadcast; the form that
+    runs at 100 TB. Same oracle as the broadcast variant."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.neardup_pairs_blocked(emb)

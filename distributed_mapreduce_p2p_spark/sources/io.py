@@ -153,3 +153,20 @@ def write_partitioned_by(df: DataFrame, path: str, col: str) -> None:
     100 TB this is the difference between scanning one day and
     scanning the lake."""
     df.write.mode("overwrite").partitionBy(col).parquet(path)
+
+
+def write_range_partitioned(
+    df: DataFrame, path: str, key: str, n: int = 8
+) -> None:
+    """K3 at 100 TB: globally-ordered output WITHOUT coalesce(1) —
+    ``repartitionByRange`` (sampled range exchange) gives
+    non-overlapping key ranges per file, sorted within each, so the
+    file set concatenated in range order IS the global sort. This is
+    the form `write_merged_result`'s single-file parity shortcut
+    must take on a cluster."""
+    (
+        df.repartitionByRange(n, key)
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

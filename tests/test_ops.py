@@ -213,3 +213,18 @@ def test_ann_ivf_recall_vs_brute_force(spark):
     brute_set = {(r.qid, r.cid) for r in brute}
     ivf_set = {(r.qid, r.cid) for r in ivf}
     assert len(ivf_set & brute_set) >= len(brute_set) // 4
+
+
+def test_blocked_neardup_equals_broadcast_variant(spark):
+    """The block-partitioned matmul must emit exactly the broadcast
+    variant's pairs and bit-identical sims."""
+    from distributed_mapreduce_p2p_spark.operators import similarity as SIM
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    base = {(r.vec_a, r.vec_b, r.sim) for r in SIM.neardup_pairs(emb).collect()}
+    blocked = {
+        (r.vec_a, r.vec_b, r.sim)
+        for r in SIM.neardup_pairs_blocked(emb).collect()
+    }
+    assert base and blocked == base

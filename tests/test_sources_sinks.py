@@ -260,3 +260,33 @@ def test_partitioned_write_prunes_at_scan(spark, tmp_path):
     )[1][:200], "filter on the partition column must prune directories"
     expected = ev.where(F.col("event_type") == "click").count()
     assert back.count() == expected
+
+
+def test_range_partitioned_write_is_global_sort(spark, tmp_path):
+    """Per-file key ranges must not overlap and each file must be
+    sorted — concatenation in range order is the global sort."""
+    import pyarrow.parquet as pq
+
+    from distributed_mapreduce_p2p_spark.operators.text import word_count
+    from distributed_mapreduce_p2p_spark.sources.io import (
+        read_table,
+        write_range_partitioned,
+    )
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    wc = word_count(docs, "text")
+    path = str(tmp_path / "wc_ranged")
+    write_range_partitioned(wc, path, "word", n=4)
+    ranges = []
+    total = 0
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        words = pq.read_table(f, columns=["word"]).column("word").to_pylist()
+        if not words:
+            continue
+        assert words == sorted(words), f"{f} not sorted within file"
+        ranges.append((words[0], words[-1]))
+        total += len(words)
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping file ranges: {hi1} >= {lo2}"
+    assert total == wc.count()
