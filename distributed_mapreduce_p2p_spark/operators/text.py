@@ -103,3 +103,42 @@ def top_k_words(df: DataFrame, k: int, text_col: str = "text") -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("word"))
         .limit(k)
     )
+
+
+def numbered_result_scalable(
+    df: DataFrame, text_col: str = "text", n_parts: int = 8
+) -> DataFrame:
+    """S4 at 100 TB: global 1-based numbering WITHOUT a
+    single-partition window — the partition-offset (zipWithIndex)
+    pattern in pure DataFrame ops.
+
+    Two passes over the range-partitioned data: (1) per-partition row
+    counts (tiny) -> running-total offsets (window over n_parts rows);
+    (2) per-partition ``row_number`` (parallel windows) + broadcast
+    offset join. Identical output to ``numbered_result`` for any
+    unique key set; every stage is partition-parallel.
+    """
+    wc = (
+        word_count(df, text_col)
+        .repartitionByRange(n_parts, "word")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    # lineage guard: pid must not be recomputed under a different plan
+    wc = wc.localCheckpoint()
+    counts = wc.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+    off_w = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = counts.select(
+        "pid",
+        (F.sum("n").over(off_w) - F.col("n")).alias("offset"),
+    )
+    in_part = Window.partitionBy("pid").orderBy("word")
+    return (
+        wc.join(F.broadcast(offsets), "pid")
+        .withColumn(
+            "id",
+            (F.row_number().over(in_part) + F.col("offset")).cast("long"),
+        )
+        .select("id", "word", "cnt")
+    )
