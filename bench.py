@@ -1,9 +1,10 @@
 #!/usr/bin/env python
 """Benchmark harness (driver contract).
 
-Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec",
+Times EVERY registered query (the headline set first, then the full
+registry sweep) at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": "all_queries_total", "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is executed to completion (count() forces the full plan —
@@ -94,7 +95,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
+                "metric": "all_queries_total",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

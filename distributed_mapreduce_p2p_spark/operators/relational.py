@@ -155,22 +155,29 @@ def asof_join_window(
     """As-of join, window formulation: for each left row, the latest
     right row with the same key and right_ts <= left_ts. Range join +
     keep-latest window; fan-out is |matches per left row| — fine when
-    keys are selective, explosive when one key holds a long history."""
+    keys are selective, explosive when one key holds a long history.
+
+    The keep-latest window partitions on a per-row surrogate id, not
+    on ``left.columns`` — partitioning on the values would collapse
+    fully identical left rows into one output row (silently dropping
+    duplicates) instead of producing one output row per input row.
+    """
     from pyspark.sql import Window
 
-    joined = left.join(
+    tagged = left.withColumn("__lrow", F.monotonically_increasing_id())
+    joined = tagged.join(
         right,
         (F.col(right_key) == F.col(left_key))
         & (F.col(right_ts) <= F.col(left_ts)),
         "left",
     )
-    w = Window.partitionBy(*left.columns).orderBy(
+    w = Window.partitionBy("__lrow").orderBy(
         F.col(right_ts).desc(), F.col(right_val).desc()
     )
     return (
         joined.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", "__lrow")
     )
 
 

@@ -1,4 +1,5 @@
 from distributed_mapreduce_p2p_spark.sources.io import (  # noqa: F401
+    files_split_size,
     load_tables,
     read_table,
     read_text_corpus,

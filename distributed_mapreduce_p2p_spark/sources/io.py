@@ -14,12 +14,34 @@ typed parquet readers for the star schema.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+from typing import Iterator
+
 from pyspark.sql import DataFrame, SparkSession
 
 from distributed_mapreduce_p2p_spark import TABLES
 
 # Reference chunk size: CHUNK_SIZE = 102400 (chunks/chunks.go:10).
 REFERENCE_CHUNK_BYTES = 102400
+
+
+@contextmanager
+def files_split_size(spark: SparkSession, nbytes: int) -> Iterator[None]:
+    """Scoped override of ``spark.sql.files.maxPartitionBytes`` —
+    saved on entry, restored on exit (no session-wide leak).
+
+    File-source split planning consults this conf when an *action*
+    plans the scan, not when the DataFrame is defined (scans are
+    lazy); execute (collect/count/localCheckpoint) inside the scope
+    for the split size to take effect.
+    """
+    key = "spark.sql.files.maxPartitionBytes"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(nbytes))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -56,23 +78,23 @@ def load_tables(
     return out
 
 
-def read_text_corpus(
-    spark: SparkSession, paths: list[str] | str, chunk_bytes: int = REFERENCE_CHUNK_BYTES
-) -> DataFrame:
+def read_text_corpus(spark: SparkSession, paths: list[str] | str) -> DataFrame:
     """Line-oriented scan of a raw text corpus (S1+S2+J1).
 
-    Reproduces the reference's 100 KiB byte-range chunking
-    (chunks/chunks.go:10) as FileScan split granularity; Spark's text
-    source already does boundary-aligned splits at newline granularity
-    (the reference aligns at spaces — mapreduce/worker.go:37-89).
-    Multi-path read is the union-all of per-file scans (J1,
-    mrsequential.go:104-105).
+    Spark's text source does boundary-aligned splits at newline
+    granularity (the reference aligns at spaces —
+    mapreduce/worker.go:37-89). Multi-path read is the union-all of
+    per-file scans (J1, mrsequential.go:104-105).
+
+    To reproduce the reference's 100 KiB byte-range chunking
+    (chunks/chunks.go:10) as FileScan split granularity, execute the
+    returned DataFrame inside
+    ``files_split_size(spark, REFERENCE_CHUNK_BYTES)`` — split size
+    is consulted at action planning time, so setting it here and
+    restoring would be a no-op and leaving it set would leak into
+    every later scan in the session.
     """
-    reader = spark.read.option("wholetext", "false")
-    if chunk_bytes:
-        # Only affects this read's split planning at scan time.
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(chunk_bytes))
-    return reader.text(paths)
+    return spark.read.option("wholetext", "false").text(paths)
 
 
 def write_hash_partitioned(df: DataFrame, path: str, key: str, n: int = 8) -> None:

@@ -180,6 +180,27 @@ def test_asof_merge_matches_window_variant(spark):
     assert merged.count() == n_left
 
 
+def test_asof_window_preserves_duplicate_left_rows(spark):
+    """asof_join_window must emit one row per INPUT left row — fully
+    identical left rows may not collapse (the keep-latest window
+    partitions on a surrogate row id, not on the left values)."""
+    from distributed_mapreduce_p2p_spark.operators.relational import (
+        asof_join_window,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 10), (2, 5)], "k long, lt long"  # duplicated row
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 100), (1, 9, 200), (2, 99, 300)], "rk long, rt long, rv long"
+    )
+    out = asof_join_window(left, right, "k", "rk", "lt", "rt", "rv")
+    rows = sorted((r.k, r.lt, r.rv) for r in out.collect())
+    # both duplicates of (1, 10) survive, each matched to rt=9 -> 200;
+    # (2, 5) has no right row at-or-before -> null value
+    assert rows == [(1, 10, 200), (1, 10, 200), (2, 5, None)]
+
+
 def test_salted_join_matches_plain_join(spark):
     from distributed_mapreduce_p2p_spark.operators.partitioning import salted_join
     from distributed_mapreduce_p2p_spark.sources.io import read_table

@@ -69,16 +69,29 @@ def test_chunked_scan_matches_whole_file_scan(spark):
         TOKEN_SEP_UNICODE,
         word_count,
     )
-    from distributed_mapreduce_p2p_spark.sources.io import read_text_corpus
+    from distributed_mapreduce_p2p_spark.sources.io import (
+        REFERENCE_CHUNK_BYTES,
+        files_split_size,
+        read_text_corpus,
+    )
 
     paths = [f"{REF_DATA}/{f}" for f in REF_FILES]
-    chunked = read_text_corpus(spark, paths, chunk_bytes=102400)
-    n_parts = chunked.rdd.getNumPartitions()
-    whole = read_text_corpus(spark, paths, chunk_bytes=64 * 1024 * 1024)
-    a = {
-        (r.word, r.cnt)
-        for r in word_count(chunked, "value", sep=TOKEN_SEP_UNICODE).collect()
-    }
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+
+    # Split size is consulted at action planning time, so the chunked
+    # word count must be *executed* (collected) inside the scope —
+    # otherwise both sides plan with the same (later) conf value and
+    # the differential test compares whole vs whole.
+    with files_split_size(spark, REFERENCE_CHUNK_BYTES):
+        chunked = read_text_corpus(spark, paths)
+        n_parts = chunked.rdd.getNumPartitions()
+        a = {
+            (r.word, r.cnt)
+            for r in word_count(chunked, "value", sep=TOKEN_SEP_UNICODE).collect()
+        }
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == prev
+
+    whole = read_text_corpus(spark, paths)
     b = {
         (r.word, r.cnt)
         for r in word_count(whole, "value", sep=TOKEN_SEP_UNICODE).collect()

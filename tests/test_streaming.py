@@ -38,6 +38,8 @@ def test_replication_convergence_and_restart(spark, tmpdir):
     # Phase 1: run briefly, then stop (the "kill"). Under load the
     # first window can close before any trigger fires — retry on the
     # same checkpoint until rows land (each retry IS a restart).
+    rep1 = {"rows": 0, "gaps": []}  # if every attempt raises, the
+    # assert below reports the real streaming failure, not a NameError
     for _ in range(4):
         try:
             sink = run_replication(spark, result, sink_path, ckpt, 5, timeout_sec=4.0)
