@@ -2228,15 +2228,35 @@ def q_levenshtein_close_names(spark, sf_dir):
     """Edit-distance blocking join: within-nation candidate pairs
     scored by levenshtein (JVM built-in on both engines — no UDF).
     The equi-key (nationkey) bounds the pair space the same way the
-    LSH band key does for MinHash; distance sums are exact ints."""
+    LSH band key does for MinHash; distance sums are exact ints.
+
+    Plan notes:
+    - 3-arg levenshtein = banded early-exit DP (O(k*n) per pair, not
+      O(n^2)); returns the exact distance when <= 2, else -1 — so the
+      kept pairs and distances are identical to the unbounded form
+      the oracle computes, ~10x cheaper on the ~4.5M-pair space.
+    - The probe side is explicitly repartitioned: the customer table
+      arrives as ONE file split, which would serialize every banded
+      DP on a single core under the broadcast hash join (measured
+      7.6s -> 0.8s at sf0.1 from this line alone). At cluster scale
+      the scan has many splits and this is a cheap no-op-ish shuffle
+      of the small probe side.
+    - Sub-quadratic candidate generation (operators/edjoin.py:
+      q-gram prefix filtering and PassJoin segment pigeonhole, both
+      complete and differential-tested) is the scale path when the
+      blocked pair space itself explodes — on THIS key distribution
+      (fixed 'Customer#' prefix + zero-padded digits, ~2.3e2 distinct
+      bigrams, identical leading segments) every content-derived join
+      key degenerates to near-block-sized buckets and both measured
+      SLOWER than the parallel banded verify (9s / 32s vs 0.8s), so
+      the query ships the dense-block plan and the operators stay the
+      documented high-entropy path."""
     c = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey"
     )
-    a, b = c.alias("a"), c.alias("b")
-    # 3-arg levenshtein = banded early-exit DP (O(k*n) per pair, not
-    # O(n^2)); returns the exact distance when <= 2, else -1 — so the
-    # kept pairs and their distances are identical to the unbounded
-    # form the oracle computes, ~10x cheaper on the 4.5M-pair space.
+    n_par = spark.sparkContext.defaultParallelism * 2
+    a = c.repartition(n_par, "c_custkey").alias("a")
+    b = c.alias("b")
     dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 2)
     cnt = F.count(F.lit(1))
     return (

@@ -180,6 +180,106 @@ def test_asof_merge_matches_window_variant(spark):
     assert merged.count() == n_left
 
 
+def test_ngram_prefix_filter_is_complete_and_prunes(spark):
+    """Prefix-filtered exact Jaccard must equal the all-pairs
+    formulation pair-for-pair AND generate strictly fewer candidate
+    pairs than the raw shared-shingle join."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_p2p_spark.operators.dedup import (
+        ngram_jaccard_candidates,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_allpairs,
+        shingles,
+    )
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    fast = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in ngram_jaccard_pairs(docs, 0.5).collect()
+    }
+    slow = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in ngram_jaccard_pairs_allpairs(docs, 0.5).collect()
+    }
+    assert fast == slow and len(fast) > 0
+
+    sh = shingles(docs)
+    n_cand = ngram_jaccard_candidates(sh, 0.5).count()
+    a, b = sh.alias("a"), sh.alias("b")
+    n_raw = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .distinct()
+        .count()
+    )
+    assert n_cand < n_raw, (n_cand, n_raw)
+
+
+def _quadratic_ed_pairs(spark, k=2):
+    """Blocked quadratic baseline pair set at SF_SMALL."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+
+    c = read_table(spark, SF_SMALL, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    a, b = c.alias("a"), c.alias("b")
+    d = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    rows = (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+            & (d <= k),
+        )
+        .select(
+            F.col("a.c_nationkey").alias("n"),
+            F.col("a.c_custkey").alias("ka"),
+            F.col("b.c_custkey").alias("kb"),
+            d.alias("dist"),
+        )
+        .collect()
+    )
+    return {(r.n, r.ka, r.kb, r.dist) for r in rows}, c
+
+
+def test_qgram_prefix_edjoin_is_complete_and_exact(spark):
+    """edit_distance_pairs (q-gram prefix filter) must emit EXACTLY
+    the blocked quadratic join's pair set — the filter is complete
+    (Gravano count bound + prefix pigeonhole), the banded verify
+    exact."""
+    from distributed_mapreduce_p2p_spark.operators.edjoin import (
+        edit_distance_pairs,
+    )
+
+    want, c = _quadratic_ed_pairs(spark)
+    fast = edit_distance_pairs(c, "c_custkey", "c_name", ["c_nationkey"], k=2)
+    got = {(r.c_nationkey, r.key_a, r.key_b, r.dist) for r in fast.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_passjoin_edjoin_is_complete_and_exact(spark):
+    """edit_distance_pairs_passjoin (segment pigeonhole) must emit
+    EXACTLY the blocked quadratic join's pair set."""
+    from distributed_mapreduce_p2p_spark.operators.edjoin import (
+        edit_distance_pairs_passjoin,
+    )
+
+    want, c = _quadratic_ed_pairs(spark)
+    fast = edit_distance_pairs_passjoin(
+        c, "c_custkey", "c_name", ["c_nationkey"], k=2
+    )
+    got = {(r.c_nationkey, r.key_a, r.key_b, r.dist) for r in fast.collect()}
+    assert got == want and len(got) > 0
+
+
 def test_asof_window_preserves_duplicate_left_rows(spark):
     """asof_join_window must emit one row per INPUT left row — fully
     identical left rows may not collapse (the keep-latest window
