@@ -443,20 +443,114 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 # ------------------------------------------------------------ clusters
 
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star (connect strictly-larger neighbors to the
+    neighborhood min) or small-star (connect smaller-or-self
+    neighbors to the neighborhood min) round over an undirected edge
+    list (src, dst)."""
+    nbrs = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = nbrs.groupBy("src").agg(F.min("dst").alias("__mn"))
+    star = nbrs.join(mins, "src").withColumn(
+        "__m", F.least("__mn", F.col("src"))
+    )
+    if large:
+        out = star.where(F.col("dst") > F.col("src")).select(
+            F.col("dst").alias("src"), F.col("__m").alias("dst")
+        )
+    else:
+        out = star.where(F.col("dst") < F.col("src")).select(
+            F.col("dst").alias("src"), F.col("__m").alias("dst")
+        ).union(star.select("src", F.col("__m").alias("dst")))
+    return out.where(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(
+    edges: DataFrame, nodes: DataFrame, max_iter: int = 25
+) -> tuple[DataFrame, int]:
+    """Connected components via ALTERNATING LARGE-STAR / SMALL-STAR
+    (Kiveris et al., 'Connected Components in MapReduce and Beyond',
+    SoCC'14 — public algorithm; original DataFrame composition):
+    returns (labels, rounds) where labels = (doc_id, cluster_id) and
+    cluster_id is the component's minimum node id.
+
+    Each round is two groupBy+join passes that monotonically flatten
+    the graph toward a star forest rooted at component minima —
+    O(log n) rounds instead of the O(diameter) of min-label
+    propagation, and the per-round state is the (shrinking) edge
+    list, not an all-nodes label table.
+
+    Convergence detection costs one ``count()`` on the
+    already-materialized (localCheckpoint'ed) edge list per round —
+    counts differ while the graph is still flattening — plus a
+    left-anti emptiness probe only on the final count-equal round;
+    there is no per-round all-nodes label-equality join.
+    """
+    edges = (
+        edges.where(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+    )
+    n_edges = edges.count()
+    rounds = 0
+    # Scope shuffle parallelism to the measured edge count for the
+    # loop (restored after): each round is several tiny shuffles, and
+    # running them at the session default (200 in the driver's vanilla
+    # session) pays hundreds of empty tasks per round. ~50k edges per
+    # partition; a 100 TB edge list gets its thousands of partitions
+    # back from the same formula.
+    spark = edges.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(min(int(prev_parts), n_edges // 50_000 + 4)),
+    )
+    try:
+        for _ in range(max_iter):
+            rounds += 1
+            nxt = _star_round(_star_round(edges, large=True), large=False)
+            nxt = nxt.localCheckpoint()
+            n_nxt = nxt.count()
+            if n_nxt == n_edges and nxt.join(
+                edges, ["src", "dst"], "left_anti"
+            ).isEmpty():
+                edges = nxt
+                break
+            edges, n_edges = nxt, n_nxt
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # star forest: every non-root points at its component's min
+    labels = (
+        nodes.join(edges, nodes["doc_id"] == edges["src"], "left")
+        .select("doc_id", F.coalesce("dst", "doc_id").alias("cluster_id"))
+    )
+    return labels, rounds
+
+
 def dedup_clusters(
     docs: DataFrame, threshold: float = 0.5, max_iter: int = 25
 ) -> DataFrame:
     """Duplicate clusters: connected components over the MinHash-LSH
     near-dup pair graph; every doc labeled with the minimum doc_id
-    reachable from it (singletons label themselves).
+    reachable from it (singletons label themselves). CC runs the
+    alternating-star algorithm (``connected_components``); the
+    min-label-propagation formulation survives as
+    ``dedup_clusters_labelprop`` for the differential test."""
+    pairs = minhash_lsh_pairs(docs, threshold).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels, _ = connected_components(
+        pairs, docs.select("doc_id"), max_iter=max_iter
+    )
+    return labels
 
-    Iterative min-label propagation — the standard DataFrame CC loop:
-    each round joins labels across edges and keeps the elementwise
-    min; ``localCheckpoint`` truncates lineage per round. Converges in
-    O(component diameter) rounds (near-dup components are tiny); at
-    100 TB graph scale you would bound rounds or switch to a
-    large-star/small-star algorithm, same join shapes.
-    """
+
+def dedup_clusters_labelprop(
+    docs: DataFrame, threshold: float = 0.5, max_iter: int = 25
+) -> tuple[DataFrame, int]:
+    """Min-label propagation CC baseline (O(component diameter)
+    rounds, all-nodes label state, per-round label-equality join) —
+    kept as the differential baseline the alternating-star
+    implementation is tested against. Returns (labels, rounds)."""
     pairs = minhash_lsh_pairs(docs, threshold).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -467,7 +561,9 @@ def dedup_clusters(
         F.col("doc_id"), F.col("doc_id").alias("cluster_id")
     ).localCheckpoint()
 
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
@@ -492,4 +588,4 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
-    return labels
+    return labels, rounds

@@ -180,6 +180,33 @@ def test_asof_merge_matches_window_variant(spark):
     assert merged.count() == n_left
 
 
+def test_alternating_star_cc_matches_labelprop_in_fewer_rounds(spark):
+    """connected_components (large-star/small-star) must produce the
+    exact labels of min-label propagation on the planted near-dup
+    graph, in no more rounds."""
+    from distributed_mapreduce_p2p_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_labelprop,
+        minhash_lsh_pairs,
+        connected_components,
+    )
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    star = {(r.doc_id, r.cluster_id) for r in dedup_clusters(docs).collect()}
+    lp_labels, lp_rounds = dedup_clusters_labelprop(docs)
+    lp = {(r.doc_id, r.cluster_id) for r in lp_labels.collect()}
+    assert star == lp
+    assert any(d != c for d, c in star), "planted dups must cluster"
+
+    pairs = minhash_lsh_pairs(docs, 0.5).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    _, star_rounds = connected_components(pairs, docs.select("doc_id"))
+    assert star_rounds <= lp_rounds, (star_rounds, lp_rounds)
+
+
 def test_ngram_prefix_filter_is_complete_and_prunes(spark):
     """Prefix-filtered exact Jaccard must equal the all-pairs
     formulation pair-for-pair AND generate strictly fewer candidate
