@@ -1,12 +1,18 @@
 """Multimodal column plumbing (north-star ops, BASELINE.json).
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
-metadata. The Spark-side machinery here — schemas, Arrow-batched
+metadata. The Spark-side machinery — schemas, Arrow-batched
 ``mapInPandas`` decode/feature/resize/frame-sample stages, partition
-sizing — is real and tested; the actual codec calls are STUBBED
-(``decode_real`` raises NotImplementedError; the deterministic fake
-derives metadata from the bytes) because image/audio libraries are
-not available in this environment.
+sizing — is real and tested, and ``decode_real`` now REALLY parses
+three formats with stdlib-only codecs: BMP (struct header walk),
+RIFF/WAVE PCM (``wave``), and a VSEQ container of BMP frames.
+``real_assets`` generates spec-conformant payloads on executors so
+the whole encode->Arrow->decode path is exercised end to end
+(driver-checked by the ``real_decode_meta`` query). Rich codecs
+(JPEG/FLAC/H.264 via PIL/librosa/pyav — not installable here) slot
+into the same three-tuple contract at deploy time; ``_decode_fake``
+remains for plumbing tests that want payloads independent of any
+codec.
 
 At 100 TB: payloads stay in parquet binary columns (never collected),
 each mapInPandas stage streams Arrow batches, and
@@ -17,7 +23,10 @@ as the plan allows.
 
 from __future__ import annotations
 
+import io
+import struct
 import sys
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -80,11 +89,166 @@ def assets_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_real(payload: bytes, modality: str):  # pragma: no cover
-    """Real codec hook (PIL/librosa/pyav at deploy time)."""
-    raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "wire PIL/librosa/pyav here at deploy time"
+# --------------------------------------------------- real codecs
+# Stdlib-only real parsers: BMP (struct header walk), WAV (wave
+# module), and a length-prefixed BMP frame sequence for video. Rich
+# codecs (JPEG/FLAC/H.264 via PIL/librosa/pyav) wire into the same
+# three-tuple contract at deploy time.
+
+# format strings, not struct.Struct instances — this module is
+# pickled by value for the workers and Struct objects don't pickle
+_BMP_HEADER_FMT = "<2sIHHI"  # magic, file size, res, res, px offset
+_BMP_DIB_FMT = "<IiiHH"  # dib size, width, height, planes, bpp
+_VSEQ_MAGIC = b"VSEQ"
+
+
+def encode_bmp(width: int, height: int, seed: int) -> bytes:
+    """A real, spec-conformant 24-bpp uncompressed BMP (BI_RGB,
+    BITMAPINFOHEADER) with deterministic pixel bytes."""
+    row = width * 3
+    pad = (-row) % 4
+    px_offset = 14 + 40
+    size = px_offset + (row + pad) * height
+    header = struct.pack(_BMP_HEADER_FMT, b"BM", size, 0, 0, px_offset)
+    dib = struct.pack(_BMP_DIB_FMT, 40, width, height, 1, 24) + struct.pack(
+        "<IIiiII", 0, (row + pad) * height, 2835, 2835, 0, 0
+    )
+    rows = bytearray()
+    for y in range(height):
+        for x in range(row):
+            rows.append((seed + 31 * y + x) % 256)
+        rows.extend(b"\x00" * pad)
+    return header + dib + bytes(rows)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int]:
+    """Parse a BMP header for (width, height) — real struct walk,
+    validates magic and DIB size."""
+    magic, _, _, _, _ = struct.unpack_from(_BMP_HEADER_FMT, payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    _, width, height, _, _ = struct.unpack_from(_BMP_DIB_FMT, payload, 14)
+    return width, abs(height)
+
+
+def encode_wav(sample_rate: int, n_channels: int, n_samples: int, seed: int) -> bytes:
+    """A real RIFF/WAVE file (16-bit PCM) via the stdlib ``wave``
+    writer, deterministic samples."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        frames = bytearray()
+        for i in range(n_samples * n_channels):
+            frames += struct.pack("<h", ((seed * 131 + i * 7) % 65536) - 32768)
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int]:
+    """(sample_rate, n_channels, n_samples) via the stdlib ``wave``
+    reader — a real RIFF parse."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        return w.getframerate(), w.getnchannels(), w.getnframes()
+
+
+def encode_vseq(width: int, height: int, n_frames: int, seed: int) -> bytes:
+    """Video stand-in container: ``VSEQ`` magic + uint32 frame count
+    + length-prefixed real BMP frames (documented custom container;
+    the per-frame payloads are spec-conformant BMPs)."""
+    out = bytearray(_VSEQ_MAGIC + struct.pack("<I", n_frames))
+    for f in range(n_frames):
+        frame = encode_bmp(width, height, seed + f)
+        out += struct.pack("<I", len(frame)) + frame
+    return bytes(out)
+
+
+def decode_vseq(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, n_frames): walks the container, parses every
+    frame's BMP header, asserts consistent geometry; the frame count
+    comes from the walk, not the declared header."""
+    if payload[:4] != _VSEQ_MAGIC:
+        raise ValueError("not a VSEQ payload")
+    pos, n = 8, 0
+    geom = None
+    while pos < len(payload):
+        (flen,) = struct.unpack_from("<I", payload, pos)
+        pos += 4
+        g = decode_bmp(payload[pos : pos + flen])
+        if geom is None:
+            geom = g
+        elif g != geom:
+            raise ValueError("inconsistent frame geometry")
+        pos += flen
+        n += 1
+    if geom is None:
+        raise ValueError("empty VSEQ container")
+    return geom[0], geom[1], n
+
+
+def decode_real(payload: bytes, modality: str) -> tuple[int, int, int]:
+    """Real stdlib decode: BMP header parse for images, RIFF/WAVE
+    parse for audio (width=sample_rate, height=n_channels,
+    n_frames=n_samples), VSEQ container walk for video. Each parses
+    the actual bytes — tested against hand-built fixtures and, as a
+    driver-checked query (``real_decode_meta``), against the
+    generation parameters the oracle recomputes."""
+    p = bytes(payload)
+    if modality == "image":
+        w, h = decode_bmp(p)
+        return w, h, 1
+    if modality == "audio":
+        return decode_wav(p)
+    if modality == "video":
+        return decode_vseq(p)
+    raise ValueError(f"unknown modality: {modality}")
+
+
+def media_params(asset_id: int) -> tuple[str, tuple[int, ...]]:
+    """Deterministic generation parameters per asset id — pure
+    arithmetic, mirrored by the ``real_decode_meta`` oracle SQL so
+    the driver can hash-check that ``decode_real`` parses back
+    exactly what ``real_assets`` encoded."""
+    m = asset_id % 3
+    if m == 0:
+        return "image", (4 + asset_id % 29, 3 + asset_id % 17)
+    if m == 1:
+        return "audio", (
+            8000 + (asset_id % 5) * 1000,
+            1 + asset_id % 2,
+            100 + asset_id % 400,
+        )
+    return "video", (4 + asset_id % 29, 3 + asset_id % 17, 2 + asset_id % 9)
+
+
+def real_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Generate REAL media payloads on executors (Arrow-batched
+    mapInPandas): spec-conformant BMP images, RIFF/WAVE PCM audio,
+    VSEQ-wrapped BMP frame sequences — all deterministic functions of
+    the asset id via ``media_params``."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_, mods, payloads = [], [], []
+            for a in pdf[id_col]:
+                a = int(a)
+                mod, p = media_params(a)
+                if mod == "image":
+                    payload = encode_bmp(p[0], p[1], a)
+                elif mod == "audio":
+                    payload = encode_wav(p[0], p[1], p[2], a)
+                else:
+                    payload = encode_vseq(p[0], p[1], p[2], a)
+                ids_.append(a)
+                mods.append(mod)
+                payloads.append(payload)
+            yield pd.DataFrame(
+                {"asset_id": ids_, "modality": mods, "payload": payloads}
+            )
+
+    return ids.select(id_col).mapInPandas(
+        _gen, "asset_id long, modality string, payload binary"
     )
 
 

@@ -956,6 +956,39 @@ def q_frame_sample_plan(spark, sf_dir):
     return MM.frame_sample(decoded, 5)
 
 
+@register(
+    "real_decode_meta",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           CAST(CASE CAST(doc_id % 3 AS INT)
+                WHEN 1 THEN 8000 + (doc_id % 5) * 1000
+                ELSE 4 + doc_id % 29 END AS INTEGER) AS width,
+           CAST(CASE CAST(doc_id % 3 AS INT)
+                WHEN 1 THEN 1 + doc_id % 2
+                ELSE 3 + doc_id % 17 END AS INTEGER) AS height,
+           CAST(CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN 1
+                WHEN 1 THEN 100 + doc_id % 400
+                ELSE 2 + doc_id % 9 END AS INTEGER) AS n_frames
+    FROM documents
+    """,
+)
+def q_real_decode_meta(spark, sf_dir):
+    """REAL media decode round-trip: executors generate
+    spec-conformant BMP / RIFF-WAVE / VSEQ payloads (multimodal.py::
+    real_assets, parameters a pure function of asset_id), then
+    ``decode_real`` parses the actual bytes back with stdlib
+    struct/wave parsers (no fake metadata anywhere in this path).
+    The oracle recomputes the generation parameters arithmetically —
+    a hash match proves the encode->Arrow->decode pipeline preserves
+    and correctly parses real binary media."""
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    decoded = MM.decode_assets(MM.real_assets(ids), use_real_codec=True)
+    return decoded.select("asset_id", "modality", "width", "height", "n_frames")
+
+
 # =====================================================================
 # Windowed aggregation (streaming twins live in streaming/windows.py)
 # and the UDF surface (U1-U3)
@@ -2416,7 +2449,8 @@ _FRONT: list[str] = [
     "array_agg_sorted",
     "train_val_split",
     "sequence_packing",
-    # -- (2) implementation changed this round ------------------------
+    # -- (2) new or implementation-changed this round ------------------
+    "real_decode_meta",
     "embedding_neardup",
     "ngram_jaccard_pairs",
     "dedup_clusters",
@@ -2448,7 +2482,6 @@ _FRONT: list[str] = [
     "join_topk_orders",
     "conditional_agg_pivot",
     "median_by_group",
-    "cube_agg",
 ]
 
 

@@ -90,7 +90,9 @@ def test_multimodal_decode_plumbing(spark):
     frames = MM.frame_sample(decoded, 5)
     assert frames.where("frame_idx % 5 != 0").count() == 0
 
-    with pytest.raises(NotImplementedError):
+    # decode_real is a REAL parser now: junk bytes must be rejected,
+    # not silently faked
+    with pytest.raises(Exception):
         MM.decode_real(b"bytes", "image")
 
 
@@ -178,6 +180,61 @@ def test_asof_merge_matches_window_variant(spark):
     # left rows with no match survive with null
     n_left = ev.count()
     assert merged.count() == n_left
+
+
+def test_real_codecs_roundtrip_and_known_fixture():
+    """Stdlib codecs: encode->decode round-trips, plus a hand-built
+    1x1 BMP fixture parsed to known geometry (no Spark needed)."""
+    import struct
+
+    from distributed_mapreduce_p2p_spark.operators.multimodal import (
+        decode_bmp,
+        decode_real,
+        decode_vseq,
+        decode_wav,
+        encode_bmp,
+        encode_vseq,
+        encode_wav,
+    )
+
+    assert decode_bmp(encode_bmp(7, 5, seed=42)) == (7, 5)
+    assert decode_wav(encode_wav(11000, 2, 321, seed=9)) == (11000, 2, 321)
+    assert decode_vseq(encode_vseq(6, 4, 3, seed=1)) == (6, 4, 3)
+
+    # hand-built 1x1 24bpp BMP (bottom-up, one padded row)
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 14 + 40 + 4, 0, 0, 54)
+        + struct.pack("<IiiHH", 40, 1, 1, 1, 24)
+        + struct.pack("<IIiiII", 0, 4, 2835, 2835, 0, 0)
+        + b"\x00\x00\xff\x00"
+    )
+    assert decode_real(bmp, "image") == (1, 1, 1)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_bmp(b"XX" + bytes(60))
+
+
+def test_real_decode_matches_generation_params(spark):
+    """decode_real over executor-generated real payloads must parse
+    back exactly the media_params each asset was encoded with."""
+    from distributed_mapreduce_p2p_spark.operators.multimodal import (
+        decode_assets,
+        media_params,
+        real_assets,
+    )
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+
+    ids = read_table(spark, SF_SMALL, "documents").select("doc_id").limit(90)
+    decoded = decode_assets(real_assets(ids), use_real_codec=True)
+    for r in decoded.collect():
+        mod, p = media_params(r.asset_id)
+        assert r.modality == mod
+        if mod == "image":
+            assert (r.width, r.height, r.n_frames) == (p[0], p[1], 1)
+        else:
+            assert (r.width, r.height, r.n_frames) == p
 
 
 def test_alternating_star_cc_matches_labelprop_in_fewer_rounds(spark):

@@ -132,3 +132,47 @@ def test_stratified_sample_no_shuffle(spark):
     assert shuffle_count(_q("stratified_sample", spark)) == 0, (
         "hash sampling is a pure scan-side filter"
     )
+
+
+def test_curation_pipeline_uses_semi_join(spark):
+    from distributed_mapreduce_p2p_spark.plans.explain import (
+        explain_str,
+        join_strategies,
+    )
+
+    df = _q("curation_pipeline", spark)
+    plan = explain_str(df)
+    assert "LeftSemi" in plan or "ExistenceJoin" in plan, (
+        "representative filtering must be a semi-join, not a full join"
+    )
+    assert "CartesianProduct" not in join_strategies(df)
+
+
+def test_asof_join_is_equi_keyed(spark):
+    from distributed_mapreduce_p2p_spark.plans.explain import (
+        explain_str,
+        join_strategies,
+    )
+
+    df = _q("asof_join_last_order", spark)
+    strategies = join_strategies(df)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "the time-range predicate must ride the custkey equi-join"
+    )
+
+
+def test_levenshtein_join_is_equi_keyed_broadcast(spark):
+    from distributed_mapreduce_p2p_spark.plans.explain import (
+        explain_str,
+        join_strategies,
+    )
+
+    df = _q("levenshtein_close_names", spark)
+    strategies = join_strategies(df)
+    assert "BroadcastHashJoin" in strategies, strategies
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in explain_str(df), (
+        "the banded-DP predicate must ride the nationkey equi-join"
+    )
