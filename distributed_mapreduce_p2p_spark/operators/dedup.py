@@ -481,11 +481,11 @@ def connected_components(
     propagation, and the per-round state is the (shrinking) edge
     list, not an all-nodes label table.
 
-    Convergence detection costs one ``count()`` on the
-    already-materialized (localCheckpoint'ed) edge list per round —
-    counts differ while the graph is still flattening — plus a
-    left-anti emptiness probe only on the final count-equal round;
-    there is no per-round all-nodes label-equality join.
+    Convergence detection is a structural fixpoint probe on the
+    just-materialized edge list (see inline comment) — two cheap
+    emptiness probes per round, no all-nodes label-equality join and
+    no confirmation round that recomputes both stars to observe zero
+    change.
     """
     edges = (
         edges.where(F.col("src") != F.col("dst")).distinct().localCheckpoint()
@@ -507,15 +507,28 @@ def connected_components(
     try:
         for _ in range(max_iter):
             rounds += 1
-            nxt = _star_round(_star_round(edges, large=True), large=False)
-            nxt = nxt.localCheckpoint()
-            n_nxt = nxt.count()
-            if n_nxt == n_edges and nxt.join(
-                edges, ["src", "dst"], "left_anti"
-            ).isEmpty():
-                edges = nxt
+            edges = _star_round(
+                _star_round(edges, large=True), large=False
+            ).localCheckpoint()
+            # Fixpoint probe instead of a confirmation round: emitted
+            # edges always satisfy dst < src (dst is a neighborhood
+            # min), and under that invariant the edge list is a
+            # min-rooted star forest — the algorithm's fixpoint — iff
+            # no node appears as both dst and src (no chains) and no
+            # src repeats (no node with two parents). Two cheap probes
+            # on the just-materialized list replace a full extra
+            # LS+SS round whose only job is to change nothing.
+            no_chain = (
+                edges.alias("a")
+                .join(
+                    edges.alias("b"), F.col("a.dst") == F.col("b.src")
+                )
+                .isEmpty()
+            )
+            if no_chain and edges.groupBy("src").agg(
+                F.count(F.lit(1)).alias("c")
+            ).where("c > 1").isEmpty():
                 break
-            edges, n_edges = nxt, n_nxt
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # star forest: every non-root points at its component's min
