@@ -157,20 +157,43 @@ def _plane_hash(dialect: str, p: str, d: str) -> str:
     return f"('0x' || substr(md5({p}::VARCHAR || ':' || {d}::VARCHAR), 1, 12))::BIGINT"
 
 
+def _plane_component(p: int, d: int) -> float:
+    """r(p, d) = ((int(md5(\"p:d\")[:12], 16) % 2001) - 1000) / 1000.0
+    — the same value the DuckDB oracle derives with its md5; every
+    intermediate is exact (48-bit hash, small ints) and the final
+    division is correctly rounded in both engines, so inlining the
+    Python-computed value as a literal is bit-identical to computing
+    it in SQL."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:12], 16)
+    return ((h % 2001) - 1000) / 1000.0
+
+
 def bucket_expr(dialect: str, emb: str = "embedding", n_planes: int = N_PLANES) -> str:
     """Bit-packed sign bucket over n_planes md5-derived hyperplanes,
     as a single projection expression (no plane table, no shuffle).
 
     Plane component r(p,d) = ((md5hash(p:d) % 2001) - 1000) / 1000.0;
     sign_p = fold(emb[d] * r(p,d)) > 0; bucket = sum 2^p * sign_p.
+
+    The Spark side inlines the components as LITERAL arrays
+    (precomputed by ``_plane_component`` — md5 of two small literal
+    ints is a constant, but inside a higher-order-function lambda
+    Catalyst cannot fold it, which measured as ~n_planes*dim md5
+    evaluations PER ROW). The fold order and values are unchanged, so
+    results stay bit-identical to the DuckDB form, which keeps
+    computing its components in SQL.
     """
     terms = []
     for p in range(n_planes):
         if dialect == "spark":
-            r = f"(({_plane_hash('spark', str(p), 'd')} % 2001) - 1000) / 1000.0"
+            lits = ", ".join(
+                repr(_plane_component(p, d)) for d in range(EMB_DIM)
+            )
             dot = (
-                f"aggregate(zip_with({emb}, transform(sequence(0, {EMB_DIM - 1}),"
-                f" d -> {r}), (x, y) -> cast(x as double) * y),"
+                f"aggregate(zip_with({emb}, array({lits}),"
+                " (x, y) -> cast(x as double) * y),"
                 " cast(0 as double), (acc, v) -> acc + v)"
             )
         else:

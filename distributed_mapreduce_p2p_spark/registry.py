@@ -1764,6 +1764,134 @@ def q_streaming_tumbling_window(spark, sf_dir):
 
 
 @register(
+    "stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name, c.c_nationkey
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    """,
+)
+def q_stream_static_join(spark, sf_dir):
+    """Stream-static enrichment join through the REAL Structured
+    Streaming engine: the event stream (file source, availableNow)
+    joins the static customer dimension row by row — stateless, so
+    append mode needs no watermark and the emitted set is exactly the
+    batch join. The static side stays a broadcast hash join per
+    micro-batch; at 100 TB of events the stream scales by source
+    partitions with zero state store."""
+    import tempfile
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="ssjoin_")
+    staged = f"{tmp}/staged"
+    events.write.parquet(staged)
+    out = f"{tmp}/out"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    stream = spark.readStream.schema(events.schema).parquet(staged)
+    q = (
+        stream.join(broadcast(cust), stream.user_id == cust.c_custkey)
+        .select("event_id", "user_id", "c_name", "c_nationkey")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(out)
+
+
+@register(
+    "asof_join_merge_last_order",
+    oracle="""
+    SELECT event_id, user_id, ts_s, o_orderkey AS last_orderkey
+    FROM (
+      SELECT e.event_id, e.user_id,
+             strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             o.o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC,
+                                         o.o_orderkey DESC) AS rn
+      FROM events e
+      JOIN orders o ON o.o_custkey = e.user_id
+                   AND o.o_orderdate <= e.ts
+    ) WHERE rn = 1
+    """,
+)
+def q_asof_join_merge_last_order(spark, sf_dir):
+    """The as-of join through the MERGE formulation
+    (relational.py::asof_join_merge): co-partition by key, one
+    pandas ``merge_asof`` walk per group inside ``applyInPandas`` —
+    O(n log n) per key instead of the window variant's
+    O(matches-per-left-row) fan-out, the shape that survives a key
+    with a deep order history at 100 TB. Same oracle as
+    ``asof_join_last_order``, so the driver checks both plans emit
+    identical rows."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    m = R.asof_join_merge(
+        ev, o, "user_id", "o_custkey", "ts", "o_orderdate", "o_orderkey",
+        out_col="last_orderkey",
+    )
+    return m.where(F.col("last_orderkey").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "last_orderkey",
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS totalprice,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC,
+                                         o_orderkey) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def q_topk_per_group(spark, sf_dir):
+    """Per-group top-k (top-3 orders by price per priority class):
+    rank window + filter. Unlike the global top-k
+    (TakeOrderedAndProject), per-group top-k shuffles once on the
+    group key and keeps k rows per partition-local heap — Catalyst
+    inserts a WindowGroupLimit below the exchange so the shuffle
+    carries only k rows per group per map partition."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .where(F.col("rnk") <= 3)
+    )
+
+
+@register(
     "bigram_counts",
     oracle="""
     WITH w AS (
@@ -2451,6 +2579,9 @@ _FRONT: list[str] = [
     "sequence_packing",
     # -- (2) new or implementation-changed this round ------------------
     "real_decode_meta",
+    "stream_static_join",
+    "asof_join_merge_last_order",
+    "topk_per_group",
     "embedding_neardup",
     "ngram_jaccard_pairs",
     "dedup_clusters",
@@ -2479,9 +2610,6 @@ _FRONT: list[str] = [
     "session_window_agg",
     "wordcount_udf_surface",
     "filter_agg_revenue",
-    "join_topk_orders",
-    "conditional_agg_pivot",
-    "median_by_group",
 ]
 
 
