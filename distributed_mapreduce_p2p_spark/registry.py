@@ -1855,6 +1855,88 @@ def q_asof_join_merge_last_order(spark, sf_dir):
 
 
 @register(
+    "funnel_conversion",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(t_view) AS n_viewed,
+           COUNT(CASE WHEN t_buy > t_view THEN 1 END) AS n_converted
+    FROM firsts
+    """,
+)
+def q_funnel_conversion(spark, sf_dir):
+    """Behavioral funnel: users whose first 'purchase' strictly
+    follows their first 'view' — one conditional-min aggregate per
+    user then a global roll-up; both stages partial-aggregated, no
+    join. The standard product-analytics query over the event log."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_buy"
+        ),
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count(F.when(F.col("t_buy") > F.col("t_view"), 1)).alias(
+            "n_converted"
+        ),
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id,
+             MIN(date_trunc('hour', ts)) AS cohort_hour
+      FROM events GROUP BY user_id
+    )
+    SELECT strftime(c.cohort_hour, '%Y-%m-%d %H:%M:%S') AS cohort,
+           CAST((epoch(date_trunc('hour', e.ts))
+                 - epoch(c.cohort_hour)) // 3600 AS BIGINT) AS hours_since,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN cohort c ON e.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort retention: users bucketed by first-activity hour, then
+    distinct active users per (cohort, hours-since-cohort) cell — the
+    first-touch aggregate re-joins the event log on user_id (the
+    cohort table is orders-of-magnitude smaller than the log: a
+    broadcast at any scale), exact integer hour arithmetic on both
+    engines."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("h").alias("cohort_hour"))
+    return (
+        ev.join(broadcast(cohort), "user_id")
+        .groupBy(
+            F.date_format("cohort_hour", "yyyy-MM-dd HH:mm:ss").alias(
+                "cohort"
+            ),
+            (
+                (F.unix_timestamp("h") - F.unix_timestamp("cohort_hour"))
+                / 3600
+            )
+            .cast("long")
+            .alias("hours_since"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+@register(
     "topk_per_group",
     oracle="""
     SELECT o_orderpriority, o_orderkey,
@@ -2582,6 +2664,8 @@ _FRONT: list[str] = [
     "stream_static_join",
     "asof_join_merge_last_order",
     "topk_per_group",
+    "funnel_conversion",
+    "retention_cohorts",
     "embedding_neardup",
     "ngram_jaccard_pairs",
     "dedup_clusters",
@@ -2606,8 +2690,6 @@ _FRONT: list[str] = [
     "ann_lsh_topk",
     "binary_assets_meta",
     "frame_sample_plan",
-    "sliding_window_agg",
-    "session_window_agg",
     "wordcount_udf_surface",
     "filter_agg_revenue",
 ]
