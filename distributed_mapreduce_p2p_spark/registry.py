@@ -1855,6 +1855,123 @@ def q_asof_join_merge_last_order(spark, sf_dir):
 
 
 @register(
+    "tpch_q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(b.sum_qty AS DOUBLE) AS sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_tpch_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume orders): aggregate the fact
+    table FIRST (partial+final decimal sum with HAVING — the shuffle
+    carries one row per order, not per lineitem), then enrich the few
+    survivors through orders and customer. The aggregate-then-join
+    ordering is the 100 TB plan: the HAVING filter kills ~99.97% of
+    groups before any join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("__sq"))
+        .where(F.col("__sq") > 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("__sq").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "group_quantiles",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), picks AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = CAST(floor((n-1) * 0.25) AS BIGINT) + 1 THEN value END) AS a25,
+             MAX(CASE WHEN rn = CAST(floor((n-1) * 0.25) AS BIGINT) + 2 THEN value END) AS b25,
+             MAX((n-1) * 0.25 - floor((n-1) * 0.25)) AS f25,
+             MAX(CASE WHEN rn = CAST(floor((n-1) * 0.5) AS BIGINT) + 1 THEN value END) AS a50,
+             MAX(CASE WHEN rn = CAST(floor((n-1) * 0.5) AS BIGINT) + 2 THEN value END) AS b50,
+             MAX((n-1) * 0.5 - floor((n-1) * 0.5)) AS f50,
+             MAX(CASE WHEN rn = CAST(floor((n-1) * 0.75) AS BIGINT) + 1 THEN value END) AS a75,
+             MAX(CASE WHEN rn = CAST(floor((n-1) * 0.75) AS BIGINT) + 2 THEN value END) AS b75,
+             MAX((n-1) * 0.75 - floor((n-1) * 0.75)) AS f75
+      FROM ranked GROUP BY event_type
+    )
+    SELECT event_type,
+           a25 + f25 * (COALESCE(b25, a25) - a25) AS p25,
+           a50 + f50 * (COALESCE(b50, a50) - a50) AS p50,
+           a75 + f75 * (COALESCE(b75, a75) - a75) AS p75
+    FROM picks
+    """,
+)
+def q_group_quantiles(spark, sf_dir):
+    """EXACT per-group quartiles with linear interpolation (the
+    percentile_cont contract), computed portably: rank + count
+    windows pick the two bracketing order statistics at
+    h = (n-1)*q, one interpolation per quantile. All arithmetic is
+    exact-or-identically-rounded in both engines ((n-1)*q and its
+    fraction are exact doubles for q in {.25,.5,.75}), unlike
+    engine-native percentile_cont implementations whose interpolation
+    order differs. Generalizes median_by_group; one shuffle for the
+    windows, one for the aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    w_rank = Window.partitionBy("event_type").orderBy("value")
+    w_all = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    cols = []
+    for tag, q in (("25", "0.25"), ("50", "0.5"), ("75", "0.75")):
+        h = f"(n - 1) * {q}"
+        cols += [
+            F.expr(
+                f"MAX(CASE WHEN rn = CAST(floor({h}) AS BIGINT) + 1"
+                " THEN value END)"
+            ).alias(f"a{tag}"),
+            F.expr(
+                f"MAX(CASE WHEN rn = CAST(floor({h}) AS BIGINT) + 2"
+                " THEN value END)"
+            ).alias(f"b{tag}"),
+            F.expr(f"MAX({h} - floor({h}))").alias(f"f{tag}"),
+        ]
+    picks = ranked.groupBy("event_type").agg(*cols)
+    return picks.select(
+        "event_type",
+        *[
+            F.expr(
+                f"a{t} + f{t} * (COALESCE(b{t}, a{t}) - a{t})"
+            ).alias(f"p{t}")
+            for t in ("25", "50", "75")
+        ],
+    )
+
+
+@register(
     "funnel_conversion",
     oracle="""
     WITH firsts AS (
@@ -2666,6 +2783,8 @@ _FRONT: list[str] = [
     "topk_per_group",
     "funnel_conversion",
     "retention_cohorts",
+    "tpch_q18_large_orders",
+    "group_quantiles",
     "embedding_neardup",
     "ngram_jaccard_pairs",
     "dedup_clusters",
@@ -2689,9 +2808,7 @@ _FRONT: list[str] = [
     "embedding_topk",
     "ann_lsh_topk",
     "binary_assets_meta",
-    "frame_sample_plan",
     "wordcount_udf_surface",
-    "filter_agg_revenue",
 ]
 
 
