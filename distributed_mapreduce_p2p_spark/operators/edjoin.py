@@ -57,16 +57,20 @@ def _tagged_qgrams(str_col: str, q: int) -> F.Column:
     """Array of (gram, occ) structs: every q-gram of ``str_col``
     tagged with its 1-based occurrence index among equal grams (pure
     SQL expressions — stays in codegen; m^2 scan per string is ~300
-    ops for typical name lengths)."""
+    ops for typical name lengths). Empty for strings shorter than
+    ``q`` — guarded explicitly because Spark's ``sequence(1, 0)``
+    DESCENDS instead of returning empty."""
     return F.expr(
         f"""
+        CASE WHEN length({str_col}) >= {q} THEN
         transform(
-          sequence(1, greatest(length({str_col}) - {q - 1}, 0)),
+          sequence(1, length({str_col}) - {q - 1}),
           i -> struct(
             substring({str_col}, i, {q}) AS gram,
             CAST(size(filter(sequence(1, i),
                  j -> substring({str_col}, j, {q}) =
                       substring({str_col}, i, {q}))) AS INT) AS occ))
+        ELSE array() END
         """
     )
 
@@ -87,8 +91,20 @@ def edit_distance_pairs(
     in the module docstring; ``dist`` comes from the exact banded
     ``levenshtein`` verify, so the result equals the plain blocked
     quadratic join's.
+
+    SHORT-STRING PATCH (completeness): the count bound
+    ``overlap >= max(m_a, m_b) - q*k`` is vacuous when
+    ``max(m) <= q*k``, i.e. both strings shorter than ``q*(k+1)``
+    ("ab" vs "ba" is within ed 2 with zero shared bigrams). Strings
+    below that length are paired directly inside their block with
+    every string within the length filter — a bounded bucket (both
+    sides shorter than ``q*(k+1)+k`` chars), verified by the same
+    banded levenshtein. Mixed long/short pairs are impossible
+    (|len_a - len_b| > k) or satisfy the count bound, so the token
+    path covers them.
     """
     p = q * k + 1
+    min_len = q * (k + 1)
     blocks = list(block_cols)
     base = df.select(
         *blocks,
@@ -119,16 +135,44 @@ def edit_distance_pairs(
         F.col("__key").alias("key_b"),
         F.col("__str").alias("str_b"),
     )
+    cand = a.join(b, [*blocks, "__tok"]).where(
+        (F.col("key_a") < F.col("key_b"))
+        # length filter: |len_a - len_b| > k cannot be within k
+        & (F.abs(F.length("str_a") - F.length("str_b")) <= k)
+    )
+
+    # short-string patch (see docstring): bounded bucket of strings
+    # too short for the count bound, paired within their block
+    sa = df.where(F.length(str_col) < min_len).select(
+        *blocks,
+        F.col(key_col).alias("key_a"),
+        F.col(str_col).alias("str_a"),
+    )
+    sb = df.where(F.length(str_col) < min_len + k).select(
+        *blocks,
+        F.col(key_col).alias("key_b"),
+        F.col(str_col).alias("str_b"),
+    )
+    short_pairs = (
+        sa.join(sb, blocks) if blocks else sa.crossJoin(sb)
+    ).where(
+        (F.col("key_a") != F.col("key_b"))
+        & (F.abs(F.length("str_a") - F.length("str_b")) <= k)
+    ).select(
+        *blocks,
+        F.least("key_a", "key_b").alias("key_a"),
+        F.greatest("key_a", "key_b").alias("key_b"),
+        F.when(F.col("key_a") < F.col("key_b"), F.col("str_a"))
+        .otherwise(F.col("str_b"))
+        .alias("str_a"),
+        F.when(F.col("key_a") < F.col("key_b"), F.col("str_b"))
+        .otherwise(F.col("str_a"))
+        .alias("str_b"),
+    )
+
     cand = (
-        a.join(b, [*blocks, "__tok"])
-        .where(
-            (F.col("key_a") < F.col("key_b"))
-            # length filter: |len_a - len_b| > k cannot be within k
-            & (
-                F.abs(F.length("str_a") - F.length("str_b")) <= k
-            )
-        )
-        .select(*blocks, "key_a", "key_b", "str_a", "str_b")
+        cand.select(*blocks, "key_a", "key_b", "str_a", "str_b")
+        .union(short_pairs)
         .distinct()
     )
     dist = F.levenshtein(F.col("str_a"), F.col("str_b"), k)

@@ -52,6 +52,95 @@ def test_detect_gaps_matches_bruteforce(spark, ids):
     assert got == expected
 
 
+def _ed(a: str, b: str) -> int:
+    """Reference Levenshtein DP."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    strings=st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=8),
+        min_size=2,
+        max_size=8,
+        unique=True,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_edjoin_variants_match_bruteforce_dp(spark, strings):
+    """Both complete ed-join operators must emit EXACTLY the
+    brute-force DP pair set on adversarial inputs: tiny alphabet
+    (every gram collides), lengths 0..8 (short-string patch, empty
+    strings, unequal lengths)."""
+    from distributed_mapreduce_p2p_spark.operators.edjoin import (
+        edit_distance_pairs,
+        edit_distance_pairs_passjoin,
+    )
+
+    k = 2
+    rows = [(i, s) for i, s in enumerate(strings)]
+    expected = {
+        (ia, ib, _ed(sa, sb))
+        for ia, sa in rows
+        for ib, sb in rows
+        if ia < ib and _ed(sa, sb) <= k
+    }
+    df = spark.createDataFrame(rows, "key long, s string")
+    for fn in (edit_distance_pairs, edit_distance_pairs_passjoin):
+        got = {
+            (r.key_a, r.key_b, r.dist)
+            for r in fn(df, "key", "s", k=k).collect()
+        }
+        assert got == expected, (fn.__name__, sorted(got), sorted(expected))
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=0,
+        max_size=20,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_star_cc_matches_union_find(spark, edges):
+    """Alternating-star connected components must equal a reference
+    union-find on arbitrary small graphs (self-loops, duplicates,
+    multi-component, chains)."""
+    from distributed_mapreduce_p2p_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = sorted({n for e in edges for n in e} | {0, 15})
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent[find(u)] = find(v)
+    expected = {n: min(m for m in nodes if find(m) == find(n)) for n in nodes}
+
+    ndf = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    edf = spark.createDataFrame(
+        edges or [(0, 0)], "src long, dst long"
+    )
+    labels, _ = connected_components(edf, ndf)
+    got = {r.doc_id: r.cluster_id for r in labels.collect()}
+    assert got == expected
+
+
 @given(
     left=st.dictionaries(
         st.integers(0, 10), st.integers(-100, 100), max_size=8
