@@ -113,12 +113,14 @@ def encode_bmp(width: int, height: int, seed: int) -> bytes:
     dib = struct.pack(_BMP_DIB_FMT, 40, width, height, 1, 24) + struct.pack(
         "<IIiiII", 0, (row + pad) * height, 2835, 2835, 0, 0
     )
-    rows = bytearray()
-    for y in range(height):
-        for x in range(row):
-            rows.append((seed + 31 * y + x) % 256)
-        rows.extend(b"\x00" * pad)
-    return header + dib + bytes(rows)
+    import numpy as np
+
+    y = np.arange(height, dtype=np.int64)[:, None]
+    x = np.arange(row + pad, dtype=np.int64)[None, :]
+    px = ((seed + 31 * y + x) % 256).astype(np.uint8)
+    if pad:
+        px[:, row:] = 0
+    return header + dib + px.tobytes()
 
 
 def decode_bmp(payload: bytes) -> tuple[int, int]:
@@ -139,10 +141,11 @@ def encode_wav(sample_rate: int, n_channels: int, n_samples: int, seed: int) -> 
         w.setnchannels(n_channels)
         w.setsampwidth(2)
         w.setframerate(sample_rate)
-        frames = bytearray()
-        for i in range(n_samples * n_channels):
-            frames += struct.pack("<h", ((seed * 131 + i * 7) % 65536) - 32768)
-        w.writeframes(bytes(frames))
+        import numpy as np
+
+        i = np.arange(n_samples * n_channels, dtype=np.int64)
+        samples = (((seed * 131 + i * 7) % 65536) - 32768).astype("<i2")
+        w.writeframes(samples.tobytes())
     return buf.getvalue()
 
 
