@@ -125,7 +125,11 @@ def ngram_jaccard_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     equi-join. Measured at sf0.1: 12.5M doc pairs -> 1.13M
     co-occurring -> 125k candidates.
     """
-    pre = _hashed_docsets(sh, threshold).select(
+    return _candidates_from_docsets(_hashed_docsets(sh, threshold), threshold)
+
+
+def _candidates_from_docsets(docsets: DataFrame, threshold: float) -> DataFrame:
+    pre = docsets.select(
         "doc_id", "n", F.posexplode("pre").alias("pos", "h")
     )
     a, b = pre.alias("a"), pre.alias("b")
@@ -160,8 +164,15 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     differential-tested) without its frequent-shingle quadratic
     bucket."""
     sh = shingles(docs)
+    # Catalyst does not ReuseExchange across the three aliased
+    # consumers of the docsets subtree (candidates + both verify
+    # sides), so it computes ~4x. Measured: an eager localCheckpoint
+    # here is SLOWER locally (3.8 s vs 2.1 s at sf0.1 — the copies
+    # run as concurrent stages on idle cores, while the checkpoint
+    # serializes the pipeline); on a saturated cluster, checkpoint or
+    # cache this subtree instead.
     docsets = _hashed_docsets(sh, threshold)
-    cand = ngram_jaccard_candidates(sh, threshold)
+    cand = _candidates_from_docsets(docsets, threshold)
     a = docsets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sset").alias("__sa"),
