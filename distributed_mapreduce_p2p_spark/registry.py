@@ -1855,6 +1855,43 @@ def q_asof_join_merge_last_order(spark, sf_dir):
 
 
 @register(
+    "json_props_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(k) AS n_with_k,
+           SUM(k) AS sum_k,
+           MIN(k) AS min_k,
+           MAX(k) AS max_k
+    FROM (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def q_json_props_stats(spark, sf_dir):
+    """Schema-on-read over a semi-structured column: extract a field
+    from the JSON ``props`` string per event (``get_json_object``,
+    JVM-side Jackson path evaluation — no Python) and aggregate per
+    type. The everyday shape of log/metadata pipelines where the
+    payload schema is not in the table schema; integer stats keep
+    the oracle exact."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
     "tpch_q18_large_orders",
     oracle="""
     WITH big AS (
@@ -2785,6 +2822,7 @@ _FRONT: list[str] = [
     "retention_cohorts",
     "tpch_q18_large_orders",
     "group_quantiles",
+    "json_props_stats",
     "embedding_neardup",
     "ngram_jaccard_pairs",
     "dedup_clusters",
@@ -2807,7 +2845,6 @@ _FRONT: list[str] = [
     "simhash_pairs",
     "embedding_topk",
     "ann_lsh_topk",
-    "binary_assets_meta",
     "wordcount_udf_surface",
 ]
 
