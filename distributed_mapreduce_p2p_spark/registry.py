@@ -2775,6 +2775,788 @@ def q_wordcount_numbered_scalable(spark, sf_dir):
 
 
 # =====================================================================
+# Corpus statistics: TF-IDF, inverted index (round-2 additions)
+# =====================================================================
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(text, '[^A-Za-z]+')) AS word
+        FROM documents)
+      WHERE word <> ''
+    ), tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), df AS (
+      SELECT word, COUNT(*) AS df FROM tf GROUP BY 1
+    ), nn AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, word, tf, df, score, rk FROM (
+      SELECT tf.doc_id, tf.word, tf.tf, df.df,
+             tf.tf * ((nn.n_docs * 1000000) // df.df) AS score,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ((nn.n_docs * 1000000) // df.df) DESC,
+                        tf.word) AS BIGINT) AS rk
+      FROM tf JOIN df ON tf.word = df.word CROSS JOIN nn
+    ) WHERE rk <= 3
+    """,
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF top-3 terms per document, in *fixed-point* arithmetic:
+    idf is the integer micro-ratio (N_docs * 10^6) DIV df instead of
+    a float log — exactly reproducible on every engine and
+    partitioning (float log/multiply ranking can flip ties across
+    libm versions), which is what a resumable 100 TB curation job
+    needs. Plan: one token explode, two hash aggregations (tf, then
+    df over the much smaller tf relation), a broadcast of the
+    vocabulary-sized df table back onto tf, and a per-doc top-k
+    window. No shuffle touches raw text after tokenization."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", "[^A-Za-z]+")).alias("word")
+    ).where(F.col("word") != "")
+    tf = toks.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    nn = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(broadcast(df_), "word")
+        .crossJoin(broadcast(nn))
+        .withColumn(
+            "score", F.expr("tf * ((n_docs * 1000000) DIV df)")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), "word"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "word", "tf", "df", "score", "rk")
+    )
+
+
+@register(
+    "inverted_index",
+    oracle="""
+    SELECT word,
+           list_sort(list(doc_id)) AS postings,
+           COUNT(*) AS df
+    FROM (SELECT DISTINCT doc_id, word FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(text, '[^A-Za-z]+')) AS word
+            FROM documents)
+          WHERE word <> '')
+    GROUP BY word
+    """,
+)
+def q_inverted_index(spark, sf_dir):
+    """Inverted index (word -> sorted posting list of doc ids + df) —
+    the canonical MapReduce application after word count
+    (mapreduce/worker.go:151-258 is the generic shuffle it would run
+    on). Postings are sorted inside the array so the output is
+    hash-stable. At 100 TB the posting list of a stop word outgrows
+    a single row; the documented split is bucketing postings by
+    ``hash(doc_id) % B`` into (word, bucket) rows — same layout
+    Lucene/ES use for segment sharding."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split("text", "[^A-Za-z]+")).alias("word"),
+        )
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    return toks.groupBy("word").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        F.count(F.lit(1)).alias("df"),
+    )
+
+
+# =====================================================================
+# Market-basket co-occurrence (orders as baskets)
+# =====================================================================
+
+@register(
+    "basket_pairs_lift",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ), po AS (
+      SELECT l_partkey, COUNT(*) AS n_orders FROM items GROUP BY 1
+    ), nn AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items)
+    SELECT p1, p2, support,
+           CAST(support * nn.n AS DOUBLE)
+             / CAST(ca.n_orders * cb.n_orders AS DOUBLE) AS lift
+    FROM pairs
+    JOIN po ca ON ca.l_partkey = pairs.p1
+    JOIN po cb ON cb.l_partkey = pairs.p2
+    CROSS JOIN nn
+    WHERE support >= 2
+    """,
+)
+def q_basket_pairs_lift(spark, sf_dir):
+    """Market-basket pair mining with lift: orders are baskets, the
+    pairs pattern (one row per co-occurring part pair per basket)
+    feeds a count aggregate, and lift = P(a,b)/(P(a)P(b)) is derived
+    from exact integer counts with ONE double division (exact int64
+    products stay < 2^53, so the conversion is lossless and the
+    division IEEE-deterministic). Pairs-per-basket is quadratic in
+    basket size — fine at ~4 items/order; the documented guard at
+    100 TB is a per-basket item cap plus the stripes layout for
+    hub items. Per-part counts are broadcast back onto the pair
+    relation, so the only wide shuffle is the pair aggregation."""
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+    )
+    po = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    nn = items.agg(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    ca, cb = po.alias("ca"), po.alias("cb")
+    return (
+        pairs.join(
+            broadcast(ca), F.col("ca.l_partkey") == F.col("p1")
+        )
+        .join(broadcast(cb), F.col("cb.l_partkey") == F.col("p2"))
+        .crossJoin(broadcast(nn))
+        .select(
+            "p1",
+            "p2",
+            "support",
+            (
+                (F.col("support") * F.col("n")).cast("double")
+                / (
+                    F.col("ca.n_orders") * F.col("cb.n_orders")
+                ).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+# =====================================================================
+# TPC-H Q5 / Q7 shapes (multi-way join plans)
+# =====================================================================
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+                 AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: six-way join where the supplier must sit in
+    the customer's nation and the nation in one region. The two fact
+    tables join on their keys; customer, supplier, nation, region are
+    all broadcast (each orders-of-magnitude smaller than lineitem at
+    any SF), so the only shuffle is lineitem->orders and the final
+    one-row-per-nation aggregate. The date predicate pushes into the
+    orders scan, the region filter prunes nation before broadcast."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             AS volume
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice, l_discount
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    year, with the disjunctive nation-pair predicate. The nation
+    filter is applied to the *broadcast* supplier/customer sides
+    before the fact joins (each keeps ~1/25 of rows), the ship-date
+    range pushes into the lineitem scan, and the OR predicate runs
+    on the joined row — no union-of-two-plans duplication."""
+    nations = ("NATION_1", "NATION_2")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name").isin(*nations))
+    n1, n2 = n.alias("n1"), n.alias("n2")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+             "l_shipdate")
+    joined = (
+        li.join(
+            broadcast(
+                s.join(n1, s.s_nationkey == F.col("n1.n_nationkey"))
+                .select("s_suppkey", F.col("n1.n_name").alias("supp_nation"))
+            ),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(
+            broadcast(
+                c.join(n2, c.c_nationkey == F.col("n2.n_nationkey"))
+                .select("c_custkey", F.col("n2.n_name").alias("cust_nation"))
+            ),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .where(
+            (
+                (F.col("supp_nation") == nations[0])
+                & (F.col("cust_nation") == nations[1])
+            )
+            | (
+                (F.col("supp_nation") == nations[1])
+                & (F.col("cust_nation") == nations[0])
+            )
+        )
+    )
+    return (
+        joined.withColumn(
+            "l_year", F.year("l_shipdate").cast("long")
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+            )
+            .cast("double")
+            .alias("volume")
+        )
+    )
+
+
+# =====================================================================
+# Distribution analytics: fixed-bin histogram, IQR outliers
+# =====================================================================
+
+@register(
+    "histogram_value_bins",
+    oracle="""
+    SELECT LEAST(CAST(FLOOR(value / 50.0) AS BIGINT), 11) AS bin,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_histogram_value_bins(spark, sf_dir):
+    """Fixed-width histogram over a metric column: bin id from one
+    float division + floor (IEEE-identical everywhere), clamped top
+    bin, exact decimal bin sums. The canonical first pass of any
+    distribution profiling job; a pure map + one aggregate shuffle
+    of 12 groups, so it scales linearly with the scan."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.least(
+                F.floor(F.col("value") / 50.0).cast("long"), F.lit(11)
+            ).alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+@register(
+    "iqr_outliers",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), picks AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = CAST(floor((n-1) * 0.25) AS BIGINT) + 1 THEN value END) AS a25,
+             MAX(CASE WHEN rn = CAST(floor((n-1) * 0.25) AS BIGINT) + 2 THEN value END) AS b25,
+             MAX((n-1) * 0.25 - floor((n-1) * 0.25)) AS f25,
+             MAX(CASE WHEN rn = CAST(floor((n-1) * 0.75) AS BIGINT) + 1 THEN value END) AS a75,
+             MAX(CASE WHEN rn = CAST(floor((n-1) * 0.75) AS BIGINT) + 2 THEN value END) AS b75,
+             MAX((n-1) * 0.75 - floor((n-1) * 0.75)) AS f75
+      FROM ranked GROUP BY event_type
+    ), fences AS (
+      SELECT event_type,
+             p25 - 1.5 * (p75 - p25) AS lo_fence,
+             p75 + 1.5 * (p75 - p25) AS hi_fence
+      FROM (
+        SELECT event_type,
+               a25 + f25 * (COALESCE(b25, a25) - a25) AS p25,
+               a75 + f75 * (COALESCE(b75, a75) - a75) AS p75
+        FROM picks
+      )
+    )
+    SELECT e.event_type, lo_fence, hi_fence,
+           CAST(SUM(CASE WHEN e.value < lo_fence OR e.value > hi_fence
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN fences f ON f.event_type = e.event_type
+    GROUP BY e.event_type, lo_fence, hi_fence
+    """,
+)
+def q_iqr_outliers(spark, sf_dir):
+    """Tukey-fence outlier counts per group on EXACT quartiles (the
+    group_quantiles rank-interpolation pattern, so the fences are
+    bit-identical across engines; 1.5*x and the subtractions are
+    single IEEE ops). The tiny per-group fence table is broadcast
+    back onto the fact scan — profiling + outlier flagging in two
+    passes, no driver round-trip, the building block quality-filter
+    curation uses for metric columns."""
+    ev = _t(spark, sf_dir, "events")
+    w_rank = Window.partitionBy("event_type").orderBy("value")
+    w_all = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    cols = []
+    for tag, q in (("25", "0.25"), ("75", "0.75")):
+        h = f"(n - 1) * {q}"
+        cols += [
+            F.expr(
+                f"MAX(CASE WHEN rn = CAST(floor({h}) AS BIGINT) + 1"
+                " THEN value END)"
+            ).alias(f"a{tag}"),
+            F.expr(
+                f"MAX(CASE WHEN rn = CAST(floor({h}) AS BIGINT) + 2"
+                " THEN value END)"
+            ).alias(f"b{tag}"),
+            F.expr(f"MAX({h} - floor({h}))").alias(f"f{tag}"),
+        ]
+    picks = ranked.groupBy("event_type").agg(*cols)
+    fences = picks.select(
+        "event_type",
+        F.expr(
+            "(a25 + f25 * (COALESCE(b25, a25) - a25))"
+            " - 1.5 * ((a75 + f75 * (COALESCE(b75, a75) - a75))"
+            "          - (a25 + f25 * (COALESCE(b25, a25) - a25)))"
+        ).alias("lo_fence"),
+        F.expr(
+            "(a75 + f75 * (COALESCE(b75, a75) - a75))"
+            " + 1.5 * ((a75 + f75 * (COALESCE(b75, a75) - a75))"
+            "          - (a25 + f25 * (COALESCE(b25, a25) - a25)))"
+        ).alias("hi_fence"),
+    )
+    return (
+        ev.join(broadcast(fences), "event_type")
+        .groupBy("event_type", "lo_fence", "hi_fence")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("lo_fence"))
+                    | (F.col("value") > F.col("hi_fence")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select("event_type", "lo_fence", "hi_fence", "n_outliers")
+    )
+
+
+# =====================================================================
+# Graph analytics: triangle counting, fixed-point PageRank
+# =====================================================================
+
+from distributed_mapreduce_p2p_spark.operators import graph as GR  # noqa: E402
+
+
+@register(
+    "trade_graph_triangles",
+    oracle="""
+    WITH trade AS (
+      SELECT c_nationkey AS cn, s_nationkey AS sn,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1 - l_discount AS DECIMAL(4,2))) AS vol
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2
+    ), und AS (
+      SELECT LEAST(cn, sn) AS a, GREATEST(cn, sn) AS b,
+             SUM(vol) AS vol
+      FROM trade WHERE cn <> sn GROUP BY 1, 2
+    ), edges AS (
+      SELECT a, b FROM und
+      WHERE CAST(vol AS DOUBLE) * (SELECT COUNT(*) FROM und)
+            > (SELECT CAST(SUM(vol) AS DOUBLE) FROM und)
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM
+         (SELECT a AS node FROM edges UNION SELECT b FROM edges))
+        AS n_nodes,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+      (SELECT CAST(COUNT(*) AS BIGINT)
+       FROM edges e1
+       JOIN edges e2 ON e2.a = e1.b
+       JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
+    """,
+)
+def q_trade_graph_triangles(spark, sf_dir):
+    """Triangle count over a *derived* relation graph: nations are
+    nodes, an edge links two nations whose bilateral trade volume
+    (from the full lineitem->orders->customer->supplier join) is
+    above the mean pair volume. The heavy lifting is the fact-scale
+    trade-matrix aggregation; the count itself runs through
+    operators/graph.py::triangle_count — degree-ordered orientation,
+    so wedge generation is O(m^1.5)-bounded and skew-proof at any
+    graph size (the oracle's simpler a<b<c join is
+    orientation-invariant, counts agree). Edge rule uses only exact
+    decimal sums converted losslessly to double, one comparison."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    trade = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("cn"),
+            F.col("s_nationkey").alias("sn"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+            ).alias("vol")
+        )
+    )
+    und = (
+        trade.where(F.col("cn") != F.col("sn"))
+        .groupBy(
+            F.least("cn", "sn").alias("a"),
+            F.greatest("cn", "sn").alias("b"),
+        )
+        .agg(F.sum("vol").alias("vol"))
+    )
+    totals = und.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("vol").cast("double").alias("total_vol"),
+    )
+    edges = (
+        und.crossJoin(broadcast(totals))
+        .where(
+            F.col("vol").cast("double") * F.col("n_pairs")
+            > F.col("total_vol")
+        )
+        .select("a", "b")
+    )
+    return GR.triangle_count(edges, "a", "b")
+
+
+@register(
+    "pagerank_parts",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey
+       AND b.l_linenumber = a.l_linenumber + 1
+      WHERE a.l_partkey <> b.l_partkey
+    ), nodes AS (
+      SELECT src AS node FROM e UNION SELECT dst FROM e
+    ), nn AS (SELECT COUNT(*) AS n FROM nodes),
+    consts AS (
+      SELECT (1000000000000 // n) AS r0,
+             (15 * (1000000000000 // n)) // 100 AS base
+      FROM nn
+    ), outd AS (
+      SELECT src, COUNT(*) AS od FROM e GROUP BY src
+    ), c1 AS (
+      SELECT e.dst AS node, SUM(consts.r0 // outd.od) AS s
+      FROM e JOIN outd ON outd.src = e.src CROSS JOIN consts
+      GROUP BY e.dst
+    ), r1 AS (
+      SELECT nodes.node,
+             consts.base + (85 * COALESCE(c1.s, 0)) // 100 AS r
+      FROM nodes CROSS JOIN consts
+      LEFT JOIN c1 ON c1.node = nodes.node
+    ), c2 AS (
+      SELECT e.dst AS node, SUM(r1.r // outd.od) AS s
+      FROM e JOIN r1 ON r1.node = e.src
+      JOIN outd ON outd.src = e.src
+      GROUP BY e.dst
+    ), r2 AS (
+      SELECT nodes.node,
+             consts.base + (85 * COALESCE(c2.s, 0)) // 100 AS r
+      FROM nodes CROSS JOIN consts
+      LEFT JOIN c2 ON c2.node = nodes.node
+    )
+    SELECT node, rank_fp, rk FROM (
+      SELECT node, r AS rank_fp,
+             CAST(ROW_NUMBER() OVER (ORDER BY r DESC, node) AS BIGINT)
+               AS rk
+      FROM r2
+    ) WHERE rk <= 20
+    """,
+)
+def q_pagerank_parts(spark, sf_dir):
+    """PageRank (2 iterations, fixed-point integer arithmetic) over
+    the part-transition graph: an edge p1 -> p2 when p2 follows p1
+    as the next line of the same order. Exercises the iterative
+    join-aggregate loop (operators/graph.py::pagerank_fixedpoint,
+    lineage-checkpointed every k rounds) with bit-exact, engine- and
+    partitioning-independent ranks — float PageRank cannot be
+    hash-verified because addition order varies per run. Returns the
+    top-20 parts with deterministic tie-break."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1),
+    ).select(
+        F.col("a.l_partkey").alias("src"),
+        F.col("b.l_partkey").alias("dst"),
+    )
+    ranks = GR.pagerank_fixedpoint(edges, iters=2)
+    # Top-20 FIRST (TakeOrderedAndProject — partial top-k per
+    # partition, no global sort), then number the 20 survivors; a
+    # row_number window over the full rank table would drag every
+    # node into one partition.
+    top = ranks.orderBy(F.col("rank_fp").desc(), "node").limit(20)
+    w = Window.orderBy(F.col("rank_fp").desc(), "node")
+    return top.withColumn(
+        "rk", F.row_number().over(w).cast("long")
+    ).select("node", "rank_fp", "rk")
+
+
+# =====================================================================
+# Structured Streaming: stream-stream join, streaming dedup
+# =====================================================================
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT a.event_id AS view_id, b.event_id AS purchase_id, a.user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
+    """,
+)
+def q_stream_stream_join(spark, sf_dir):
+    """Stream-STREAM inner join through the real Structured Streaming
+    engine: views joined to purchases by the same user within 60
+    minutes. Both sides carry watermarks and the join condition has
+    the two-sided time bound, so each side's buffered state is
+    evicted one hour behind the watermark — bounded memory at any
+    stream length, which is the whole point versus a batch self-join.
+    With the availableNow trigger the emitted set equals the batch
+    join, which is exactly what the oracle computes."""
+    import tempfile
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    tmp = tempfile.mkdtemp(prefix="ssjj_")
+    staged = f"{tmp}/staged"
+    events.write.parquet(staged)
+    out = f"{tmp}/out"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    stream = spark.readStream.schema(events.schema).parquet(staged)
+    views = (
+        stream.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    q = (
+        views.join(
+            purchases,
+            F.expr(
+                "v_user = p_user AND p_ts >= v_ts"
+                " AND p_ts <= v_ts + interval 60 minutes"
+            ),
+        )
+        .select(
+            "view_id", "purchase_id", F.col("v_user").alias("user_id")
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(out)
+
+
+@register(
+    "streaming_dedup_user_minute",
+    oracle="""
+    SELECT DISTINCT user_id,
+           strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S')
+             AS minute_s
+    FROM events
+    """,
+)
+def q_streaming_dedup_user_minute(spark, sf_dir):
+    """Watermarked streaming deduplication (``dropDuplicates`` on
+    user + event-time minute through the real SS engine): emits the
+    first event per user-minute, and because the dedup key includes
+    the event-time column the state store evicts keys one hour
+    behind the watermark — the unbounded-stream dedup pattern. Only
+    the key columns are emitted, so the result is the deterministic
+    DISTINCT set regardless of which physical row arrives first."""
+    import tempfile
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+
+    events = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    tmp = tempfile.mkdtemp(prefix="ssdedup_")
+    staged = f"{tmp}/staged"
+    events.write.parquet(staged)
+    out = f"{tmp}/out"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    stream = spark.readStream.schema(events.schema).parquet(staged)
+    q = (
+        stream.withColumn("minute_ts", F.date_trunc("minute", "ts"))
+        .withWatermark("minute_ts", "1 hour")
+        .dropDuplicates(["user_id", "minute_ts"])
+        .select(
+            "user_id",
+            F.date_format("minute_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "minute_s"
+            ),
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(out)
+
+
+# =====================================================================
 # Driver-window ordering
 # =====================================================================
 # The grading driver verifies oracle parity for the FIRST 50 entries of
@@ -2828,24 +3610,27 @@ _FRONT: list[str] = [
     "dedup_clusters",
     "curation_pipeline",
     "asof_join_last_order",
-    # -- (3) diverse round-1-verified keepers -------------------------
+    # -- (2b) new this round: corpus stats, basket mining, TPC-H
+    #    Q5/Q7, distribution analytics, graph, streaming ---------------
+    "tfidf_top_terms",
+    "inverted_index",
+    "basket_pairs_lift",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_volume_shipping",
+    "histogram_value_bins",
+    "iqr_outliers",
+    "trade_graph_triangles",
+    "pagerank_parts",
+    "stream_stream_join",
+    "streaming_dedup_user_minute",
+    # -- (3) diverse round-1-verified keepers (ann_lsh_topk's plane
+    #    constants were inlined this round -> needs re-verification) --
     "wordcount",
     "agg_pricing",
     "star_join_revenue",
-    "window_running_total",
-    "tumbling_window_agg",
     "gap_detect",
-    "dedupe_keep_last",
-    "range_filter",
-    "schema_on_read",
-    "semi_join",
-    "membership_merge",
     "minhash_lsh_pairs",
-    "minhash_signatures",
-    "simhash_pairs",
-    "embedding_topk",
     "ann_lsh_topk",
-    "wordcount_udf_surface",
 ]
 
 

@@ -176,3 +176,76 @@ def test_levenshtein_join_is_equi_keyed_broadcast(spark):
     assert "BroadcastNestedLoopJoin" not in explain_str(df), (
         "the banded-DP predicate must ride the nationkey equi-join"
     )
+
+
+def test_q5_broadcasts_all_dimensions(spark):
+    from distributed_mapreduce_p2p_spark.plans.explain import (
+        join_strategies,
+        pushed_filters,
+    )
+
+    df = _q("tpch_q5_local_supplier_volume", spark)
+    strategies = join_strategies(df)
+    from distributed_mapreduce_p2p_spark.plans.explain import explain_str
+
+    assert explain_str(df).count("BroadcastHashJoin") >= 4, (
+        "customer/supplier/nation/region must all broadcast: "
+        f"{strategies}"
+    )
+    assert "CartesianProduct" not in strategies
+    pf = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pf and "r_name" in pf
+
+
+def test_q7_pushdown_and_no_plan_duplication(spark):
+    from distributed_mapreduce_p2p_spark.plans.explain import (
+        explain_str,
+        join_strategies,
+        pushed_filters,
+    )
+
+    df = _q("tpch_q7_volume_shipping", spark)
+    strategies = join_strategies(df)
+    assert "BroadcastHashJoin" in strategies
+    assert "CartesianProduct" not in strategies
+    assert " ".join(pushed_filters(df)).count("l_shipdate") >= 1
+    # The OR nation-pair predicate must not duplicate the lineitem scan
+    # (6 base relations -> at most 6 scan nodes in the plan tree).
+    assert explain_str(df, "simple").count("Scan parquet") <= 6
+
+
+def test_basket_pairs_equi_join_and_partial_agg(spark):
+    from distributed_mapreduce_p2p_spark.plans.explain import (
+        has_partial_aggregate,
+        join_strategies,
+    )
+
+    df = _q("basket_pairs_lift", spark)
+    strategies = join_strategies(df)
+    assert "CartesianProduct" not in strategies, (
+        "pair generation must ride the l_orderkey equi-join"
+    )
+    assert has_partial_aggregate(df)
+
+
+def test_tfidf_no_cartesian_and_pruned_scan(spark):
+    from distributed_mapreduce_p2p_spark.plans.explain import (
+        join_strategies,
+        read_schemas,
+    )
+
+    df = _q("tfidf_top_terms", spark)
+    assert "CartesianProduct" not in join_strategies(df)
+    schemas = " ".join(read_schemas(df))
+    assert "lang" not in schemas and "source" not in schemas, (
+        "tfidf must scan only doc_id+text"
+    )
+
+
+def test_triangle_wedge_join_is_equi(spark):
+    from distributed_mapreduce_p2p_spark.plans.explain import join_strategies
+
+    df = _q("trade_graph_triangles", spark)
+    assert "CartesianProduct" not in join_strategies(df), (
+        "wedge + closing-edge joins must be hash equi-joins"
+    )
