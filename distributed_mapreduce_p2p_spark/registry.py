@@ -3557,6 +3557,262 @@ def q_streaming_dedup_user_minute(spark, sf_dir):
 
 
 # =====================================================================
+# Count-min sketch, item-item cosine, time-grid resample (round-2)
+# =====================================================================
+
+# Count-min hash family: base h = 48-bit md5 prefix, rows derived as
+# ((a*h + b) % 1000003) % 256 with a <= 8191 so a*h < 2^61 (DuckDB
+# errors on int64 overflow; Spark wraps — stay under for parity).
+_CM_ROWS = ((131, 7), (1009, 31), (2053, 57), (8191, 101))
+_CM_W = 256
+
+
+@register(
+    "cm_sketch_heavy_hitters",
+    oracle=f"""
+    WITH wc AS (
+      SELECT word, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split_regex(text, '[^A-Za-z]+')) AS word
+            FROM documents)
+      WHERE word <> ''
+      GROUP BY word
+    ), hashed AS (
+      SELECT word, cnt,
+             ('0x' || substr(md5(word), 1, 12))::BIGINT AS h
+      FROM wc
+    ), cells AS (
+      {" UNION ALL ".join(
+          f"SELECT {i} AS r, ((({a} * h + {b}) % 1000003) % {_CM_W}) AS bucket, cnt FROM hashed"
+          for i, (a, b) in enumerate(_CM_ROWS))}
+    ), sketch AS (
+      SELECT r, bucket, SUM(cnt) AS cell FROM cells GROUP BY r, bucket
+    ), top AS (
+      SELECT word, cnt, h FROM hashed
+      ORDER BY cnt DESC, word LIMIT 10
+    ), probes AS (
+      {" UNION ALL ".join(
+          f"SELECT word, cnt, {i} AS r, ((({a} * h + {b}) % 1000003) % {_CM_W}) AS bucket FROM top"
+          for i, (a, b) in enumerate(_CM_ROWS))}
+    )
+    SELECT p.word, p.cnt, CAST(MIN(s.cell) AS BIGINT) AS est_cnt
+    FROM probes p JOIN sketch s ON s.r = p.r AND s.bucket = p.bucket
+    GROUP BY p.word, p.cnt
+    """,
+)
+def q_cm_sketch_heavy_hitters(spark, sf_dir):
+    """Count-min sketch heavy hitters: build a D=4 x W=256 sketch of
+    the word counts with a *portable* integer hash family (one md5
+    base hash, rows derived as affine maps — same construction as
+    the FM sketch's seeded hashes), then answer the top-10 words
+    through the sketch (est = min over rows) next to their true
+    counts. The sketch is 1024 cells regardless of vocabulary size —
+    the fixed-memory pre-aggregation you'd broadcast for approximate
+    frequency filtering at 100 TB; CM overestimates only, and the
+    driver hash-checks both the construction and the probe path."""
+    docs = _t(spark, sf_dir, "documents")
+    wc = T.word_count(docs)
+    hashed = wc.withColumn(
+        "h",
+        F.expr(
+            "cast(conv(substring(md5(word), 1, 12), 16, 10) as bigint)"
+        ),
+    )
+    buckets = F.array(
+        *[
+            F.expr(f"(({a} * h + {b}) % 1000003) % {_CM_W}")
+            for a, b in _CM_ROWS
+        ]
+    )
+    cells = hashed.select(
+        "cnt", F.posexplode(buckets).alias("r", "bucket")
+    )
+    sketch = cells.groupBy("r", "bucket").agg(
+        F.sum("cnt").alias("cell")
+    )
+    top = hashed.orderBy(F.col("cnt").desc(), "word").limit(10)
+    probes = top.select(
+        "word", "cnt", F.posexplode(buckets).alias("r", "bucket")
+    )
+    return (
+        probes.join(broadcast(sketch), ["r", "bucket"])
+        .groupBy("word", "cnt")
+        .agg(F.min("cell").cast("long").alias("est_cnt"))
+    )
+
+
+@register(
+    "supplier_cosine_topk",
+    oracle="""
+    WITH inc AS (
+      SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+    ), d AS (
+      SELECT l_suppkey, COUNT(*) AS deg FROM inc GROUP BY 1
+    ), co AS (
+      SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, COUNT(*) AS co
+      FROM inc a JOIN inc b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+    ), sym AS (
+      SELECT s1 AS src, s2 AS dst, co FROM co
+      UNION ALL
+      SELECT s2 AS src, s1 AS dst, co FROM co
+    ), scored AS (
+      SELECT src, dst, co,
+             CAST(co AS DOUBLE)
+               / sqrt(CAST(d1.deg * d2.deg AS DOUBLE)) AS cosine
+      FROM sym
+      JOIN d d1 ON d1.l_suppkey = src
+      JOIN d d2 ON d2.l_suppkey = dst
+    )
+    SELECT src, dst, co, cosine, rk FROM (
+      SELECT src, dst, co, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY src
+                                     ORDER BY cosine DESC, dst)
+                  AS BIGINT) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def q_supplier_cosine_topk(spark, sf_dir):
+    """Item-item cosine similarity over binary incidence sets (the
+    collaborative-filtering neighborhood op): suppliers as items,
+    parts as the dimension, cosine = co / sqrt(deg1*deg2) from EXACT
+    integer counts — sqrt is correctly rounded per IEEE-754 (unlike
+    log/exp), so the scores hash-match across engines. Top-3
+    neighbors per supplier with deterministic tie-break. The
+    co-occurrence self-join fans out by part popularity; the 100 TB
+    guard is DIMSUM-style magnitude-proportional sampling or a
+    hub-part cap, documented here, with the exact form kept as the
+    oracle anchor."""
+    inc = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_suppkey", "l_partkey")
+        .distinct()
+    )
+    d = inc.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("deg"))
+    a, b = inc.alias("a"), inc.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("s1"),
+            F.col("b.l_suppkey").alias("s2"),
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    sym = co.select(
+        F.col("s1").alias("src"), F.col("s2").alias("dst"), "co"
+    ).unionAll(
+        co.select(
+            F.col("s2").alias("src"), F.col("s1").alias("dst"), "co"
+        )
+    )
+    d1, d2 = d.alias("d1"), d.alias("d2")
+    scored = (
+        sym.join(broadcast(d1), F.col("d1.l_suppkey") == F.col("src"))
+        .join(broadcast(d2), F.col("d2.l_suppkey") == F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            "co",
+            (
+                F.col("co").cast("double")
+                / F.sqrt((F.col("d1.deg") * F.col("d2.deg")).cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), "dst")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select("src", "dst", "co", "cosine", "rk")
+    )
+
+
+@register(
+    "resample_ffill",
+    oracle="""
+    WITH b AS (
+      SELECT user_id,
+             date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM events GROUP BY 1
+    ), grid AS (
+      SELECT user_id,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+      FROM b
+    ), hl AS (
+      SELECT user_id, hr, v FROM (
+        SELECT user_id, date_trunc('hour', ts) AS hr, value AS v,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id, date_trunc('hour', ts)
+                 ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT g.user_id,
+           strftime(g.hr, '%Y-%m-%d %H:%M:%S') AS hour_s,
+           last_value(hl.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS value_ff
+    FROM grid g
+    LEFT JOIN hl ON hl.user_id = g.user_id AND hl.hr = g.hr
+    """,
+)
+def q_resample_ffill(spark, sf_dir):
+    """Time-series regularization: resample each user's event stream
+    onto a dense 1-hour grid (sequence + explode between the user's
+    first and last hour) and forward-fill the latest observed value
+    (last-ignore-nulls running window). Per-hour winners are chosen
+    by explicit integer microseconds + event id, so the carried
+    values are deterministic even with sub-microsecond timestamp
+    collisions. The grid explode is per-user-bounded and the fill is
+    one partitioned window — no driver loop, no cross join; the
+    standard gap-filling pass before windowed feature extraction."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hr"),
+    )
+    w_pick = Window.partitionBy(
+        "user_id", F.date_trunc("hour", F.col("ts"))
+    ).orderBy(F.unix_micros("ts").desc(), F.col("event_id").desc())
+    hl = (
+        ev.withColumn("rn", F.row_number().over(w_pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.date_trunc("hour", "ts").alias("hr"),
+            F.col("value").alias("v"),
+        )
+    )
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hl, ["user_id", "hr"], "left")
+        .withColumn("value_ff", F.last("v", ignorenulls=True).over(w_fill))
+        .select(
+            "user_id",
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+            "value_ff",
+        )
+    )
+
+
+# =====================================================================
 # Driver-window ordering
 # =====================================================================
 # The grading driver verifies oracle parity for the FIRST 50 entries of
@@ -3623,13 +3879,13 @@ _FRONT: list[str] = [
     "pagerank_parts",
     "stream_stream_join",
     "streaming_dedup_user_minute",
+    "cm_sketch_heavy_hitters",
+    "supplier_cosine_topk",
+    "resample_ffill",
     # -- (3) diverse round-1-verified keepers (ann_lsh_topk's plane
     #    constants were inlined this round -> needs re-verification) --
     "wordcount",
     "agg_pricing",
-    "star_join_revenue",
-    "gap_detect",
-    "minhash_lsh_pairs",
     "ann_lsh_topk",
 ]
 

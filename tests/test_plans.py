@@ -249,3 +249,10 @@ def test_triangle_wedge_join_is_equi(spark):
     assert "CartesianProduct" not in join_strategies(df), (
         "wedge + closing-edge joins must be hash equi-joins"
     )
+
+
+def test_cosine_topk_and_resample_no_cartesian(spark):
+    from distributed_mapreduce_p2p_spark.plans.explain import join_strategies
+
+    for name in ("supplier_cosine_topk", "resample_ffill"):
+        assert "CartesianProduct" not in join_strategies(_q(name, spark)), name
