@@ -3556,6 +3556,100 @@ def q_streaming_dedup_user_minute(spark, sf_dir):
     return spark.read.parquet(out)
 
 
+@register(
+    "stream_stream_left_outer",
+    oracle="""
+    WITH v AS (SELECT event_id AS view_id, user_id, ts AS v_ts
+               FROM events WHERE event_type = 'view'),
+    p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+          FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT LEAST((SELECT max(v_ts) FROM v),
+                        (SELECT max(p_ts) FROM p))
+                  - INTERVAL 1 HOUR AS w)
+    SELECT v.view_id, p.purchase_id, v.user_id
+    FROM v JOIN p ON v.user_id = p.user_id
+       AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 60 MINUTE
+    UNION ALL
+    SELECT v.view_id, CAST(NULL AS BIGINT) AS purchase_id, v.user_id
+    FROM v CROSS JOIN wm
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = v.user_id
+          AND p.p_ts >= v.v_ts
+          AND p.p_ts <= v.v_ts + INTERVAL 60 MINUTE)
+      AND v.v_ts + INTERVAL 60 MINUTE < wm.w
+    """,
+)
+def q_stream_stream_left_outer(spark, sf_dir):
+    """Stream-stream LEFT OUTER join with watermark — the hardest SS
+    join mode: a view with no purchase is emitted with NULLs only
+    once the watermark proves no future match can arrive (its join
+    window end < final watermark = min over both inputs of max event
+    time - 1 h delay). The oracle reproduces that emission rule
+    exactly: matched pairs plus unmatched views whose window closed
+    before the final watermark; views still inside the horizon at
+    end-of-stream are (correctly) never emitted. The availableNow
+    run includes the state-eviction batch, verified stable across
+    runs. State on both sides stays bounded by the watermark at any
+    stream length."""
+    import tempfile
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    tmp = tempfile.mkdtemp(prefix="ssoj_")
+    staged = f"{tmp}/staged"
+    events.write.parquet(staged)
+    out = f"{tmp}/out"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    stream = spark.readStream.schema(events.schema).parquet(staged)
+    views = (
+        stream.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    q = (
+        views.join(
+            purchases,
+            F.expr(
+                "v_user = p_user AND p_ts >= v_ts"
+                " AND p_ts <= v_ts + interval 60 minutes"
+            ),
+            "leftOuter",
+        )
+        .select(
+            "view_id", "purchase_id", F.col("v_user").alias("user_id")
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(out)
+
+
 # =====================================================================
 # Count-min sketch, item-item cosine, time-grid resample (round-2)
 # =====================================================================
@@ -3882,10 +3976,10 @@ _FRONT: list[str] = [
     "cm_sketch_heavy_hitters",
     "supplier_cosine_topk",
     "resample_ffill",
-    # -- (3) diverse round-1-verified keepers (ann_lsh_topk's plane
-    #    constants were inlined this round -> needs re-verification) --
+    "stream_stream_left_outer",
+    # -- (3) keepers: the flagship, plus ann_lsh_topk whose plane
+    #    constants were inlined this round -> needs re-verification --
     "wordcount",
-    "agg_pricing",
     "ann_lsh_topk",
 ]
 
