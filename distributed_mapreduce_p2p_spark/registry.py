@@ -989,6 +989,44 @@ def q_real_decode_meta(spark, sf_dir):
     return decoded.select("asset_id", "modality", "width", "height", "n_frames")
 
 
+@register(
+    "audio_energy_features",
+    oracle="""
+    WITH audio AS (
+      SELECT doc_id,
+             8000 + (doc_id % 5) * 1000 AS sample_rate,
+             1 + doc_id % 2 AS n_channels,
+             100 + doc_id % 400 AS n_samples
+      FROM documents WHERE doc_id % 3 = 1
+    ), samples AS (
+      SELECT doc_id, sample_rate, n_channels, n_samples,
+             ((doc_id * 131 + 7 * t.i) % 65536 - 32768) AS v
+      FROM audio,
+           unnest(generate_series(0, n_samples * n_channels - 1)) AS t(i)
+    )
+    SELECT doc_id AS asset_id,
+           CAST(sample_rate AS BIGINT) AS sample_rate,
+           CAST(n_channels AS BIGINT) AS n_channels,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           CAST(SUM(v * v) AS BIGINT) AS energy,
+           CAST(MAX(ABS(v)) AS BIGINT) AS peak
+    FROM samples
+    GROUP BY doc_id, sample_rate, n_channels, n_samples
+    """,
+)
+def q_audio_energy_features(spark, sf_dir):
+    """Audio FEATURE EXTRACTION from real bytes, not just header
+    parsing: executors encode spec-conformant RIFF/WAVE PCM per
+    asset, then an Arrow-batched stage re-reads the actual payloads
+    (stdlib ``wave`` + numpy int16 reinterpret) and computes exact
+    integer features — total energy and peak amplitude. The oracle
+    recomputes both from the deterministic sample formula, so a hash
+    match proves the full encode -> binary column -> decode ->
+    vectorized featurize path is byte-faithful end to end."""
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    return MM.audio_features(MM.real_assets(ids))
+
+
 # =====================================================================
 # Windowed aggregation (streaming twins live in streaming/windows.py)
 # and the UDF surface (U1-U3)
@@ -4034,8 +4072,9 @@ _FRONT: list[str] = [
     "window_percent_ntile",
     "stratified_sample",
     "range_frame_trailing",
-    "unpivot_metrics",
-    "array_agg_sorted",
+    # (unpivot_metrics and array_agg_sorted — trivial, float-free,
+    # locally 3-SF-verified — yield their slots to this round's new
+    # entries; they remain covered by tests/test_oracle_parity.py)
     "train_val_split",
     "sequence_packing",
     # -- (2) new or implementation-changed this round ------------------
@@ -4072,6 +4111,7 @@ _FRONT: list[str] = [
     "stream_stream_left_outer",
     "sliding_distinct_users",
     "event_transition_matrix",
+    "audio_energy_features",
     # -- (3) keeper: ann_lsh_topk's plane constants were inlined this
     #    round -> needs re-verification (wordcount, r01-verified and
     #    unchanged, yields its slot; entry() still smoke-runs it) ----
@@ -4086,6 +4126,10 @@ def _reorder() -> None:
     missing = [n for n in _FRONT if n not in QUERIES]
     if missing:  # fail loudly at import: a typo here wastes a round
         raise RuntimeError(f"_FRONT names not registered: {missing}")
+    if len(_FRONT) != 50 or len(set(_FRONT)) != 50:
+        # The driver verifies exactly the first 50 entries; a drifted
+        # window silently costs a query its CORRECTNESS row.
+        raise RuntimeError(f"_FRONT must be exactly 50 unique names, got {len(_FRONT)}")
     ordered = {n: QUERIES[n] for n in _FRONT}
     ordered.update({n: f for n, f in QUERIES.items() if n not in ordered})
     QUERIES.clear()
