@@ -1,0 +1,47 @@
+"""Partitioning-independence: the repo's core reproducibility claim
+is that every query returns BIT-IDENTICAL results on any
+partitioning (that's what makes them hash-verifiable and resumable).
+This runs the float-producing queries most exposed to
+order-of-operation drift under different shuffle-partition counts
+and asserts exact row-set equality."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+QUERIES = [
+    "iqr_outliers",
+    "supplier_cosine_topk",
+    "event_transition_matrix",
+    "basket_pairs_lift",
+    "stats_moments",
+    "corr_slope",
+    "group_quantiles",
+    "pagerank_parts",
+    "tfidf_top_terms",
+]
+
+
+def _rows(spark, name):
+    from distributed_mapreduce_p2p_spark import registry
+
+    df = registry.QUERIES[name](spark, SF_SMALL)
+    cols = sorted(df.columns)
+    return sorted(
+        tuple(repr(r[c]) for c in cols) for r in df.collect()
+    )
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_result_is_partitioning_independent(spark, name):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = _rows(spark, name)
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = _rows(spark, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b, f"{name}: results differ across partitionings"
