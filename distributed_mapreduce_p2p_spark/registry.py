@@ -3781,6 +3781,63 @@ def q_event_transition_matrix(spark, sf_dir):
     )
 
 
+@register(
+    "tpch_q19_disjunctive_filter",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 5 AND 25)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 45
+           AND l_quantity BETWEEN 20 AND 45)
+    """,
+)
+def q_tpch_q19_disjunctive_filter(spark, sf_dir):
+    """TPC-H Q19 shape: a disjunction of per-brand conjunctions
+    spanning BOTH join sides. Catalyst factors the cross-side OR: the
+    derived single-side constraints (brand IN (...), the size-range
+    union) push into the part scan, the quantity-range union into the
+    lineitem scan, and the residual disjunction evaluates on the
+    joined row — one broadcast hash join, no plan duplication per
+    branch. The optimizer workout that separates a real engine from
+    per-branch UNION rewrites."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    joined = li.join(broadcast(p), li.l_partkey == p.p_partkey).where(
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(5, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 45)
+            & F.col("l_quantity").between(20, 45)
+        )
+    )
+    return joined.agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 # =====================================================================
 # Count-min sketch, item-item cosine, time-grid resample (round-2)
 # =====================================================================

@@ -256,3 +256,17 @@ def test_cosine_topk_and_resample_no_cartesian(spark):
 
     for name in ("supplier_cosine_topk", "resample_ffill"):
         assert "CartesianProduct" not in join_strategies(_q(name, spark)), name
+
+
+def test_q19_disjunction_pushes_to_both_scans(spark):
+    from distributed_mapreduce_p2p_spark.plans.explain import (
+        join_strategies,
+        pushed_filters,
+    )
+
+    df = _q("tpch_q19_disjunctive_filter", spark)
+    pf = " ".join(pushed_filters(df))
+    assert "l_quantity" in pf and "p_brand" in pf and "p_size" in pf, (
+        "Catalyst must factor the cross-side OR into per-scan constraints"
+    )
+    assert "CartesianProduct" not in join_strategies(df)
