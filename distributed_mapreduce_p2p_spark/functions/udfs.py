@@ -134,3 +134,27 @@ def _app_wordcount(df: DataFrame) -> DataFrame:
 @register_app("wordcount_udf")
 def _app_wordcount_udf(df: DataFrame) -> DataFrame:
     return word_count_udf_path(df)
+
+
+@pandas_udf(LongType())
+def agg_energy_cents2(values: pd.Series) -> int:
+    """U2 in its GROUPED_AGG form: a vectorized pandas aggregate UDF
+    (whole group's column arrives as one Arrow batch series, returns
+    one scalar) — the reduce contract without the full-DataFrame
+    ceremony of ``applyInPandas``, usable in ``groupBy().agg`` and
+    as a window function. Exact integer arithmetic: values quantize
+    to cents via floor(v*100 + 0.5) (same double -> same floor on
+    every engine), then an int64 sum of squares — deterministic on
+    any partitioning, unlike a float sum."""
+    import numpy as np  # local: module ships pickle-by-value
+
+    cents = np.floor(values.to_numpy() * 100.0 + 0.5).astype(np.int64)
+    return int((cents * cents).sum())
+
+
+@pandas_udf(LongType())
+def agg_count_long(values: pd.Series) -> int:
+    """GROUPED_AGG companion count (Spark disallows mixing pandas and
+    built-in aggregates in one ``agg`` — a real constraint of the
+    surface, pinned by the udaf_energy_by_type query)."""
+    return int(len(values))

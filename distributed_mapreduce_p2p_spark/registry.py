@@ -3838,6 +3838,39 @@ def q_tpch_q19_disjunctive_filter(spark, sf_dir):
     )
 
 
+@register(
+    "udaf_energy_by_type",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(c * c) AS BIGINT) AS energy_cents2,
+           COUNT(*) AS n
+    FROM (
+      SELECT event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def q_udaf_energy_by_type(spark, sf_dir):
+    """The U2 reduce contract as a GROUPED_AGG pandas UDF
+    (functions/udfs.py::agg_energy_cents2): each group's column
+    arrives as one Arrow series, one scalar returns — the vectorized
+    aggregate form next to the applyInPandas full-group form
+    (``wordcount_udf_surface``). Exact cents-quantized integer sum
+    of squares, so the Python aggregate is hash-checkable like any
+    JVM one. Trade-off pinned here: GROUPED_AGG shuffles the full
+    column (no map-side partial aggregation, and it cannot mix with
+    built-in aggregates) — the reason the hot path stays on built-in
+    JVM aggregates and Python is reserved for semantics Spark
+    lacks."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        U.agg_energy_cents2("value").alias("energy_cents2"),
+        U.agg_count_long("value").alias("n"),
+    )
+
+
 # =====================================================================
 # Count-min sketch, item-item cosine, time-grid resample (round-2)
 # =====================================================================
