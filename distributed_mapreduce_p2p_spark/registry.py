@@ -3871,6 +3871,100 @@ def q_udaf_energy_by_type(spark, sf_dir):
     )
 
 
+@register(
+    "weekly_growth",
+    oracle="""
+    WITH weekly AS (
+      SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d')
+               AS week_start,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT week_start, revenue, n_orders,
+           revenue / LAG(revenue) OVER (ORDER BY week_start) AS wow_ratio
+    FROM weekly
+    """,
+)
+def q_weekly_growth(spark, sf_dir):
+    """Week-over-week growth: weekly exact-decimal revenue, then a
+    LAG ratio (one IEEE division of two exactly-derived doubles —
+    deterministic). The weekly rollup shrinks the fact table to a
+    few hundred rows before the unpartitioned LAG window touches it,
+    so the single-partition window is constant-sized at any SF (the
+    aggregate, not the window, sees the data)."""
+    o = _t(spark, sf_dir, "orders")
+    weekly = (
+        o.groupBy(
+            F.date_format(
+                F.date_trunc("week", "o_orderdate"), "yyyy-MM-dd"
+            ).alias("week_start")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("week_start")
+    return weekly.withColumn(
+        "wow_ratio", F.col("revenue") / F.lag("revenue").over(w)
+    )
+
+
+@register(
+    "vocab_growth",
+    oracle="""
+    WITH first_seen AS (
+      SELECT word, MIN(doc_id) AS first_doc
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(text, '[^A-Za-z]+')) AS word
+            FROM documents)
+      WHERE word <> ''
+      GROUP BY word
+    ), per_doc AS (
+      SELECT first_doc, COUNT(*) AS new_words
+      FROM first_seen GROUP BY first_doc
+    )
+    SELECT first_doc AS doc_id, new_words,
+           CAST(SUM(new_words) OVER (ORDER BY first_doc
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS vocab_size
+    FROM per_doc
+    """,
+)
+def q_vocab_growth(spark, sf_dir):
+    """Vocabulary growth curve (how fast a corpus stops yielding new
+    tokens — the heap's-law signal that drives dedup/curation
+    decisions) via the FIRST-OCCURRENCE trick: min(doc_id) per word,
+    count new words per doc, cumulative-sum over the (tiny,
+    vocabulary-sized) per-doc series. No collect_set window over the
+    token stream — the only fact-scale pass is the word->min
+    aggregate; the running sum sees one row per doc with new
+    words."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", "[^A-Za-z]+")).alias("word")
+    ).where(F.col("word") != "")
+    first_seen = toks.groupBy("word").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    per_doc = first_seen.groupBy("first_doc").agg(
+        F.count(F.lit(1)).alias("new_words")
+    )
+    w = (
+        Window.orderBy("first_doc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_doc.select(
+        F.col("first_doc").alias("doc_id"),
+        "new_words",
+        F.sum("new_words").over(w).cast("long").alias("vocab_size"),
+    )
+
+
 # =====================================================================
 # Count-min sketch, item-item cosine, time-grid resample (round-2)
 # =====================================================================
