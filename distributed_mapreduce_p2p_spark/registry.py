@@ -3965,6 +3965,65 @@ def q_vocab_growth(spark, sf_dir):
     )
 
 
+@register(
+    "streaming_upsert_counts",
+    oracle="""
+    SELECT event_type, COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_streaming_upsert_counts(spark, sf_dir):
+    """The replicated-result-log machinery (R3/R6/K4: update-mode
+    streaming aggregation -> foreachBatch -> keyed upsert sink with
+    an atomic version pointer) under the ORACLE, not just tests: the
+    stream maintains running per-type counts/sums, every micro-batch
+    upserts the changed rows into the KeyedParquetSink (the Spark
+    analog of the reference's id->value checkpoint file,
+    replication/replication.go:463-494), and the final sink state
+    must equal the batch aggregate exactly — the exactly-once,
+    replay-idempotent contract, hash-checked."""
+    import tempfile
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from distributed_mapreduce_p2p_spark.streaming.replication import (
+        KeyedParquetSink,
+    )
+
+    events = read_table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="ssups_")
+    staged = f"{tmp}/staged"
+    events.write.parquet(staged)
+    sink = KeyedParquetSink(f"{tmp}/sink", key="event_type")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    stream = spark.readStream.schema(events.schema).parquet(staged)
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_dec"),
+    )
+    q = (
+        agg.writeStream.foreachBatch(sink.upsert_batch)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    out = sink.read(spark)
+    return out.select(
+        "event_type",
+        "cnt",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+    )
+
+
 # =====================================================================
 # Count-min sketch, item-item cosine, time-grid resample (round-2)
 # =====================================================================
