@@ -102,6 +102,16 @@ def neardup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
     import pandas as pd
 
     spark = emb.sparkSession
+    # Driver-collect guard: this baseline materializes the full matrix
+    # on the driver. Refuse beyond ~1M vectors — use
+    # neardup_pairs_blocked (the registered `embedding_neardup` path)
+    # there instead.
+    n = emb.count()
+    if n > 1_000_000:
+        raise ValueError(
+            f"neardup_pairs collects the embedding table on the driver "
+            f"({n} rows > 1,000,000); use neardup_pairs_blocked"
+        )
     mat_rows = emb.select("vec_id", "embedding").collect()
     ids = np.array([r.vec_id for r in mat_rows], dtype=np.int64)
     m = np.array([r.embedding for r in mat_rows], dtype=np.float64)

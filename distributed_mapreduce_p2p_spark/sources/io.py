@@ -44,26 +44,57 @@ def files_split_size(spark: SparkSession, nbytes: int) -> Iterator[None]:
         spark.conf.set(key, prev)
 
 
+@contextmanager
+def scoped_conf(spark: SparkSession, key: str, value: str) -> Iterator[None]:
+    """Scoped override of any session conf — saved on entry, restored
+    on exit even when the body throws (no session-wide leak). The
+    ``files_split_size`` pattern, generalized: every query-local
+    ``spark.sql.shuffle.partitions`` override in the registry runs
+    inside this scope."""
+    prev = spark.conf.get(key)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one star-schema parquet table (S1/S3 analog).
 
     Columnar parquet scan with predicate pushdown + column pruning left
     to Catalyst — filters applied by callers reach the scan.
 
-    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark's reader
-    rejects; it is read via the ``nanosAsLong`` legacy conf and
-    truncated to microseconds — matching DuckDB's nanos→micros
-    truncation exactly.
+    ``events.parquet`` has shipped ``ts`` as both TIMESTAMP(MICROS)
+    (loads natively as TIMESTAMP_NTZ) and TIMESTAMP(NANOS) (rejected by
+    Spark's reader unless the ``nanosAsLong`` legacy conf is set, then
+    loads as BIGINT nanos). Branch on the *loaded* dtype: convert to a
+    timestamp only when the column arrives as LongType — matching
+    DuckDB's nanos→micros truncation exactly — and pass native
+    timestamps through untouched. The legacy conf is set only on the
+    nanos fallback path (and must stay set for that lazy scan to
+    execute), never for micros files.
     """
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
+    path = f"{sf_dir}/{name}.parquet"
+    if name != "events":
+        return spark.read.parquet(path)
 
-        return (
-            spark.read.parquet(f"{sf_dir}/{name}.parquet")
-            .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    try:
+        df = spark.read.parquet(path)
+        # Footer schema resolution is eager, but force analysis so a
+        # nanos-typed file fails here, not at first use.
+        df.schema
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
         )
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return df
 
 
 def load_tables(

@@ -12,6 +12,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
+
+
+def _with_event_time(events: DataFrame, col: str = "ts") -> DataFrame:
+    """Watermark-ready source: ``withWatermark`` requires TIMESTAMP,
+    so a TIMESTAMP_NTZ event-time column (parquet timestamp[us]) is
+    cast — wall clock is preserved (cast + date_format round-trip in
+    the same session timezone)."""
+    if isinstance(events.schema[col].dataType, TimestampNTZType):
+        events = events.withColumn(col, F.col(col).cast("timestamp"))
+    return events
 
 
 def tumbling_counts(
@@ -23,7 +34,11 @@ def tumbling_counts(
     streaming frame the watermark bounds state (late rows beyond it
     are dropped — the generalization of the reference's 2 s staleness
     cutoff, raft/raft.go:88)."""
-    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    src = (
+        _with_event_time(events).withWatermark("ts", watermark)
+        if events.isStreaming
+        else events
+    )
     return (
         src.groupBy(F.window("ts", window_len), "event_type")
         .agg(
@@ -47,7 +62,11 @@ def sliding_counts(
 ) -> DataFrame:
     """Sliding event-time windows (each row lands in
     window_len/slide overlapping windows)."""
-    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    src = (
+        _with_event_time(events).withWatermark("ts", watermark)
+        if events.isStreaming
+        else events
+    )
     return (
         src.groupBy(F.window("ts", window_len, slide), "event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -62,7 +81,11 @@ def sliding_counts(
 def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Session windows per user (gap-based). Batch analog of
     ``F.session_window``; also works on streams with a watermark."""
-    src = events.withWatermark("ts", "2 seconds") if events.isStreaming else events
+    src = (
+        _with_event_time(events).withWatermark("ts", "2 seconds")
+        if events.isStreaming
+        else events
+    )
     return (
         src.groupBy(F.session_window("ts", gap), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))

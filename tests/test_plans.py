@@ -5,7 +5,7 @@ pushed filter fails here."""
 
 from __future__ import annotations
 
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_MED, SF_SMALL
 
 
 def _q(name, spark):
@@ -270,3 +270,51 @@ def test_q19_disjunction_pushes_to_both_scans(spark):
         "Catalyst must factor the cross-side OR into per-scan constraints"
     )
     assert "CartesianProduct" not in join_strategies(df)
+
+
+def test_basket_cap_is_noop_on_testdata(spark):
+    """The quadratic-explosion guard (registry._BASKET_CAP) must not
+    change results at testdata scale — TPC-H baskets are ≤7 items —
+    while provably bounding pairs-per-basket by construction."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_p2p_spark import registry
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+
+    items = (
+        read_table(spark, SF_MED, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    max_basket = (
+        items.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("m"))
+        .collect()[0].m
+    )
+    assert max_basket <= registry._BASKET_CAP, (
+        f"cap {registry._BASKET_CAP} would clip real baskets "
+        f"(max {max_basket}) — oracle parity would break"
+    )
+
+    # And the capped query bounds a synthetic hub basket: 100 copies
+    # of one order must yield at most cap*(cap-1)/2 pairs.
+    hub = spark.range(100).select(
+        F.lit(1).alias("l_orderkey"), F.col("id").alias("l_partkey")
+    )
+    w = registry.Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    capped = (
+        hub.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= registry._BASKET_CAP)
+        .drop("rn")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    n_pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        ).count()
+    )
+    cap = registry._BASKET_CAP
+    assert n_pairs == cap * (cap - 1) // 2

@@ -179,12 +179,13 @@ def test_stream_stream_interval_join(spark, tmpdir):
     events.where("event_id % 2 = 0").write.parquet(a_dir)
     events.where("event_id % 2 = 1").write.parquet(b_dir)
 
+    # withWatermark requires TIMESTAMP; the parquet ts column is NTZ.
     sa = (
         spark.readStream.schema(events.schema).parquet(a_dir)
         .select(
             F.col("user_id").alias("ua"),
             F.col("event_id").alias("ea"),
-            F.col("ts").alias("ts_a"),
+            F.col("ts").cast("timestamp").alias("ts_a"),
         )
         .withWatermark("ts_a", "1 minute")
     )
@@ -193,7 +194,7 @@ def test_stream_stream_interval_join(spark, tmpdir):
         .select(
             F.col("user_id").alias("ub"),
             F.col("event_id").alias("eb"),
-            F.col("ts").alias("ts_b"),
+            F.col("ts").cast("timestamp").alias("ts_b"),
         )
         .withWatermark("ts_b", "1 minute")
     )
