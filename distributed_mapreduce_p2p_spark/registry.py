@@ -4176,7 +4176,11 @@ def q_supplier_cosine_topk(spark, sf_dir):
     co-occurrence self-join fans out by part popularity; the 100 TB
     guard is DIMSUM-style magnitude-proportional sampling or a
     hub-part cap, documented here, with the exact form kept as the
-    oracle anchor."""
+    oracle anchor. (A stripes rewrite — collect_set per part +
+    higher-order-function pair expansion — was A/B-measured ~1.6×
+    SLOWER at sf0.1: array shuffle serialization and interpreted
+    lambda expressions lose to the codegen'd sort-merge self-join.
+    Measured, not guessed; the join form stays.)"""
     inc = (
         _t(spark, sf_dir, "lineitem")
         .select("l_suppkey", "l_partkey")

@@ -128,6 +128,109 @@ def read_text_corpus(spark: SparkSession, paths: list[str] | str) -> DataFrame:
     return spark.read.option("wholetext", "false").text(paths)
 
 
+def read_text_chunks_space_aligned(
+    spark: SparkSession,
+    paths: list[str] | str,
+    chunk_bytes: int = REFERENCE_CHUNK_BYTES,
+    delimiter: bytes = b" ",
+) -> DataFrame:
+    """S1+S2 with the reference's exact boundary rule: byte-range
+    chunks aligned at *spaces*, not newlines.
+
+    The reference chunker grids each input into CHUNK_SIZE byte
+    ranges (chunks/chunks.go:18-47) and the worker realigns both ends
+    of its range to the next delimiter (mapreduce/worker.go:37-89): a
+    chunk starting at byte s>0 first skips to the byte after the next
+    delimiter, and keeps reading past its end e until the next
+    delimiter (or EOF). Every byte lands in exactly one chunk and no
+    token is ever split — the same guarantee Spark's text source
+    gives at newline granularity, reproduced here at arbitrary
+    single-byte delimiters.
+
+    Distributed by construction: the driver touches only file
+    *metadata* (one listing); each (path, start, end) range row is a
+    task that opens the file itself, seeks, and realigns locally —
+    reading at most ``chunk_bytes + max token length`` bytes. At
+    100 TB the range table is ~1e9 rows of three scalars, streamed
+    through ``spark.range``-style parallelism, never file payload on
+    the driver.
+
+    Returns one row per chunk: (path, chunk_id, start, end, text)
+    where [start, end) is the *grid* range; ``text`` is the aligned
+    payload.
+    """
+    import os
+
+    if isinstance(paths, str):
+        paths = [paths]
+    ranges = []
+    for p in paths:
+        size = os.path.getsize(p)
+        cid = 0
+        for s in range(0, max(size, 1), chunk_bytes):
+            ranges.append((p, cid, s, min(s + chunk_bytes, size)))
+            cid += 1
+    rdf = spark.createDataFrame(
+        ranges, "path string, chunk_id long, start long, end long"
+    ).repartition(min(len(ranges), 256))
+
+    delim = delimiter
+
+    def _read(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for path, cid, s, e in zip(
+                pdf["path"], pdf["chunk_id"], pdf["start"], pdf["end"]
+            ):
+                with open(path, "rb") as f:
+                    size = f.seek(0, 2)
+                    # realign the start: skip to just past the next
+                    # delimiter (chunk 0 owns the file head)
+                    a = int(s)
+                    if a > 0:
+                        f.seek(a)
+                        while True:
+                            b = f.read(1)
+                            a += 1
+                            if not b or b == delim:
+                                break
+                    # read to the grid end, then extend to the next
+                    # delimiter (worker.go:70-89 reads past end).
+                    # If realignment already passed the grid end, the
+                    # whole range sat inside one token the predecessor
+                    # chunk consumed via its own extension — emit
+                    # nothing (every byte exactly once).
+                    b_end = int(e)
+                    buf = b""
+                    if a <= b_end:
+                        f.seek(a)
+                        buf = f.read(b_end - a)
+                        while b_end < size:
+                            ch = f.read(1)
+                            b_end += 1
+                            if not ch or ch == delim:
+                                break
+                            buf += ch
+                    out.append(
+                        (
+                            path,
+                            int(cid),
+                            int(s),
+                            int(e),
+                            buf.decode("utf-8", errors="replace"),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=["path", "chunk_id", "start", "end", "text"]
+            )
+
+    return rdf.mapInPandas(
+        _read, "path string, chunk_id long, start long, end long, text string"
+    )
+
+
 def write_hash_partitioned(df: DataFrame, path: str, key: str, n: int = 8) -> None:
     """K1 analog: explicit hash-partitioned write.
 

@@ -290,3 +290,78 @@ def test_range_partitioned_write_is_global_sort(spark, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2, f"overlapping file ranges: {hi1} >= {lo2}"
     assert total == wc.count()
+
+
+def test_space_aligned_chunk_scan_exact(spark, tmp_path):
+    """S2 with the reference's space-boundary rule
+    (mapreduce/worker.go:37-89): the union of chunk payloads must
+    tokenize to exactly the whole file's tokens — no token split, no
+    byte read twice — at a chunk size small enough to force many
+    realignments."""
+    from distributed_mapreduce_p2p_spark.sources.io import (
+        read_text_chunks_space_aligned,
+        read_table,
+    )
+
+    docs = read_table(spark, SF_SMALL, "documents").limit(60)
+    corpus = " ".join(r.text for r in docs.select("text").collect())
+    p = tmp_path / "corpus.txt"
+    p.write_text(corpus, encoding="utf-8")
+
+    chunks = read_text_chunks_space_aligned(spark, str(p), chunk_bytes=257)
+    got_tokens = (
+        chunks.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .count()
+    )
+    got = {(r.w, r["count"]) for r in got_tokens.collect()}
+    from collections import Counter
+
+    want = set(Counter(t for t in corpus.split(" ") if t).items())
+    assert got == want
+
+    # chunk grid covers the file exactly once
+    rows = chunks.select("chunk_id", "start", "end").collect()
+    rows.sort(key=lambda r: r.start)
+    assert rows[0].start == 0
+    assert rows[-1].end == len(corpus.encode("utf-8"))
+    for a, b in zip(rows, rows[1:]):
+        assert a.end == b.start
+
+
+def test_space_aligned_chunks_survive_giant_tokens(spark, tmp_path):
+    """Pathological: tokens longer than the chunk size (a chunk's
+    whole range inside one token). The predecessor's read-past-end
+    consumes the token; interior chunks must emit nothing rather than
+    duplicate bytes."""
+    from collections import Counter
+
+    from distributed_mapreduce_p2p_spark.sources.io import (
+        read_text_chunks_space_aligned,
+    )
+
+    corpus = " ".join(["x" * 400, "ab", "y" * 990, "c", "z" * 123])
+    p = tmp_path / "giant.txt"
+    p.write_text(corpus, encoding="utf-8")
+
+    chunks = read_text_chunks_space_aligned(spark, str(p), chunk_bytes=100)
+    texts = [r.text for r in chunks.orderBy("chunk_id").collect()]
+    got = Counter(t for txt in texts for t in txt.split(" ") if t)
+    want = Counter(t for t in corpus.split(" ") if t)
+    assert got == want
+
+
+def test_scoped_conf_restores_on_exception(spark):
+    """Query-local conf overrides must restore even when the body
+    throws mid-build (round-2 defect: a failing streaming query left
+    spark.sql.shuffle.partitions=8 session-wide)."""
+    from distributed_mapreduce_p2p_spark.sources.io import scoped_conf
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with pytest.raises(RuntimeError, match="boom"):
+        with scoped_conf(spark, key, "3"):
+            assert spark.conf.get(key) == "3"
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == before
