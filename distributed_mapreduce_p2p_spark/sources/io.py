@@ -128,6 +128,39 @@ def read_text_corpus(spark: SparkSession, paths: list[str] | str) -> DataFrame:
     return spark.read.option("wholetext", "false").text(paths)
 
 
+def read_aligned_range(
+    path: str, start: int, end: int, delim: bytes = b" "
+) -> bytes:
+    """Read one byte-range chunk with the reference's boundary rule
+    (mapreduce/worker.go:37-89): realign the start past the next
+    delimiter (chunk 0 owns the file head), read to the grid end,
+    then extend to the next delimiter. A range that realigns past its
+    own end sat inside one token the predecessor consumed — owns
+    nothing. Runs on executors; reads at most chunk + one token."""
+    with open(path, "rb") as f:
+        size = f.seek(0, 2)
+        a = start
+        if a > 0:
+            f.seek(a)
+            while True:
+                b = f.read(1)
+                a += 1
+                if not b or b == delim:
+                    break
+        b_end = end
+        buf = b""
+        if a <= b_end:
+            f.seek(a)
+            buf = f.read(b_end - a)
+            while b_end < size:
+                ch = f.read(1)
+                b_end += 1
+                if not ch or ch == delim:
+                    break
+                buf += ch
+        return buf
+
+
 def read_text_chunks_space_aligned(
     spark: SparkSession,
     paths: list[str] | str,
@@ -184,44 +217,16 @@ def read_text_chunks_space_aligned(
             for path, cid, s, e in zip(
                 pdf["path"], pdf["chunk_id"], pdf["start"], pdf["end"]
             ):
-                with open(path, "rb") as f:
-                    size = f.seek(0, 2)
-                    # realign the start: skip to just past the next
-                    # delimiter (chunk 0 owns the file head)
-                    a = int(s)
-                    if a > 0:
-                        f.seek(a)
-                        while True:
-                            b = f.read(1)
-                            a += 1
-                            if not b or b == delim:
-                                break
-                    # read to the grid end, then extend to the next
-                    # delimiter (worker.go:70-89 reads past end).
-                    # If realignment already passed the grid end, the
-                    # whole range sat inside one token the predecessor
-                    # chunk consumed via its own extension — emit
-                    # nothing (every byte exactly once).
-                    b_end = int(e)
-                    buf = b""
-                    if a <= b_end:
-                        f.seek(a)
-                        buf = f.read(b_end - a)
-                        while b_end < size:
-                            ch = f.read(1)
-                            b_end += 1
-                            if not ch or ch == delim:
-                                break
-                            buf += ch
-                    out.append(
-                        (
-                            path,
-                            int(cid),
-                            int(s),
-                            int(e),
-                            buf.decode("utf-8", errors="replace"),
-                        )
+                buf = read_aligned_range(path, int(s), int(e), delim)
+                out.append(
+                    (
+                        path,
+                        int(cid),
+                        int(s),
+                        int(e),
+                        buf.decode("utf-8", errors="replace"),
                     )
+                )
             yield pd.DataFrame(
                 out, columns=["path", "chunk_id", "start", "end", "text"]
             )

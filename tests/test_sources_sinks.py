@@ -365,3 +365,46 @@ def test_scoped_conf_restores_on_exception(spark):
             assert spark.conf.get(key) == "3"
             raise RuntimeError("boom")
     assert spark.conf.get(key) == before
+
+
+def test_chunktext_datasource_matches_mapinpandas_scan(spark, tmp_path):
+    """The ``chunktext`` Python DataSource (each space-aligned chunk
+    range is a real InputPartition) must produce exactly the rows of
+    the mapInPandas scan, with one Spark partition per chunk."""
+    from distributed_mapreduce_p2p_spark.sources.chunk_source import (
+        ChunkTextDataSource,
+    )
+    from distributed_mapreduce_p2p_spark.sources.io import (
+        read_table,
+        read_text_chunks_space_aligned,
+    )
+
+    docs = read_table(spark, SF_SMALL, "documents").limit(40)
+    corpus = " ".join(r.text for r in docs.select("text").collect())
+    p = tmp_path / "corpus.txt"
+    p.write_text(corpus, encoding="utf-8")
+
+    spark.dataSource.register(ChunkTextDataSource)
+    ds = (
+        spark.read.format("chunktext")
+        .option("chunk_bytes", 301)
+        .load(str(p))
+    )
+    via_mip = read_text_chunks_space_aligned(spark, str(p), chunk_bytes=301)
+
+    got = {tuple(r) for r in ds.collect()}
+    want = {tuple(r) for r in via_mip.collect()}
+    assert got == want and got
+
+    # chunk ranges are genuine input partitions (scheduler-visible)
+    n_chunks = ds.select("chunk_id").distinct().count()
+    assert ds.rdd.getNumPartitions() == n_chunks
+
+    # and the scan composes with ordinary operators (filter + agg)
+    n_words = (
+        ds.where(F.col("chunk_id") % 2 == 0)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .count()
+    )
+    assert n_words > 0
