@@ -641,6 +641,66 @@ def q_doc_fingerprint(spark, sf_dir):
     return TS.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "doc_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '[^A-Za-z]+'),
+                         x -> x <> '') AS a
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(
+               CASE WHEN len(a) >= 3
+                    THEN generate_series(1, len(a) - 2) ELSE [] END,
+               i -> concat_ws(' ', a[i], a[i+1], a[i+2])) AS grams
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_unique,
+           1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                   / CAST(len(grams) AS DOUBLE) AS rep_frac
+    FROM g
+    WHERE len(grams) > 0
+    """,
+)
+def q_doc_repetition(spark, sf_dir):
+    """Repeated-3-gram fraction per document — the Gopher/RefinedWeb
+    style repetition quality rule (boilerplate and degenerate docs
+    score high). Entirely per-row JVM array expressions (sequence →
+    transform → array_distinct): ZERO shuffles, scales as a pure map
+    stage; rep_frac is one IEEE division of exact counts so the
+    score hash-matches across engines. (element_at and DuckDB list
+    indexing are both 1-based.)"""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, '[^A-Za-z]+'), x -> x != '')")
+    grams = F.expr(
+        "transform("
+        "  CASE WHEN size(toks) >= 3"
+        "       THEN sequence(1, size(toks) - 2) ELSE array() END,"
+        "  i -> concat_ws(' ', element_at(toks, int(i)),"
+        "                 element_at(toks, int(i) + 1),"
+        "                 element_at(toks, int(i) + 2)))"
+    )
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", grams.alias("grams"))
+        .where(F.size("grams") > 0)
+        .select(
+            "doc_id",
+            F.size("grams").cast("long").alias("n_grams"),
+            F.size(F.array_distinct("grams")).cast("long").alias("n_unique"),
+            (
+                F.lit(1.0)
+                - F.size(F.array_distinct("grams")).cast("double")
+                / F.size("grams").cast("double")
+            ).alias("rep_frac"),
+        )
+    )
+
+
 # =====================================================================
 # Deduplication (north-star LLM-pipeline ops)
 # =====================================================================
