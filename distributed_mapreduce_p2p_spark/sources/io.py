@@ -24,6 +24,14 @@ from distributed_mapreduce_p2p_spark import TABLES
 # Reference chunk size: CHUNK_SIZE = 102400 (chunks/chunks.go:10).
 REFERENCE_CHUNK_BYTES = 102400
 
+# Event-time columns whose parquet encoding has drifted across
+# harness revisions; read_table normalizes each to TIMESTAMP_NTZ.
+_TIME_COLUMNS = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
 
 @contextmanager
 def files_split_size(spark: SparkSession, nbytes: int) -> Iterator[None]:
@@ -65,22 +73,32 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Columnar parquet scan with predicate pushdown + column pruning left
     to Catalyst — filters applied by callers reach the scan.
 
-    ``events.parquet`` has shipped ``ts`` as both TIMESTAMP(MICROS)
-    (loads natively as TIMESTAMP_NTZ) and TIMESTAMP(NANOS) (rejected by
-    Spark's reader unless the ``nanosAsLong`` legacy conf is set, then
-    loads as BIGINT nanos). Branch on the *loaded* dtype: convert to a
-    timestamp only when the column arrives as LongType — matching
-    DuckDB's nanos→micros truncation exactly — and pass native
-    timestamps through untouched. The legacy conf is set only on the
-    nanos fallback path (and must stay set for that lazy scan to
-    execute), never for micros files.
+    The testdata's event-time columns (``events.ts``,
+    ``orders.o_orderdate``, ``lineitem.l_shipdate``) have shipped
+    under different parquet encodings across harness revisions:
+    TIMESTAMP(MICROS) (loads natively as TIMESTAMP_NTZ),
+    TIMESTAMP(NANOS) (rejected by Spark's reader unless the
+    ``nanosAsLong`` legacy conf is set, then loads as BIGINT nanos),
+    and potentially tz-adjusted TIMESTAMP (loads as TIMESTAMP_LTZ).
+    Branch on the *loaded* dtype per column and normalize every
+    variant to TIMESTAMP_NTZ wall clock:
+
+    - LongType → nanos: truncate to micros (``DIV 1000`` — exactly
+      DuckDB's nanos→micros truncation) and build the NTZ timestamp;
+    - TimestampType (LTZ) → cast to NTZ (session-tz wall clock; the
+      driver and DuckDB both run UTC here);
+    - TimestampNTZType → pass through untouched.
+
+    The legacy conf is set only on the nanos fallback path (and must
+    stay set for that lazy scan to execute), never otherwise.
     """
     path = f"{sf_dir}/{name}.parquet"
-    if name != "events":
+    time_cols = _TIME_COLUMNS.get(name)
+    if not time_cols:
         return spark.read.parquet(path)
 
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampType
 
     try:
         df = spark.read.parquet(path)
@@ -90,10 +108,20 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-    if isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn(
-            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
-        )
+    for col in time_cols:
+        if col not in df.columns:
+            continue
+        dtype = df.schema[col].dataType
+        if isinstance(dtype, LongType):
+            df = df.withColumn(
+                col,
+                F.expr(
+                    f"to_timestamp_ntz(timestamp_micros("
+                    f"CAST({col} DIV 1000 AS BIGINT)))"
+                ),
+            )
+        elif isinstance(dtype, TimestampType):
+            df = df.withColumn(col, F.col(col).cast("timestamp_ntz"))
     return df
 
 

@@ -408,3 +408,48 @@ def test_chunktext_datasource_matches_mapinpandas_scan(spark, tmp_path):
         .count()
     )
     assert n_words > 0
+
+
+def test_read_table_normalizes_time_encodings(spark, tmp_path):
+    """The harness has shipped event-time columns as timestamp[us],
+    timestamp[ns] (legacy nanos-BIGINT read) and could ship
+    tz-adjusted timestamps; read_table must load all three to the
+    same TIMESTAMP_NTZ wall clock (the round-2 red wall was
+    hardcoding one encoding)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampNTZType
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+
+    us = [1704067200_000_000 + i * 3_600_000_000 for i in range(5)]
+    ids = list(range(5))
+
+    variants = {
+        "us": pa.table(
+            {"event_id": ids, "ts": pa.array(us, pa.timestamp("us"))}
+        ),
+        "ns": pa.table(
+            {
+                "event_id": ids,
+                "ts": pa.array([u * 1000 for u in us], pa.timestamp("ns")),
+            }
+        ),
+        "ltz": pa.table(
+            {
+                "event_id": ids,
+                "ts": pa.array(us, pa.timestamp("us", tz="UTC")),
+            }
+        ),
+    }
+    results = {}
+    for tag, tbl in variants.items():
+        d = tmp_path / tag
+        d.mkdir()
+        pq.write_table(tbl, d / "events.parquet")
+        df = read_table(spark, str(d), "events")
+        assert isinstance(df.schema["ts"].dataType, TimestampNTZType), tag
+        results[tag] = sorted(
+            (r.event_id, str(r.ts)) for r in df.collect()
+        )
+    assert results["us"] == results["ns"] == results["ltz"]
