@@ -45,3 +45,35 @@ def test_result_is_partitioning_independent(spark, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b, f"{name}: results differ across partitionings"
+
+
+TZ_QUERIES = [
+    # event-time heavy: windows, funnels, cohorts, calendar buckets
+    "range_frame_trailing",
+    "funnel_conversion",
+    "retention_cohorts",
+    "resample_ffill",
+    "date_buckets",
+    "weekly_growth",
+    "interval_overlap_join",
+    "sliding_distinct_users",
+]
+
+
+@pytest.mark.parametrize("name", TZ_QUERIES)
+def test_result_is_timezone_independent(spark, name):
+    """Event-time math must not depend on the cluster's session
+    timezone (the driver's session tz is out of our control): all
+    epoch math rides TIMESTAMP_NTZ + timestampdiff, never
+    unix_micros/LTZ casts, so a shifted tz cannot move window
+    boundaries or calendar buckets."""
+    from distributed_mapreduce_p2p_spark.sources.io import scoped_conf
+
+    a = _rows(spark, name)
+    with scoped_conf(
+        spark, "spark.sql.session.timeZone", "America/New_York"
+    ):
+        b = _rows(spark, name)
+    with scoped_conf(spark, "spark.sql.session.timeZone", "Asia/Katmandu"):
+        c = _rows(spark, name)
+    assert a == b == c, f"{name}: results differ across session timezones"
