@@ -173,3 +173,44 @@ def test_membership_merge_matches_dict_semantics(spark, left, right):
         for k in set(left) | set(right)
     }
     assert out == expected
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    toks=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="ascii", exclude_characters=" \x00"
+            ),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    chunk=st.integers(min_value=1, max_value=37),
+)
+def test_aligned_range_covers_every_byte_once(tmp_path_factory, toks, chunk):
+    """Pure-python property for the S2 boundary rule: for ANY corpus
+    and ANY chunk size, concatenating the per-chunk payloads plus one
+    delimiter between non-empty neighbors reproduces the token
+    multiset exactly — no split tokens, no duplicated or lost bytes
+    (mapreduce/worker.go:37-89 semantics)."""
+    from collections import Counter
+
+    from distributed_mapreduce_p2p_spark.sources.io import (
+        read_aligned_range,
+    )
+
+    corpus = " ".join(toks)
+    d = tmp_path_factory.mktemp("chunks")
+    p = d / "c.txt"
+    p.write_bytes(corpus.encode("utf-8"))
+    size = len(corpus.encode("utf-8"))
+
+    got: Counter = Counter()
+    for s in range(0, max(size, 1), chunk):
+        payload = read_aligned_range(str(p), s, min(s + chunk, size))
+        got.update(t for t in payload.decode("utf-8").split(" ") if t)
+    want = Counter(t for t in corpus.split(" ") if t)
+    assert got == want
