@@ -91,6 +91,46 @@ def main() -> None:
         timings["reference_corpus_wordcount"] = round(time.perf_counter() - t0, 4)
         assert n == 26010, f"golden cardinality mismatch: {n}"
 
+        # Head-to-head with the reference's replication stream: it
+        # broadcasts its 26,010-row result at 0.5 rows/s by design
+        # (1 line per 2 s, replication/replication.go:202-210) ≈
+        # 14.5 HOURS to converge the sink. Ours is the same contract
+        # (checkpointed stream → idempotent keyed upsert sink,
+        # R3/R6/K4) over the identical 26,010 rows, timed end to end.
+        import shutil
+        import tempfile
+
+        from distributed_mapreduce_p2p_spark.streaming.replication import (
+            KeyedParquetSink,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="bench_repl_")
+        try:
+            wc = word_count(corpus, "value", sep=TOKEN_SEP_UNICODE)
+            staged = f"{tmp}/staged"
+            wc.write.parquet(staged)
+            sink = KeyedParquetSink(f"{tmp}/sink", key="word")
+            t0 = time.perf_counter()
+            q = (
+                spark.readStream.schema(wc.schema)
+                .parquet(staged)
+                .writeStream.foreachBatch(sink.upsert_batch)
+                .outputMode("update")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            replicated = sink.read(spark).count()
+            timings["reference_replication_sink_26k"] = round(
+                time.perf_counter() - t0, 4
+            )
+            assert replicated == 26010, (
+                f"replication sink cardinality mismatch: {replicated}"
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
