@@ -274,3 +274,65 @@ def test_streaming_dedup_within_watermark(spark, tmpdir):
     back = spark.read.parquet(out)
     assert back.count() == result.count()
     assert back.select("id").distinct().count() == result.count()
+
+
+def test_chunktail_stream_tails_growing_file(spark, tmpdir):
+    """The ``chunktail`` streaming source must emit each
+    delimiter-terminated token exactly once across microbatches and
+    restarts (checkpointed offsets), and never emit a token whose
+    terminating delimiter hasn't been written yet — the replication
+    ingest contract (replication/replication.go:156-213) at the
+    file-tail level."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_p2p_spark.sources.chunk_stream import (
+        ChunkTailDataSource,
+    )
+
+    spark.dataSource.register(ChunkTailDataSource)
+    feed = f"{tmpdir}/feed.txt"
+    out = f"{tmpdir}/out"
+    ckpt = f"{tmpdir}/ckpt"
+
+    def run_once():
+        q = (
+            spark.readStream.format("chunktail")
+            .load(feed)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # Phase 1: two complete tokens + one UNTERMINATED trailing token.
+    with open(feed, "w") as f:
+        f.write("alpha beta gam")
+    run_once()
+    got1 = {(r.pos, r.value) for r in spark.read.parquet(out).collect()}
+    assert got1 == {(0, "alpha"), (6, "beta")}, got1
+
+    # Phase 2: terminate it, add more (incl. a double delimiter), and
+    # restart from the checkpoint — no token re-emitted or lost.
+    with open(feed, "a") as f:
+        f.write("ma  delta epsilon ")
+    run_once()
+    got2 = {(r.pos, r.value) for r in spark.read.parquet(out).collect()}
+    assert got2 == {
+        (0, "alpha"),
+        (6, "beta"),
+        (11, "gamma"),
+        (18, "delta"),
+        (24, "epsilon"),
+    }, got2
+
+    # The word count over the stream result matches the file's final
+    # content read as a batch (golden-style differential).
+    final_tokens = [
+        t for t in open(feed).read().split(" ") if t
+    ]
+    assert sorted(r.value for r in spark.read.parquet(out).collect()) == (
+        sorted(final_tokens)
+    )
