@@ -78,8 +78,6 @@ def main() -> None:
     # scheduling alone before any execution).
     ref_data = "/root/reference/data"
     if os.path.isdir(ref_data):
-        from pyspark.sql import functions as F
-
         from distributed_mapreduce_p2p_spark.operators.text import (
             TOKEN_SEP_UNICODE,
             word_count,

@@ -669,11 +669,18 @@ def q_doc_fingerprint(spark, sf_dir):
 def q_doc_repetition(spark, sf_dir):
     """Repeated-3-gram fraction per document — the Gopher/RefinedWeb
     style repetition quality rule (boilerplate and degenerate docs
-    score high). Entirely per-row JVM array expressions (sequence →
-    transform → array_distinct): ZERO shuffles, scales as a pure map
-    stage; rep_frac is one IEEE division of exact counts so the
-    score hash-matches across engines. (element_at and DuckDB list
-    indexing are both 1-based.)"""
+    score high). Grams are built once per doc (sequence → transform,
+    1-based element_at mirroring DuckDB list indexing), EXPLODED, and
+    counted in one groupBy(doc_id) shuffle; rep_frac is one IEEE
+    division of exact counts so the score hash-matches across
+    engines.
+
+    Plan note (measured at sf0.1): the shuffle-free variant keeping
+    grams as an array column and projecting size/array_distinct was
+    16× SLOWER (10.7 s vs 0.65 s) — Catalyst re-evaluates the
+    interpreted higher-order lambda for every reference to the
+    column, so 'zero shuffles' lost to 4× recompute of the gram
+    build. Explode + partial-agg shuffle wins decisively."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.expr("filter(split(text, '[^A-Za-z]+'), x -> x != '')")
     grams = F.expr(
@@ -686,16 +693,20 @@ def q_doc_repetition(spark, sf_dir):
     )
     return (
         docs.select("doc_id", toks.alias("toks"))
-        .select("doc_id", grams.alias("grams"))
-        .where(F.size("grams") > 0)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.countDistinct("g").cast("long").alias("n_unique"),
+        )
         .select(
             "doc_id",
-            F.size("grams").cast("long").alias("n_grams"),
-            F.size(F.array_distinct("grams")).cast("long").alias("n_unique"),
+            "n_grams",
+            "n_unique",
             (
                 F.lit(1.0)
-                - F.size(F.array_distinct("grams")).cast("double")
-                / F.size("grams").cast("double")
+                - F.col("n_unique").cast("double")
+                / F.col("n_grams").cast("double")
             ).alias("rep_frac"),
         )
     )
