@@ -3,9 +3,12 @@
 
 Times EVERY registered query (the headline set first, then the full
 registry sweep) at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
-on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+on local[$SPARK_GRAFT_CPUS] and prints ONE COMPACT JSON line (last):
 {"metric": "all_queries_total", "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {10 slowest}, "n_queries": N, "sf": ...} — the driver
+stores only a bounded tail of stdout, so the full 102-entry timings
+dict lives in BENCH_DETAIL.json instead (all three rounds' 4 KB
+one-liners came back "parsed": null).
 
 Each query is executed to completion (count() forces the full plan —
 scan, shuffle, agg — without driver-side collect of the payload).
@@ -118,19 +121,34 @@ def main() -> None:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
-            replicated = sink.read(spark).count()
-            timings["reference_replication_sink_26k"] = round(
-                time.perf_counter() - t0, 4
-            )
-            assert replicated == 26010, (
-                f"replication sink cardinality mismatch: {replicated}"
-            )
+            finished = q.awaitTermination(300)
+            if not finished:
+                # Slow host: stop the stream and report what ran
+                # instead of asserting on a possibly-incomplete sink —
+                # a non-zero exit here loses the whole round's BENCH
+                # artifact (driver contract).
+                q.stop()
+                timings["reference_replication_sink_26k_incomplete"] = round(
+                    time.perf_counter() - t0, 4
+                )
+            else:
+                replicated = sink.read(spark).count()
+                timings["reference_replication_sink_26k"] = round(
+                    time.perf_counter() - t0, 4
+                )
+                assert replicated == 26010, (
+                    f"replication sink cardinality mismatch: {replicated}"
+                )
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
     total = round(sum(timings.values()), 4)
-    print(
+    # Full per-query timings go to a file; stdout gets ONE COMPACT
+    # line (last) with only the top-10 slowest — the driver stores a
+    # bounded tail of stdout, and a ~4 KB line of 102 timings
+    # overflows it (every BENCH_r0*.json came back "parsed": null).
+    detail_path = REPO / "BENCH_DETAIL.json"
+    detail_path.write_text(
         json.dumps(
             {
                 "metric": "all_queries_total",
@@ -138,6 +156,23 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            },
+            indent=1,
+        )
+    )
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "all_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": slowest,
+                "n_queries": len(timings),
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

@@ -105,14 +105,15 @@ def neardup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
     # Driver-collect guard: this baseline materializes the full matrix
     # on the driver. Refuse beyond ~1M vectors — use
     # neardup_pairs_blocked (the registered `embedding_neardup` path)
-    # there instead.
-    n = emb.count()
-    if n > 1_000_000:
+    # there instead. limit(cap+1) bounds the collect AND detects
+    # overflow in the same single scan (no separate count() action).
+    _CAP = 1_000_000
+    mat_rows = emb.select("vec_id", "embedding").limit(_CAP + 1).collect()
+    if len(mat_rows) > _CAP:
         raise ValueError(
             f"neardup_pairs collects the embedding table on the driver "
-            f"({n} rows > 1,000,000); use neardup_pairs_blocked"
+            f"(>{_CAP} rows); use neardup_pairs_blocked"
         )
-    mat_rows = emb.select("vec_id", "embedding").collect()
     ids = np.array([r.vec_id for r in mat_rows], dtype=np.int64)
     m = np.array([r.embedding for r in mat_rows], dtype=np.float64)
     mn = m / np.linalg.norm(m, axis=1, keepdims=True)

@@ -42,6 +42,25 @@ from distributed_mapreduce_p2p_spark.sources.io import (  # noqa: E402
 _BASKET_CAP = 32
 
 
+from contextlib import contextmanager as _contextmanager  # noqa: E402
+
+
+@_contextmanager
+def _stream_conf(spark: SparkSession):
+    """Conf scope for the real-Structured-Streaming queries: shuffle
+    partitions down to 8 (state-store count is fixed by the first run
+    against a checkpoint — a host default of 200 spins up 200 stores),
+    and session timezone pinned to UTC so the NTZ→TIMESTAMP casts
+    feeding ``withWatermark`` and the ``date_format`` on window bounds
+    are deterministic under any host timezone (a fractional-offset tz
+    would shift hour-window boundaries otherwise). The driver runs a
+    vanilla session — these can't live in session.py. Both confs are
+    restored on exit even on error."""
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        with scoped_conf(spark, "spark.sql.session.timeZone", "UTC"):
+            yield
+
+
 def _epoch_us(col: str):
     """Epoch microseconds from a TIMESTAMP_NTZ column, timezone-free.
 
@@ -1727,18 +1746,22 @@ def q_cube_agg(spark, sf_dir):
     "array_agg_sorted",
     oracle="""
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS types,
+           array_to_string(list_sort(list(DISTINCT event_type)), '|') AS types,
            COUNT(*) AS n_events
     FROM events
     GROUP BY user_id
     """,
 )
 def q_array_agg_sorted(spark, sf_dir):
-    """Nested output types: per-user sorted distinct array of event
-    types (canonical order makes the array hash-stable)."""
+    """Nested output types: per-user sorted distinct set of event
+    types, canonicalized to a '|'-joined string (a raw array column
+    is unhashable in the driver's pandas canonicalizer — same fix as
+    inverted_index; canonical sort order keeps the value hash-stable)."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("types"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), "|").alias(
+            "types"
+        ),
         F.count(F.lit(1)).alias("n_events"),
     )
 
@@ -1864,7 +1887,7 @@ def q_streaming_tumbling_window(spark, sf_dir):
     # State-store partition count is fixed by the first run against a
     # checkpoint; a host session's default (e.g. 200) makes this tiny
     # demo spin up 200 state stores — scope it down for the run.
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+    with _stream_conf(spark):
         stream = (
             spark.readStream.schema(events.schema)
             .parquet(staged)
@@ -1922,7 +1945,7 @@ def q_stream_static_join(spark, sf_dir):
     staged = f"{tmp}/staged"
     events.write.parquet(staged)
     out = f"{tmp}/out"
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+    with _stream_conf(spark):
         stream = spark.readStream.schema(events.schema).parquet(staged)
         q = (
             stream.join(broadcast(cust), stream.user_id == cust.c_custkey)
@@ -1985,7 +2008,7 @@ def q_asof_join_merge_last_order(spark, sf_dir):
     oracle="""
     SELECT event_type,
            COUNT(k) AS n_with_k,
-           SUM(k) AS sum_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
            MIN(k) AS min_k,
            MAX(k) AS max_k
     FROM (
@@ -3594,7 +3617,7 @@ def q_stream_stream_join(spark, sf_dir):
     staged = f"{tmp}/staged"
     events.write.parquet(staged)
     out = f"{tmp}/out"
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+    with _stream_conf(spark):
         stream = (
             spark.readStream.schema(events.schema)
             .parquet(staged)
@@ -3667,7 +3690,7 @@ def q_streaming_dedup_user_minute(spark, sf_dir):
     staged = f"{tmp}/staged"
     events.write.parquet(staged)
     out = f"{tmp}/out"
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+    with _stream_conf(spark):
         stream = (
             spark.readStream.schema(events.schema)
             .parquet(staged)
@@ -3742,7 +3765,7 @@ def q_stream_stream_left_outer(spark, sf_dir):
     staged = f"{tmp}/staged"
     events.write.parquet(staged)
     out = f"{tmp}/out"
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+    with _stream_conf(spark):
         stream = (
             spark.readStream.schema(events.schema)
             .parquet(staged)
@@ -4098,7 +4121,7 @@ def q_streaming_upsert_counts(spark, sf_dir):
     staged = f"{tmp}/staged"
     events.write.parquet(staged)
     sink = KeyedParquetSink(f"{tmp}/sink", key="event_type")
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+    with _stream_conf(spark):
         stream = spark.readStream.schema(events.schema).parquet(staged)
         agg = stream.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("cnt"),
@@ -4403,6 +4426,17 @@ def q_resample_ffill(spark, sf_dir):
 # Entries displaced past position 50 all carry a green r1/r2 driver row
 # and remain covered locally by tests/test_oracle_parity.py (runs ALL
 # entries vs DuckDB).
+#
+# STANDING RULE (round-4 on): any query whose PLAN changed since its
+# last driver-sampled row rotates into the next round's window —
+# self-reported parity is not a CORRECTNESS row. Round-4 rotation:
+#   in:  doc_repetition      (rewritten r3 explode+agg form, the only
+#                             entry with NO driver row in any round)
+#        supplier_cosine_topk (hub-cap scale guard added r4)
+#   out: set_ops, window_rank_lead_lag (both r1+r3 double-green,
+#        plans untouched)
+# json_props_stats and array_agg_sorted keep their slots: their r3
+# reds were contract bugs fixed r4, and re-sampling flips the row.
 
 _FRONT: list[str] = [
     # -- (1) round-2 fails, all root-caused and fixed -------------------
@@ -4456,8 +4490,9 @@ _FRONT: list[str] = [
     "semi_join",
     "anti_join",
     "embedding_topk",
-    "window_rank_lead_lag",
-    "set_ops",
+    # -- (4) r4 rotation: plans changed since last sampled row ----------
+    "doc_repetition",
+    "supplier_cosine_topk",
 ]
 
 

@@ -76,7 +76,16 @@ class ChunkTailStreamReader(SimpleDataSourceStreamReader):
 
     def _aligned_end(self, start: int) -> int:
         """Largest position <= (size, start+batch_bytes) sitting just
-        after a delimiter — the visibility horizon for this batch."""
+        after a delimiter — the visibility horizon for this batch.
+
+        A token longer than batch_bytes must not livelock the stream:
+        if the window holds no delimiter but the file continues past
+        it, grow the scan until the next delimiter or EOF (the batch
+        ``chunktext`` source extends past its grid end the same way),
+        so the offset is guaranteed to advance whenever a complete
+        token exists. Only a genuinely unterminated trailing token
+        returns ``start`` — it becomes visible when its delimiter is
+        durable, by design."""
         try:
             size = os.path.getsize(self.path)
         except FileNotFoundError:
@@ -87,10 +96,18 @@ class ChunkTailStreamReader(SimpleDataSourceStreamReader):
         with open(self.path, "rb") as f:
             f.seek(start)
             buf = f.read(hi - start)
-        last = buf.rfind(self.delim)
-        if last < 0:
-            return start
-        return start + last + 1
+            last = buf.rfind(self.delim)
+            if last >= 0:
+                return start + last + 1
+            while hi < size:
+                step = f.read(min(self.batch_bytes, size - hi))
+                if not step:
+                    break
+                idx = step.find(self.delim)
+                if idx >= 0:
+                    return hi + idx + 1
+                hi += len(step)
+        return start
 
     def read(self, start: dict) -> tuple[list[tuple], dict]:
         a = int(start["pos"])

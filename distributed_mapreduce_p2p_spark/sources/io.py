@@ -105,7 +105,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Footer schema resolution is eager, but force analysis so a
         # nanos-typed file fails here, not at first use.
         df.schema
-    except Exception:
+    except Exception as e:
+        # Only the TIMESTAMP(NANOS) rejection gets the legacy-conf
+        # retry; any other failure (missing file, corrupt footer,
+        # permissions) must surface unchanged — and must NOT leak the
+        # legacy conf into the shared session.
+        msg = str(e)
+        if "NANOS" not in msg and "Illegal Parquet type" not in msg:
+            raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
     for col in time_cols:

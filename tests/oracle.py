@@ -2,17 +2,35 @@
 
 Runs each ``queries()`` entry in Spark and its ``oracle_sql()`` twin
 in DuckDB on the same parquet, then compares row count, column names,
-and order-insensitive values (columns sorted by name, rows sorted).
-Catching a mismatch here is cheap; catching it in CORRECTNESS_r{N}
-costs a round.
+and order-insensitive values. Catching a mismatch here is cheap;
+catching it in CORRECTNESS_r{N} costs a round.
+
+DRIVER-FAITHFUL (round-4 rewrite): the grading driver converts BOTH
+sides to pandas (Spark ``toPandas()``, DuckDB ``.df()``), sorts
+columns by name, ``sort_values`` over all columns, then hashes the
+values. Two consequences the old ``fetchall()`` harness was blind to:
+
+1. DuckDB ``SUM(BIGINT)`` returns HUGEINT; ``.df()`` lowers it to
+   float64 while Spark emits int64 — equal values, different hash
+   (the r3 ``json_props_stats`` red). ``fetchall()`` kept the exact
+   Python int, hiding it.
+2. A list/array output column crashes pandas ``sort_values``
+   (``TypeError: unhashable type: 'list'`` — the r3
+   ``array_agg_sorted`` err). ``fetchall()`` tuple-ized it, hiding it.
+
+So this harness goes through the same pandas path and compares cells
+with a DTYPE-SENSITIVE repr: ``99111`` (int64) != ``99111.0``
+(float64), and array cells raise, reported as an issue.
 """
 
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _decimal
 import math
 
 import duckdb
+import numpy as _np
 
 TABLES = (
     "region",
@@ -37,48 +55,86 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _canon_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # repr of the exact double — mismatch in last ulp must surface
-        return repr(v)
+def _cell(v):
+    """Dtype-sensitive canonical string for one pandas cell.
+
+    int-typed and float-typed cells must NOT compare equal even when
+    numerically identical — the driver's value hash distinguishes
+    them (r3 ``json_props_stats``). Array-like cells raise TypeError,
+    mirroring the driver's canonicalizer crash (r3
+    ``array_agg_sorted``).
+    """
+    if v is None:
+        return "NULL"
+    if isinstance(v, (bool, _np.bool_)):
+        return "T" if v else "F"
+    if isinstance(v, (float, _np.floating)):
+        f = float(v)
+        return "NaN" if math.isnan(f) else "f:" + repr(f)
+    if isinstance(v, (int, _np.integer)):
+        return "i:" + repr(int(v))
     if isinstance(v, _dt.datetime):
+        # pd.Timestamp subclasses datetime; NaT.isoformat() == 'NaT'
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(_canon_cell(x) for x in v)
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, _decimal.Decimal):
+        return "dec:" + str(v)
+    if isinstance(v, (list, tuple, set, dict, _np.ndarray)):
+        raise TypeError(
+            f"unhashable array/map cell ({type(v).__name__}) — the "
+            "driver's pandas canonicalizer crashes on these; "
+            "array_join/serialize the column to a string"
+        )
     try:
-        import decimal
-
-        if isinstance(v, decimal.Decimal):
-            return str(v.normalize())
-    except ImportError:  # pragma: no cover
+        if v is not v:  # pd.NA / NaT-like
+            return "NaN"
+    except Exception:
         pass
-    return v
+    return repr(v)
 
 
-def canon(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    out = [tuple(_canon_cell(r[i]) for i in order) for r in rows]
-    out.sort(key=lambda t: tuple(str(x) for x in t))
-    return out
+def _canon_pdf(pdf):
+    """The driver's canonicalization: columns sorted by name, rows
+    sorted by all columns (this is where list cells explode, exactly
+    like the driver), then dtype-sensitive cell strings."""
+    cols = sorted(pdf.columns)
+    df = pdf[cols]
+    if len(df):
+        df = df.sort_values(by=cols, kind="mergesort")
+    df = df.reset_index(drop=True)
+    rows = [
+        tuple(_cell(v) for v in row)
+        for row in df.itertuples(index=False, name=None)
+    ]
+    # cell strings are the real compare key; re-sort on them so the
+    # two sides' tie-breaking inside sort_values can't differ
+    rows.sort()
+    return rows
 
 
 def compare(spark_df, con, sql: str, name: str = "?") -> list[str]:
     """Return a list of mismatch descriptions (empty == parity)."""
     issues: list[str] = []
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    s_cols = spark_df.columns
-    d = con.sql(sql)
-    d_cols = list(d.columns)
-    d_rows = [tuple(r) for r in d.fetchall()]
+    s_pdf = spark_df.toPandas()
+    d_pdf = con.sql(sql).df()
 
-    if sorted(s_cols) != sorted(d_cols):
-        issues.append(f"{name}: columns {sorted(s_cols)} != {sorted(d_cols)}")
+    s_cols, d_cols = sorted(s_pdf.columns), sorted(d_pdf.columns)
+    if s_cols != d_cols:
+        issues.append(f"{name}: columns {s_cols} != {d_cols}")
         return issues
-    if len(s_rows) != len(d_rows):
-        issues.append(f"{name}: rowcount {len(s_rows)} != {len(d_rows)}")
-    sc, dc = canon(s_rows, s_cols), canon(d_rows, d_cols)
+    if len(s_pdf) != len(d_pdf):
+        issues.append(f"{name}: rowcount {len(s_pdf)} != {len(d_pdf)}")
+    try:
+        sc = _canon_pdf(s_pdf)
+    except TypeError as e:
+        issues.append(f"{name}: spark-side canonicalizer crash: {e}")
+        return issues
+    try:
+        dc = _canon_pdf(d_pdf)
+    except TypeError as e:
+        issues.append(f"{name}: oracle-side canonicalizer crash: {e}")
+        return issues
     if sc != dc:
         diffs = [(a, b) for a, b in zip(sc, dc) if a != b]
         issues.append(

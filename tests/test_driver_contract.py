@@ -20,6 +20,8 @@ import subprocess
 import sys
 from pathlib import Path
 
+from tests.conftest import SF_SMALL
+
 REPO = Path(__file__).resolve().parent.parent
 
 
@@ -49,11 +51,18 @@ def test_entry_contract(spark):
 
 def test_first_50_window_composition():
     """The driver verifies exactly the first 50 queries() entries;
-    that window must contain every round-2 failure (now fixed) and
-    the never-sampled priority entries the round-2 verdict named."""
+    that window must contain every prior-round red (now fixed) and
+    every query whose plan changed since its last sampled driver row
+    (the round-4 standing rule)."""
     mod = _load_entry()
     head = list(mod.queries())[:50]
     must_cover = {
+        # r3 reds, contract bugs fixed r4 — must re-sample
+        "json_props_stats",
+        "array_agg_sorted",
+        # plans changed since last sampled row (r4 standing rule)
+        "doc_repetition",
+        "supplier_cosine_topk",
         # r2 fails (events-read bug + contract fixes)
         "streaming_tumbling_window",
         "interval_overlap_join",
@@ -69,13 +78,72 @@ def test_first_50_window_composition():
         "udaf_energy_by_type",
         "tpch_q19_disjunctive_filter",
         "unpivot_metrics",
-        "array_agg_sorted",
         "weekly_growth",
         "vocab_growth",
     }
     missing = must_cover - set(head)
     assert not missing, f"driver window lost priority entries: {missing}"
     assert len(head) == len(set(head)) == 50
+
+
+def test_harness_catches_hugeint_float_lowering(spark):
+    """Regression fixture for the r3 ``json_props_stats`` red: DuckDB
+    SUM(BIGINT) -> HUGEINT -> .df() float64 vs Spark int64. The old
+    fetchall() harness called this parity; the driver hash-failed it.
+    The driver-faithful harness MUST flag it."""
+    from tests.oracle import compare
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql("CREATE VIEW t AS SELECT * FROM (VALUES (1), (2)) v(x)")
+    sdf = spark.createDataFrame([(3,)], "sum_x long")
+    issues = compare(sdf, con, "SELECT SUM(x) AS sum_x FROM t", "fixture")
+    assert issues, (
+        "harness must flag int64-vs-float64 dtype drift (HUGEINT "
+        "lowering) — the driver's hash does"
+    )
+    con.close()
+
+
+def test_harness_catches_list_columns(spark):
+    """Regression fixture for the r3 ``array_agg_sorted`` err: a raw
+    array<string> output column crashes the driver's pandas
+    canonicalizer. The harness must surface it as an issue, not pass."""
+    from tests.oracle import compare
+    import duckdb
+
+    con = duckdb.connect()
+    sdf = spark.createDataFrame(
+        [(1, ["a", "b"])], "k long, types array<string>"
+    )
+    issues = compare(
+        sdf, con, "SELECT 1 AS k, ['a', 'b'] AS types", "fixture"
+    )
+    assert issues and "canonicalizer crash" in issues[0], (
+        "harness must flag list-typed output columns — the driver "
+        "crashes on them"
+    )
+    con.close()
+
+
+def test_no_complex_output_columns(spark):
+    """Registration-time guard: no queries() entry may emit an
+    array/map/struct column — the driver's canonicalizer cannot hash
+    them (r2 inverted_index, r3 array_agg_sorted). Schema-only check:
+    analysis, no execution."""
+    from pyspark.sql import types as T
+
+    from distributed_mapreduce_p2p_spark import registry
+
+    bad = []
+    for name, fn in registry.QUERIES.items():
+        schema = fn(spark, SF_SMALL).schema
+        for f in schema.fields:
+            if isinstance(
+                f.dataType, (T.ArrayType, T.MapType, T.StructType)
+            ):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, f"complex output columns reach the driver: {bad}"
 
 
 def test_bench_json_contract():
@@ -94,8 +162,15 @@ def test_bench_json_contract():
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     line = proc.stdout.strip().splitlines()[-1]
+    # The driver stores a bounded tail of stdout: the summary line
+    # must stay small or the round's BENCH artifact parses as null.
+    assert len(line) < 1500, f"summary line too long ({len(line)}B)"
     d = json.loads(line)
     assert set(d) >= {"metric", "value", "unit", "queries", "sf"}
     assert d["unit"] == "sec" and d["value"] > 0
-    assert len(d["queries"]) >= 100
+    assert 0 < len(d["queries"]) <= 10
+    assert d["n_queries"] >= 100
     assert all(isinstance(v, (int, float)) for v in d["queries"].values())
+    detail = json.loads((REPO / "BENCH_DETAIL.json").read_text())
+    assert len(detail["queries"]) >= 100
+    assert abs(detail["value"] - d["value"]) < 1e-6

@@ -336,3 +336,34 @@ def test_chunktail_stream_tails_growing_file(spark, tmpdir):
     assert sorted(r.value for r in spark.read.parquet(out).collect()) == (
         sorted(final_tokens)
     )
+
+
+def test_chunktail_oversized_token_advances(tmpdir):
+    """A token longer than max_bytes_per_batch must not livelock the
+    stream: the window scan grows past batch_bytes until the next
+    delimiter, so the offset always advances when a complete token
+    exists (reader-level unit test — the ADVICE r3 repro was rows=0,
+    pos=0 forever)."""
+    from distributed_mapreduce_p2p_spark.sources.chunk_stream import (
+        ChunkTailStreamReader,
+    )
+
+    feed = f"{tmpdir}/feed.txt"
+    big = "x" * 2000
+    with open(feed, "w") as f:
+        f.write(f"{big} tail ")
+    r = ChunkTailStreamReader(
+        {"path": feed, "max_bytes_per_batch": "100"}
+    )
+    rows, end = r.read({"pos": 0})
+    assert end["pos"] == 2001, end
+    assert rows == [(0, big)]
+    rows2, end2 = r.read(end)
+    assert rows2 == [(2001, "tail")]
+    assert end2["pos"] == 2006
+
+    # A genuinely unterminated trailing token still stays invisible.
+    with open(feed, "a") as f:
+        f.write("y" * 500)
+    rows3, end3 = r.read(end2)
+    assert rows3 == [] and end3["pos"] == 2006
