@@ -41,6 +41,17 @@ from distributed_mapreduce_p2p_spark.sources.io import (  # noqa: E402
 # TPC-H orders carry ≤7 lineitems, so the cap is a no-op on testdata.
 _BASKET_CAP = 32
 
+# Per-part supplier cap for item-item cosine co-occurrence (the hub
+# guard): one hub part supplied by P suppliers fans the self-join out
+# by P², and P is unbounded at 100 TB. Capping each part's incidence
+# list to its _HUB_CAP smallest suppliers (deterministic) bounds
+# pairs-per-part at cap·(cap-1)/2 ≈ 2k tasks-worth — the hub-cap
+# variant of DIMSUM's magnitude-proportional sampling, with exact
+# degrees kept for the norms. TPC-H gives each part exactly 4
+# suppliers (partsupp fan-out), so 64 is a provable no-op on testdata
+# (asserted by test_hub_cap_is_noop_on_testdata).
+_HUB_CAP = 64
+
 
 from contextlib import contextmanager as _contextmanager  # noqa: E402
 
@@ -4268,9 +4279,15 @@ def q_supplier_cosine_topk(spark, sf_dir):
     log/exp), so the scores hash-match across engines. Top-3
     neighbors per supplier with deterministic tie-break. The
     co-occurrence self-join fans out by part popularity; the 100 TB
-    guard is DIMSUM-style magnitude-proportional sampling or a
-    hub-part cap, documented here, with the exact form kept as the
-    oracle anchor. (A stripes rewrite — collect_set per part +
+    guard is ``_HUB_CAP``: each part's incidence list is truncated to
+    its cap smallest suppliers BEFORE the self-join (row_number over
+    the same partkey-partitioned shuffle the join needs anyway), so
+    pairs-per-part is bounded by cap²/2 regardless of hub size, while
+    degrees — the cosine norms — stay exact from the uncapped
+    incidence (DIMSUM's shape: exact norms, bounded co-occurrence).
+    The cap is a provable no-op at TPC-H fan-out (4 suppliers/part;
+    test_hub_cap_is_noop_on_testdata), so the oracle stays exact.
+    (A stripes rewrite — collect_set per part +
     higher-order-function pair expansion — was A/B-measured ~1.6×
     SLOWER at sf0.1: array shuffle serialization and interpreted
     lambda expressions lose to the codegen'd sort-merge self-join.
@@ -4281,7 +4298,13 @@ def q_supplier_cosine_topk(spark, sf_dir):
         .distinct()
     )
     d = inc.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("deg"))
-    a, b = inc.alias("a"), inc.alias("b")
+    wcap = Window.partitionBy("l_partkey").orderBy("l_suppkey")
+    capped = (
+        inc.withColumn("_rn", F.row_number().over(wcap))
+        .where(F.col("_rn") <= _HUB_CAP)
+        .drop("_rn")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
     co = (
         a.join(
             b,
@@ -4433,8 +4456,10 @@ def q_resample_ffill(spark, sf_dir):
 #   in:  doc_repetition      (rewritten r3 explode+agg form, the only
 #                             entry with NO driver row in any round)
 #        supplier_cosine_topk (hub-cap scale guard added r4)
-#   out: set_ops, window_rank_lead_lag (both r1+r3 double-green,
-#        plans untouched)
+#        dedup_clusters       (fixpoint probe merged + LS dedupe
+#                             skipped r4)
+#   out: set_ops, window_rank_lead_lag, embedding_topk (all r1+r3
+#        double-green, plans untouched)
 # json_props_stats and array_agg_sorted keep their slots: their r3
 # reds were contract bugs fixed r4, and re-sampling flips the row.
 
@@ -4489,10 +4514,10 @@ _FRONT: list[str] = [
     "session_window_agg",
     "semi_join",
     "anti_join",
-    "embedding_topk",
     # -- (4) r4 rotation: plans changed since last sampled row ----------
     "doc_repetition",
     "supplier_cosine_topk",
+    "dedup_clusters",
 ]
 
 

@@ -63,6 +63,7 @@ def test_first_50_window_composition():
         # plans changed since last sampled row (r4 standing rule)
         "doc_repetition",
         "supplier_cosine_topk",
+        "dedup_clusters",
         # r2 fails (events-read bug + contract fixes)
         "streaming_tumbling_window",
         "interval_overlap_join",

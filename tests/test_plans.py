@@ -318,3 +318,52 @@ def test_basket_cap_is_noop_on_testdata(spark):
     )
     cap = registry._BASKET_CAP
     assert n_pairs == cap * (cap - 1) // 2
+
+
+def test_hub_cap_is_noop_on_testdata(spark):
+    """supplier_cosine_topk's hub guard (registry._HUB_CAP) truncates
+    each part's incidence list before the co-occurrence self-join.
+    At TPC-H fan-out (4 suppliers per part) it must be a provable
+    no-op — max per-part supplier count stays far under the cap —
+    while bounding pairs-per-part at cap·(cap-1)/2 on a synthetic
+    hub part."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_p2p_spark import registry
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+
+    inc = (
+        read_table(spark, SF_MED, "lineitem")
+        .select("l_suppkey", "l_partkey")
+        .distinct()
+    )
+    max_fanout = (
+        inc.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("m"))
+        .collect()[0].m
+    )
+    assert max_fanout <= registry._HUB_CAP, (
+        f"cap {registry._HUB_CAP} would clip real parts "
+        f"(max fan-out {max_fanout}) — oracle parity would break"
+    )
+
+    # Synthetic hub: one part with 500 suppliers must contribute at
+    # most cap·(cap-1)/2 pairs through the capped plan.
+    hub = spark.range(500).select(
+        F.lit(1).alias("l_partkey"), F.col("id").alias("l_suppkey")
+    )
+    w = registry.Window.partitionBy("l_partkey").orderBy("l_suppkey")
+    capped = (
+        hub.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= registry._HUB_CAP)
+        .drop("_rn")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    n_pairs = a.join(
+        b,
+        (F.col("a.l_partkey") == F.col("b.l_partkey"))
+        & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+    ).count()
+    cap = registry._HUB_CAP
+    assert n_pairs == cap * (cap - 1) // 2
