@@ -236,6 +236,79 @@ def ngram_jaccard_pairs_allpairs(docs: DataFrame, threshold: float = 0.5) -> Dat
     )
 
 
+# ------------------------------------------------- decontamination
+
+def _kgram_expr(k: int) -> str:
+    """Spark SQL expr for word k-grams over a tokenized column ``w``
+    (same normalization as ``shingles``); empty-safe."""
+    terms = ", ".join(f"element_at(w, i+{j})" for j in range(k))
+    return (
+        f"CASE WHEN size(w) >= {k} THEN "
+        f"transform(sequence(1, size(w)-{k - 1}), "
+        f"i -> concat_ws(' ', {terms})) ELSE array() END"
+    )
+
+
+def kgrams(docs: DataFrame, k: int) -> DataFrame:
+    """Distinct word k-grams per doc: (doc_id, sh) — the ``shingles``
+    tokenizer (lowercase, [^a-z]+ splits) generalized to width k."""
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(
+                "filter(split(lower(text), '[^a-z]+'), x -> x <> '')"
+            ).alias("w"),
+        )
+        .select("doc_id", F.explode(F.expr(_kgram_expr(k))).alias("sh"))
+        .distinct()
+    )
+
+
+def benchmark_decontaminate(
+    docs: DataFrame, k: int = 5, bench_pct: int = 5
+) -> DataFrame:
+    """Benchmark decontamination — the training-pipeline step that
+    finds training documents sharing any word k-gram with an eval/
+    benchmark document (the published GPT-3 / PaLM / Llama data
+    recipes all run a variant of exact long-n-gram matching; public
+    methodology, original implementation).
+
+    The benchmark set is carved deterministically from the corpus
+    (md5('bench:'||doc_id) % 100 < bench_pct — same reproducible
+    hash-split primitive as ``train_val_split``); the remainder is
+    the training side. Returns one row per CONTAMINATED training doc:
+    (doc_id, n_bench_docs, n_shared) = how many distinct benchmark
+    docs it collides with and how many distinct shared k-grams.
+
+    Scale shape: benchmark suites are tiny relative to a 100 TB
+    corpus, so the benchmark k-gram table is broadcast — the match is
+    a map-side hash join against the streaming train-side k-gram
+    scan, NO shuffle of the corpus; the only shuffle is the final
+    per-doc aggregate, keyed uniformly by doc_id. With word k-grams
+    at k>=5 the per-gram fan-out is near-1 (long n-grams are rare),
+    so the join output is ~|true contamination|, not quadratic.
+    """
+    bucket = F.expr(
+        "cast(conv(substring(md5(concat('bench:', cast(doc_id as string))),"
+        " 1, 8), 16, 10) as bigint) % 100"
+    )
+    tagged = docs.withColumn("__bench", bucket < bench_pct)
+    bench = tagged.where(F.col("__bench"))
+    train = tagged.where(~F.col("__bench"))
+    bsh = kgrams(bench, k).select(
+        F.col("doc_id").alias("bench_doc"), "sh"
+    )
+    tsh = kgrams(train, k)
+    return (
+        tsh.join(F.broadcast(bsh), "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("bench_doc").alias("n_bench_docs"),
+            F.countDistinct("sh").alias("n_shared"),
+        )
+    )
+
+
 # -------------------------------------------------------------- minhash
 
 N_HASHES = 16

@@ -45,12 +45,13 @@ _BASKET_CAP = 32
 # guard): one hub part supplied by P suppliers fans the self-join out
 # by P², and P is unbounded at 100 TB. Capping each part's incidence
 # list to its _HUB_CAP smallest suppliers (deterministic) bounds
-# pairs-per-part at cap·(cap-1)/2 ≈ 2k tasks-worth — the hub-cap
+# pairs-per-part at cap·(cap-1)/2 ≈ 8k tasks-worth — the hub-cap
 # variant of DIMSUM's magnitude-proportional sampling, with exact
-# degrees kept for the norms. TPC-H gives each part exactly 4
-# suppliers (partsupp fan-out), so 64 is a provable no-op on testdata
+# degrees kept for the norms. The synthetic testdata draws suppliers
+# per part ~Poisson(30) (measured max fan-out: 41 at sf0.01, 52 at
+# sf0.1), so 128 is a no-op with ~2.5x margin at every tested SF
 # (asserted by test_hub_cap_is_noop_on_testdata).
-_HUB_CAP = 64
+_HUB_CAP = 128
 
 
 from contextlib import contextmanager as _contextmanager  # noqa: E402
@@ -802,6 +803,46 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     """Exact 3-gram Jaccard near-dup pairs (oracle-checkable
     baseline; MinHash+LSH below is the scale path)."""
     return DD.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), 0.5)
+
+
+@register(
+    "benchmark_decontaminate",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id, text,
+             ('0x' || substr(md5('bench:' || CAST(doc_id AS VARCHAR)),
+                             1, 8))::BIGINT % 100 < 5 AS is_bench
+      FROM documents
+    ), w AS (
+      SELECT doc_id, is_bench,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS wl
+      FROM tagged
+    ), sh AS (
+      SELECT DISTINCT doc_id, is_bench,
+             concat_ws(' ', wl[i], wl[i+1], wl[i+2], wl[i+3], wl[i+4]) AS sh
+      FROM w, unnest(CASE WHEN len(wl) >= 5
+                          THEN generate_series(1, len(wl) - 4)
+                          ELSE [] END) AS t(i)
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs,
+           CAST(COUNT(DISTINCT t.sh) AS BIGINT) AS n_shared
+    FROM sh t JOIN sh b ON t.sh = b.sh
+    WHERE NOT t.is_bench AND b.is_bench
+    GROUP BY 1
+    """,
+)
+def q_benchmark_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (dedup.py::benchmark_decontaminate):
+    flag training docs sharing any word 5-gram with the
+    deterministically carved 5% benchmark split. The benchmark k-gram
+    table broadcasts (benchmarks ≪ corpus at 100 TB), so the match is
+    a map-side join over the streaming train-side scan — the only
+    corpus-wide shuffle is the final uniform doc_id aggregate."""
+    return DD.benchmark_decontaminate(
+        _t(spark, sf_dir, "documents"), k=5, bench_pct=5
+    )
 
 
 @register(
@@ -4292,10 +4333,17 @@ def q_supplier_cosine_topk(spark, sf_dir):
     SLOWER at sf0.1: array shuffle serialization and interpreted
     lambda expressions lose to the codegen'd sort-merge self-join.
     Measured, not guessed; the join form stays.)"""
+    # The distinct incidence list is consumed THREE times (both self-
+    # join sides + the degree table) and ReusedExchange does not fire
+    # across the aliased branches — materialize it once. A/B at 10x
+    # replicated data: 37.0 s recomputed vs 12.3 s checkpointed (the
+    # 1x cost is one extra small job). On a cluster this is a
+    # cache/persist of a table that is LINEAR in the input.
     inc = (
         _t(spark, sf_dir, "lineitem")
         .select("l_suppkey", "l_partkey")
         .distinct()
+        .localCheckpoint()
     )
     d = inc.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("deg"))
     wcap = Window.partitionBy("l_partkey").orderBy("l_suppkey")
@@ -4317,13 +4365,28 @@ def q_supplier_cosine_topk(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("co"))
     )
+    # Symmetrize with ONE explode, not a union of two selects over
+    # `co` — a union duplicates the whole upstream subtree (scan →
+    # distinct → cap window → self-join → agg) in the physical plan
+    # (ReusedExchange does not fire across the aliased branches;
+    # measured: 6 parquet scans in the union form), while explode is
+    # a unary operator so the heavy pipeline runs exactly once.
     sym = co.select(
-        F.col("s1").alias("src"), F.col("s2").alias("dst"), "co"
-    ).unionAll(
-        co.select(
-            F.col("s2").alias("src"), F.col("s1").alias("dst"), "co"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s1").alias("src"),
+                    F.col("s2").alias("dst"),
+                    F.col("co"),
+                ),
+                F.struct(
+                    F.col("s2").alias("src"),
+                    F.col("s1").alias("dst"),
+                    F.col("co"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.co")
     d1, d2 = d.alias("d1"), d.alias("d2")
     scored = (
         sym.join(broadcast(d1), F.col("d1.l_suppkey") == F.col("src"))
@@ -4458,8 +4521,9 @@ def q_resample_ffill(spark, sf_dir):
 #        supplier_cosine_topk (hub-cap scale guard added r4)
 #        dedup_clusters       (fixpoint probe merged + LS dedupe
 #                             skipped r4)
-#   out: set_ops, window_rank_lead_lag, embedding_topk (all r1+r3
-#        double-green, plans untouched)
+#        benchmark_decontaminate (NEW in r4 — no driver row exists)
+#   out: set_ops, window_rank_lead_lag, embedding_topk, semi_join
+#        (all r1+r3 double-green, plans untouched)
 # json_props_stats and array_agg_sorted keep their slots: their r3
 # reds were contract bugs fixed r4, and re-sampling flips the row.
 
@@ -4512,12 +4576,13 @@ _FRONT: list[str] = [
     "doc_fingerprint",
     "salted_wordcount",
     "session_window_agg",
-    "semi_join",
     "anti_join",
     # -- (4) r4 rotation: plans changed since last sampled row ----------
     "doc_repetition",
     "supplier_cosine_topk",
     "dedup_clusters",
+    # -- (5) new in r4: no driver row exists yet ------------------------
+    "benchmark_decontaminate",
 ]
 
 

@@ -64,6 +64,8 @@ def test_first_50_window_composition():
         "doc_repetition",
         "supplier_cosine_topk",
         "dedup_clusters",
+        # new in r4 — first driver sample
+        "benchmark_decontaminate",
         # r2 fails (events-read bug + contract fixes)
         "streaming_tumbling_window",
         "interval_overlap_join",

@@ -320,6 +320,36 @@ def test_basket_cap_is_noop_on_testdata(spark):
     assert n_pairs == cap * (cap - 1) // 2
 
 
+def test_decontaminate_kgrams_and_broadcast(spark):
+    """benchmark_decontaminate: (a) the k-gram generator is exact on a
+    known sentence; (b) the benchmark side of the match is BROADCAST —
+    at 100 TB the corpus-side k-gram scan must never shuffle for the
+    join (benchmark suites are tiny)."""
+    from distributed_mapreduce_p2p_spark.operators.dedup import kgrams
+    from distributed_mapreduce_p2p_spark.plans.explain import join_strategies
+
+    one = spark.createDataFrame(
+        [(1, "The quick brown fox JUMPS over the dog")],
+        "doc_id long, text string",
+    )
+    got = {r.sh for r in kgrams(one, 5).collect()}
+    assert got == {
+        "the quick brown fox jumps",
+        "quick brown fox jumps over",
+        "brown fox jumps over the",
+        "fox jumps over the dog",
+    }, got
+    # shorter than k -> no grams, no crash
+    assert kgrams(
+        spark.createDataFrame([(2, "too short")], "doc_id long, text string"),
+        5,
+    ).count() == 0
+
+    strategies = join_strategies(_q("benchmark_decontaminate", spark))
+    assert "BroadcastHashJoin" in strategies, strategies
+    assert "CartesianProduct" not in strategies
+
+
 def test_hub_cap_is_noop_on_testdata(spark):
     """supplier_cosine_topk's hub guard (registry._HUB_CAP) truncates
     each part's incidence list before the co-occurrence self-join.
