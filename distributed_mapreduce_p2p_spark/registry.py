@@ -1932,6 +1932,255 @@ def q_sequence_packing(spark, sf_dir):
     )
 
 
+@register(
+    "mixture_reweight",
+    oracle="""
+    WITH toks AS (
+      SELECT source, lang,
+             len(list_filter(string_split_regex(text, '[\\s]+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    buckets AS (
+      SELECT source, lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS bucket_tokens
+      FROM toks GROUP BY source, lang
+    ),
+    with_tot AS (
+      SELECT source, lang, n_docs, bucket_tokens,
+             CAST(SUM(bucket_tokens) OVER () AS BIGINT) AS corpus_tokens,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_buckets
+      FROM buckets
+    )
+    SELECT source, lang, n_docs, bucket_tokens,
+           bucket_tokens / corpus_tokens AS share,
+           LEAST(4.0, corpus_tokens / (n_buckets * bucket_tokens)) AS weight,
+           LEAST(4.0, corpus_tokens / (n_buckets * bucket_tokens))
+             * bucket_tokens AS expected_tokens
+    FROM with_tot
+    """,
+)
+def q_mixture_reweight(spark, sf_dir):
+    """Training-mixture reweighting: per (source, lang) bucket, the
+    up/down-sampling weight that moves the corpus toward a uniform
+    bucket mixture, capped at 4x upsampling (the standard
+    domain-mixture step of large-corpus training pipelines). All
+    shares/weights are single double divisions of exact BIGINT sums —
+    bit-stable on any engine. Corpus totals come from an
+    empty-partition window over the POST-AGG bucket table (bucket
+    cardinality = sources x langs, tiny vs the corpus), so the plan
+    reads the corpus ONCE — an agg-then-crossJoin formulation scans
+    it twice because the two agg branches prune differently and defeat
+    ReuseExchange."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "lang",
+        F.expr(r"size(filter(split(text, '[\\s]+'), x -> x <> ''))").alias(
+            "n_tokens"
+        ),
+    )
+    buckets = toks.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bucket_tokens"),
+    )
+    w_all = Window.partitionBy()
+    with_tot = buckets.select(
+        "source",
+        "lang",
+        "n_docs",
+        "bucket_tokens",
+        F.sum("bucket_tokens").over(w_all).cast("long").alias("corpus_tokens"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n_buckets"),
+    )
+    weight = F.least(
+        F.lit(4.0),
+        F.col("corpus_tokens") / (F.col("n_buckets") * F.col("bucket_tokens")),
+    )
+    return with_tot.select(
+        "source",
+        "lang",
+        "n_docs",
+        "bucket_tokens",
+        (F.col("bucket_tokens") / F.col("corpus_tokens")).alias("share"),
+        weight.alias("weight"),
+        (weight * F.col("bucket_tokens")).alias("expected_tokens"),
+    )
+
+
+@register(
+    "global_shuffle_order",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id,
+             md5('shuffle:' || doc_id) AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(('0x' || substr(h, 1, 8))::BIGINT % 64 AS BIGINT) AS bucket,
+           CAST(ROW_NUMBER() OVER (
+                  PARTITION BY ('0x' || substr(h, 1, 8))::BIGINT % 64
+                  ORDER BY h) AS BIGINT) AS pos
+    FROM hashed
+    """,
+)
+def q_global_shuffle_order(spark, sf_dir):
+    """Deterministic global shuffle for training order: every doc gets
+    a (bucket, position) from a salted md5 — the same permutation on
+    any engine, any partitioning, any run (no rand()). At 100 TB this
+    is the shuffle that feeds sequence packing: 64 buckets is the
+    write fan-out knob, and position is a per-bucket window (one hash
+    shuffle, no global sort)."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
+    hashed = docs.select("doc_id", h.alias("h")).withColumn(
+        "bucket",
+        (
+            F.expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)") % 64
+        ).cast("long"),
+    )
+    w = Window.partitionBy("bucket").orderBy("h")
+    return hashed.select(
+        "doc_id",
+        "bucket",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+@register(
+    "scd2_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) AS valid_to,
+           (lead(valid_from) OVER (PARTITION BY user_id
+                                   ORDER BY valid_from, event_id) IS NULL)
+             AS is_current
+    FROM changes
+    """,
+)
+def q_scd2_history(spark, sf_dir):
+    """Slowly-changing-dimension (type 2) history build: collapse each
+    user's event stream into state intervals — a new row only when
+    event_type changes, valid_from/valid_to interval bounds, and an
+    is_current flag on the open row. One hash shuffle on user_id
+    serves both window passes (lag to detect changes, lead to close
+    intervals — same partitioning, no second exchange). The standard
+    dimension-table derivation for warehouse loads, expressed as two
+    stacked window functions instead of a stateful scan."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            "event_id",
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    valid_to = F.lead("valid_from").over(w2)
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "source_reputation",
+    oracle="""
+    WITH per_doc AS (
+      SELECT source,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                             x -> x <> '')) AS n_words,
+             len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                 x -> x IN ('the', 'and', 'of', 'to', 'is'))) AS n_stop
+      FROM documents
+    ),
+    per_src AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             CAST(SUM(n_alpha) AS BIGINT) AS sum_alpha,
+             CAST(SUM(n_words) AS BIGINT) AS sum_words,
+             CAST(SUM(n_stop) AS BIGINT) AS sum_stop
+      FROM per_doc GROUP BY source
+    )
+    SELECT source, n_docs,
+           sum_alpha / sum_chars AS alpha_ratio,
+           sum_stop / sum_words AS stop_ratio,
+           sum_chars / n_docs AS mean_chars,
+           (sum_chars / n_docs >= 300.0) AS keep
+    FROM per_src
+    """,
+)
+def q_source_reputation(spark, sf_dir):
+    """Per-source (domain-analog) reputation gate: exact integer
+    quality counters aggregated per source, ratios derived by one
+    double division each, and a keep/drop flag — the domain-level
+    filtering step of corpus curation (drop low-quality domains
+    wholesale before per-doc filtering). One agg shuffle on source;
+    every counter is a JVM expression inside codegen."""
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+        .cast("long")
+        .alias("n_alpha"),
+        F.expr("size(filter(split(lower(text), '[^a-z]+'), x -> x <> ''))")
+        .cast("long")
+        .alias("n_words"),
+        F.expr(
+            "size(filter(split(lower(text), '[^a-z]+'),"
+            " x -> x IN ('the', 'and', 'of', 'to', 'is')))"
+        )
+        .cast("long")
+        .alias("n_stop"),
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum("n_alpha").cast("long").alias("sum_alpha"),
+        F.sum("n_words").cast("long").alias("sum_words"),
+        F.sum("n_stop").cast("long").alias("sum_stop"),
+    )
+    return per_src.select(
+        "source",
+        "n_docs",
+        (F.col("sum_alpha") / F.col("sum_chars")).alias("alpha_ratio"),
+        (F.col("sum_stop") / F.col("sum_words")).alias("stop_ratio"),
+        (F.col("sum_chars") / F.col("n_docs")).alias("mean_chars"),
+        (F.col("sum_chars") / F.col("n_docs") >= 300.0).alias("keep"),
+    )
+
+
 # =====================================================================
 # Streaming execution under the oracle; n-grams; portable FM sketch
 # =====================================================================
@@ -4564,11 +4813,12 @@ _FRONT: list[str] = [
     "weekly_growth",
     "vocab_growth",
     # -- (3) families whose only driver proof is round 1 ----------------
-    "range_filter",
-    "staleness_filter",
-    "dedupe_keep_last",
+    # (range_filter / staleness_filter / union_all_scans rotated OUT in
+    # r4: each has two green driver rows (r1+r3) and a pinned test; the
+    # slots go to the r4-new queries below per the standing rule that
+    # new/changed plans take window priority. dedupe_keep_last
+    # likewise: r1+r3 green + pinned test.)
     "gap_detect",
-    "union_all_scans",
     "membership_merge",
     "sorted_runlength_agg",
     "wordcount_udf_surface",
@@ -4588,6 +4838,10 @@ _FRONT: list[str] = [
     "dedup_clusters",
     # -- (5) new in r4: no driver row exists yet ------------------------
     "benchmark_decontaminate",
+    "mixture_reweight",
+    "global_shuffle_order",
+    "source_reputation",
+    "scd2_history",
 ]
 
 

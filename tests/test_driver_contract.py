@@ -66,6 +66,10 @@ def test_first_50_window_composition():
         "dedup_clusters",
         # new in r4 — first driver sample
         "benchmark_decontaminate",
+        "mixture_reweight",
+        "global_shuffle_order",
+        "source_reputation",
+        "scd2_history",
         # r2 fails (events-read bug + contract fixes)
         "streaming_tumbling_window",
         "interval_overlap_join",
