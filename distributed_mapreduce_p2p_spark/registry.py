@@ -2048,6 +2048,64 @@ def q_global_shuffle_order(spark, sf_dir):
 
 
 @register(
+    "doc_chunking",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '[\\s]+'),
+                         x -> x <> '') AS tokens
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, tokens,
+             unnest(generate_series(0, len(tokens) - 1, 48)) AS start
+      FROM toks
+      WHERE len(tokens) > 0
+    )
+    SELECT doc_id,
+           CAST(start // 48 AS BIGINT) AS chunk_idx,
+           CAST(LEAST(64, len(tokens) - start) AS BIGINT) AS n_tokens,
+           md5(array_to_string(list_slice(tokens, start + 1, start + 64),
+                               ' ')) AS chunk_hash
+    FROM chunks
+    """,
+)
+def q_doc_chunking(spark, sf_dir):
+    """Context-window chunking with stride (window 64 tokens, stride
+    48, 16-token overlap) — the chunker feeding embedding/RAG and
+    fixed-context training pipelines. Tokenize once, explode a
+    sequence() of chunk starts, slice the token array per chunk — all
+    JVM expressions, zero shuffles (the output is embarrassingly
+    per-document). Chunks are identified by (doc_id, chunk_idx) and
+    content-addressed with an md5 over the joined window so the
+    oracle hash-checks every chunk's exact content."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr(r"filter(split(text, '[\\s]+'), x -> x <> '')").alias(
+            "tokens"
+        ),
+    ).where(F.size("tokens") > 0)
+    chunks = toks.select(
+        "doc_id",
+        "tokens",
+        F.explode(
+            F.expr("sequence(0, size(tokens) - 1, 48)")
+        ).alias("start"),
+    )
+    return chunks.select(
+        "doc_id",
+        (F.col("start") / 48).cast("long").alias("chunk_idx"),
+        F.least(
+            F.lit(64), F.size("tokens") - F.col("start")
+        ).cast("long").alias("n_tokens"),
+        F.md5(
+            F.array_join(F.expr("slice(tokens, start + 1, 64)"), " ")
+        ).alias("chunk_hash"),
+    )
+
+
+@register(
     "scd2_history",
     oracle="""
     WITH ordered AS (
@@ -4829,7 +4887,8 @@ _FRONT: list[str] = [
     "text_quality",
     "lang_id",
     "doc_fingerprint",
-    "salted_wordcount",
+    # salted_wordcount rotated OUT in r4 (r1+r3 green; salting pinned
+    # by test_skew + test_ops salted-join equivalence)
     "session_window_agg",
     "anti_join",
     # -- (4) r4 rotation: plans changed since last sampled row ----------
@@ -4842,6 +4901,7 @@ _FRONT: list[str] = [
     "global_shuffle_order",
     "source_reputation",
     "scd2_history",
+    "doc_chunking",
 ]
 
 

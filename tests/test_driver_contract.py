@@ -70,6 +70,7 @@ def test_first_50_window_composition():
         "global_shuffle_order",
         "source_reputation",
         "scd2_history",
+        "doc_chunking",
         # r2 fails (events-read bug + contract fixes)
         "streaming_tumbling_window",
         "interval_overlap_join",

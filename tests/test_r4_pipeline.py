@@ -1,0 +1,107 @@
+"""Structural property tests for the round-4 pipeline queries —
+invariants the DuckDB hash parity can't express (coverage,
+permutation completeness, interval disjointness)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def _q(name):
+    from distributed_mapreduce_p2p_spark import registry
+
+    return registry.QUERIES[name]
+
+
+def test_global_shuffle_is_a_permutation(spark):
+    """Every doc appears exactly once, and positions within each
+    bucket are exactly 1..bucket_size (a true permutation — no gap,
+    no collision)."""
+    out = _q("global_shuffle_order")(spark, SF_SMALL)
+    n_docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    assert out.count() == n_docs
+    assert out.select("doc_id").distinct().count() == n_docs
+    per_bucket = out.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("pos").alias("lo"),
+        F.max("pos").alias("hi"),
+        F.countDistinct("pos").alias("npos"),
+    )
+    bad = per_bucket.where(
+        (F.col("lo") != 1)
+        | (F.col("hi") != F.col("n"))
+        | (F.col("npos") != F.col("n"))
+    )
+    assert bad.count() == 0
+
+
+def test_mixture_reweight_invariants(spark):
+    rows = _q("mixture_reweight")(spark, SF_SMALL).collect()
+    assert rows
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert 0.0 < r.weight <= 4.0
+        assert math.isclose(r.expected_tokens, r.weight * r.bucket_tokens)
+    # uncapped buckets land exactly on the uniform target
+    corpus = sum(r.bucket_tokens for r in rows)
+    target = corpus / len(rows)
+    for r in rows:
+        if r.weight < 4.0:
+            assert math.isclose(r.weight * r.bucket_tokens, target)
+
+
+def test_scd2_intervals_partition_each_user_timeline(spark):
+    out = _q("scd2_history")(spark, SF_SMALL)
+    rows = out.orderBy("user_id", "valid_from").collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for user, ivs in by_user.items():
+        # exactly one open row, and it is the last one
+        currents = [r for r in ivs if r.is_current]
+        assert len(currents) == 1 and ivs[-1].is_current
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from  # gapless
+            assert a.valid_from < a.valid_to  # non-empty, ordered
+            assert a.event_type != b.event_type  # collapsed runs
+
+
+def test_doc_chunking_covers_every_token(spark):
+    """Chunk grid: ceil(n/48) chunks per doc, each n_tokens =
+    min(64, n - 48*idx) — together the windows cover [0, n) with the
+    designed 16-token overlap."""
+    chunks = _q("doc_chunking")(spark, SF_SMALL)
+    toks = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id",
+        F.expr(r"size(filter(split(text, '[\\s]+'), x -> x <> ''))").alias(
+            "n"
+        ),
+    )
+    joined = (
+        chunks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"))
+        .join(toks, "doc_id")
+    )
+    bad = joined.where(
+        F.col("n_chunks") != F.ceil(F.col("n") / 48).cast("long")
+    )
+    assert bad.count() == 0
+    per_chunk_bad = chunks.join(toks, "doc_id").where(
+        F.col("n_tokens")
+        != F.least(F.lit(64), F.col("n") - F.col("chunk_idx") * 48)
+    )
+    assert per_chunk_bad.count() == 0
+
+
+def test_source_reputation_accounts_for_all_docs(spark):
+    out = _q("source_reputation")(spark, SF_SMALL)
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    assert out.agg(F.sum("n_docs")).first()[0] == docs.count()
+    assert out.count() == docs.select("source").distinct().count()
+    rows = out.collect()
+    assert all((r.mean_chars >= 300.0) == r.keep for r in rows)
