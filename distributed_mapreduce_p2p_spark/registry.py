@@ -2048,6 +2048,85 @@ def q_global_shuffle_order(spark, sf_dir):
 
 
 @register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH offers AS (
+      SELECT p.p_partkey, p.p_name, s.s_name, n.n_name,
+             l.l_extendedprice / l.l_quantity AS unit_cost
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE p.p_type = 'ECONOMY' AND r.r_name = 'EUROPE'
+    ),
+    ranked AS (
+      SELECT *, MIN(unit_cost) OVER (PARTITION BY p_partkey) AS min_cost
+      FROM offers
+    )
+    SELECT DISTINCT p_partkey, p_name, s_name, n_name,
+           unit_cost AS min_unit_cost
+    FROM ranked
+    WHERE unit_cost = min_cost
+    """,
+)
+def q_tpch_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2's shape adapted to this schema (no partsupp table):
+    for every ECONOMY part, the EUROPE supplier(s) offering the
+    minimum observed unit cost. The correlated 'cost = (SELECT
+    MIN(...) WHERE same part)' subquery is decorrelated into a
+    per-part window MIN over one partkey shuffle; supplier, nation,
+    and region attach as broadcast joins (dims are small by
+    construction); the region/type filters push into the scans.
+    unit_cost is one double division of the same two columns on both
+    engines — the min/equality compare is bit-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    offers = (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            broadcast(
+                supp.join(
+                    broadcast(
+                        nat.join(
+                            broadcast(reg),
+                            nat.n_regionkey == reg.r_regionkey,
+                        ).select("n_nationkey", "n_name")
+                    ),
+                    supp.s_nationkey == F.col("n_nationkey"),
+                ).select("s_suppkey", "s_name", "n_name")
+            ),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_cost"
+            ),
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        offers.withColumn("min_cost", F.min("unit_cost").over(w))
+        .where(F.col("unit_cost") == F.col("min_cost"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.col("unit_cost").alias("min_unit_cost"),
+        )
+        .distinct()
+    )
+
+
+@register(
     "doc_chunking",
     oracle="""
     WITH toks AS (
@@ -4878,7 +4957,8 @@ _FRONT: list[str] = [
     # likewise: r1+r3 green + pinned test.)
     "gap_detect",
     "membership_merge",
-    "sorted_runlength_agg",
+    # sorted_runlength_agg rotated OUT in r4 (r1+r3 green; A4 pinned
+    # by the partial-agg plan test)
     "wordcount_udf_surface",
     "dedup_exact",
     "minhash_lsh_pairs",
@@ -4902,6 +4982,7 @@ _FRONT: list[str] = [
     "source_reputation",
     "scd2_history",
     "doc_chunking",
+    "tpch_q2_min_cost_supplier",
 ]
 
 

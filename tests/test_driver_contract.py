@@ -71,6 +71,7 @@ def test_first_50_window_composition():
         "source_reputation",
         "scd2_history",
         "doc_chunking",
+        "tpch_q2_min_cost_supplier",
         # r2 fails (events-read bug + contract fixes)
         "streaming_tumbling_window",
         "interval_overlap_join",

@@ -397,3 +397,79 @@ def test_hub_cap_is_noop_on_testdata(spark):
     ).count()
     cap = registry._HUB_CAP
     assert n_pairs == cap * (cap - 1) // 2
+
+
+def test_mixture_reweight_single_scan(spark):
+    """Corpus totals must come from the post-agg window, not a second
+    aggregation branch — the crossJoin formulation read the parquet
+    twice (two agg subtrees pruning differently defeat
+    ReuseExchange)."""
+    from distributed_mapreduce_p2p_spark.plans.explain import (
+        explain_str,
+        shuffle_count,
+    )
+
+    df = _q("mixture_reweight", spark)
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan") == 1, plan
+    # one agg exchange + one SinglePartition exchange for the tiny
+    # bucket-table window
+    assert shuffle_count(df) <= 2
+
+
+def test_global_shuffle_and_scd2_single_exchange(spark):
+    from distributed_mapreduce_p2p_spark.plans.explain import shuffle_count
+
+    assert shuffle_count(_q("global_shuffle_order", spark)) == 1
+    # scd2: both windows must share the one user_id exchange (the
+    # second window's (valid_from, event_id) order is the first's
+    # (ts, event_id) order renamed — no second sort/shuffle)
+    assert shuffle_count(_q("scd2_history", spark)) == 1
+
+
+def test_doc_chunking_no_shuffle_pruned_scan(spark):
+    from distributed_mapreduce_p2p_spark.plans.explain import (
+        read_schemas,
+        shuffle_count,
+    )
+
+    df = _q("doc_chunking", spark)
+    assert shuffle_count(df) == 0
+    schemas = " ".join(read_schemas(df))
+    assert "text" in schemas and "lang" not in schemas, schemas
+
+
+def test_source_reputation_partial_agg_pruned_scan(spark):
+    from distributed_mapreduce_p2p_spark.plans.explain import (
+        has_partial_aggregate,
+        read_schemas,
+        shuffle_count,
+    )
+
+    df = _q("source_reputation", spark)
+    assert shuffle_count(df) == 1
+    assert has_partial_aggregate(df)
+    schemas = " ".join(read_schemas(df))
+    assert "doc_id" not in schemas and "lang" not in schemas, schemas
+
+
+def test_q2_broadcasts_dims_and_pushes_filters(spark):
+    """TPC-H Q2 analog: the correlated min decorrelates to a window
+    over ONE partkey exchange; part/supplier/nation/region all attach
+    as broadcasts with their filters pushed into the scans."""
+    from distributed_mapreduce_p2p_spark.plans.explain import (
+        join_strategies,
+        pushed_filters,
+        shuffle_count,
+    )
+
+    from distributed_mapreduce_p2p_spark.plans.explain import explain_str
+
+    df = _q("tpch_q2_min_cost_supplier", spark)
+    strategies = join_strategies(df)
+    assert explain_str(df, "simple").count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in strategies
+    pf = " ".join(pushed_filters(df))
+    assert "EqualTo(p_type" in pf and "EqualTo(r_name" in pf, pf
+    # one exchange for the per-part window + one for the final distinct
+    assert shuffle_count(df) <= 2
