@@ -48,6 +48,12 @@ TABLES = (
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Spill outside the repo (DuckDB's default temp dir is
+    # cwd-relative .tmp/ — a memory-heavy oracle once left 6.3 GB
+    # there and git add tried to object-hash it) and bound memory so
+    # an infeasible oracle fails fast instead of thrashing the box.
+    con.sql("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    con.sql("SET memory_limit='24GB'")
     for t in TABLES:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
