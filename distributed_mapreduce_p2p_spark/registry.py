@@ -3877,7 +3877,7 @@ from distributed_mapreduce_p2p_spark.operators import graph as GR  # noqa: E402
 @register(
     "trade_graph_triangles",
     oracle="""
-    WITH trade AS (
+    WITH trade AS MATERIALIZED (
       SELECT c_nationkey AS cn, s_nationkey AS sn,
              SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                  * CAST(1 - l_discount AS DECIMAL(4,2))) AS vol
@@ -3886,11 +3886,16 @@ from distributed_mapreduce_p2p_spark.operators import graph as GR  # noqa: E402
       JOIN customer ON o_custkey = c_custkey
       JOIN supplier ON l_suppkey = s_suppkey
       GROUP BY 1, 2
-    ), und AS (
+    ), und AS MATERIALIZED (
       SELECT LEAST(cn, sn) AS a, GREATEST(cn, sn) AS b,
              SUM(vol) AS vol
       FROM trade WHERE cn <> sn GROUP BY 1, 2
-    ), edges AS (
+    ), edges AS MATERIALIZED (
+      -- MATERIALIZED throughout: the uncorrelated scalar subqueries
+      -- below would otherwise re-inline the whole fact join per CTE
+      -- reference (5 refs x 2 scalars -> multiplicative recompute;
+      -- measured: 0.1 s for the agg alone vs minutes + a multi-GB
+      -- spill for the inlined oracle at sf0.1). Results identical.
       SELECT a, b FROM und
       WHERE CAST(vol AS DOUBLE) * (SELECT COUNT(*) FROM und)
             > (SELECT CAST(SUM(vol) AS DOUBLE) FROM und)
