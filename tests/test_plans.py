@@ -473,3 +473,61 @@ def test_q2_broadcasts_dims_and_pushes_filters(spark):
     assert "EqualTo(p_type" in pf and "EqualTo(r_name" in pf, pf
     # one exchange for the per-part window + one for the final distinct
     assert shuffle_count(df) <= 2
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """100 TB technique pin: Spark's runtime bloom filter injects a
+    might_contain() pre-filter on the fact side of a selective join,
+    pruning shuffle input before the exchange. Conditions encoded
+    here: the BUILD side must pass the creation-side size threshold,
+    the PROBE side the application-side scan threshold, and the join
+    must not be a broadcast (BHJ already prunes, so Spark skips the
+    filter)."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_p2p_spark.sources.io import (
+        read_table,
+        scoped_conf,
+    )
+    from tests.conftest import SF_MED
+
+    li = read_table(spark, SF_MED, "lineitem")
+    orders = read_table(spark, SF_MED, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    with scoped_conf(
+        spark,
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "100MB",
+    ):
+        with scoped_conf(
+            spark,
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold",
+            "0",
+        ):
+            with scoped_conf(
+                spark, "spark.sql.autoBroadcastJoinThreshold", "-1"
+            ):
+                df = (
+                    li.join(orders, li.l_orderkey == orders.o_orderkey)
+                    .groupBy("o_orderpriority")
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+                )
+                from distributed_mapreduce_p2p_spark.plans.explain import (
+                    explain_str,
+                )
+
+                plan = explain_str(df, "simple").lower()
+                assert "might_contain" in plan, (
+                    "runtime bloom filter did not inject"
+                )
+                # and the result is still exact
+                row = df.collect()[0]
+                expected = (
+                    li.join(
+                        orders.hint("broadcast"),
+                        li.l_orderkey == orders.o_orderkey,
+                    ).count()
+                )
+                assert row.cnt == expected

@@ -126,6 +126,33 @@ SHOWCASE: list[tuple[str, str]] = [
         "broadcast; cosine from exact counts with one IEEE-exact "
         "sqrt; per-item top-k window over the scored pairs.",
     ),
+    (
+        "mixture_reweight",
+        "One corpus scan; corpus totals via an empty-partition window "
+        "over the POST-AGG bucket table (sources x langs rows), not a "
+        "second aggregation branch — the crossJoin form scanned the "
+        "parquet twice.",
+    ),
+    (
+        "scd2_history",
+        "Both windows (lag change-detect, lead interval-close) stack "
+        "on ONE user_id exchange; the second window's (valid_from, "
+        "event_id) order is the first's (ts, event_id) renamed, so no "
+        "second sort.",
+    ),
+    (
+        "doc_chunking",
+        "Zero exchanges: tokenize -> sequence() explode -> slice, all "
+        "JVM expressions inside one codegen stage; scan pruned to "
+        "(doc_id, text).",
+    ),
+    (
+        "tpch_q2_min_cost_supplier",
+        "Correlated per-part MIN decorrelated to a window over one "
+        "partkey exchange; part/supplier/nation/region all "
+        "BroadcastHashJoin with p_type/r_name filters pushed into "
+        "the scans.",
+    ),
 ]
 
 
