@@ -72,6 +72,7 @@ def test_first_50_window_composition():
         "scd2_history",
         "doc_chunking",
         "tpch_q2_min_cost_supplier",
+        "pseudonymize_events",
         # r2 fails (events-read bug + contract fixes)
         "streaming_tumbling_window",
         "interval_overlap_join",

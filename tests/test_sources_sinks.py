@@ -453,3 +453,73 @@ def test_read_table_normalizes_time_encodings(spark, tmp_path):
             (r.event_id, str(r.ts)) for r in df.collect()
         )
     assert results["us"] == results["ns"] == results["ltz"]
+
+
+def test_zorder_skips_on_both_columns(spark, tmp_path):
+    """Z-order layout vs single-column sort, measured: with per-file
+    min/max as the skipping index (what parquet readers use), the
+    Z-ordered layout must prune files for predicates on BOTH cluster
+    columns, while the l_partkey-sorted baseline prunes only its own
+    sort column (every file spans the full l_suppkey range)."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_p2p_spark.sources.io import (
+        read_table,
+        write_range_partitioned,
+        write_zordered,
+    )
+    from tests.conftest import SF_MED
+
+    li = read_table(spark, SF_MED, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zpath = str(tmp_path / "zorder")
+    bpath = str(tmp_path / "bysort")
+    write_zordered(li, zpath, ["l_partkey", "l_suppkey"], n_files=8)
+    write_range_partitioned(li, bpath, "l_partkey", n=8)
+
+    def file_ranges(path):
+        return (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.min("l_partkey").alias("plo"),
+                F.max("l_partkey").alias("phi"),
+                F.min("l_suppkey").alias("slo"),
+                F.max("l_suppkey").alias("shi"),
+            )
+            .collect()
+        )
+
+    zr, br = file_ranges(zpath), file_ranges(bpath)
+    assert len(zr) == 8 and len(br) == 8
+
+    def files_matching(ranges, lo_col, hi_col, lo, hi):
+        return sum(
+            1 for r in ranges if r[hi_col] >= lo and r[lo_col] <= hi
+        )
+
+    smin, smax = li.agg(
+        F.min("l_suppkey"), F.max("l_suppkey")
+    ).first()
+    span = (smax - smin) or 1
+    # a 10%-wide OFF-CENTER l_suppkey band (a centered band straddles
+    # the curve's top-level split point, which every z-range touches)
+    lo, hi = smin + span * 5 // 100, smin + span * 15 // 100
+    z_hit = files_matching(zr, "slo", "shi", lo, hi)
+    b_hit = files_matching(br, "slo", "shi", lo, hi)
+    assert b_hit == 8, "partkey-sorted files all span the suppkey range"
+    assert z_hit < b_hit, f"zorder must prune on the second column ({z_hit})"
+
+    pmin, pmax = li.agg(F.min("l_partkey"), F.max("l_partkey")).first()
+    pspan = (pmax - pmin) or 1
+    plo, phi = pmin + pspan * 5 // 100, pmin + pspan * 15 // 100
+    z_p = files_matching(zr, "plo", "phi", plo, phi)
+    assert z_p < 8, "zorder must still prune on the first column"
+
+    # layout changes must not change data
+    assert (
+        spark.read.parquet(zpath).count()
+        == spark.read.parquet(bpath).count()
+        == li.count()
+    )
