@@ -2048,6 +2048,130 @@ def q_global_shuffle_order(spark, sf_dir):
 
 
 @register(
+    "tpch_q4_exists_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4_exists_priority(spark, sf_dir):
+    """TPC-H Q4's shape on this schema (no commit/receipt dates —
+    the correlated EXISTS probes returned lineitems instead): orders
+    in a half-year window having at least one returned item, counted
+    by priority. The EXISTS decorrelates to a LEFT SEMI join — the
+    probe side never duplicates orders rows however many lineitems
+    match, and the returnflag filter pushes into the lineitem scan."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q12_priority_by_returnflag",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= DATE '1996-01-01'
+      AND l.l_shipdate < DATE '1997-01-01'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_tpch_q12_priority_by_returnflag(spark, sf_dir):
+    """TPC-H Q12's shape (no shipmode column — grouped by returnflag
+    instead): conditional priority counts over a one-year ship
+    window. The CASE aggregation is a partial+final integer count
+    (map-side combine), and the date filter pushes into the lineitem
+    scan before the join."""
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+@register(
+    "tpch_q14_promo_share",
+    oracle="""
+    SELECT (CAST(100.0 AS DOUBLE)
+            * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                       THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                            * CAST(1 - l.l_discount AS DECIMAL(4,2))
+                       ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE))
+           / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             AS promo_revenue_pct
+    -- NB: 100.0 must be cast to DOUBLE before the multiply — DuckDB
+    -- parses the bare literal as DECIMAL(4,1) and would multiply the
+    -- revenue sum EXACTLY before the double cast, while Spark
+    -- multiplies already-rounded doubles (1-ulp hash drift at
+    -- sf0.001, caught by the local sweep).
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= DATE '1995-09-01'
+      AND l.l_shipdate < DATE '1995-10-01'
+    """,
+)
+def q_tpch_q14_promo_share(spark, sf_dir):
+    """TPC-H Q14: promo revenue share for one ship month. Part
+    broadcasts onto the date-pruned lineitem scan; both revenue sums
+    are exact DECIMAL (order-insensitive), converted losslessly to
+    double for the one final division — bit-identical on any engine
+    or partitioning."""
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-09-01")
+        & (F.col("l_shipdate") < "1995-10-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(4,2)")
+    zero = F.lit(0).cast("decimal(14,4)")
+    joined = l.join(broadcast(p), l.l_partkey == p.p_partkey)
+    return joined.agg(
+        (
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+                ).cast("double")
+            )
+            / F.sum(rev).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+@register(
     "pseudonymize_events",
     oracle="""
     SELECT event_id,
@@ -4993,7 +5117,8 @@ _FRONT: list[str] = [
     # slots go to the r4-new queries below per the standing rule that
     # new/changed plans take window priority. dedupe_keep_last
     # likewise: r1+r3 green + pinned test.)
-    "gap_detect",
+    # gap_detect rotated OUT in r4 (r1+r3 green; J3 pinned by
+    # property tests)
     "membership_merge",
     # sorted_runlength_agg rotated OUT in r4 (r1+r3 green; A4 pinned
     # by the partial-agg plan test)
@@ -5003,9 +5128,9 @@ _FRONT: list[str] = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "token_stats",
-    "text_quality",
+    # text_quality / doc_fingerprint rotated OUT in r4 (both r1+r3
+    # green; token_stats + lang_id keep the textstats family sampled)
     "lang_id",
-    "doc_fingerprint",
     # salted_wordcount rotated OUT in r4 (r1+r3 green; salting pinned
     # by test_skew + test_ops salted-join equivalence)
     "session_window_agg",
@@ -5023,6 +5148,9 @@ _FRONT: list[str] = [
     "doc_chunking",
     "tpch_q2_min_cost_supplier",
     "pseudonymize_events",
+    "tpch_q4_exists_priority",
+    "tpch_q12_priority_by_returnflag",
+    "tpch_q14_promo_share",
 ]
 
 

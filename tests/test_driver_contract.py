@@ -73,6 +73,9 @@ def test_first_50_window_composition():
         "doc_chunking",
         "tpch_q2_min_cost_supplier",
         "pseudonymize_events",
+        "tpch_q4_exists_priority",
+        "tpch_q12_priority_by_returnflag",
+        "tpch_q14_promo_share",
         # r2 fails (events-read bug + contract fixes)
         "streaming_tumbling_window",
         "interval_overlap_join",

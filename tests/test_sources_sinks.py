@@ -523,3 +523,31 @@ def test_zorder_skips_on_both_columns(spark, tmp_path):
         == spark.read.parquet(bpath).count()
         == li.count()
     )
+
+
+def test_observe_metrics_piggyback_on_action(spark):
+    """K5 observability, batch side: df.observe() attaches metric
+    accumulators to the plan so row counts / sums arrive WITH the
+    action — no second scan to audit a pipeline stage (at 100 TB a
+    'count it again to check' pass is a full extra read of the
+    lake)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    obs = Observation("ingest_audit")
+    audited = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum("n_chars").alias("chars_seen"),
+        F.count(F.when(F.col("text").isNull(), 1)).alias("null_texts"),
+    )
+    written = audited.where(F.col("n_chars") > 0).count()
+    metrics = obs.get
+    assert metrics["rows_seen"] == docs.count()
+    assert metrics["null_texts"] == 0
+    assert metrics["chars_seen"] > 0
+    assert written <= metrics["rows_seen"]
