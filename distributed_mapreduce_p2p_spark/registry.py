@@ -4748,6 +4748,95 @@ def q_streaming_upsert_counts(spark, sf_dir):
     )
 
 
+@register(
+    "streaming_stateful_bucket_stats",
+    oracle="""
+    SELECT CAST(user_id % 16 AS INT) AS bucket,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           MAX(event_id) AS max_event_id
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_streaming_stateful_bucket_stats(spark, sf_dir):
+    """R3's CUSTOM stateful operator under the oracle: per-bucket
+    running (count, exact cents sum, high-watermark id) maintained in
+    ``applyInPandasWithState`` GroupState — the arbitrary-state API
+    the built-in aggregations can't express (the reference's
+    ReceiveData keeps exactly this shape of state,
+    replication/replication.go:276-336). State is 3 integers per
+    bucket (O(1) forever); every micro-batch appends the cumulative
+    row, and the final per-bucket row (max over emissions — cumulative
+    counters are monotone, so this is batching-invariant) must equal
+    the batch GROUP BY exactly. Cents via FLOOR(value*100): per-row
+    IEEE multiply+floor is bit-identical on both engines, and the sum
+    is then exact integer arithmetic."""
+    import tempfile
+
+    staged, schema = _stage_events(
+        spark, sf_dir, ("event_id", "user_id", "value")
+    )
+    tmp = tempfile.mkdtemp(prefix="ssstate_")
+
+    def track(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        if state.exists:
+            n, cents, mx = state.get
+        else:
+            n, cents, mx = 0, 0, -1
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            cents += int(np.floor(pdf["value"].to_numpy() * 100).sum())
+            m = int(pdf["event_id"].max())
+            if m > mx:
+                mx = m
+        state.update((n, cents, mx))
+        yield pd.DataFrame(
+            {
+                "bucket": [key[0]],
+                "n_events": [n],
+                "sum_cents": [cents],
+                "max_event_id": [mx],
+            }
+        )
+
+    with _stream_conf(spark):
+        stream = spark.readStream.schema(schema).parquet(staged)
+        bucketed = stream.withColumn(
+            "bucket", (F.col("user_id") % 16).cast("int")
+        )
+        out = bucketed.groupBy("bucket").applyInPandasWithState(
+            track,
+            outputStructType=(
+                "bucket int, n_events long, sum_cents long,"
+                " max_event_id long"
+            ),
+            stateStructType="n long, cents long, mx long",
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    res = spark.read.parquet(f"{tmp}/out")
+    return res.groupBy("bucket").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("sum_cents").alias("sum_cents"),
+        F.max("max_event_id").alias("max_event_id"),
+    )
+
+
 # =====================================================================
 # Count-min sketch, item-item cosine, time-grid resample (round-2)
 # =====================================================================
@@ -5134,7 +5223,8 @@ _FRONT: list[str] = [
     # salted_wordcount rotated OUT in r4 (r1+r3 green; salting pinned
     # by test_skew + test_ops salted-join equivalence)
     "session_window_agg",
-    "anti_join",
+    # anti_join rotated OUT in r4 (r1+r3 green; semi/anti pinned by
+    # tests and semi_join's r3 row)
     # -- (4) r4 rotation: plans changed since last sampled row ----------
     "doc_repetition",
     "supplier_cosine_topk",
@@ -5151,6 +5241,7 @@ _FRONT: list[str] = [
     "tpch_q4_exists_priority",
     "tpch_q12_priority_by_returnflag",
     "tpch_q14_promo_share",
+    "streaming_stateful_bucket_stats",
 ]
 
 

@@ -76,6 +76,7 @@ def test_first_50_window_composition():
         "tpch_q4_exists_priority",
         "tpch_q12_priority_by_returnflag",
         "tpch_q14_promo_share",
+        "streaming_stateful_bucket_stats",
         # r2 fails (events-read bug + contract fixes)
         "streaming_tumbling_window",
         "interval_overlap_join",
