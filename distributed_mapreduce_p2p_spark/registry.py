@@ -5131,6 +5131,136 @@ def q_resample_ffill(spark, sf_dir):
     )
 
 
+#: Span-dedup removal threshold: a 3-token span seen in MORE than
+#: this many distinct docs is boilerplate and is cut from every doc
+#: (C4's "repeated three-sentence span" rule, token-span form).
+_SPAN_DUP_DOCS = 2
+
+
+@register(
+    "span_dedup_clean",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '[\s]+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ), spans AS (
+      SELECT doc_id,
+             list_transform(range(0, CAST(ceil(len(ws) / 3.0) AS INT)),
+                            i -> array_to_string(ws[i*3+1 : i*3+3], ' '))
+               AS sp
+      FROM base
+    ), flat AS (
+      SELECT doc_id, unnest(sp) AS span,
+             generate_subscripts(sp, 1) AS idx
+      FROM spans
+    ), freq AS (
+      SELECT span, COUNT(DISTINCT doc_id) AS ndocs
+      FROM flat GROUP BY span
+    ), marked AS (
+      SELECT f.doc_id, f.span, f.idx, (q.ndocs > 2) AS dup
+      FROM flat f JOIN freq q USING (span)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           md5(COALESCE(string_agg(CASE WHEN NOT dup THEN span END,
+                                   ' ' ORDER BY idx), '')) AS clean_md5
+    FROM marked GROUP BY doc_id
+    """,
+)
+def q_span_dedup_clean(spark, sf_dir):
+    """Span-level (line-level) dedup — the C4/RefinedWeb cleanup the
+    doc-level passes can't do: cut every non-overlapping 3-token span
+    that repeats across more than ``_SPAN_DUP_DOCS`` distinct docs,
+    keeping the remainder of each doc in order. Spans come from the
+    zero-shuffle sequence+slice pattern (doc_chunking's); the span
+    frequency table is one partial+final agg, and the dup-span set is
+    joined back LEFT so AQE broadcasts it when small (at 100 TB the
+    boilerplate set is tiny relative to the corpus; if it isn't, the
+    equi-join shuffles on span — never all-pairs). Output is one row
+    per doc with exact removal counts and an md5 of the cleaned text,
+    so the oracle checks the reconstruction byte-for-byte. Generalizes
+    the reference's tokenize+count surface (wc/wc.go:26-47) to the
+    repeated-span removal every pretraining pipeline runs."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.expr(r"filter(split(text, '[\\s]+'), x -> x <> '')").alias("ws"),
+    )
+    spans = base.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, cast(ceil(size(ws) / 3.0) as int) - 1),"
+            " i -> array_join(slice(ws, i*3+1, 3), ' '))"
+        ).alias("sp"),
+    )
+    flat = spans.select(
+        "doc_id", F.posexplode("sp").alias("idx0", "span")
+    )
+    dups = (
+        flat.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .where(F.col("ndocs") > _SPAN_DUP_DOCS)
+        .select("span", F.lit(True).alias("dup0"))
+    )
+    marked = flat.join(dups, "span", "left").select(
+        "doc_id",
+        "idx0",
+        "span",
+        F.coalesce("dup0", F.lit(False)).alias("dup"),
+    )
+    kept_sorted = (
+        "transform(array_sort(collect_list(CASE WHEN NOT dup THEN"
+        " struct(idx0, span) END)), x -> x.span)"
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.expr(f"md5(array_join({kept_sorted}, ' '))").alias("clean_md5"),
+    )
+
+
+@register(
+    "k_anonymity_audit",
+    oracle="""
+    SELECT event_type,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS k_users,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           (COUNT(DISTINCT user_id) < 5) AS suppress
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+    """,
+)
+def q_k_anonymity_audit(spark, sf_dir):
+    """k-anonymity audit over the quasi-identifier (event_type, day):
+    the release-gate check that pairs with ``pseudonymize_events`` —
+    any QI group with fewer than k=5 distinct users is flagged for
+    suppression before an analytics export. Exact two-phase distinct
+    count (partial per partition, final per group), one shuffle on
+    the QI key; at 100 TB the QI cardinality, not the row count,
+    bounds the final stage."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.countDistinct("user_id").alias("k_users"),
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.countDistinct("user_id") < 5).alias("suppress"),
+    ).select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "k_users",
+        "n_rows",
+        "suppress",
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -5208,7 +5338,8 @@ _FRONT: list[str] = [
     # likewise: r1+r3 green + pinned test.)
     # gap_detect rotated OUT in r4 (r1+r3 green; J3 pinned by
     # property tests)
-    "membership_merge",
+    # membership_merge rotated OUT in r4 (r1+r3 green; J2 pinned by
+    # property tests) — slot goes to span_dedup_clean below
     # sorted_runlength_agg rotated OUT in r4 (r1+r3 green; A4 pinned
     # by the partial-agg plan test)
     "wordcount_udf_surface",
@@ -5222,7 +5353,9 @@ _FRONT: list[str] = [
     "lang_id",
     # salted_wordcount rotated OUT in r4 (r1+r3 green; salting pinned
     # by test_skew + test_ops salted-join equivalence)
-    "session_window_agg",
+    # session_window_agg rotated OUT in r4 (r1+r3 green; session
+    # windows pinned by the stream==batch test) — slot goes to
+    # k_anonymity_audit below
     # anti_join rotated OUT in r4 (r1+r3 green; semi/anti pinned by
     # tests and semi_join's r3 row)
     # -- (4) r4 rotation: plans changed since last sampled row ----------
@@ -5242,6 +5375,8 @@ _FRONT: list[str] = [
     "tpch_q12_priority_by_returnflag",
     "tpch_q14_promo_share",
     "streaming_stateful_bucket_stats",
+    "span_dedup_clean",
+    "k_anonymity_audit",
 ]
 
 

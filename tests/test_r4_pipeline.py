@@ -105,3 +105,51 @@ def test_source_reputation_accounts_for_all_docs(spark):
     assert out.count() == docs.select("source").distinct().count()
     rows = out.collect()
     assert all((r.mean_chars >= 300.0) == r.keep for r in rows)
+
+
+def test_span_dedup_reconstruction_matches_local_recompute(spark):
+    """Full independent recompute of span_dedup_clean in plain Python
+    (no Spark, no SQL): same span grid, same >2-distinct-docs cut,
+    same in-order reconstruction — md5s must agree doc-for-doc."""
+    import hashlib
+    from collections import defaultdict
+
+    out = {
+        r.doc_id: r
+        for r in _q("span_dedup_clean")(spark, SF_SMALL).collect()
+    }
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    spans_by_doc = {}
+    span_docs = defaultdict(set)
+    for d in docs:
+        toks = [t for t in d.text.split() if t]
+        spans = [
+            " ".join(toks[i : i + 3]) for i in range(0, len(toks), 3)
+        ]
+        spans_by_doc[d.doc_id] = spans
+        for s in spans:
+            span_docs[s].add(d.doc_id)
+    assert set(out) == set(spans_by_doc)
+    for doc_id, spans in spans_by_doc.items():
+        dup = [len(span_docs[s]) > 2 for s in spans]
+        clean = " ".join(s for s, is_dup in zip(spans, dup) if not is_dup)
+        r = out[doc_id]
+        assert r.n_spans == len(spans)
+        assert r.n_removed == sum(dup)
+        assert r.clean_md5 == hashlib.md5(clean.encode()).hexdigest()
+
+
+def test_k_anonymity_audit_invariants(spark):
+    out = _q("k_anonymity_audit")(spark, SF_SMALL)
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    rows = out.collect()
+    assert all(r.suppress == (r.k_users < 5) for r in rows)
+    assert all(0 < r.k_users <= r.n_rows for r in rows)
+    assert sum(r.n_rows for r in rows) == ev.count()
+    assert out.count() == ev.select(
+        "event_type", F.to_date("ts")
+    ).distinct().count()
