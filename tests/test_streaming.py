@@ -367,3 +367,90 @@ def test_chunktail_oversized_token_advances(tmpdir):
         f.write("y" * 500)
     rows3, end3 = r.read(end2)
     assert rows3 == [] and end3["pos"] == 2006
+
+
+def test_streaming_session_windows_merge_across_restart(spark, tmpdir):
+    """Session-window state must survive a checkpoint restart (R7):
+    a session left OPEN by the first run (watermark hadn't passed its
+    end) must absorb an in-gap event arriving after the restart and
+    emit ONE fused session, not two fragments. Also pins the
+    append-mode emission rule: only sessions whose end (last event +
+    gap) is at-or-before the final watermark are emitted."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from distributed_mapreduce_p2p_spark.sources.io import scoped_conf
+
+    src = f"{tmpdir}/in"
+    out = f"{tmpdir}/out"
+    ckpt = f"{tmpdir}/ckpt"
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("s", T.TimestampType()),
+            T.StructField("e", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run_once():
+        with scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
+            with scoped_conf(spark, "spark.sql.session.timeZone", "UTC"):
+                q = (
+                    spark.readStream.schema(schema)
+                    .parquet(src)
+                    .withWatermark("ts", "2 seconds")
+                    .groupBy(
+                        F.session_window("ts", "30 minutes"), "user_id"
+                    )
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .select(
+                        F.col("session_window.start").alias("s"),
+                        F.col("session_window.end").alias("e"),
+                        "user_id",
+                        "n",
+                    )
+                    .writeStream.format("parquet")
+                    .option("path", out)
+                    .option("checkpointLocation", ckpt)
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                assert q.awaitTermination(120)
+
+    # Run 1: user 1 has an open session (2 events 10 min apart), user
+    # 2 a single event. Watermark ends at max_ts - 2 s, before either
+    # session's end -> NOTHING may be emitted yet.
+    feed([(1, t0), (1, t0 + 10 * m), (2, t0 + 5 * m)])
+    run_once()
+    assert spark.read.schema(out_schema).parquet(out).count() == 0
+
+    # Run 2 (restart from checkpoint): an in-gap event extends user
+    # 1's restored session; a far-future event pushes the watermark
+    # past both session ends.
+    feed([(1, t0 + 20 * m), (9, t0 + 600 * m)])
+    run_once()
+    got = {
+        (r.user_id, r.s, r.e, r.n)
+        for r in spark.read.schema(out_schema).parquet(out).collect()
+    }
+    assert got == {
+        (1, t0, t0 + 50 * m, 3),  # fused: 3 events, end = last + gap
+        (2, t0 + 5 * m, t0 + 35 * m, 1),
+    }, got
