@@ -5332,6 +5332,60 @@ def q_k_anonymity_audit(spark, sf_dir):
     )
 
 
+@register(
+    "priority_sample_per_source",
+    oracle="""
+    WITH pr AS (
+      SELECT source, doc_id,
+             (CAST(('0x' || substr(md5('psamp:' || doc_id), 1, 13))::BIGINT
+                   AS DOUBLE) / 4503599627370496.0)
+               / CAST(n_chars AS DOUBLE) AS priority
+      FROM documents
+    )
+    SELECT source, doc_id, priority
+    FROM (SELECT source, doc_id, priority,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY priority, doc_id) AS rn
+          FROM pr)
+    WHERE rn <= 20
+    """,
+)
+def q_priority_sample_per_source(spark, sf_dir):
+    """Weighted sampling without replacement, 20 docs per source, by
+    priority sampling (Duffield-Lund-Thorup): priority = u/w with u a
+    deterministic md5-derived uniform and w = n_chars, keep the k
+    smallest per group — longer docs are proportionally likelier to
+    be kept, and the same docs win on any engine or partitioning (no
+    rand()). u uses 13 hex digits (52 bits < 2^53) so the int→double
+    cast is exact, and both engines compute the same two IEEE
+    divisions in the same order — the priority column itself is
+    hash-checked. Plan: one narrow scan + per-group top-k
+    (WindowGroupLimit partial top-k before the one source shuffle);
+    at 100 TB the shuffle carries ≤ k rows per source per map task,
+    not the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("psamp:"), F.col("doc_id").cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(4503599627370496.0)
+    pr = docs.select(
+        "source",
+        "doc_id",
+        (u / F.col("n_chars").cast("double")).alias("priority"),
+    )
+    w = Window.partitionBy("source").orderBy("priority", "doc_id")
+    return (
+        pr.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("source", "doc_id", "priority")
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -5421,9 +5475,9 @@ _FRONT: list[str] = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "token_stats",
-    # text_quality / doc_fingerprint rotated OUT in r4 (both r1+r3
-    # green; token_stats + lang_id keep the textstats family sampled)
-    "lang_id",
+    # text_quality / doc_fingerprint / lang_id rotated OUT in r4 (all
+    # r1+r3 green; token_stats keeps the textstats family sampled) —
+    # lang_id's slot goes to priority_sample_per_source below
     # salted_wordcount rotated OUT in r4 (r1+r3 green; salting pinned
     # by test_skew + test_ops salted-join equivalence)
     # session_window_agg rotated OUT in r4 (r1+r3 green; session
@@ -5451,6 +5505,7 @@ _FRONT: list[str] = [
     "span_dedup_clean",
     "k_anonymity_audit",
     "streaming_session_windows",
+    "priority_sample_per_source",
 ]
 
 

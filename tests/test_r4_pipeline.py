@@ -153,3 +153,31 @@ def test_k_anonymity_audit_invariants(spark):
     assert out.count() == ev.select(
         "event_type", F.to_date("ts")
     ).distinct().count()
+
+
+def test_priority_sample_matches_local_recompute(spark):
+    """Exact pure-Python recompute of the Duffield-Lund-Thorup
+    priority sample: same md5-derived uniform, same u/w priority,
+    same per-source top-20 — the winning doc set must be identical
+    (and IEEE double priorities equal bit-for-bit)."""
+    import hashlib
+
+    out = _q("priority_sample_per_source")(spark, SF_SMALL).collect()
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "source", "n_chars")
+        .collect()
+    )
+    by_source: dict[str, list] = {}
+    for d in docs:
+        h = int(
+            hashlib.md5(f"psamp:{d.doc_id}".encode()).hexdigest()[:13], 16
+        )
+        pri = (h / 4503599627370496.0) / float(d.n_chars)
+        by_source.setdefault(d.source, []).append((pri, d.doc_id))
+    expect = {}
+    for src, lst in by_source.items():
+        for pri, doc_id in sorted(lst)[:20]:
+            expect[(src, doc_id)] = pri
+    got = {(r.source, r.doc_id): r.priority for r in out}
+    assert got == expect
