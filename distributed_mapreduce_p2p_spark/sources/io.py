@@ -439,3 +439,39 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_files(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_bytes)`` near-target-sized files.
+    The operational K-sink every long-lived streaming/upsert table
+    needs — a keyed upsert sink (K4) or per-trigger append accretes
+    thousands of KB-sized files whose open/footer cost eventually
+    dominates scans.
+
+    Returns the output file count. Sizing comes from the source's
+    actual on-disk bytes (one FS listing, no data pass); the rewrite
+    itself is one round-robin exchange. On a cluster the same effect
+    inside a query is AQE's advisory partition size; this helper is
+    the explicit table-maintenance form (OPTIMIZE/rewrite_data_files
+    in lakehouse terms). Local paths only in tests; the listing goes
+    through the same ``inputFiles()`` the scheduler uses, so any
+    Hadoop-visible FS works.
+    """
+    import math
+    import os
+    from urllib.parse import urlparse
+
+    df = spark.read.parquet(src)
+    total = 0
+    for uri in df.inputFiles():
+        p = urlparse(uri)
+        total += os.path.getsize(p.path if p.scheme in ("file", "") else uri)
+    n_out = max(1, math.ceil(total / target_bytes))
+    df.repartition(n_out).write.mode("overwrite").parquet(dst)
+    return n_out
