@@ -5386,6 +5386,92 @@ def q_priority_sample_per_source(spark, sf_dir):
     )
 
 
+@register(
+    "source_token_drift",
+    oracle="""
+    WITH tk AS (
+      SELECT source, word FROM (
+        SELECT source,
+               unnest(string_split_regex(text, '[^A-Za-z]+')) AS word
+        FROM documents)
+      WHERE word <> ''
+    ), cs AS (
+      SELECT source, word, COUNT(*) AS c FROM tk GROUP BY 1, 2
+    ), ns AS (
+      SELECT source, COUNT(*) AS n_s FROM tk GROUP BY 1
+    ), cw AS (
+      SELECT word, COUNT(*) AS c_w FROM tk GROUP BY 1
+    ), nn AS (SELECT COUNT(*) AS n FROM tk
+    ), grid AS (
+      SELECT ns.source, ns.n_s, cw.word, cw.c_w,
+             COALESCE(cs.c, 0) AS c_s
+      FROM ns CROSS JOIN cw
+      LEFT JOIN cs ON cs.source = ns.source AND cs.word = cw.word
+    )
+    SELECT g.source,
+           CAST(g.n_s AS BIGINT) AS n_tokens,
+           (CAST(SUM(ABS(CAST(g.c_s AS DECIMAL(19,0))
+                         * CAST(nn.n AS DECIMAL(19,0))
+                         - CAST(g.c_w AS DECIMAL(19,0))
+                           * CAST(g.n_s AS DECIMAL(19,0)))) AS DOUBLE)
+            / (CAST(g.n_s AS DOUBLE) * CAST(nn.n AS DOUBLE))) / 2.0
+             AS tvd
+    FROM grid g CROSS JOIN nn
+    GROUP BY g.source, g.n_s, nn.n
+    """,
+)
+def q_source_token_drift(spark, sf_dir):
+    """Distribution-shift detection per source: total variation
+    distance between each source's token distribution and the whole
+    corpus's — the mixture-monitoring metric that flags a domain
+    whose text stopped looking like the rest of the pool. Entropy/KL
+    need ``log`` (libm-dependent, not bit-portable across engines);
+    TVD = Σ|c_s·N − c_w·N_s| / (2·N_s·N) is exact DECIMAL(38,0)
+    integer arithmetic summed order-insensitively, then ONE double
+    division — hash-identical on any engine or partitioning. Plan:
+    one token explode feeding three partial+final count aggs, a
+    |sources|×|vocab| grid (broadcast of the per-source totals), and
+    one final agg back to |sources| rows; at 100 TB the grid — not
+    the corpus — is the working set, and it's vocab-bounded."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select(
+        "source", F.explode(F.split("text", "[^A-Za-z]+")).alias("word")
+    ).where(F.col("word") != "")
+    cs = tk.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c"))
+    ns = tk.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    cw = tk.groupBy("word").agg(F.count(F.lit(1)).alias("c_w"))
+    nn = tk.agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        cw.crossJoin(broadcast(ns))
+        .join(cs, ["source", "word"], "left")
+        .select(
+            "source",
+            "n_s",
+            "c_w",
+            F.coalesce("c", F.lit(0)).alias("c_s"),
+        )
+    )
+    d = "decimal(19,0)"
+    term = F.abs(
+        F.col("c_s").cast(d) * F.col("n").cast(d)
+        - F.col("c_w").cast(d) * F.col("n_s").cast(d)
+    )
+    return (
+        grid.crossJoin(broadcast(nn))
+        .groupBy("source", "n_s", "n")
+        .agg(F.sum(term).alias("s_dec"))
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            (
+                F.col("s_dec").cast("double")
+                / (F.col("n_s").cast("double") * F.col("n").cast("double"))
+                / F.lit(2.0)
+            ).alias("tvd"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -5473,7 +5559,9 @@ _FRONT: list[str] = [
     # dedup_exact rotated OUT in r4 (r1+r3 green; exact-dedup pinned
     # by tests; minhash/simhash keep the family in-window)
     "minhash_lsh_pairs",
-    "simhash_pairs",
+    # simhash_pairs rotated OUT in r4 (r1+r3 green; pigeonhole
+    # completeness pinned by tests; minhash keeps near-dup sampled) —
+    # slot goes to source_token_drift below
     "token_stats",
     # text_quality / doc_fingerprint / lang_id rotated OUT in r4 (all
     # r1+r3 green; token_stats keeps the textstats family sampled) —
@@ -5506,6 +5594,7 @@ _FRONT: list[str] = [
     "k_anonymity_audit",
     "streaming_session_windows",
     "priority_sample_per_source",
+    "source_token_drift",
 ]
 
 

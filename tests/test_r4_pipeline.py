@@ -181,3 +181,34 @@ def test_priority_sample_matches_local_recompute(spark):
             expect[(src, doc_id)] = pri
     got = {(r.source, r.doc_id): r.priority for r in out}
     assert got == expect
+
+
+def test_source_token_drift_matches_local_recompute(spark):
+    """Pure-Python recompute of the TVD drift metric with unbounded
+    ints for the sum and the SAME IEEE operation order for the final
+    division — values must match bit-for-bit."""
+    import re
+    from collections import Counter
+
+    out = {r.source: r for r in _q("source_token_drift")(spark, SF_SMALL).collect()}
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("source", "text")
+        .collect()
+    )
+    cs: dict[str, Counter] = {}
+    cw: Counter = Counter()
+    for d in docs:
+        words = [w for w in re.split("[^A-Za-z]+", d.text) if w]
+        cs.setdefault(d.source, Counter()).update(words)
+        cw.update(words)
+    n = sum(cw.values())
+    assert set(out) == set(cs)
+    for src, counter in cs.items():
+        n_s = sum(counter.values())
+        s = sum(abs(counter[w] * n - c_w * n_s) for w, c_w in cw.items())
+        tvd = float(s) / (float(n_s) * float(n)) / 2.0
+        r = out[src]
+        assert r.n_tokens == n_s
+        assert r.tvd == tvd
+        assert 0.0 <= r.tvd <= 1.0
