@@ -142,3 +142,75 @@ def numbered_result_scalable(
         )
         .select("id", "word", "cnt")
     )
+
+
+def bpe_learn(docs: DataFrame, rounds: int = 8) -> DataFrame:
+    """Learn ``rounds`` BPE merges over the corpus and return the
+    merge table ``(round, pair, freq)`` — the iterative
+    subword-tokenizer training step of an LLM data pipeline (Sennrich
+    et al. 2016), alongside PageRank the repo's second driver-looped
+    iterative algorithm.
+
+    Scale shape: the working state is the DISTINCT-WORD frequency
+    table with symbol arrays — vocabulary-bounded, NOT corpus-bounded
+    (a 100 TB corpus and a 100 GB corpus with the same vocabulary
+    train on the same state after the one corpus-wide word count).
+    Each round is one partial+final pair-count aggregation over the
+    vocab plus a single argmax ROW collected to the driver (the same
+    1-row-collect class as the audited scalar attaches); the merge
+    itself is a JVM higher-order fold over each symbol array —
+    left-to-right non-overlapping, the BPE application rule. Lineage
+    is truncated with an eager ``localCheckpoint`` per round (the
+    PageRank pattern, operators/graph.py:110-166) so round N's plan
+    does not nest N HOF rewrites.
+
+    Symbols are ASCII letters plus the ``_`` end-of-word marker, so
+    merged tokens embed safely in the fold expression literals.
+    """
+    words = word_count(docs)
+    syms = words.select(
+        "cnt",
+        F.expr(
+            "concat(filter(split(word, ''), x -> x <> ''), array('_'))"
+        ).alias("symbols"),
+    ).localCheckpoint(eager=True)
+    out = []
+    for rnd in range(1, rounds + 1):
+        pairs = (
+            syms.select(
+                "cnt",
+                F.explode(
+                    F.expr("sequence(1, size(symbols) - 1)")
+                ).alias("i"),
+                F.col("symbols"),
+            )
+            .select(
+                "cnt",
+                F.expr("element_at(symbols, i)").alias("a"),
+                F.expr("element_at(symbols, i + 1)").alias("b"),
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("cnt").alias("f"))
+        )
+        best = (
+            pairs.orderBy(F.col("f").desc(), "a", "b").limit(1).collect()
+        )
+        if not best:
+            break
+        a, b, f = best[0].a, best[0].b, best[0].f
+        out.append((rnd, f"{a}+{b}", int(f)))
+        ab = a + b
+        syms = syms.select(
+            "cnt",
+            F.expr(
+                "aggregate(symbols, cast(array() as array<string>),"
+                " (acc, x) -> CASE WHEN size(acc) > 0"
+                f" AND element_at(acc, -1) = '{a}' AND x = '{b}'"
+                f" THEN concat(slice(acc, 1, size(acc) - 1), array('{ab}'))"
+                " ELSE concat(acc, array(x)) END)"
+            ).alias("symbols"),
+        ).localCheckpoint(eager=True)
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        out, "round: bigint, pair: string, freq: bigint"
+    )

@@ -5472,6 +5472,601 @@ def q_source_token_drift(spark, sf_dir):
     )
 
 
+@register(
+    "bm25_scores",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(text, '[^A-Za-z]+')) AS word
+        FROM documents)
+      WHERE word <> ''
+    ), tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1
+    ), df AS (
+      SELECT word, COUNT(*) AS df FROM tf GROUP BY 1
+    ), tot AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n,
+             (SELECT SUM(tf) FROM tf) AS t
+    ), qterms AS (
+      SELECT word, df,
+             CAST(ROW_NUMBER() OVER (ORDER BY df DESC, word)
+                  AS BIGINT) AS qrk
+      FROM df WHERE LENGTH(word) >= 4
+      ORDER BY df DESC, word LIMIT 3
+    ), scored AS (
+      SELECT tf.doc_id, q.qrk,
+             CAST(CAST(((2 * (tot.n - q.df) + 1) * 1000000)
+                       // (2 * q.df + 1) AS DECIMAL(19,0))
+                  * CAST(22 * tf.tf * tot.t AS DECIMAL(19,0))
+                  AS DOUBLE)
+             / CAST(10 * tf.tf * tot.t + 3 * tot.t + 9 * dl.dl * tot.n
+                    AS DOUBLE) AS s
+      FROM tf
+      JOIN qterms q ON tf.word = q.word
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN tot
+    ), piv AS (
+      SELECT doc_id,
+             COALESCE(MAX(CASE WHEN qrk = 1 THEN s END), 0.0) AS s1,
+             COALESCE(MAX(CASE WHEN qrk = 2 THEN s END), 0.0) AS s2,
+             COALESCE(MAX(CASE WHEN qrk = 3 THEN s END), 0.0) AS s3
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, s1, s2, s3, (s1 + s2) + s3 AS bm25 FROM piv
+    """,
+)
+def q_bm25_scores(spark, sf_dir):
+    """BM25 retrieval scoring of every document against a 3-term
+    pseudo-query (the corpus's three highest-df words of length ≥ 4 —
+    deterministic, so the query needs no external input). The
+    textbook formula needs ``ln`` (libm — not bit-portable); this is
+    the repo's standard libm-free re-expression: idf is the
+    fixed-point micro-ratio ((2(N−df)+1)·10⁶) DIV (2·df+1) (the
+    ln argument of BM25+'s idf, rank-preserving per term), and the
+    k1=1.2 / b=0.75 length normalization is cleared of fractions —
+    per (doc, term), score = idf_fp · 22·tf·T  /  (10·tf·T + 3·T +
+    9·dl·N), exact integer numerator (DECIMAL(38,0)) and denominator,
+    ONE IEEE division, then the 3 per-term doubles are summed in a
+    fixed parenthesized order. Plan: one token explode → tf; dl and
+    df both derive from the much smaller tf relation; the 3-row query
+    table and the two 1-row totals broadcast onto the tf probe, so
+    the only large shuffles are tf and dl — both keyed on doc_id.
+    At 100 TB the probe side is a broadcast-join filter (3 terms kill
+    ~all of tf before dl joins); reference parity: this subsumes the
+    grep/scan workloads (mapreduce/worker.go:151-258) with ranked
+    retrieval."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", "[^A-Za-z]+")).alias("word")
+    ).where(F.col("word") != "")
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    t = tf.agg(F.sum("tf").alias("t"))
+    qterms = (
+        df_.where(F.length("word") >= 4)
+        .orderBy(F.col("df").desc(), "word")
+        .limit(3)
+        .withColumn(
+            "qrk",
+            F.row_number()
+            .over(Window.orderBy(F.col("df").desc(), "word"))
+            .cast("long"),
+        )
+    )
+    d = "decimal(19,0)"
+    scored = (
+        tf.join(broadcast(qterms), "word")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(n))
+        .crossJoin(broadcast(t))
+        .select(
+            "doc_id",
+            "qrk",
+            (
+                (
+                    F.expr(
+                        "((2 * (n - df) + 1) * 1000000) DIV (2 * df + 1)"
+                    ).cast(d)
+                    * F.expr("22 * tf * t").cast(d)
+                ).cast("double")
+                / F.expr("10 * tf * t + 3 * t + 9 * dl * n").cast("double")
+            ).alias("s"),
+        )
+    )
+    piv = scored.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("qrk") == i, F.col("s"))), F.lit(0.0)
+            ).alias(f"s{i}")
+            for i in (1, 2, 3)
+        ]
+    )
+    return piv.select(
+        "doc_id",
+        "s1",
+        "s2",
+        "s3",
+        ((F.col("s1") + F.col("s2")) + F.col("s3")).alias("bm25"),
+    )
+
+
+_BLOOM_ROWS = _CM_ROWS  # same portable md5-affine family as the CM sketch
+_BLOOM_M = 65536
+
+_BLOOM_BITS_SQL = " UNION ALL ".join(
+    f"SELECT ((({a} * h + {b}) % 1000003) % {_BLOOM_M}) AS bitpos FROM bh"
+    for a, b in _BLOOM_ROWS
+)
+_BLOOM_PROBE_SQL = " UNION ALL ".join(
+    f"SELECT c_custkey, ((({a} * h + {b}) % 1000003) % {_BLOOM_M})"
+    f" AS bitpos FROM ph"
+    for a, b in _BLOOM_ROWS
+)
+
+
+@register(
+    "bloom_prune_accounting",
+    oracle=f"""
+    WITH bk AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01'
+        AND o_orderdate < DATE '1995-07-01'
+    ), bh AS (
+      SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT
+             AS h
+      FROM bk
+    ), bits AS (
+      SELECT DISTINCT bitpos FROM ({_BLOOM_BITS_SQL})
+    ), ph AS (
+      SELECT c_custkey, c_nationkey,
+             ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT
+             AS h
+      FROM customer
+    ), pc AS ({_BLOOM_PROBE_SQL}),
+    hits AS (
+      SELECT pc.c_custkey, COUNT(b.bitpos) AS nhit
+      FROM pc LEFT JOIN bits b ON b.bitpos = pc.bitpos
+      GROUP BY pc.c_custkey
+    ), flags AS (
+      SELECT c.c_custkey, c.c_nationkey,
+             CASE WHEN h.nhit = {len(_BLOOM_ROWS)} THEN 1 ELSE 0 END
+               AS bloom_pass,
+             CASE WHEN bk.o_custkey IS NOT NULL THEN 1 ELSE 0 END
+               AS exact_member
+      FROM customer c
+      JOIN hits h ON h.c_custkey = c.c_custkey
+      LEFT JOIN bk ON bk.o_custkey = c.c_custkey
+    )
+    SELECT n.n_name,
+           CAST(SUM(exact_member) AS BIGINT) AS exact_members,
+           CAST(SUM(bloom_pass) AS BIGINT) AS bloom_pass,
+           CAST(SUM(bloom_pass) - SUM(exact_member) AS BIGINT) AS false_pos
+    FROM flags f JOIN nation n ON n.n_nationkey = f.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_bloom_prune_accounting(spark, sf_dir):
+    """Explicit Bloom-filter semi-join pruning with false-positive
+    accounting: build a K=4 / M=65536 Bloom filter over the custkeys
+    that ordered in 1995 H1 (portable md5-affine hash family — the
+    CM sketch's), probe every customer through it, and report per
+    nation the exact member count, the Bloom pass count, and the
+    false positives. The filter itself is the ≤M-row distinct-bit
+    table, broadcast onto the probe — at 100 TB this is THE
+    shuffle-killer for selective joins: the probe side is filtered by
+    a fixed-size broadcast bitmap before any repartitioning (Spark's
+    own runtime bloom pruning, pinned in
+    test_plans.py::test_runtime_bloom_filter_pruning, does this
+    implicitly; here the filter is data-level, engine-portable, and
+    its FP rate is measured, which is what you need when the filter
+    ships across systems, e.g. dedup fingerprints from a previous
+    crawl). The exact-membership join exists only for the
+    accounting; the production prune path is probe × broadcast(bits)
+    alone."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    bk = (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1995-07-01").cast("date"))
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    _h = (
+        "cast(conv(substring(md5(cast({k} as string)), 1, 12), 16, 10)"
+        " as bigint)"
+    )
+    buckets = F.array(
+        *[
+            F.expr(f"(({a} * h + {b}) % 1000003) % {_BLOOM_M}")
+            for a, b in _BLOOM_ROWS
+        ]
+    )
+    bits = (
+        bk.select(F.expr(_h.format(k="o_custkey")).alias("h"))
+        .select(F.explode(buckets).alias("bitpos"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    pc = customer.select(
+        "c_custkey", F.expr(_h.format(k="c_custkey")).alias("h")
+    ).select("c_custkey", F.explode(buckets).alias("bitpos"))
+    hits = (
+        pc.join(broadcast(bits), "bitpos", "left")
+        .groupBy("c_custkey")
+        .agg(F.count("hit").alias("nhit"))
+    )
+    flags = (
+        customer.select("c_custkey", "c_nationkey")
+        .join(hits, "c_custkey")
+        .join(
+            bk.withColumnRenamed("o_custkey", "c_custkey").withColumn(
+                "em", F.lit(1)
+            ),
+            "c_custkey",
+            "left",
+        )
+        .select(
+            "c_nationkey",
+            F.when(F.col("nhit") == len(_BLOOM_ROWS), 1)
+            .otherwise(0)
+            .alias("bloom_pass"),
+            F.when(F.col("em").isNotNull(), 1).otherwise(0).alias(
+                "exact_member"
+            ),
+        )
+    )
+    return (
+        flags.groupBy("c_nationkey")
+        .agg(
+            F.sum("exact_member").cast("long").alias("exact_members"),
+            F.sum("bloom_pass").cast("long").alias("bloom_pass"),
+            (F.sum("bloom_pass") - F.sum("exact_member"))
+            .cast("long")
+            .alias("false_pos"),
+        )
+        .join(
+            broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_name", "exact_members", "bloom_pass", "false_pos")
+    )
+
+
+@register(
+    "hdr_quantile_sketch",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ), b AS (
+      SELECT event_type,
+             CASE WHEN cents < 16 THEN cents
+                  ELSE length(bin(cents)) * 16
+                       + (cents >> (length(bin(cents)) - 5)) - 16 END AS id
+      FROM c
+    ), h AS (
+      SELECT event_type, id, COUNT(*) AS cnt FROM b GROUP BY 1, 2
+    ), w AS (
+      SELECT event_type, id, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY id) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM h
+    ), pick AS (
+      SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+             MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN id END) AS i50,
+             MIN(CASE WHEN cum >= (95 * n + 99) // 100 THEN id END) AS i95,
+             MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN id END) AS i99
+      FROM w GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(CASE WHEN i50 < 16 THEN i50
+                ELSE (16 + i50 % 16) << (i50 // 16 - 5) END AS BIGINT)
+             AS p50_cents_lb,
+           CAST(CASE WHEN i95 < 16 THEN i95
+                ELSE (16 + i95 % 16) << (i95 // 16 - 5) END AS BIGINT)
+             AS p95_cents_lb,
+           CAST(CASE WHEN i99 < 16 THEN i99
+                ELSE (16 + i99 % 16) << (i99 // 16 - 5) END AS BIGINT)
+             AS p99_cents_lb
+    FROM pick
+    """,
+)
+def q_hdr_quantile_sketch(spark, sf_dir):
+    """HDR-histogram quantile sketch per event type: p50/p95/p99 of
+    the cents-quantized value through a log₂-with-16-linear-subbuckets
+    histogram (bucket id = 16·bitlen(x) + (x >> (bitlen−5)) − 16; for
+    x < 16 the value itself) — DDSketch's shape at γ = 2^(1/16)
+    without the libm log: bucket indexing is pure integer bit
+    arithmetic, so the sketch is bit-identical on any engine and any
+    partitioning, mergeable by integer addition, and ≤ ~1000 cells
+    per group regardless of data volume. Relative error ≤ 1/16 at the
+    reported bucket lower bound (test_r4_pipeline asserts the bound
+    against exact quantiles). Plan: one partial+final count agg to
+    the fixed-size histogram, then a per-group window over ≤1000
+    rows — at 100 TB the shuffle carries only (group × bucket)
+    cells, the canonical percentile-latency / doc-length-percentile
+    pattern."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(14,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    b = c.select(
+        "event_type",
+        F.when(F.col("cents") < 16, F.col("cents"))
+        .otherwise(
+            F.expr(
+                "length(bin(cents)) * 16"
+                " + shiftright(cents, length(bin(cents)) - 5) - 16"
+            )
+        )
+        .alias("id"),
+    )
+    h = b.groupBy("event_type", "id").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    w = h.select(
+        "event_type",
+        "id",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+
+    def _pick(q):
+        return F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"({q} * n + 99) DIV 100"),
+                F.col("id"),
+            )
+        ).alias(f"i{q}")
+
+    def _lb(i):
+        return (
+            F.when(F.col(i) < 16, F.col(i))
+            .otherwise(
+                F.expr(f"shiftleft(16 + {i} % 16, {i} DIV 16 - 5)")
+            )
+            .cast("long")
+        )
+
+    pick = w.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"), _pick(50), _pick(95), _pick(99)
+    )
+    return pick.select(
+        "event_type",
+        "n",
+        _lb("i50").alias("p50_cents_lb"),
+        _lb("i95").alias("p95_cents_lb"),
+        _lb("i99").alias("p99_cents_lb"),
+    )
+
+
+@register(
+    "int8_quantized_topk",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), m AS (
+      SELECT vec_id, MAX(ABS(v)) AS m FROM ex GROUP BY 1
+    ), q AS (
+      SELECT ex.vec_id, pos,
+             CASE WHEN m.m = 0 THEN 0
+                  ELSE CAST(trunc(127.0 * v / m.m) AS BIGINT) END AS qv
+      FROM ex JOIN m USING (vec_id)
+    ), qs AS (
+      SELECT vec_id AS query_id, pos, qv FROM q WHERE vec_id < 5
+    ), dots AS (
+      SELECT qs.query_id, q.vec_id,
+             CAST(SUM(qs.qv * q.qv) AS BIGINT) AS qdot
+      FROM qs JOIN q ON q.pos = qs.pos AND q.vec_id <> qs.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, qdot, rk FROM (
+      SELECT query_id, vec_id, qdot,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY qdot DESC, vec_id) AS BIGINT) AS rk
+      FROM dots
+    ) WHERE rk <= 3
+    """,
+)
+def q_int8_quantized_topk(spark, sf_dir):
+    """Int8 embedding quantization + exact-integer retrieval:
+    symmetric per-vector max-abs quantization (q = trunc(127·v/‖v‖∞),
+    truncation not rounding — round-half modes differ across engines,
+    trunc doesn't), then top-3 neighbors per query vector ranked by
+    the QUANTIZED dot product, which is an exact int64 sum — so the
+    distributed ranking is bit-deterministic on any partitioning,
+    unlike float-cosine top-k where 1-ulp summation differences can
+    flip ranks. This is the 100 TB retrieval storage/compute lever:
+    int8 codes are 4× smaller than f32 (scan-bound wins), integer
+    SIMD dot products, and the float reconstruction (q·m/127) is only
+    needed for the final re-rank — the recall-vs-float-baseline
+    property is asserted in test_r4_pipeline. Plan: one posexplode →
+    per-vector max-abs agg (partial+final) → quantize → the 5-query
+    side (5·64 rows) broadcasts onto the code table keyed by
+    position, integer partial-agg dot, per-query top-k window.
+    Companion to ann_lsh_topk/ann_ivf_topk (candidate generation);
+    this is the code-compression leg."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "vf")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("vf").cast("double").alias("v"),
+    )
+    m = ex.groupBy("vec_id").agg(F.max(F.abs("v")).alias("m"))
+    q = ex.join(m, "vec_id").select(
+        "vec_id",
+        "pos",
+        F.when(F.col("m") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr("cast(127.0 * v / m as bigint)")
+        )
+        .alias("qv"),
+    )
+    qs = q.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "pos", F.col("qv").alias("pqv")
+    )
+    dots = (
+        q.join(broadcast(qs), "pos")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum(F.col("pqv") * F.col("qv")).cast("long").alias("qdot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), "vec_id"
+    )
+    return (
+        dots.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select("query_id", "vec_id", "qdot", "rk")
+    )
+
+
+@register(
+    "pii_redact_stats",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id, source,
+             text
+             || CASE WHEN doc_id % 3 <> 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@mail-' || source || '.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 2 = 0
+                     THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                     ELSE '' END AS t
+      FROM documents
+    ), red AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               AS n_email,
+             len(regexp_extract_all(t,
+               '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ip,
+             regexp_replace(
+               regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
+               '<IP>', 'g') AS rt
+      FROM aug
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_email) AS BIGINT) AS emails_redacted,
+           CAST(SUM(n_ip) AS BIGINT) AS ips_redacted,
+           CAST(SUM(('0x' || substr(md5(rt), 1, 12))::BIGINT) AS BIGINT)
+             AS redacted_hash_sum
+    FROM red GROUP BY source
+    """,
+)
+def q_pii_redact_stats(spark, sf_dir):
+    """PII detection + redaction over documents — the release gate a
+    training corpus passes before leaving the curation pipeline:
+    count and scrub email addresses and dotted-quad IPs per source,
+    and fingerprint the REDACTED text (order-insensitive sum of
+    per-doc 48-bit md5 prefixes) so the oracle verifies the scrubbed
+    bytes, not just the counts. The synthetic corpus contains no PII,
+    so the query first plants a deterministic email/IP per doc_id
+    residue class (2/3 of docs get an email, 1/2 an IP — the plant is
+    part of the query text on BOTH engines, making the redaction
+    machinery non-vacuous and exactly checkable). Patterns stay in
+    the Java-regex ∩ RE2 common subset (classes, bounded repeats — no
+    backrefs/lookarounds), the one portability constraint on regex
+    ops; DuckDB needs the 'g' flag to match Spark's replace-all.
+    Plan: pure JVM per-row expressions + one partial+final agg —
+    zero extra shuffles, scan-bound at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    email_pat = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ip_pat = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+    aug = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 != 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail-"),
+                    F.col("source"),
+                    F.lit(".com"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" from 10."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".0."),
+                    ((F.col("doc_id") * 7) % 256).cast("string"),
+                ),
+            ).otherwise(""),
+        ).alias("t"),
+    )
+    red = aug.select(
+        "source",
+        F.size(F.regexp_extract_all("t", F.lit(email_pat), F.lit(0))).alias(
+            "n_email"
+        ),
+        F.size(F.regexp_extract_all("t", F.lit(ip_pat), F.lit(0))).alias(
+            "n_ip"
+        ),
+        F.regexp_replace(
+            F.regexp_replace("t", email_pat, "<EMAIL>"),
+            ip_pat,
+            "<IP>",
+        ).alias("rt"),
+    )
+    return red.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").cast("long").alias("emails_redacted"),
+        F.sum("n_ip").cast("long").alias("ips_redacted"),
+        F.sum(
+            F.expr(
+                "cast(conv(substring(md5(rt), 1, 12), 16, 10) as bigint)"
+            )
+        )
+        .cast("long")
+        .alias("redacted_hash_sum"),
+    )
+
+
+@register("bpe_merges")  # no SQL oracle: iterative argmax training
+def q_bpe_merges(spark, sf_dir):
+    """Train 8 BPE merges over the corpus (operators/text.py::
+    bpe_learn) and return the merge table (round, pair, freq) — the
+    subword-tokenizer training step of an LLM data pipeline.
+    Genuinely non-SQL-expressible (each round's re-tokenization
+    depends on the previous round's argmax — a recursive CTE cannot
+    aggregate over its own recursive term), so the driver records
+    the weaker rows-only check; the exact semantics are pinned by
+    test_r4_pipeline::test_bpe_merges_match_local_recompute, a
+    pure-Python BPE with identical tie-breaking."""
+    return T.bpe_learn(_t(spark, sf_dir, "documents"), rounds=8)
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -5555,14 +6150,16 @@ _FRONT: list[str] = [
     # property tests) — slot goes to span_dedup_clean below
     # sorted_runlength_agg rotated OUT in r4 (r1+r3 green; A4 pinned
     # by the partial-agg plan test)
-    "wordcount_udf_surface",
+    # wordcount_udf_surface rotated OUT in r4 (r1+r3 green; U1 pinned
+    # by test_udfs_cogroup) — slot goes to bm25_scores below
     # dedup_exact rotated OUT in r4 (r1+r3 green; exact-dedup pinned
     # by tests; minhash/simhash keep the family in-window)
-    "minhash_lsh_pairs",
+    # minhash_lsh_pairs rotated OUT in r4 (r1+r3 green; LSH banding
+    # pinned by completeness tests) — slot goes to hdr_quantile_sketch
     # simhash_pairs rotated OUT in r4 (r1+r3 green; pigeonhole
-    # completeness pinned by tests; minhash keeps near-dup sampled) —
-    # slot goes to source_token_drift below
-    "token_stats",
+    # completeness pinned by tests) — slot goes to source_token_drift
+    # token_stats rotated OUT in r4 (r1+r3 green; textstats pinned by
+    # tests) — slot goes to int8_quantized_topk below
     # text_quality / doc_fingerprint / lang_id rotated OUT in r4 (all
     # r1+r3 green; token_stats keeps the textstats family sampled) —
     # lang_id's slot goes to priority_sample_per_source below
@@ -5595,6 +6192,14 @@ _FRONT: list[str] = [
     "streaming_session_windows",
     "priority_sample_per_source",
     "source_token_drift",
+    "bm25_scores",
+    "hdr_quantile_sketch",
+    "int8_quantized_topk",
+    # bloom_prune_accounting and pii_redact_stats (r4-new) stay
+    # OUTSIDE the window this round — both all-integer output (lowest
+    # hash risk), pinned by test_bloom_prune_has_no_false_negatives /
+    # test_pii_redaction_leaves_no_residual_matches; rotate into the
+    # r5 window per the standing new-plan rule.
 ]
 
 

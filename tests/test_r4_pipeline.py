@@ -212,3 +212,229 @@ def test_source_token_drift_matches_local_recompute(spark):
         assert r.n_tokens == n_s
         assert r.tvd == tvd
         assert 0.0 <= r.tvd <= 1.0
+
+
+def test_hdr_sketch_error_bound_vs_exact(spark):
+    """The sketch's reported bucket lower bound must sit within the
+    designed relative error of the exact rank statistic: for the
+    HDR scheme (16 linear sub-buckets per octave) the true quantile
+    x lies in [lb, lb * 17/16) for lb >= 16, so lb <= x_exact and
+    x_exact < lb * 1.0625 (+1 for the integer ceiling)."""
+    out = {r.event_type: r for r in _q("hdr_quantile_sketch")(spark, SF_SMALL).collect()}
+    ev = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select(
+            "event_type",
+            (F.col("value").cast("decimal(14,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in ev:
+        groups[r.event_type].append(r.cents)
+    assert set(out) == set(groups)
+    for et, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        r = out[et]
+        assert r.n == n
+        for q, lb in ((50, r.p50_cents_lb), (95, r.p95_cents_lb), (99, r.p99_cents_lb)):
+            # the sketch picks the bucket containing the ceil(q*n/100)-th
+            # order statistic; its lower bound brackets the exact value
+            exact = vals[-(-q * n // 100) - 1]
+            assert lb <= exact, (et, q, lb, exact)
+            upper = lb + 1 if lb < 16 else (lb * 17) // 16 + 1
+            assert exact < upper, (et, q, lb, exact)
+
+
+def test_int8_topk_recall_vs_float_baseline(spark):
+    """Quantized int8 top-3 must substantially agree with the exact
+    float-dot top-3 (recall >= 0.6 on the test corpus), and every
+    reported qdot must equal a local recompute of the quantized dot
+    product."""
+    import numpy as np
+
+    out = _q("int8_quantized_topk")(spark, SF_SMALL).collect()
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    codes = {}
+    for vid, v in vecs.items():
+        m = np.max(np.abs(v))
+        codes[vid] = (
+            np.zeros_like(v, dtype=np.int64)
+            if m == 0
+            else np.trunc(127.0 * v / m).astype(np.int64)
+        )
+    got = {}
+    for r in out:
+        assert r.qdot == int(np.dot(codes[r.query_id], codes[r.vec_id]))
+        got.setdefault(r.query_id, []).append(r.vec_id)
+    hits = total = 0
+    for qid in got:
+        exact = sorted(
+            (v for v in vecs if v != qid),
+            key=lambda v: (-float(np.dot(vecs[qid], vecs[v])), v),
+        )[:3]
+        hits += len(set(got[qid]) & set(exact))
+        total += 3
+    assert total == 15
+    assert hits / total >= 0.6, hits / total
+
+
+def test_bloom_prune_has_no_false_negatives(spark):
+    """Bloom filters overapproximate: every exact member must pass
+    (bloom_pass >= exact_members per nation, false_pos >= 0 and
+    consistent), and the filter must actually prune (global pass
+    count well below the full customer count)."""
+    out = _q("bloom_prune_accounting")(spark, SF_SMALL).collect()
+    n_cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet").count()
+    assert len(out) > 0
+    for r in out:
+        assert r.false_pos >= 0
+        assert r.bloom_pass == r.exact_members + r.false_pos
+    total_pass = sum(r.bloom_pass for r in out)
+    total_exact = sum(r.exact_members for r in out)
+    assert total_pass >= total_exact
+    assert total_pass < n_cust  # the filter prunes
+
+
+def test_bm25_matches_local_recompute(spark):
+    """Pure-Python recompute of the fixed-point BM25 with unbounded
+    ints for every factor and the SAME IEEE operation order — values
+    must match bit-for-bit."""
+    import re
+    from collections import Counter
+
+    out = {r.doc_id: r for r in _q("bm25_scores")(spark, SF_SMALL).collect()}
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    tf: dict[int, Counter] = {}
+    for d in docs:
+        words = [w for w in re.split("[^A-Za-z]+", d.text) if w]
+        tf[d.doc_id] = Counter(words)
+    n = len(docs)
+    df = Counter()
+    for c in tf.values():
+        df.update(c.keys())
+    t = sum(sum(c.values()) for c in tf.values())
+    qterms = sorted(
+        ((w, d) for w, d in df.items() if len(w) >= 4),
+        key=lambda wd: (-wd[1], wd[0]),
+    )[:3]
+    expect_docs = {
+        did for did, c in tf.items() if any(w in c for w, _ in qterms)
+    }
+    assert set(out) == expect_docs
+    for did in expect_docs:
+        dl = sum(tf[did].values())
+        ss = []
+        for w, dfw in qterms:
+            f = tf[did][w]
+            if f == 0:
+                ss.append(0.0)
+                continue
+            idf_fp = ((2 * (n - dfw) + 1) * 1000000) // (2 * dfw + 1)
+            ss.append(float(idf_fp * 22 * f * t) / float(10 * f * t + 3 * t + 9 * dl * n))
+        r = out[did]
+        assert (r.s1, r.s2, r.s3) == tuple(ss)
+        assert r.bm25 == (ss[0] + ss[1]) + ss[2]
+
+
+def test_pii_redaction_leaves_no_residual_matches(spark):
+    """After redaction the corpus must contain ZERO residual
+    email/IP matches (the invariant the hash parity can't state),
+    and the planted counts must match the residue-class arithmetic."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    out = _q("pii_redact_stats")(spark, SF_SMALL).collect()
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    assert sum(r.emails_redacted for r in out) == sum(
+        1 for i in ids if i % 3 != 0
+    )
+    assert sum(r.ips_redacted for r in out) == sum(
+        1 for i in ids if i % 2 == 0
+    )
+    email_pat = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ip_pat = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+    aug = docs.select(
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 != 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail-"),
+                    F.col("source"),
+                    F.lit(".com"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" from 10."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".0."),
+                    ((F.col("doc_id") * 7) % 256).cast("string"),
+                ),
+            ).otherwise(""),
+        ).alias("t")
+    )
+    residual = aug.select(
+        F.regexp_replace(
+            F.regexp_replace("t", email_pat, "<EMAIL>"), ip_pat, "<IP>"
+        ).alias("rt")
+    ).where(
+        F.col("rt").rlike(email_pat) | F.col("rt").rlike(ip_pat)
+    )
+    assert residual.count() == 0
+
+
+def test_bpe_merges_match_local_recompute(spark):
+    """Pure-Python BPE (word-freq table, argmax pair with the same
+    (freq desc, a asc, b asc) tie-break, left-to-right non-overlapping
+    merge) must produce the identical 8-row merge table."""
+    import re
+    from collections import Counter
+
+    out = [
+        (r.round, r.pair, r.freq)
+        for r in _q("bpe_merges")(spark, SF_SMALL).collect()
+    ]
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    wc = Counter()
+    for d in docs:
+        wc.update(w for w in re.split("[^A-Za-z]+", d.text) if w)
+    syms = {tuple(w) + ("_",): c for w, c in wc.items()}
+    expect = []
+    for rnd in range(1, 9):
+        pc = Counter()
+        for s, c in syms.items():
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        (a, b), f = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((rnd, f"{a}+{b}", f))
+        merged = {}
+        for s, c in syms.items():
+            acc = []
+            for x in s:
+                if acc and acc[-1] == a and x == b:
+                    acc[-1] = a + b
+                else:
+                    acc.append(x)
+            t = tuple(acc)
+            merged[t] = merged.get(t, 0) + c
+        syms = merged
+    assert sorted(out) == expect
