@@ -6053,6 +6053,94 @@ def q_pii_redact_stats(spark, sf_dir):
     )
 
 
+@register(
+    "leakage_safe_split",
+    oracle="WITH RECURSIVE " + _SH_CTE + """,
+    based AS (SELECT doc_id,
+                      ('0x' || substr(md5(sh), 1, 10))::BIGINT AS base
+               FROM sh),
+    seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+    sigs AS (
+      SELECT doc_id, seed,
+             MIN(((976369 + 2 * seed) * base + (13 + 97 * seed))
+                 % 1099511627776) AS minhash
+      FROM based CROSS JOIN seeds
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, seed // 4 AS band,
+             string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_key
+      FROM sigs GROUP BY doc_id, seed // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM cand
+      JOIN sigs sa ON sa.doc_id = doc_a
+      JOIN sigs sb ON sb.doc_id = doc_b AND sb.seed = sa.seed
+      GROUP BY doc_a, doc_b
+      HAVING CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+                  AS DOUBLE) / 16 >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src
+    ),
+    clusters AS (
+      SELECT node AS doc_id, MIN(label) AS cluster_id
+      FROM reach GROUP BY node
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)),
+                                     1, 12))::BIGINT % 100 < 90
+                THEN 'train' ELSE 'val' END AS split
+    FROM clusters
+    """,
+)
+def q_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val split: assign each NEAR-DUP CLUSTER (not
+    each document) to a split via a deterministic hash of the cluster
+    id — the guard `train_val_split` lacks: a doc-level hash split
+    routinely puts two near-duplicates on opposite sides of the
+    train/val boundary, silently inflating eval scores; splitting by
+    the MinHash-LSH connected component makes cross-split
+    near-duplicate leakage structurally impossible (asserted by
+    test_r4_pipeline::test_leakage_safe_split_has_no_cross_split_pairs).
+    Plan: the alternating-star CC of dedup_clusters (O(log n) rounds,
+    banded LSH candidates) plus one JVM hash expression — no new
+    shuffle beyond the clustering itself. The 90/10 ratio holds in
+    expectation per cluster, exact at the corpus level only as
+    clusters are small (reported, not resampled — resampling would
+    reintroduce the leak)."""
+    docs = _t(spark, sf_dir, "documents")
+    clusters = DD.dedup_clusters(docs, 0.5)
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.when(
+            F.expr(
+                "cast(conv(substring(md5(cast(cluster_id as string)),"
+                " 1, 12), 16, 10) as bigint) % 100"
+            )
+            < 90,
+            "train",
+        )
+        .otherwise("val")
+        .alias("split"),
+    )
+
+
 @register("bpe_merges")  # no SQL oracle: iterative argmax training
 def q_bpe_merges(spark, sf_dir):
     """Train 8 BPE merges over the corpus (operators/text.py::
@@ -6195,11 +6283,12 @@ _FRONT: list[str] = [
     "bm25_scores",
     "hdr_quantile_sketch",
     "int8_quantized_topk",
-    # bloom_prune_accounting and pii_redact_stats (r4-new) stay
-    # OUTSIDE the window this round — both all-integer output (lowest
-    # hash risk), pinned by test_bloom_prune_has_no_false_negatives /
-    # test_pii_redaction_leaves_no_residual_matches; rotate into the
-    # r5 window per the standing new-plan rule.
+    # bloom_prune_accounting, pii_redact_stats, leakage_safe_split and
+    # bpe_merges (r4-new) stay OUTSIDE the window this round — all
+    # integer/string output (lowest hash risk), each pinned by a
+    # dedicated r4 test (no-false-negatives / zero-residual /
+    # no-crossing-pairs / exact-BPE-recompute); rotate into the r5
+    # window per the standing new-plan rule.
 ]
 
 

@@ -438,3 +438,27 @@ def test_bpe_merges_match_local_recompute(spark):
             merged[t] = merged.get(t, 0) + c
         syms = merged
     assert sorted(out) == expect
+
+
+def test_leakage_safe_split_has_no_cross_split_pairs(spark):
+    """THE invariant: no near-dup (LSH) pair may span the train/val
+    boundary, and the split ratio must be roughly 90/10."""
+    from distributed_mapreduce_p2p_spark.operators import dedup as DD
+
+    out = _q("leakage_safe_split")(spark, SF_SMALL)
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    pairs = DD.minhash_lsh_pairs(docs, 0.5).select("doc_a", "doc_b")
+    sp = out.select("doc_id", "split")
+    crossing = (
+        pairs.join(sp.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("split", "split_a")
+        .join(sp.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .where(F.col("split_a") != F.col("split"))
+    )
+    assert crossing.count() == 0
+    counts = dict(
+        out.groupBy("split").count().rdd.map(lambda r: (r[0], r[1])).collect()
+    )
+    total = sum(counts.values())
+    assert total == docs.count()
+    assert 0.75 <= counts.get("train", 0) / total <= 0.99
