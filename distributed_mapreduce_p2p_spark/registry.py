@@ -6141,6 +6141,96 @@ def q_leakage_safe_split(spark, sf_dir):
     )
 
 
+@register(
+    "snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey AS k,
+             md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus
+                 || '|' || CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                                AS VARCHAR)) AS h
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ), v2 AS (
+      SELECT o_orderkey AS k,
+             md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus
+                 || '|' || CAST(CASE WHEN o_orderkey % 5 = 0
+                            THEN CAST(o_totalprice AS DECIMAL(14,2))
+                                 + CAST(0.01 AS DECIMAL(14,2))
+                            ELSE CAST(o_totalprice AS DECIMAL(14,2)) END
+                            AS VARCHAR)) AS h
+      FROM orders WHERE o_orderkey % 11 <> 0
+    ), d AS (
+      SELECT COALESCE(v1.k, v2.k) AS k,
+             CASE WHEN v1.k IS NULL THEN 'added'
+                  WHEN v2.k IS NULL THEN 'removed'
+                  WHEN v1.h <> v2.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS key_checksum
+    FROM d GROUP BY status
+    """,
+)
+def q_snapshot_diff(spark, sf_dir):
+    """CDC snapshot diff — the incremental-ingest primitive: compare
+    two versions of a keyed table and classify every key as
+    added / removed / changed / unchanged, via ONE co-partitioned
+    full outer join on the key with a per-row md5 over the value
+    columns (row-hash compare: one string hash per side instead of
+    N column comparisons — at 100 TB the hash is computed at scan
+    time and the join carries only (key, hash)). The two versions are
+    carved deterministically from ``orders`` on BOTH engines (v1
+    drops keys ≡0 mod 7, v2 drops ≡0 mod 11 and bumps the price of
+    keys ≡0 mod 5 by one cent) — the carve is the harness, the diff
+    machinery is the operator. The float price is cast to
+    DECIMAL(14,2) BEFORE stringifying/bumping (double formatting
+    differs across engines; low-scale decimal doesn't). Output is
+    the per-status count + key checksum; the full change stream is
+    the pre-aggregation relation."""
+    orders = _t(spark, sf_dir, "orders")
+    price_dec = F.col("o_totalprice").cast("decimal(14,2)")
+    h1 = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            price_dec.cast("string"),
+        )
+    )
+    h2 = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.when(
+                F.col("o_orderkey") % 5 == 0,
+                price_dec + F.lit("0.01").cast("decimal(14,2)"),
+            )
+            .otherwise(price_dec)
+            .cast("string"),
+        )
+    )
+    v1 = orders.where(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k1"), h1.alias("h1")
+    )
+    v2 = orders.where(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("k2"), h2.alias("h2")
+    )
+    d = v1.join(v2, F.col("k1") == F.col("k2"), "full_outer").select(
+        F.coalesce("k1", "k2").alias("k"),
+        F.when(F.col("k1").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .when(F.col("h1") != F.col("h2"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("long").alias("key_checksum"),
+    )
+
+
 @register("bpe_merges")  # no SQL oracle: iterative argmax training
 def q_bpe_merges(spark, sf_dir):
     """Train 8 BPE merges over the corpus (operators/text.py::
@@ -6283,8 +6373,9 @@ _FRONT: list[str] = [
     "bm25_scores",
     "hdr_quantile_sketch",
     "int8_quantized_topk",
-    # bloom_prune_accounting, pii_redact_stats, leakage_safe_split and
-    # bpe_merges (r4-new) stay OUTSIDE the window this round — all
+    # bloom_prune_accounting, pii_redact_stats, leakage_safe_split,
+    # snapshot_diff and bpe_merges (r4-new) stay OUTSIDE the window
+    # this round — all
     # integer/string output (lowest hash risk), each pinned by a
     # dedicated r4 test (no-false-negatives / zero-residual /
     # no-crossing-pairs / exact-BPE-recompute); rotate into the r5

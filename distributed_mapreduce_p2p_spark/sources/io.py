@@ -475,3 +475,95 @@ def compact_files(
     n_out = max(1, math.ceil(total / target_bytes))
     df.repartition(n_out).write.mode("overwrite").parquet(dst)
     return n_out
+
+
+def publish_atomic(
+    df: DataFrame,
+    table_root: str,
+    expected_version: int | None = None,
+) -> dict:
+    """Atomic dataset publication: write the DataFrame to a new
+    immutable version directory ``v=<N>/`` under ``table_root``, then
+    make it live by writing a tiny ``_MANIFEST.json`` (version, file
+    list, per-file row counts, total rows) with an atomic rename.
+    Readers resolve the manifest first and read ONLY the files it
+    lists, so they never observe a half-written version — the
+    publish/commit pattern every multi-writer 100 TB table needs
+    (the same reader-vs-writer contract Iceberg/Delta snapshots
+    formalize; this is the minimal dependency-free form).
+
+    Concurrency: the manifest rename is the commit point.
+    ``expected_version`` is an optimistic-concurrency guard — if
+    another writer published meanwhile, the current version no longer
+    matches and the publish raises instead of clobbering (the loser
+    re-reads and retries, first-writer-wins). Data files for the
+    losing version are left unreferenced (never visible) and are
+    garbage for a compaction/vacuum pass, never a correctness hazard.
+
+    Returns the manifest dict. Local paths in tests; on a cluster the
+    rename needs an atomic-rename store (HDFS/ABFS) — on S3 the
+    commit point becomes a conditional PUT, same contract.
+    """
+    import json
+    import os
+    import tempfile
+
+    os.makedirs(table_root, exist_ok=True)
+    current = read_manifest(table_root)
+    cur_ver = current["version"] if current else 0
+    if expected_version is not None and cur_ver != expected_version:
+        raise RuntimeError(
+            f"concurrent publish: expected v{expected_version}, "
+            f"table is at v{cur_ver}"
+        )
+    new_ver = cur_ver + 1
+    vdir = os.path.join(table_root, f"v={new_ver}")
+    df.write.mode("errorifexists").parquet(vdir)
+    spark = df.sparkSession
+    files = sorted(
+        f
+        for f in os.listdir(vdir)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+    counts = {
+        f: spark.read.parquet(os.path.join(vdir, f)).count() for f in files
+    }
+    manifest = {
+        "version": new_ver,
+        "dir": f"v={new_ver}",
+        "files": files,
+        "row_counts": counts,
+        "total_rows": sum(counts.values()),
+    }
+    fd, tmp = tempfile.mkstemp(dir=table_root, prefix="._manifest.")
+    with os.fdopen(fd, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(table_root, "_MANIFEST.json"))
+    return manifest
+
+
+def read_manifest(table_root: str) -> dict | None:
+    """Read the live manifest of a ``publish_atomic`` table (None if
+    never published)."""
+    import json
+    import os
+
+    path = os.path.join(table_root, "_MANIFEST.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def read_published(spark: SparkSession, table_root: str) -> DataFrame:
+    """Read the LIVE version of a ``publish_atomic`` table: resolve
+    the manifest, then scan exactly the files it lists — a concurrent
+    in-flight publish (data files written, manifest not yet renamed)
+    is invisible."""
+    m = read_manifest(table_root)
+    if m is None:
+        raise FileNotFoundError(f"no published version at {table_root}")
+    import os
+
+    paths = [os.path.join(table_root, m["dir"], f) for f in m["files"]]
+    return spark.read.parquet(*paths)

@@ -580,3 +580,82 @@ def test_compact_files_hits_target_file_count(spark, tmpdir):
     # KB-sized stragglers and no monolith)
     for f in got:
         assert __import__("os").path.getsize(f) > total // 40
+
+
+def test_publish_atomic_versioning_and_isolation(spark, tmp_path):
+    """Version 1 then version 2: readers always see exactly the
+    manifest's files; a half-written version directory (data present,
+    manifest not renamed) is invisible; optimistic concurrency raises
+    on a version conflict instead of clobbering."""
+    import os
+
+    from distributed_mapreduce_p2p_spark.sources import io as IO
+
+    root = str(tmp_path / "tbl")
+    df1 = spark.range(100).withColumnRenamed("id", "k")
+    m1 = IO.publish_atomic(df1, root)
+    assert m1["version"] == 1 and m1["total_rows"] == 100
+    assert IO.read_published(spark, root).count() == 100
+
+    # simulate a concurrent in-flight publish: data dir exists,
+    # manifest NOT updated -> readers still see v1
+    (tmp_path / "tbl" / "v=99").mkdir()
+    df_half = spark.range(7).withColumnRenamed("id", "k")
+    df_half.write.mode("overwrite").parquet(str(tmp_path / "tbl" / "v=99"))
+    assert IO.read_published(spark, root).count() == 100
+
+    m2 = IO.publish_atomic(df1.union(df1), root, expected_version=1)
+    assert m2["version"] == 2 and m2["total_rows"] == 200
+    got = IO.read_published(spark, root)
+    assert got.count() == 200
+    # manifest lists only v=2 files, all of which exist
+    for f in m2["files"]:
+        assert os.path.exists(os.path.join(root, "v=2", f))
+
+    # optimistic concurrency: a writer that read v1 must NOT publish
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="concurrent publish"):
+        IO.publish_atomic(df1, root, expected_version=1)
+    # loser's failure left the live version untouched
+    assert IO.read_manifest(root)["version"] == 2
+
+
+def test_schema_evolution_mergeschema_and_pinned_read(spark, tmp_path):
+    """Additive schema evolution: a newer batch adds a column; a
+    mergeSchema read unions the schemas (old rows null-filled), and a
+    schema-pinned read (the production policy for a 100 TB table —
+    never infer per-job) yields stable types regardless of footer
+    order."""
+    from pyspark.sql import types as ST
+
+    root = str(tmp_path / "evo")
+    spark.range(10).selectExpr("id AS k", "id * 2 AS a").write.parquet(
+        root + "/batch=1"
+    )
+    spark.range(5).selectExpr(
+        "id + 100 AS k", "id AS a", "concat('v', id) AS b"
+    ).write.parquet(root + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    assert set(merged.columns) == {"k", "a", "b", "batch"}
+    assert merged.count() == 15
+    assert merged.where("b IS NULL").count() == 10
+
+    pinned = ST.StructType(
+        [
+            ST.StructField("k", ST.LongType()),
+            ST.StructField("a", ST.LongType()),
+            ST.StructField("b", ST.StringType()),
+        ]
+    )
+    stable = spark.read.schema(pinned).parquet(root)
+    # partition discovery appends the batch column; the pinned DATA
+    # fields must come back exactly as declared
+    assert [
+        f.dataType.simpleString()
+        for f in stable.schema.fields
+        if f.name in ("k", "a", "b")
+    ] == ["bigint", "bigint", "string"]
+    assert stable.count() == 15
+    assert stable.where("b IS NOT NULL").count() == 5
