@@ -6231,6 +6231,248 @@ def q_snapshot_diff(spark, sf_dir):
     )
 
 
+@register(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1995-03-15'
+      AND l.l_shipdate > DATE '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1 - l.l_discount AS DECIMAL(4,2))) DESC,
+             l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: segment-filtered customer→orders→lineitem join,
+    revenue per unshipped order, global top-10. The ranking runs on
+    the EXACT DECIMAL revenue (order-insensitive sum, deterministic
+    ties via l_orderkey) and only the emitted column is cast to
+    double — ranking on a float sum can flip adjacent ranks across
+    partitionings. Plan: both dimension filters prune before the fact
+    join (customer is broadcast), and the top-10 is
+    TakeOrderedAndProject — no global sort materialization."""
+    c = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < "1995-03-15"
+    )
+    l = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > "1995-03-15"
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(4,2)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("rev_dec"))
+        .orderBy(F.col("rev_dec").desc(), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            "o_orderdate",
+        )
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01'
+      AND l_shipdate < DATE '1996-01-01'
+      AND CAST(l_discount AS DECIMAL(4,2))
+            BETWEEN CAST(0.05 AS DECIMAL(4,2))
+                AND CAST(0.07 AS DECIMAL(4,2))
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: pure scan-side filter + one exact DECIMAL sum — the
+    canonical predicate-pushdown query (every predicate reaches the
+    parquet scan; no join, no shuffle beyond the final 1-row agg).
+    The discount band compares on the DECIMAL(4,2)-cast column
+    against DECIMAL literals: double-vs-decimal literal comparison is
+    parsed differently by the two engines (DuckDB keeps 0.05 exact
+    decimal, Java makes it a double), so the cast pins both to the
+    same exact arithmetic."""
+    l = _t(spark, sf_dir, "lineitem")
+    d = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & (d >= F.lit("0.05").cast("decimal(4,2)"))
+            & (d <= F.lit("0.07").cast("decimal(4,2)"))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)") * d)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q17_small_qty_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey, COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             / CAST(7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND CAST(l.l_quantity AS DECIMAL(12,2)) * 5 * pa.n < pa.sq
+    """,
+)
+def q_tpch_q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue of small-quantity lineitems where
+    "small" is relative to the PART's average quantity — the
+    correlated-aggregate-subquery decorrelation pattern (the
+    per-part aggregate becomes a join relation computed once, not a
+    per-row subquery). The avg comparison is cleared of division:
+    qty * 5 * n < sum_qty in exact DECIMAL — no float avg, no
+    rounding ambiguity. Plan: one per-part partial+final agg over the
+    fact, re-joined on the same key (co-partitioned under AQE), part
+    filter broadcast."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    qd = F.col("l_quantity").cast("decimal(12,2)")
+    pa = l.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(qd).alias("sq")
+    )
+    return (
+        l.join(broadcast(p), l.l_partkey == p.p_partkey)
+        .join(pa, "l_partkey")
+        .where(qd * 5 * F.col("n") < F.col("sq"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+                .cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "tpch_q21_sole_returner",
+    oracle="""
+    SELECT l1.l_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY l1.l_suppkey
+    """,
+)
+def q_tpch_q21_sole_returner(spark, sf_dir):
+    """TPC-H Q21 shape (adapted to the available columns): per
+    supplier, count the 'R'-flagged lineitems on multi-supplier
+    orders where that supplier is the ONLY one who returned — the
+    EXISTS + NOT-EXISTS double self-correlation on the same fact
+    table, the hardest decorrelation in the TPC-H suite. Expressed as
+    one per-order aggregate (distinct suppliers, distinct returning
+    suppliers) broadcast-joined back — both existentials collapse
+    into two counts, turning two correlated semi/anti joins into ONE
+    shuffle over the fact. At 100 TB the per-order aggregate is
+    partial+final and orders-of-magnitude smaller than lineitem."""
+    l = _t(spark, sf_dir, "lineitem")
+    per_order = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    return (
+        l.where(F.col("l_returnflag") == "R")
+        .join(per_order, "l_orderkey")
+        .where((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "tpch_q22_churned_balance",
+    oracle="""
+    WITH pos AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)))
+                  AS DECIMAL(38,2)) AS s,
+             COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+             AS totacctbal
+    FROM customer c CROSS JOIN pos
+    WHERE CAST(c.c_acctbal AS DECIMAL(12,2)) * pos.n > pos.s
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '2000-06-01')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q_tpch_q22_churned_balance(spark, sf_dir):
+    """TPC-H Q22 shape: per nation, count + total balance of
+    above-average-balance customers with no RECENT order (churned) —
+    scalar global aggregate + anti join. The above-average test is
+    cleared of division (balance · n > sum, exact DECIMAL both
+    sides — no float avg); the NOT EXISTS is a left-anti join against
+    the date-pruned orders scan. Plan: 1-row aggregate broadcast,
+    anti join shuffles only the pruned order keys."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= "2000-06-01"
+    )
+    bd = F.col("c_acctbal").cast("decimal(12,2)")
+    pos = c.where(F.col("c_acctbal") > 0).agg(
+        F.sum(bd).cast("decimal(38,2)").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        c.crossJoin(broadcast(pos))
+        .where(bd * F.col("n") > F.col("s"))
+        .join(
+            o.select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey",
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bd).cast("double").alias("totacctbal"),
+        )
+    )
+
+
 @register("bpe_merges")  # no SQL oracle: iterative argmax training
 def q_bpe_merges(spark, sf_dir):
     """Train 8 BPE merges over the corpus (operators/text.py::
@@ -6374,8 +6616,8 @@ _FRONT: list[str] = [
     "hdr_quantile_sketch",
     "int8_quantized_topk",
     # bloom_prune_accounting, pii_redact_stats, leakage_safe_split,
-    # snapshot_diff and bpe_merges (r4-new) stay OUTSIDE the window
-    # this round — all
+    # snapshot_diff, bpe_merges and the five r4 TPC-H shapes
+    # (q3/q6/q17/q21/q22) stay OUTSIDE the window this round — all
     # integer/string output (lowest hash risk), each pinned by a
     # dedicated r4 test (no-false-negatives / zero-residual /
     # no-crossing-pairs / exact-BPE-recompute); rotate into the r5

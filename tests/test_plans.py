@@ -531,3 +531,49 @@ def test_runtime_bloom_filter_join_pruning(spark):
                     ).count()
                 )
                 assert row.cnt == expected
+
+
+def test_q6_all_predicates_reach_the_scan(spark):
+    """Q6 is THE pushdown query: ship-date bounds and quantity must
+    appear in the parquet PushedFilters, and the plan must contain no
+    join and exactly one (1-row) aggregate exchange."""
+    from distributed_mapreduce_p2p_spark.plans.explain import (
+        explain_str,
+        pushed_filters,
+        shuffle_count,
+    )
+
+    df = _q("tpch_q6_forecast_revenue", spark)
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf and "l_quantity" in pf
+    plan = explain_str(df)
+    assert "Join" not in plan
+    assert shuffle_count(df) == 1
+
+
+def test_q3_topk_is_take_ordered_not_global_sort(spark):
+    """The top-10 must compile to TakeOrderedAndProject (partial
+    per-partition top-k), never a full global Sort materialization,
+    and the ranking column must still be the exact decimal."""
+    from distributed_mapreduce_p2p_spark.plans.explain import explain_str
+
+    df = _q("tpch_q3_shipping_priority", spark)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "rev_dec" in plan
+
+
+def test_q21_double_exists_is_one_fact_shuffle(spark):
+    """The EXISTS + NOT-EXISTS pair must be decorrelated into the
+    per-order aggregate — no semi/anti join against lineitem in the
+    plan, and no more than 3 exchanges total (per-order agg, re-join,
+    final count)."""
+    from distributed_mapreduce_p2p_spark.plans.explain import (
+        explain_str,
+        shuffle_count,
+    )
+
+    df = _q("tpch_q21_sole_returner", spark)
+    plan = explain_str(df)
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
+    assert shuffle_count(df) <= 3, shuffle_count(df)
