@@ -6473,6 +6473,176 @@ def q_tpch_q22_churned_balance(spark, sf_dir):
     )
 
 
+@register(
+    "incremental_agg_maintenance",
+    oracle="""
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE o_orderkey % 11 <> 0
+    GROUP BY o_custkey
+    """,
+)
+def q_incremental_agg_maintenance(spark, sf_dir):
+    """Incremental aggregate (materialized-view) maintenance: the
+    per-customer order count/total for snapshot v2 is computed by
+    APPLYING THE DELTA to the v1 aggregate — added rows contribute
+    (+1, +price), removed rows (−1, −price), merged by one full
+    outer join and groups whose count reaches zero are dropped. The
+    ORACLE is the direct v2 aggregate, so the driver's hash compare
+    IS the proof of the maintenance identity (base ⊕ Δ ≡ recompute) —
+    including the exactness of the DECIMAL money arithmetic under
+    subtraction. At 100 TB this is why you never recompute: the delta
+    is orders of magnitude smaller than the base; the merge is a
+    co-partitioned join on the group key. Versions are carved as in
+    snapshot_diff (v1 drops ≡0 mod 7, v2 drops ≡0 mod 11)."""
+    orders = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(14,2)")
+    k = F.col("o_orderkey")
+    v1 = orders.where(k % 7 != 0)
+    base = v1.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("bn"), F.sum(price).alias("bs")
+    )
+    added = orders.where((k % 7 == 0) & (k % 11 != 0)).select(
+        "o_custkey", F.lit(1).alias("dn"), price.alias("ds")
+    )
+    removed = orders.where((k % 11 == 0) & (k % 7 != 0)).select(
+        "o_custkey", F.lit(-1).alias("dn"), (-price).alias("ds")
+    )
+    delta = (
+        added.unionAll(removed)
+        .groupBy("o_custkey")
+        .agg(F.sum("dn").alias("dn"), F.sum("ds").alias("ds"))
+    )
+    zero = F.lit(0).cast("decimal(24,2)")
+    return (
+        base.join(delta, "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            (
+                F.coalesce("bn", F.lit(0)) + F.coalesce("dn", F.lit(0))
+            ).alias("n_orders"),
+            (
+                F.coalesce(F.col("bs").cast("decimal(24,2)"), zero)
+                + F.coalesce(F.col("ds").cast("decimal(24,2)"), zero)
+            ).alias("total_dec"),
+        )
+        .where(F.col("n_orders") > 0)
+        .select(
+            "o_custkey",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("total_dec").cast("double").alias("total"),
+        )
+    )
+
+
+@register(
+    "source_overlap_matrix",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS wl
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT source,
+             ('0x' || substr(md5(concat_ws(' ', wl[i], wl[i+1], wl[i+2],
+                                           wl[i+3], wl[i+4])),
+                             1, 12))::BIGINT AS h
+      FROM w, unnest(CASE WHEN len(wl) >= 5
+                          THEN generate_series(1, len(wl) - 4)
+                          ELSE [] END) AS t(i)
+    ), sz AS (
+      SELECT source, COUNT(*) AS n FROM sh GROUP BY 1
+    ), ov AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT ov.src_a, ov.src_b, CAST(ov.common AS BIGINT) AS common,
+           CAST(ov.common AS DOUBLE)
+             / CAST(za.n + zb.n - ov.common AS DOUBLE) AS jaccard
+    FROM ov
+    JOIN sz za ON za.source = ov.src_a
+    JOIN sz zb ON zb.source = ov.src_b
+    """,
+)
+def q_source_overlap_matrix(spark, sf_dir):
+    """Cross-source contamination matrix: for every source pair, the
+    number of shared distinct 5-gram shingles and the shingle-set
+    Jaccard — the inter-source duplication audit that tells a mixture
+    designer which domains are actually the same crawl twice. The
+    pair discovery is an equi-join on the 48-bit shingle hash (not a
+    source×source comparison): at 100 TB cost is Σ per-shingle
+    source-frequency², bounded because duplicated shingles are
+    repeated across ≤|sources| groups, and the output is at most
+    |sources|² rows. Jaccard = common / (|A|+|B|−common) from exact
+    integer counts, one IEEE division."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "source",
+            F.expr(
+                "filter(split(lower(text), '[^a-z]+'), x -> x <> '')"
+            ).alias("wl"),
+        )
+        .where(F.size("wl") >= 5)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(wl) - 4), i ->"
+                    " concat_ws(' ', element_at(wl, i),"
+                    " element_at(wl, i + 1), element_at(wl, i + 2),"
+                    " element_at(wl, i + 3), element_at(wl, i + 4)))"
+                )
+            ).alias("g"),
+        )
+        .select(
+            "source",
+            F.expr(
+                "cast(conv(substring(md5(g), 1, 12), 16, 10) as bigint)"
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    sz = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("source").alias("src_a"), "h")
+    b = sh.select(F.col("source").alias("src_b"), "h")
+    ov = (
+        a.join(b, "h")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        ov.join(
+            broadcast(sz.withColumnRenamed("source", "src_a")).withColumnRenamed(
+                "n", "na"
+            ),
+            "src_a",
+        )
+        .join(
+            broadcast(sz.withColumnRenamed("source", "src_b")).withColumnRenamed(
+                "n", "nb"
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.col("common").cast("long").alias("common"),
+            (
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
+
+
 @register("bpe_merges")  # no SQL oracle: iterative argmax training
 def q_bpe_merges(spark, sf_dir):
     """Train 8 BPE merges over the corpus (operators/text.py::
@@ -6616,7 +6786,8 @@ _FRONT: list[str] = [
     "hdr_quantile_sketch",
     "int8_quantized_topk",
     # bloom_prune_accounting, pii_redact_stats, leakage_safe_split,
-    # snapshot_diff, bpe_merges and the five r4 TPC-H shapes
+    # snapshot_diff, incremental_agg_maintenance,
+    # source_overlap_matrix, bpe_merges and the five r4 TPC-H shapes
     # (q3/q6/q17/q21/q22) stay OUTSIDE the window this round — all
     # integer/string output (lowest hash risk), each pinned by a
     # dedicated r4 test (no-false-negatives / zero-residual /
