@@ -1,0 +1,154 @@
+"""Drop-in CLI — the reference's user surface as one command.
+
+The reference is driven by ``go run server.go`` + 8×``go run
+client.go`` and produces ``mr-out-final`` (sorted ``word count``
+lines) from the space-chunked text corpus in ``chunks/``
+(README.md "How to Run"; worker.go:218-272 writes the merged
+output). A reference user switches by replacing that whole flow
+with::
+
+    python -m distributed_mapreduce_p2p_spark wordcount \
+        /path/to/chunks/* -o out.txt [--chunked] [--top K]
+
+which emits byte-identical ``word count`` lines (verified against
+the reference's checked-in golden output by
+tests/test_reference_golden.py::test_cli_wordcount_matches_golden).
+
+Subcommands:
+
+- ``wordcount IN... -o OUT``: tokenize on non-letters (the
+  reference's ``FieldsFunc(unicode.IsLetter)`` rule), count, global
+  sort, single merged text file. ``--chunked`` scans through the
+  space-aligned 100 KiB byte-range chunk source (the reference's
+  exact S1/S2 split rule) instead of the newline-aligned text
+  source — same result, different partitioning.
+- ``replicate IN... -o DIR``: the reference's replication demo —
+  stream the word-count result through the checkpointed
+  exactly-once keyed upsert sink (R3/R6/K4) and print the final
+  row count.
+- ``query NAME [--sf DIR] [-n N]``: run any registered analytics
+  query against a testdata directory and print N rows.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark(cores: int):
+    from distributed_mapreduce_p2p_spark.session import get_spark
+
+    return get_spark(app_name="dmrp2p-cli", cores=cores)
+
+
+def _read(spark, paths, chunked: bool):
+    """Scan the corpus; always emit a single ``value`` text column
+    (the chunk source names its payload ``text``)."""
+    from distributed_mapreduce_p2p_spark.sources import io as IO
+
+    if chunked:
+        df = IO.read_text_chunks_space_aligned(spark, paths)
+        return df.select(df["text"].alias("value"))
+    return IO.read_text_corpus(spark, paths)
+
+
+def cmd_wordcount(args) -> int:
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_p2p_spark.operators import text as T
+
+    spark = _spark(args.cores)
+    docs = _read(spark, args.inputs, args.chunked)
+    # the text/chunk sources emit a `value` column; tokenize with the
+    # reference's Unicode-letter rule so output is byte-identical to
+    # its golden mr-out-final
+    wc = T.word_count(docs, "value", sep=T.TOKEN_SEP_UNICODE)
+    if args.top:
+        wc = wc.orderBy(F.col("cnt").desc(), "word").limit(args.top)
+    else:
+        wc = wc.orderBy("word")
+    rows = wc.collect()
+    with open(args.output, "w") as fh:
+        for r in rows:
+            fh.write(f"{r[0]} {r[1]}\n")
+    print(f"{len(rows)} words -> {args.output}")
+    return 0
+
+
+def cmd_replicate(args) -> int:
+    import tempfile
+
+    from distributed_mapreduce_p2p_spark.operators import text as T
+    from distributed_mapreduce_p2p_spark.streaming.replication import (
+        KeyedParquetSink,
+    )
+
+    spark = _spark(args.cores)
+    docs = _read(spark, args.inputs, args.chunked)
+    wc = T.word_count(docs, "value", sep=T.TOKEN_SEP_UNICODE)
+    tmp = tempfile.mkdtemp(prefix="dmrp2p-repl-")
+    staged = f"{tmp}/staged"
+    wc.write.parquet(staged)
+    sink = KeyedParquetSink(args.output, key="word")
+    q = (
+        spark.readStream.schema(wc.schema)
+        .parquet(staged)
+        .writeStream.foreachBatch(sink.upsert_batch)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    n = sink.read(spark).count()
+    print(f"replicated {n} rows -> {args.output}")
+    return 0
+
+
+def cmd_query(args) -> int:
+    from distributed_mapreduce_p2p_spark import registry
+
+    if args.name not in registry.QUERIES:
+        close = [n for n in registry.QUERIES if args.name in n]
+        print(f"unknown query {args.name!r}; candidates: {close[:10]}")
+        return 2
+    spark = _spark(args.cores)
+    df = registry.QUERIES[args.name](spark, args.sf)
+    df.show(args.rows, truncate=False)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="distributed_mapreduce_p2p_spark")
+    p.add_argument("--cores", type=int, default=8)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    w = sub.add_parser("wordcount", help="reference query: sorted word count")
+    w.add_argument("inputs", nargs="+")
+    w.add_argument("-o", "--output", required=True)
+    w.add_argument("--chunked", action="store_true",
+                   help="scan via space-aligned 100KiB byte-range chunks")
+    w.add_argument("--top", type=int, default=0,
+                   help="emit only the top-K words by count")
+    w.set_defaults(fn=cmd_wordcount)
+
+    r = sub.add_parser("replicate",
+                       help="stream the result through the upsert sink")
+    r.add_argument("inputs", nargs="+")
+    r.add_argument("-o", "--output", required=True)
+    r.add_argument("--chunked", action="store_true")
+    r.set_defaults(fn=cmd_replicate)
+
+    q = sub.add_parser("query", help="run a registered analytics query")
+    q.add_argument("name")
+    q.add_argument("--sf", default="/root/testdata/sf0.01")
+    q.add_argument("-n", "--rows", type=int, default=20)
+    q.set_defaults(fn=cmd_query)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

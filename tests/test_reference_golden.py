@@ -98,3 +98,25 @@ def test_chunked_scan_matches_whole_file_scan(spark):
     }
     assert a == b
     assert n_parts > 8, f"100KiB splits should yield >8 partitions, got {n_parts}"
+
+
+def test_cli_wordcount_matches_golden(spark, tmp_path):
+    """The drop-in CLI surface: ``python -m distributed_mapreduce_p2p_spark
+    wordcount data/* -o out`` must emit the reference's checked-in
+    ``mr-out-final`` byte-for-byte, through BOTH scan paths (newline
+    text source and the reference's space-aligned chunk source).
+    Runs in-process (main(argv)) to reuse the test JVM."""
+    import glob
+
+    from distributed_mapreduce_p2p_spark.__main__ import main
+
+    inputs = sorted(glob.glob("/root/reference/data/*.txt"))
+    golden = open(REF_GOLDEN).read()
+
+    out1 = str(tmp_path / "wc.txt")
+    assert main(["wordcount", *inputs, "-o", out1]) == 0
+    assert open(out1).read() == golden
+
+    out2 = str(tmp_path / "wc-chunked.txt")
+    assert main(["wordcount", "--chunked", *inputs, "-o", out2]) == 0
+    assert open(out2).read() == golden
