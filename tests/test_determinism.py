@@ -21,6 +21,16 @@ QUERIES = [
     "group_quantiles",
     "pagerank_parts",
     "tfidf_top_terms",
+    # r4 float-producing additions: every emitted double must be the
+    # same bits under any partitioning (fixed-point / exact-decimal
+    # cores with one final IEEE op)
+    "bm25_scores",
+    "source_token_drift",
+    "source_overlap_matrix",
+    "snapshot_diff",
+    "incremental_agg_maintenance",
+    "tpch_q3_shipping_priority",
+    "tpch_q17_small_qty_revenue",
 ]
 
 
