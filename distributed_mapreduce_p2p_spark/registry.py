@@ -6643,6 +6643,48 @@ def q_source_overlap_matrix(spark, sf_dir):
     )
 
 
+@register("lang_confusion_matrix", oracle=None)  # oracle attached below
+def q_lang_confusion_matrix(spark, sf_dir):
+    """Language-ID quality audit: the (labeled lang × predicted lang)
+    confusion matrix with per-cell counts and the per-label recall —
+    the release check that tells a curation pipeline WHERE its lang
+    router is wrong (which label bleeds into which prediction), not
+    just how often. Recall is exact-integer except one final IEEE
+    division. Pure scan-side expressions + one |langs|² -bounded agg:
+    scan-bound at 100 TB."""
+    pred = TS.lang_id(_t(spark, sf_dir, "documents"))
+    cell = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("lang")
+    return cell.select(
+        "lang",
+        "pred_lang",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(tot).cast("double")
+        ).alias("share_of_label"),
+    )
+
+
+ORACLES["lang_confusion_matrix"] = (
+    "WITH p AS (SELECT doc_id, lang, "
+    + TS.lang_case_expr("duckdb")
+    + """ AS pred_lang FROM documents),
+    cell AS (
+      SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM p GROUP BY 1, 2
+    )
+    SELECT lang, pred_lang, n,
+           CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE)
+             AS share_of_label
+    FROM cell
+    """
+)
+
+
 @register("bpe_merges")  # no SQL oracle: iterative argmax training
 def q_bpe_merges(spark, sf_dir):
     """Train 8 BPE merges over the corpus (operators/text.py::
@@ -6787,7 +6829,8 @@ _FRONT: list[str] = [
     "int8_quantized_topk",
     # bloom_prune_accounting, pii_redact_stats, leakage_safe_split,
     # snapshot_diff, incremental_agg_maintenance,
-    # source_overlap_matrix, bpe_merges and the five r4 TPC-H shapes
+    # source_overlap_matrix, lang_confusion_matrix, bpe_merges and
+    # the five r4 TPC-H shapes
     # (q3/q6/q17/q21/q22) stay OUTSIDE the window this round — all
     # integer/string output (lowest hash risk), each pinned by a
     # dedicated r4 test (no-false-negatives / zero-residual /
