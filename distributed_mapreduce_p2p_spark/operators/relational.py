@@ -262,3 +262,37 @@ def asof_join_merge(
         .applyInPandas(merge, out_schema)
         .withColumnsRenamed({"k": left_key, "lt": left_ts})
     )
+
+
+def global_rank_scalable(
+    df: DataFrame, cols: list[str], out: str = "rk", n_parts: int = 8
+) -> DataFrame:
+    """Global 1-based dense rank by ``cols`` (which must be a unique
+    key) WITHOUT a single-partition window — the partition-offset
+    pattern of text.py::numbered_result_scalable generalized: range
+    partition on the order columns, per-partition row_number
+    (parallel windows), plus a broadcast running-total offset join.
+    Every stage is partition-parallel; the only global structure is
+    the n_parts-row offset table. The localCheckpoint pins partition
+    ids against lineage recomputation under a different plan."""
+    d = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    off_w = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = counts.select(
+        "_pid", (F.sum("_n").over(off_w) - F.col("_n")).alias("_offset")
+    )
+    in_part = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        d.join(broadcast(offsets), "_pid")
+        .withColumn(
+            out,
+            (F.row_number().over(in_part) + F.col("_offset")).cast("long"),
+        )
+        .drop("_pid", "_offset")
+    )

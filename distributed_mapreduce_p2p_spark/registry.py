@@ -6685,6 +6685,74 @@ ORACLES["lang_confusion_matrix"] = (
 )
 
 
+@register(
+    "rfm_segmentation",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS freq,
+             SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS monetary
+      FROM orders GROUP BY 1
+    ), scored AS (
+      SELECT o_custkey,
+             NTILE(5) OVER (ORDER BY last_order, o_custkey) AS r,
+             NTILE(5) OVER (ORDER BY freq, o_custkey) AS f,
+             NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m
+      FROM cust
+    )
+    SELECT r, f, m, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def q_rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation (recency/frequency/monetary
+    quintiles → 125-cell segment counts) with NTILE computed at
+    SCALE: the oracle uses plain NTILE (a single-partition window —
+    fine for DuckDB), while the Spark side derives each quintile from
+    a partition-parallel global rank
+    (relational.py::global_rank_scalable — range partition +
+    per-partition row_number + broadcast offsets, no one-partition
+    window anywhere) and applies NTILE's exact uneven-bucket rule
+    ((n mod 5) leading buckets get the extra row) as an integer
+    expression. The driver hash-equality of the two is a proof that
+    the distributed rank reproduces the sequential window exactly.
+    Ties are impossible by construction (custkey tie-break)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias(
+            "monetary"
+        ),
+    )
+    nn = cust.agg(F.count(F.lit(1)).alias("n"))
+
+    def _ntile(rank_col):
+        # NTILE(5): q = n DIV 5, r = n MOD 5; the first r buckets get
+        # q+1 rows. All integer arithmetic.
+        return F.expr(
+            f"CASE WHEN {rank_col} <= (n DIV 5 + 1) * (n % 5)"
+            f" THEN ({rank_col} + n DIV 5) DIV (n DIV 5 + 1)"
+            f" ELSE n % 5 + ({rank_col} - (n DIV 5 + 1) * (n % 5)"
+            f"      + n DIV 5 - 1) DIV (n DIV 5) END"
+        ).cast("int")
+
+    ranked = R.global_rank_scalable(cust, ["last_order", "o_custkey"], "rk_r")
+    ranked = R.global_rank_scalable(ranked, ["freq", "o_custkey"], "rk_f")
+    ranked = R.global_rank_scalable(ranked, ["monetary", "o_custkey"], "rk_m")
+    return (
+        ranked.crossJoin(broadcast(nn))
+        .select(
+            _ntile("rk_r").alias("r"),
+            _ntile("rk_f").alias("f"),
+            _ntile("rk_m").alias("m"),
+        )
+        .groupBy("r", "f", "m")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
 @register("bpe_merges")  # no SQL oracle: iterative argmax training
 def q_bpe_merges(spark, sf_dir):
     """Train 8 BPE merges over the corpus (operators/text.py::
@@ -6829,8 +6897,8 @@ _FRONT: list[str] = [
     "int8_quantized_topk",
     # bloom_prune_accounting, pii_redact_stats, leakage_safe_split,
     # snapshot_diff, incremental_agg_maintenance,
-    # source_overlap_matrix, lang_confusion_matrix, bpe_merges and
-    # the five r4 TPC-H shapes
+    # source_overlap_matrix, lang_confusion_matrix, rfm_segmentation,
+    # bpe_merges and the five r4 TPC-H shapes
     # (q3/q6/q17/q21/q22) stay OUTSIDE the window this round — all
     # integer/string output (lowest hash risk), each pinned by a
     # dedicated r4 test (no-false-negatives / zero-residual /

@@ -31,6 +31,7 @@ QUERIES = [
     "incremental_agg_maintenance",
     "tpch_q3_shipping_priority",
     "tpch_q17_small_qty_revenue",
+    "rfm_segmentation",
 ]
 
 

@@ -8,7 +8,11 @@ This is the last-mile fidelity check the tuned-session sweeps can't
 give: default shuffle partitions (200), default broadcast threshold
 (10 MB), default everything.
 
-Usage: python tools/driver_sim.py [sf_dir]
+Usage: python tools/driver_sim.py [sf_dir] [--all]
+
+``--all`` verifies EVERY oracle-backed queries() entry instead of the
+first-50 window — the pre-rotation check that out-of-window queries
+will go green when promoted into a future round's window.
 """
 
 from __future__ import annotations
@@ -23,7 +27,9 @@ from tests.oracle import compare, duck_con  # noqa: E402
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    run_all = "--all" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spec = importlib.util.spec_from_file_location(
         "__spark_entry__", "/root/repo/__spark_entry__.py"
     )
@@ -45,7 +51,8 @@ def main() -> int:
     assert n > 0
 
     qs, osql = mod.queries(), mod.oracle_sql()
-    window = list(qs)[:50]
+    window = [n for n in qs if n in osql] if run_all else list(qs)[:50]
+    total = len(window)
     con = duck_con(sf_dir)
     bad = []
     for i, name in enumerate(window):
@@ -55,12 +62,15 @@ def main() -> int:
         except Exception as e:
             issues = [f"{name}: EXC {type(e).__name__}: {e}"]
         print(
-            f"[{i + 1}/50] {'ok' if not issues else 'FAIL'} {name}"
+            f"[{i + 1}/{total}] {'ok' if not issues else 'FAIL'} {name}"
             f" ({time.time() - t0:.1f}s)",
             flush=True,
         )
         bad.extend(issues)
-    print(f"\n{50 - len(bad)}/50 window parity under VANILLA session")
+    scope = "FULL-REGISTRY" if run_all else "window"
+    print(
+        f"\n{total - len(bad)}/{total} {scope} parity under VANILLA session"
+    )
     for b in bad:
         print("  ", b)
     return 1 if bad else 0
