@@ -214,3 +214,27 @@ def test_aligned_range_covers_every_byte_once(tmp_path_factory, toks, chunk):
         got.update(t for t in payload.decode("utf-8").split(" ") if t)
     want = Counter(t for t in corpus.split(" ") if t)
     assert got == want
+
+
+@given(
+    keys=st.sets(
+        st.integers(min_value=-(10**6), max_value=10**6),
+        min_size=1,
+        max_size=60,
+    ),
+    n_parts=st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=12, deadline=None)
+def test_global_rank_scalable_is_the_sorted_index(spark, keys, n_parts):
+    """The partition-offset global rank must equal the 1-based sorted
+    index for ANY unique key set and ANY range-partition count —
+    including n_parts > number of rows (empty partitions)."""
+    from distributed_mapreduce_p2p_spark.operators.relational import (
+        global_rank_scalable,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k: long")
+    out = global_rank_scalable(df, ["k"], out="rk", n_parts=n_parts)
+    got = {r.k: r.rk for r in out.collect()}
+    expect = {k: i + 1 for i, k in enumerate(sorted(keys))}
+    assert got == expect
