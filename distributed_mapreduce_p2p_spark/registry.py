@@ -6753,6 +6753,56 @@ def q_rfm_segmentation(spark, sf_dir):
     )
 
 
+@register(
+    "image_resize_checksum",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id AS asset_id, doc_id AS seed,
+             CAST(4 + doc_id % 29 AS BIGINT) AS w,
+             CAST(3 + doc_id % 17 AS BIGINT) AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ), geom AS (
+      SELECT asset_id, seed, w, h,
+             CASE WHEN GREATEST(w, h) > 8
+                  THEN (w * 8 + GREATEST(w, h) - 1) // GREATEST(w, h)
+                  ELSE w END AS ow,
+             CASE WHEN GREATEST(w, h) > 8
+                  THEN (h * 8 + GREATEST(w, h) - 1) // GREATEST(w, h)
+                  ELSE h END AS oh
+      FROM img
+    ), grid AS (
+      SELECT g.asset_id, g.w, g.h, g.ow, g.oh,
+             (g.seed + 31 * ((oy.y * g.h) // g.oh)
+              + 3 * ((ox.x * g.w) // g.ow) + c.c) % 256 AS b
+      FROM geom g,
+           unnest(generate_series(0, g.oh - 1)) AS oy(y),
+           unnest(generate_series(0, g.ow - 1)) AS ox(x),
+           unnest([0, 1, 2]) AS c(c)
+    )
+    SELECT asset_id,
+           CAST(MAX(w) AS INT) AS in_w, CAST(MAX(h) AS INT) AS in_h,
+           CAST(MAX(ow) AS INT) AS out_w, CAST(MAX(oh) AS INT) AS out_h,
+           CAST(SUM(b) AS BIGINT) AS px_checksum
+    FROM grid GROUP BY asset_id
+    """,
+)
+def q_image_resize_checksum(spark, sf_dir):
+    """REAL image resize round-trip: executors encode each image
+    asset as a spec-conformant BMP (pixel byte (y,i) =
+    (seed + 31y + i) mod 256), decode the actual bytes, integer-NN
+    resample into an 8-px aspect-preserving box, re-encode as BMP,
+    re-decode THAT, and report the resized pixel checksum
+    (multimodal.py::resize_real). The oracle recomputes the checksum
+    purely arithmetically from the generation formula + the exact
+    integer geometry/index rules — a hash match proves the
+    decode→resample→encode→decode pipeline manipulated real pixels
+    correctly, the multimodal analog of real_decode_meta. All
+    per-asset work is Arrow-batched on executors; nothing touches
+    the driver."""
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    return MM.resize_real(MM.real_assets(ids), max_side=8)
+
+
 @register("bpe_merges")  # no SQL oracle: iterative argmax training
 def q_bpe_merges(spark, sf_dir):
     """Train 8 BPE merges over the corpus (operators/text.py::
@@ -6898,7 +6948,7 @@ _FRONT: list[str] = [
     # bloom_prune_accounting, pii_redact_stats, leakage_safe_split,
     # snapshot_diff, incremental_agg_maintenance,
     # source_overlap_matrix, lang_confusion_matrix, rfm_segmentation,
-    # bpe_merges and the five r4 TPC-H shapes
+    # image_resize_checksum, bpe_merges and the five r4 TPC-H shapes
     # (q3/q6/q17/q21/q22) stay OUTSIDE the window this round — all
     # integer/string output (lowest hash risk), each pinned by a
     # dedicated r4 test (no-false-negatives / zero-residual /
