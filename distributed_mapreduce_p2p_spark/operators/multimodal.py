@@ -463,3 +463,52 @@ def resize_real(assets: DataFrame, max_side: int = 8) -> DataFrame:
             " px_checksum long",
         )
     )
+
+
+def frame_extract_real(assets: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL video frame sampling over actual VSEQ bytes: walk the
+    container on executors, keep every ``every_n``-th frame, decode
+    each kept frame's BMP pixel block and report its checksum — the
+    stub ``frame_sample`` upgraded to real byte work (one output row
+    per kept frame, Arrow-batched, driver-free)."""
+    import numpy as np
+
+    def _fx(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": [],
+                "frame_idx": [],
+                "width": [],
+                "height": [],
+                "px_checksum": [],
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                payload = bytes(payload)
+                if payload[:4] != _VSEQ_MAGIC:
+                    raise ValueError("not a VSEQ payload")
+                pos, f = 8, 0
+                while pos < len(payload):
+                    (flen,) = struct.unpack_from("<I", payload, pos)
+                    pos += 4
+                    if f % every_n == 0:
+                        px, w, h = bmp_pixels(payload[pos : pos + flen])
+                        out["asset_id"].append(int(aid))
+                        out["frame_idx"].append(f)
+                        out["width"].append(w)
+                        out["height"].append(h)
+                        out["px_checksum"].append(
+                            int(px.astype(np.int64).sum())
+                        )
+                    pos += flen
+                    f += 1
+            yield pd.DataFrame(out)
+
+    return (
+        assets.where(F.col("modality") == "video")
+        .select("asset_id", "payload")
+        .mapInPandas(
+            _fx,
+            "asset_id long, frame_idx int, width int, height int,"
+            " px_checksum long",
+        )
+    )

@@ -6803,6 +6803,46 @@ def q_image_resize_checksum(spark, sf_dir):
     return MM.resize_real(MM.real_assets(ids), max_side=8)
 
 
+@register(
+    "video_frame_checksums",
+    oracle="""
+    WITH vid AS (
+      SELECT doc_id AS asset_id, doc_id AS seed,
+             CAST(4 + doc_id % 29 AS BIGINT) AS w,
+             CAST(3 + doc_id % 17 AS BIGINT) AS h,
+             CAST(2 + doc_id % 9 AS BIGINT) AS nf
+      FROM documents WHERE doc_id % 3 = 2
+    ), frames AS (
+      SELECT v.asset_id, v.seed, v.w, v.h, fi.f
+      FROM vid v, unnest(generate_series(0, v.nf - 1, 2)) AS fi(f)
+    ), grid AS (
+      SELECT f.asset_id, f.f, f.w, f.h,
+             (f.seed + f.f + 31 * y.y + i.i) % 256 AS b
+      FROM frames f,
+           unnest(generate_series(0, f.h - 1)) AS y(y),
+           unnest(generate_series(0, f.w * 3 - 1)) AS i(i)
+    )
+    SELECT asset_id, CAST(f AS INT) AS frame_idx,
+           CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+           CAST(SUM(b) AS BIGINT) AS px_checksum
+    FROM grid GROUP BY asset_id, f
+    """,
+)
+def q_video_frame_checksums(spark, sf_dir):
+    """REAL video frame sampling: executors encode each video asset
+    as a VSEQ container of spec-conformant BMP frames (frame f's
+    pixel byte (y,i) = (seed + f + 31y + i) mod 256), walk the
+    actual container bytes keeping every 2nd frame, decode each kept
+    frame's pixel block, and report per-frame checksums
+    (multimodal.py::frame_extract_real). The oracle recomputes every
+    checksum arithmetically — a hash match proves the container walk,
+    frame selection, and per-frame BMP decode all ran on real bytes.
+    Completes the multimodal trio with real_decode_meta (metadata)
+    and image_resize_checksum (pixels)."""
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    return MM.frame_extract_real(MM.real_assets(ids), every_n=2)
+
+
 @register("bpe_merges")  # no SQL oracle: iterative argmax training
 def q_bpe_merges(spark, sf_dir):
     """Train 8 BPE merges over the corpus (operators/text.py::
@@ -6948,7 +6988,8 @@ _FRONT: list[str] = [
     # bloom_prune_accounting, pii_redact_stats, leakage_safe_split,
     # snapshot_diff, incremental_agg_maintenance,
     # source_overlap_matrix, lang_confusion_matrix, rfm_segmentation,
-    # image_resize_checksum, bpe_merges and the five r4 TPC-H shapes
+    # image_resize_checksum, video_frame_checksums, bpe_merges and
+    # the five r4 TPC-H shapes
     # (q3/q6/q17/q21/q22) stay OUTSIDE the window this round — all
     # integer/string output (lowest hash risk), each pinned by a
     # dedicated r4 test (no-false-negatives / zero-residual /
