@@ -6843,6 +6843,121 @@ def q_video_frame_checksums(spark, sf_dir):
     return MM.frame_extract_real(MM.real_assets(ids), every_n=2)
 
 
+@register(
+    "containment_decontaminate",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id, text,
+             ('0x' || substr(md5('bench:' || CAST(doc_id AS VARCHAR)),
+                             1, 8))::BIGINT % 100 < 5 AS is_bench
+      FROM documents
+    ), w AS (
+      SELECT doc_id, is_bench,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS wl
+      FROM tagged
+    ), sh AS (
+      SELECT DISTINCT doc_id, is_bench,
+             concat_ws(' ', wl[i], wl[i+1], wl[i+2], wl[i+3], wl[i+4])
+               AS sh
+      FROM w, unnest(CASE WHEN len(wl) >= 5
+                          THEN generate_series(1, len(wl) - 4)
+                          ELSE [] END) AS t(i)
+    ), bsize AS (
+      SELECT doc_id, COUNT(*) AS nb FROM sh WHERE is_bench GROUP BY 1
+    ), shared AS (
+      SELECT t.doc_id AS train_doc, b.doc_id AS bench_doc,
+             COUNT(DISTINCT t.sh) AS n_shared
+      FROM sh t JOIN sh b ON t.sh = b.sh
+      WHERE NOT t.is_bench AND b.is_bench
+      GROUP BY 1, 2
+    )
+    SELECT s.train_doc, s.bench_doc,
+           CAST(s.n_shared AS BIGINT) AS n_shared,
+           CAST(bs.nb AS BIGINT) AS n_bench_shingles,
+           CAST(s.n_shared AS DOUBLE) / CAST(bs.nb AS DOUBLE)
+             AS containment
+    FROM shared s JOIN bsize bs ON bs.doc_id = s.bench_doc
+    WHERE 4 * s.n_shared >= bs.nb
+    """,
+)
+def q_containment_decontaminate(spark, sf_dir):
+    """Containment-based decontamination: flag (train doc, benchmark
+    item) pairs where the TRAIN doc contains ≥25% of the benchmark
+    item's 5-gram shingles — containment |A∩B|/|B| is the asymmetric
+    measure that catches a short benchmark item embedded in a long
+    training document, which symmetric Jaccard structurally
+    under-scores (|A∪B| is dominated by the big doc). The threshold
+    test is division-free (4·shared ≥ |B|, exact integers); the one
+    IEEE division only formats the reported score. Same deterministic
+    5% benchmark carve and shingle-hash equi-join shape as
+    benchmark_decontaminate — cost is Σ per-shingle train×bench
+    frequency, never doc×doc."""
+    docs = _t(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "doc_id",
+        "text",
+        (
+            F.expr(
+                "cast(conv(substring(md5(concat('bench:',"
+                " cast(doc_id as string))), 1, 8), 16, 10) as bigint)"
+            )
+            % 100
+            < 5
+        ).alias("is_bench"),
+    )
+    sh = (
+        tagged.select(
+            "doc_id",
+            "is_bench",
+            F.expr(
+                "filter(split(lower(text), '[^a-z]+'), x -> x <> '')"
+            ).alias("wl"),
+        )
+        .where(F.size("wl") >= 5)
+        .select(
+            "doc_id",
+            "is_bench",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(wl) - 4), i ->"
+                    " concat_ws(' ', element_at(wl, i),"
+                    " element_at(wl, i + 1), element_at(wl, i + 2),"
+                    " element_at(wl, i + 3), element_at(wl, i + 4)))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    bench = sh.where("is_bench")
+    train = sh.where("NOT is_bench")
+    bsize = bench.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb"))
+    shared = (
+        train.select(F.col("doc_id").alias("train_doc"), "sh")
+        .join(
+            bench.select(F.col("doc_id").alias("bench_doc"), "sh"), "sh"
+        )
+        .groupBy("train_doc", "bench_doc")
+        .agg(F.countDistinct("sh").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            broadcast(bsize.withColumnRenamed("doc_id", "bench_doc")),
+            "bench_doc",
+        )
+        .where(F.col("n_shared") * 4 >= F.col("nb"))
+        .select(
+            "train_doc",
+            "bench_doc",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("nb").cast("long").alias("n_bench_shingles"),
+            (
+                F.col("n_shared").cast("double") / F.col("nb").cast("double")
+            ).alias("containment"),
+        )
+    )
+
+
 @register("bpe_merges")  # no SQL oracle: iterative argmax training
 def q_bpe_merges(spark, sf_dir):
     """Train 8 BPE merges over the corpus (operators/text.py::
@@ -6988,8 +7103,9 @@ _FRONT: list[str] = [
     # bloom_prune_accounting, pii_redact_stats, leakage_safe_split,
     # snapshot_diff, incremental_agg_maintenance,
     # source_overlap_matrix, lang_confusion_matrix, rfm_segmentation,
-    # image_resize_checksum, video_frame_checksums, bpe_merges and
-    # the five r4 TPC-H shapes
+    # image_resize_checksum, video_frame_checksums,
+    # containment_decontaminate, bpe_merges and the five r4 TPC-H
+    # shapes
     # (q3/q6/q17/q21/q22) stay OUTSIDE the window this round — all
     # integer/string output (lowest hash risk), each pinned by a
     # dedicated r4 test (no-false-negatives / zero-residual /
