@@ -577,3 +577,30 @@ def test_q21_double_exists_is_one_fact_shuffle(spark):
     plan = explain_str(df)
     assert "LeftSemi" not in plan and "LeftAnti" not in plan
     assert shuffle_count(df) <= 3, shuffle_count(df)
+
+
+def test_bm25_query_side_broadcasts(spark):
+    """The 3-term query table must reach the tf probe as a broadcast
+    join (the probe-side kill that makes BM25 scale), and the plan
+    must contain no cartesian product."""
+    from distributed_mapreduce_p2p_spark.plans.explain import explain_str
+
+    df = _q("bm25_scores", spark)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_overlap_and_containment_join_on_shingle_hash(spark):
+    """Cross-source overlap and containment decontamination must pair
+    docs through an equi-join (SortMerge/Hash) on the shingle — never
+    a nested-loop or cartesian doc x doc comparison."""
+    from distributed_mapreduce_p2p_spark.plans.explain import explain_str
+
+    for name in ("source_overlap_matrix", "containment_decontaminate"):
+        plan = explain_str(_q(name, spark))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+            "BroadcastHashJoin" in plan
+        ), name
