@@ -28,6 +28,10 @@ Subcommands:
   row count.
 - ``query NAME [--sf DIR] [-n N]``: run any registered analytics
   query against a testdata directory and print N rows.
+- ``sql "SELECT ..." [--sf DIR] [-n N]``: register every testdata
+  parquet table (region nation customer supplier part orders
+  lineitem events documents embeddings) as a temp view and run
+  arbitrary Spark SQL — the ad-hoc surface of the engine.
 """
 
 from __future__ import annotations
@@ -119,6 +123,25 @@ def cmd_query(args) -> int:
     return 0
 
 
+_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def cmd_sql(args) -> int:
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+
+    spark = _spark(args.cores)
+    for t in _TABLES:
+        try:
+            read_table(spark, args.sf, t).createOrReplaceTempView(t)
+        except Exception:
+            pass  # missing table in a partial sf dir — view just absent
+    spark.sql(args.stmt).show(args.rows, truncate=False)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="distributed_mapreduce_p2p_spark")
     p.add_argument("--cores", type=int, default=8)
@@ -145,6 +168,12 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--sf", default="/root/testdata/sf0.01")
     q.add_argument("-n", "--rows", type=int, default=20)
     q.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser("sql", help="run ad-hoc SQL over the testdata views")
+    s.add_argument("stmt")
+    s.add_argument("--sf", default="/root/testdata/sf0.01")
+    s.add_argument("-n", "--rows", type=int, default=20)
+    s.set_defaults(fn=cmd_sql)
 
     args = p.parse_args(argv)
     return args.fn(args)

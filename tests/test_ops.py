@@ -433,3 +433,33 @@ def test_blocked_neardup_equals_broadcast_variant(spark):
         for r in SIM.neardup_pairs_blocked(emb).collect()
     }
     assert base and blocked == base
+
+
+def test_observe_metrics_on_curation_scan(spark):
+    """df.observe() — in-flight data-quality metrics collected DURING
+    the query (no second scan): row count, null-text count, and short
+    -doc count accumulate on the same pass that computes the result.
+    The production pattern for 100 TB quality dashboards: metrics are
+    a byproduct of the scan, never an extra job."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    obs = Observation("quality")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias(
+            "n_null_text"
+        ),
+        F.sum(F.when(F.length("text") < 50, 1).otherwise(0)).alias(
+            "n_short"
+        ),
+    )
+    kept = observed.where(F.length("text") >= 50).count()
+    m = obs.get
+    assert m["n_rows"] == docs.count()
+    assert m["n_null_text"] == 0
+    assert m["n_rows"] - m["n_short"] == kept
