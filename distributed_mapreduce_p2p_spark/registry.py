@@ -6958,6 +6958,65 @@ def q_containment_decontaminate(spark, sf_dir):
     )
 
 
+@register(
+    "tpch_q10_returned_revenue",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= DATE '1995-10-01'
+      AND o.o_orderdate < DATE '1996-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1 - l.l_discount AS DECIMAL(4,2))) DESC,
+             c.c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in
+    one quarter — the returned-merchandise triage report. Same
+    exactness discipline as Q3: the ranking runs on the exact DECIMAL
+    revenue with a custkey tie-break; only the emitted column is
+    double. Plan: returnflag + date predicates prune both fact scans
+    before the orderkey join, customer/nation broadcast onto the
+    aggregated result (not the fact rows), top-20 via
+    TakeOrderedAndProject."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-10-01")
+        & (F.col("o_orderdate") < "1996-01-01")
+    )
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(4,2)")
+    agg = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(rev).alias("rev_dec"))
+    )
+    return (
+        agg.join(broadcast(c), agg.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .orderBy(F.col("rev_dec").desc(), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
+    )
+
+
 @register("bpe_merges")  # no SQL oracle: iterative argmax training
 def q_bpe_merges(spark, sf_dir):
     """Train 8 BPE merges over the corpus (operators/text.py::
@@ -7104,8 +7163,8 @@ _FRONT: list[str] = [
     # snapshot_diff, incremental_agg_maintenance,
     # source_overlap_matrix, lang_confusion_matrix, rfm_segmentation,
     # image_resize_checksum, video_frame_checksums,
-    # containment_decontaminate, bpe_merges and the five r4 TPC-H
-    # shapes
+    # containment_decontaminate, tpch_q10_returned_revenue,
+    # bpe_merges and the five other r4 TPC-H shapes
     # (q3/q6/q17/q21/q22) stay OUTSIDE the window this round — all
     # integer/string output (lowest hash risk), each pinned by a
     # dedicated r4 test (no-false-negatives / zero-residual /
