@@ -188,3 +188,48 @@ def test_bench_json_contract():
     detail = json.loads((REPO / "BENCH_DETAIL.json").read_text())
     assert len(detail["queries"]) >= 100
     assert abs(detail["value"] - d["value"]) < 1e-6
+
+
+def test_coverage_doc_names_exist_in_registry():
+    """Doc-rot guard: every backticked snake_case `name` in
+    COVERAGE.md must be a registered queries() entry OR a real
+    attribute of a package module (helper functions are mentioned by
+    name too) — docs can't drift ahead of the code."""
+    import re
+
+    from distributed_mapreduce_p2p_spark import registry
+    from distributed_mapreduce_p2p_spark.operators import (
+        dedup,
+        graph,
+        multimodal,
+        partitioning,
+        relational,
+        similarity,
+        text,
+        textstats,
+    )
+    from distributed_mapreduce_p2p_spark.sources import io as src_io
+    from distributed_mapreduce_p2p_spark.streaming import (
+        replication,
+        windows,
+    )
+    from distributed_mapreduce_p2p_spark.functions import udfs
+
+    modules = [
+        dedup, graph, multimodal, partitioning, relational, similarity,
+        text, textstats, src_io, replication, windows, udfs, registry,
+    ]
+
+    def known(n):
+        if n in registry.QUERIES:
+            return True
+        return any(hasattr(m, n) for m in modules)
+
+    doc = open("/root/repo/COVERAGE.md").read()
+    names = {
+        n
+        for n in re.findall(r"`([a-z][a-z0-9_]+)`", doc)
+        if "_" in n and "." not in n
+    }
+    missing = sorted(n for n in names if not known(n))
+    assert not missing, f"COVERAGE.md names not in code: {missing}"
