@@ -604,3 +604,53 @@ def test_overlap_and_containment_join_on_shingle_hash(spark):
         assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
             "BroadcastHashJoin" in plan
         ), name
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Dynamic partition pruning: a fact table partitioned on the
+    join key must be pruned at RUNTIME by the dimension's filter —
+    the plan carries a dynamicpruning subquery on the partition
+    column, so a 100 TB partitioned lake scans only the partitions
+    the filtered dimension selects."""
+    fact = str(tmp_path / "fact")
+    spark.range(1000).selectExpr(
+        "id", "id % 20 AS part_k", "id * 2 AS v"
+    ).write.partitionBy("part_k").parquet(fact)
+    dim = spark.range(20).selectExpr(
+        "id AS part_k", "concat('n', id) AS name"
+    ).where("part_k IN (3, 7)")
+    f = spark.read.parquet(fact)
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true"
+        )
+        joined = f.join(dim, "part_k").groupBy("name").count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        rows = {r.name: r["count"] for r in joined.collect()}
+        assert rows == {"n3": 50, "n7": 50}
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev
+        )
+
+
+def test_cached_subplan_is_reused_in_memory(spark):
+    """Explicit caching: a cached intermediate must appear as
+    InMemoryTableScan in dependent plans (compute once, reuse across
+    queries — the interactive-analysis lever)."""
+    from tests.conftest import SF_SMALL
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    base = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).cache()
+    try:
+        base.count()  # materialize
+        q2 = base.where("n > 0").select(F.sum("n"))
+        plan = q2._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+        assert q2.collect()[0][0] == docs.count()
+    finally:
+        base.unpersist()
