@@ -7017,6 +7017,105 @@ def q_tpch_q10_returned_revenue(spark, sf_dir):
     )
 
 
+@register(
+    "windowed_hdr_p95",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, date_trunc('hour', ts) AS wstart,
+             CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ), b AS (
+      SELECT event_type, wstart,
+             CASE WHEN cents < 16 THEN cents
+                  ELSE length(bin(cents)) * 16
+                       + (cents >> (length(bin(cents)) - 5)) - 16 END AS id
+      FROM c
+    ), h AS (
+      SELECT event_type, wstart, id, COUNT(*) AS cnt FROM b
+      GROUP BY 1, 2, 3
+    ), w AS (
+      SELECT event_type, wstart, id,
+             SUM(cnt) OVER (PARTITION BY event_type, wstart
+                            ORDER BY id) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type, wstart) AS n
+      FROM h
+    ), pick AS (
+      SELECT event_type, wstart, CAST(MAX(n) AS BIGINT) AS n,
+             MIN(CASE WHEN cum >= (95 * n + 99) // 100 THEN id END) AS i95
+      FROM w GROUP BY 1, 2
+    )
+    SELECT event_type, wstart, n,
+           CAST(CASE WHEN i95 < 16 THEN i95
+                ELSE (16 + i95 % 16) << (i95 // 16 - 5) END AS BIGINT)
+             AS p95_cents_lb
+    FROM pick
+    """,
+)
+def q_windowed_hdr_p95(spark, sf_dir):
+    """Hourly p95 latency-style dashboard: the HDR sketch of
+    hdr_quantile_sketch applied PER (event_type, hour window) — the
+    shape a percentile dashboard actually runs at scale. Per-window
+    state stays ≤~1000 integer cells, merged by partial+final
+    aggregation; the window over the histogram is bounded by bucket
+    count × windows, never event count. The same bucket scheme drops
+    into a watermarked streaming aggregate unchanged (integer cell
+    counts are the commutative state)."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("wstart"),
+        (F.col("value").cast("decimal(14,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    b = c.select(
+        "event_type",
+        "wstart",
+        F.when(F.col("cents") < 16, F.col("cents"))
+        .otherwise(
+            F.expr(
+                "length(bin(cents)) * 16"
+                " + shiftright(cents, length(bin(cents)) - 5) - 16"
+            )
+        )
+        .alias("id"),
+    )
+    h = b.groupBy("event_type", "wstart", "id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("event_type", "wstart")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type", "wstart")
+    w = h.select(
+        "event_type",
+        "wstart",
+        "id",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    pick = w.groupBy("event_type", "wstart").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(95 * n + 99) DIV 100"),
+                F.col("id"),
+            )
+        ).alias("i95"),
+    )
+    return pick.select(
+        "event_type",
+        "wstart",
+        "n",
+        F.when(F.col("i95") < 16, F.col("i95"))
+        .otherwise(F.expr("shiftleft(16 + i95 % 16, i95 DIV 16 - 5)"))
+        .cast("long")
+        .alias("p95_cents_lb"),
+    )
+
+
 @register("bpe_merges")  # no SQL oracle: iterative argmax training
 def q_bpe_merges(spark, sf_dir):
     """Train 8 BPE merges over the corpus (operators/text.py::
@@ -7164,7 +7263,7 @@ _FRONT: list[str] = [
     # source_overlap_matrix, lang_confusion_matrix, rfm_segmentation,
     # image_resize_checksum, video_frame_checksums,
     # containment_decontaminate, tpch_q10_returned_revenue,
-    # bpe_merges and the five other r4 TPC-H shapes
+    # windowed_hdr_p95, bpe_merges and the five other r4 TPC-H shapes
     # (q3/q6/q17/q21/q22) stay OUTSIDE the window this round — all
     # integer/string output (lowest hash risk), each pinned by a
     # dedicated r4 test (no-false-negatives / zero-residual /
