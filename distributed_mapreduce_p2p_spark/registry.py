@@ -7116,6 +7116,135 @@ def q_windowed_hdr_p95(spark, sf_dir):
     )
 
 
+@register(
+    "streaming_hdr_p95",
+    oracle="""
+    WITH closed AS (
+      SELECT event_type,
+             date_trunc('hour', ts) AS wstart,
+             CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+      FROM events
+      WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+            <= (SELECT max(ts) - INTERVAL 2 SECOND FROM events)
+    ), b AS (
+      SELECT event_type, wstart,
+             CASE WHEN cents < 16 THEN cents
+                  ELSE length(bin(cents)) * 16
+                       + (cents >> (length(bin(cents)) - 5)) - 16 END AS id
+      FROM closed
+    ), h AS (
+      SELECT event_type, wstart, id, COUNT(*) AS cnt FROM b
+      GROUP BY 1, 2, 3
+    ), w AS (
+      SELECT event_type, wstart, id,
+             SUM(cnt) OVER (PARTITION BY event_type, wstart
+                            ORDER BY id) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type, wstart) AS n
+      FROM h
+    ), pick AS (
+      SELECT event_type, wstart, CAST(MAX(n) AS BIGINT) AS n,
+             MIN(CASE WHEN cum >= (95 * n + 99) // 100 THEN id END) AS i95
+      FROM w GROUP BY 1, 2
+    )
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, n,
+           CAST(CASE WHEN i95 < 16 THEN i95
+                ELSE (16 + i95 % 16) << (i95 // 16 - 5) END AS BIGINT)
+             AS p95_cents_lb
+    FROM pick
+    """,
+)
+def q_streaming_hdr_p95(spark, sf_dir):
+    """Streaming percentiles through the REAL Structured Streaming
+    engine: the watermarked 1-hour tumbling aggregate maintains the
+    HDR histogram CELLS as its state — (window, event_type, bucket)
+    integer counts, the commutative mergeable form — in append mode
+    (cells emit when the window closes behind the watermark), and the
+    read side reduces each window's ≤~1000 cells to the p95 bucket
+    lower bound in batch. This is exactly how a production streaming
+    percentile dashboard works: the stream never sees raw-value
+    state, only fixed-size sketch cells. The oracle reproduces the
+    append-mode emission rule (window end ≤ max event time − 2 s)
+    plus the identical integer bucket arithmetic."""
+    import tempfile
+
+    staged, schema = _stage_events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="sshdr_")
+    out = f"{tmp}/out"
+    with _stream_conf(spark):
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(staged)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withColumn(
+                "cents",
+                (F.col("value").cast("decimal(14,2)") * 100).cast("long"),
+            )
+            .withColumn(
+                "id",
+                F.when(F.col("cents") < 16, F.col("cents")).otherwise(
+                    F.expr(
+                        "length(bin(cents)) * 16"
+                        " + shiftright(cents, length(bin(cents)) - 5)"
+                        " - 16"
+                    )
+                ),
+            )
+        )
+        q = (
+            stream.withWatermark("ts", "2 seconds")
+            .groupBy(F.window("ts", "1 hour"), "event_type", "id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "event_type",
+                "id",
+                "cnt",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    cells = spark.read.parquet(out)
+    wcum = (
+        Window.partitionBy("window_start", "event_type")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("window_start", "event_type")
+    w = cells.select(
+        "window_start",
+        "event_type",
+        "id",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    pick = w.groupBy("window_start", "event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(95 * n + 99) DIV 100"),
+                F.col("id"),
+            )
+        ).alias("i95"),
+    )
+    return pick.select(
+        "window_start",
+        "event_type",
+        "n",
+        F.when(F.col("i95") < 16, F.col("i95"))
+        .otherwise(F.expr("shiftleft(16 + i95 % 16, i95 DIV 16 - 5)"))
+        .cast("long")
+        .alias("p95_cents_lb"),
+    )
+
+
 @register("bpe_merges")  # no SQL oracle: iterative argmax training
 def q_bpe_merges(spark, sf_dir):
     """Train 8 BPE merges over the corpus (operators/text.py::
@@ -7263,7 +7392,8 @@ _FRONT: list[str] = [
     # source_overlap_matrix, lang_confusion_matrix, rfm_segmentation,
     # image_resize_checksum, video_frame_checksums,
     # containment_decontaminate, tpch_q10_returned_revenue,
-    # windowed_hdr_p95, bpe_merges and the five other r4 TPC-H shapes
+    # windowed_hdr_p95, streaming_hdr_p95, bpe_merges and the five
+    # other r4 TPC-H shapes
     # (q3/q6/q17/q21/q22) stay OUTSIDE the window this round — all
     # integer/string output (lowest hash risk), each pinned by a
     # dedicated r4 test (no-false-negatives / zero-residual /
