@@ -7245,6 +7245,52 @@ def q_streaming_hdr_p95(spark, sf_dir):
     )
 
 
+@register(
+    "tpch_q16_supplier_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size >= 5
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_suppkey % 13 = 0
+      )
+    GROUP BY 1, 2
+    """,
+)
+def q_tpch_q16_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct supplier counts per (brand, type)
+    excluding a blacklist via NOT IN — the NULL-AWARE anti join, the
+    one anti-join variant with different semantics from NOT EXISTS
+    (one NULL in the subquery empties the result). Spark compiles it
+    to BroadcastHashJoin LeftAnti with the null-aware flag when the
+    blacklist fits a broadcast (asserted in
+    test_plans.py::test_q16_not_in_is_null_aware_anti_join); at scale
+    the broadcast NAAJ is the only scalable form — a shuffled NAAJ
+    degenerates, so keep the NOT IN side small or rewrite to NOT
+    EXISTS when null-freedom is provable. Blacklist carved
+    deterministically (suppkey ≡ 0 mod 13)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") >= 5)
+    l.createOrReplaceTempView("__q16_l")
+    p.createOrReplaceTempView("__q16_p")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("__q16_s")
+    return spark.sql(
+        """
+        SELECT p.p_brand, p.p_type,
+               CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT)
+                 AS supplier_cnt
+        FROM __q16_l l
+        JOIN __q16_p p ON p.p_partkey = l.l_partkey
+        WHERE l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM __q16_s WHERE s_suppkey % 13 = 0
+        )
+        GROUP BY p.p_brand, p.p_type
+        """
+    )
+
+
 @register("bpe_merges")  # no SQL oracle: iterative argmax training
 def q_bpe_merges(spark, sf_dir):
     """Train 8 BPE merges over the corpus (operators/text.py::
@@ -7392,8 +7438,8 @@ _FRONT: list[str] = [
     # source_overlap_matrix, lang_confusion_matrix, rfm_segmentation,
     # image_resize_checksum, video_frame_checksums,
     # containment_decontaminate, tpch_q10_returned_revenue,
-    # windowed_hdr_p95, streaming_hdr_p95, bpe_merges and the five
-    # other r4 TPC-H shapes
+    # windowed_hdr_p95, streaming_hdr_p95, bpe_merges and the six
+    # other r4 TPC-H shapes (q3/q6/q10/q16/q17/q21/q22)
     # (q3/q6/q17/q21/q22) stay OUTSIDE the window this round — all
     # integer/string output (lowest hash risk), each pinned by a
     # dedicated r4 test (no-false-negatives / zero-residual /

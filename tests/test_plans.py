@@ -654,3 +654,18 @@ def test_cached_subplan_is_reused_in_memory(spark):
         assert q2.collect()[0][0] == docs.count()
     finally:
         base.unpersist()
+
+
+def test_q16_not_in_is_null_aware_anti_join(spark):
+    """NOT IN must compile to the null-aware broadcast anti join
+    (BroadcastHashJoin ... LeftAnti, BuildRight, true) — the variant
+    whose semantics differ from NOT EXISTS under NULLs, and the only
+    NAAJ form that scales (build side broadcast)."""
+    df = _q("tpch_q16_supplier_counts", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    anti_lines = [l for l in plan.splitlines() if "LeftAnti" in l]
+    assert anti_lines, plan[:1500]
+    assert any(
+        "BroadcastHashJoin" in l and l.rstrip().endswith("true")
+        for l in anti_lines
+    ), anti_lines
