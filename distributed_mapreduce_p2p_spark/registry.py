@@ -7291,6 +7291,60 @@ def q_tpch_q16_supplier_counts(spark, sf_dir):
     )
 
 
+@register(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1 - l_discount AS DECIMAL(4,2))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_rev AS DOUBLE) AS total_rev
+    FROM supplier s JOIN rev r ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def q_tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the quarter's top supplier(s) by revenue —
+    aggregate, attach the scalar max, keep ALL ties (the semantics
+    LIMIT 1 gets wrong). The tie test runs on the EXACT DECIMAL
+    revenue (a float max-equality can drop a tied supplier to a
+    1-ulp summation difference); only the emitted column is double.
+    Plan: one fact agg, a 1-row max broadcast back onto it, supplier
+    dim broadcast onto the ≤|ties| result."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        l.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+            ).alias("total_rev_dec")
+        )
+    )
+    mx = rev.agg(F.max("total_rev_dec").alias("mx"))
+    return (
+        rev.crossJoin(broadcast(mx))
+        .where(F.col("total_rev_dec") == F.col("mx"))
+        .join(broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev_dec").cast("double").alias("total_rev"),
+        )
+    )
+
+
 @register("bpe_merges")  # no SQL oracle: iterative argmax training
 def q_bpe_merges(spark, sf_dir):
     """Train 8 BPE merges over the corpus (operators/text.py::
@@ -7439,7 +7493,7 @@ _FRONT: list[str] = [
     # image_resize_checksum, video_frame_checksums,
     # containment_decontaminate, tpch_q10_returned_revenue,
     # windowed_hdr_p95, streaming_hdr_p95, bpe_merges and the six
-    # other r4 TPC-H shapes (q3/q6/q10/q16/q17/q21/q22)
+    # other r4 TPC-H shapes (q3/q6/q10/q15/q16/q17/q21/q22)
     # (q3/q6/q17/q21/q22) stay OUTSIDE the window this round — all
     # integer/string output (lowest hash risk), each pinned by a
     # dedicated r4 test (no-false-negatives / zero-residual /
