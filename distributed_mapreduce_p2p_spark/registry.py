@@ -7345,6 +7345,107 @@ def q_tpch_q15_top_supplier(spark, sf_dir):
     )
 
 
+@register(
+    "stream_stream_full_outer",
+    oracle="""
+    WITH v AS (SELECT event_id AS view_id, user_id, ts AS v_ts
+               FROM events WHERE event_type = 'view'),
+    p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+          FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT LEAST((SELECT max(v_ts) FROM v),
+                        (SELECT max(p_ts) FROM p))
+                  - INTERVAL 1 HOUR AS w)
+    SELECT v.view_id, p.purchase_id, v.user_id
+    FROM v JOIN p ON v.user_id = p.user_id
+       AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 60 MINUTE
+    UNION ALL
+    SELECT v.view_id, CAST(NULL AS BIGINT) AS purchase_id, v.user_id
+    FROM v CROSS JOIN wm
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = v.user_id
+          AND p.p_ts >= v.v_ts
+          AND p.p_ts <= v.v_ts + INTERVAL 60 MINUTE)
+      AND v.v_ts + INTERVAL 60 MINUTE < wm.w
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT) AS view_id, p.purchase_id, p.user_id
+    FROM p CROSS JOIN wm
+    WHERE NOT EXISTS (
+        SELECT 1 FROM v
+        WHERE v.user_id = p.user_id
+          AND p.p_ts >= v.v_ts
+          AND p.p_ts <= v.v_ts + INTERVAL 60 MINUTE)
+      AND p.p_ts < wm.w
+    """,
+)
+def q_stream_stream_full_outer(spark, sf_dir):
+    """Stream-stream FULL OUTER join with dual watermarks — both
+    sides' unmatched rows emit with NULLs, each under its own
+    eviction rule derived from the interval condition: an unmatched
+    view emits once wm > v_ts + 60 min (no future purchase can land
+    in its window), an unmatched purchase once wm > p_ts (no future
+    view can precede it within 60 min — the view side's reachable
+    range is [p_ts − 60 min, p_ts], bounded above by p_ts). The
+    oracle reproduces BOTH asymmetric emission rules exactly; rows
+    still inside their horizon at end-of-stream are never emitted.
+    State on both sides stays watermark-bounded at any stream
+    length."""
+    import tempfile
+
+    staged, schema = _stage_events(
+        spark, sf_dir, ("event_id", "user_id", "ts", "event_type")
+    )
+    tmp = tempfile.mkdtemp(prefix="ssfoj_")
+    out = f"{tmp}/out"
+    with _stream_conf(spark):
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(staged)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        views = (
+            stream.where(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("v_user"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "1 hour")
+        )
+        purchases = (
+            stream.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        q = (
+            views.join(
+                purchases,
+                F.expr(
+                    "v_user = p_user AND p_ts >= v_ts"
+                    " AND p_ts <= v_ts + interval 60 minutes"
+                ),
+                "fullOuter",
+            )
+            .select(
+                "view_id",
+                "purchase_id",
+                F.coalesce("v_user", "p_user").alias("user_id"),
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    return spark.read.parquet(out)
+
+
 @register("bpe_merges")  # no SQL oracle: iterative argmax training
 def q_bpe_merges(spark, sf_dir):
     """Train 8 BPE merges over the corpus (operators/text.py::
@@ -7492,7 +7593,8 @@ _FRONT: list[str] = [
     # source_overlap_matrix, lang_confusion_matrix, rfm_segmentation,
     # image_resize_checksum, video_frame_checksums,
     # containment_decontaminate, tpch_q10_returned_revenue,
-    # windowed_hdr_p95, streaming_hdr_p95, bpe_merges and the six
+    # windowed_hdr_p95, streaming_hdr_p95, stream_stream_full_outer,
+    # bpe_merges and the six
     # other r4 TPC-H shapes (q3/q6/q10/q15/q16/q17/q21/q22)
     # (q3/q6/q17/q21/q22) stay OUTSIDE the window this round — all
     # integer/string output (lowest hash risk), each pinned by a
