@@ -7446,6 +7446,47 @@ def q_stream_stream_full_outer(spark, sf_dir):
     return spark.read.parquet(out)
 
 
+@register(
+    "grouping_sets_report",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, '<all>') AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+             AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets_report(spark, sf_dir):
+    """Explicit GROUPING SETS — the general form under rollup/cube:
+    four aggregation granularities (both, each single, grand total)
+    in ONE pass over the fact (Catalyst expands the sets into a
+    single Expand + aggregate, not four scans), with GROUPING()
+    flags distinguishing a real NULL group from a rolled-up level —
+    the contract COALESCE alone cannot give. Money summed in exact
+    DECIMAL per set, one double cast."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, '<all>') AS status,
+               COALESCE(o_orderpriority, '<all>') AS priority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                 AS total
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
 @register("bpe_merges")  # no SQL oracle: iterative argmax training
 def q_bpe_merges(spark, sf_dir):
     """Train 8 BPE merges over the corpus (operators/text.py::
@@ -7594,7 +7635,7 @@ _FRONT: list[str] = [
     # image_resize_checksum, video_frame_checksums,
     # containment_decontaminate, tpch_q10_returned_revenue,
     # windowed_hdr_p95, streaming_hdr_p95, stream_stream_full_outer,
-    # bpe_merges and the six
+    # grouping_sets_report, bpe_merges and the six
     # other r4 TPC-H shapes (q3/q6/q10/q15/q16/q17/q21/q22)
     # (q3/q6/q17/q21/q22) stay OUTSIDE the window this round — all
     # integer/string output (lowest hash risk), each pinned by a
