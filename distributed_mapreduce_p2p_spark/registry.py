@@ -7487,6 +7487,43 @@ def q_grouping_sets_report(spark, sf_dir):
     )
 
 
+@register(
+    "tpch_q13_order_count_dist",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q_tpch_q13_order_count_dist(spark, sf_dir):
+    """TPC-H Q13: the customer order-count distribution — a LEFT
+    join with the filter INSIDE the join condition (so zero-order
+    customers survive into the c_count = 0 bucket; a WHERE would
+    silently drop them) feeding a second aggregation over the first's
+    results. The two-level aggregate is the distribution-of-counts
+    shape every engagement histogram uses; level 2's input is only
+    |customers| rows, so the second shuffle is negligible at any
+    scale."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o.where(F.col("o_orderpriority") != "1-URGENT"),
+            c.c_custkey == o.o_custkey,
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
 @register("bpe_merges")  # no SQL oracle: iterative argmax training
 def q_bpe_merges(spark, sf_dir):
     """Train 8 BPE merges over the corpus (operators/text.py::
@@ -7636,7 +7673,7 @@ _FRONT: list[str] = [
     # containment_decontaminate, tpch_q10_returned_revenue,
     # windowed_hdr_p95, streaming_hdr_p95, stream_stream_full_outer,
     # grouping_sets_report, bpe_merges and the six
-    # other r4 TPC-H shapes (q3/q6/q10/q15/q16/q17/q21/q22)
+    # other r4 TPC-H shapes (q3/q6/q10/q13/q15/q16/q17/q21/q22)
     # (q3/q6/q17/q21/q22) stay OUTSIDE the window this round — all
     # integer/string output (lowest hash risk), each pinned by a
     # dedicated r4 test (no-false-negatives / zero-residual /
