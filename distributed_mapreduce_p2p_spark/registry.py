@@ -7524,6 +7524,91 @@ def q_tpch_q13_order_count_dist(spark, sf_dir):
     )
 
 
+@register(
+    "tpch_q8_market_share",
+    oracle="""
+    WITH flows AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             SUM(CASE WHEN sn.n_name = 'NATION_7'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l.l_discount AS DECIMAL(4,2))
+                 ELSE CAST(0 AS DECIMAL(14,4)) END) AS nation_rev,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS total_rev
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = cn.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+      GROUP BY 1
+    )
+    SELECT o_year,
+           CAST(nation_rev AS DOUBLE) / CAST(total_rev AS DOUBLE)
+             AS mkt_share
+    FROM flows
+    """,
+)
+def q_tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_7 suppliers' share of ASIA's PROMO
+    market per year — the 8-table join (nation joined TWICE, once on
+    the customer side, once on the supplier side) with a
+    ratio-of-conditional-sums. Both sums accumulate in exact DECIMAL
+    and divide once per year row. Plan: every dimension broadcasts
+    (customer side prunes by region before touching the fact), the
+    two nation roles alias cleanly, and the fact shuffles only for
+    the orderkey join and the per-year aggregate."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_region"),
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("sn_name"),
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(4,2)")
+    zero = F.lit(0).cast("decimal(14,4)")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(broadcast(r), F.col("cn_region") == r.r_regionkey)
+        .join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .join(broadcast(p), l.l_partkey == p.p_partkey)
+    )
+    return (
+        joined.groupBy(
+            F.year("o_orderdate").cast("long").alias("o_year")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("sn_name") == "NATION_7", rev).otherwise(zero)
+            ).alias("nation_rev"),
+            F.sum(rev).alias("total_rev"),
+        )
+        .select(
+            "o_year",
+            (
+                F.col("nation_rev").cast("double")
+                / F.col("total_rev").cast("double")
+            ).alias("mkt_share"),
+        )
+    )
+
+
 @register("bpe_merges")  # no SQL oracle: iterative argmax training
 def q_bpe_merges(spark, sf_dir):
     """Train 8 BPE merges over the corpus (operators/text.py::
@@ -7673,7 +7758,7 @@ _FRONT: list[str] = [
     # containment_decontaminate, tpch_q10_returned_revenue,
     # windowed_hdr_p95, streaming_hdr_p95, stream_stream_full_outer,
     # grouping_sets_report, bpe_merges and the six
-    # other r4 TPC-H shapes (q3/q6/q10/q13/q15/q16/q17/q21/q22)
+    # other r4 TPC-H shapes (q3/q6/q8/q10/q13/q15/q16/q17/q21/q22)
     # (q3/q6/q17/q21/q22) stay OUTSIDE the window this round — all
     # integer/string output (lowest hash risk), each pinned by a
     # dedicated r4 test (no-false-negatives / zero-residual /
