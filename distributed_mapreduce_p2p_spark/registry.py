@@ -3372,57 +3372,6 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 @register(
-    "tpch_q3_shipping_priority",
-    oracle="""
-    SELECT l_orderkey,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
-             AS revenue,
-           o_orderdate
-    FROM customer
-    JOIN orders   ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    WHERE c_mktsegment = 'BUILDING'
-      AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
-      AND l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
-    GROUP BY l_orderkey, o_orderdate
-    ORDER BY revenue DESC, l_orderkey
-    LIMIT 10
-    """,
-)
-def q_tpch_q3_shipping_priority(spark, sf_dir):
-    """TPC-H Q3 shape: selective dimension filter -> two shuffled
-    fact joins -> aggregate -> global top-10 (TakeOrderedAndProject,
-    never a full sort). The customer side is broadcast after its
-    segment filter; both date predicates push to the parquet scans."""
-    c = _t(spark, sf_dir, "customer").where(
-        F.col("c_mktsegment") == "BUILDING"
-    )
-    o = _t(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") < F.lit("1998-06-01 00:00:00").cast("timestamp")
-    )
-    li = _t(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") > F.lit("1998-06-01 00:00:00").cast("timestamp")
-    )
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(12,2)")
-                * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
-            )
-            .cast("double")
-            .alias("revenue")
-        )
-        .orderBy(F.col("revenue").desc(), "l_orderkey")
-        .limit(10)
-        .select("l_orderkey", "revenue", "o_orderdate")
-    )
-
-
-@register(
     "stratified_sample",
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment
@@ -7662,75 +7611,52 @@ def q_bpe_merges(spark, sf_dir):
 # reds were contract bugs fixed r4, and re-sampling flips the row.
 
 _FRONT: list[str] = [
-    # -- (1) round-2 fails, all root-caused and fixed -------------------
-    "streaming_tumbling_window",
-    "interval_overlap_join",
-    "fm_sketch_distinct",
-    "range_frame_trailing",
-    "stream_static_join",
-    "asof_join_merge_last_order",
-    "funnel_conversion",
-    "retention_cohorts",
-    "group_quantiles",
-    "json_props_stats",
-    # asof_join_last_order rotated OUT in r4 (r1+r3 green; the as-of
-    # family stays sampled via asof_join_merge_last_order, which
-    # shares its oracle) — slot goes to streaming_session_windows
-    "inverted_index",
-    "histogram_value_bins",
-    "iqr_outliers",
-    "pagerank_parts",
-    "stream_stream_join",
-    "streaming_dedup_user_minute",
-    "resample_ffill",
-    "stream_stream_left_outer",
-    "sliding_distinct_users",
-    "event_transition_matrix",
-    # -- (2) never sampled in r1 or r2 — verdict priority ---------------
-    "streaming_upsert_counts",
-    "udaf_energy_by_type",
-    "tpch_q19_disjunctive_filter",
-    "unpivot_metrics",
-    "array_agg_sorted",
-    "weekly_growth",
-    "vocab_growth",
-    # -- (3) families whose only driver proof is round 1 ----------------
-    # (range_filter / staleness_filter / union_all_scans rotated OUT in
-    # r4: each has two green driver rows (r1+r3) and a pinned test; the
-    # slots go to the r4-new queries below per the standing rule that
-    # new/changed plans take window priority. dedupe_keep_last
-    # likewise: r1+r3 green + pinned test.)
-    # gap_detect rotated OUT in r4 (r1+r3 green; J3 pinned by
-    # property tests)
-    # membership_merge rotated OUT in r4 (r1+r3 green; J2 pinned by
-    # property tests) — slot goes to span_dedup_clean below
-    # sorted_runlength_agg rotated OUT in r4 (r1+r3 green; A4 pinned
-    # by the partial-agg plan test)
-    # wordcount_udf_surface rotated OUT in r4 (r1+r3 green; U1 pinned
-    # by test_udfs_cogroup) — slot goes to bm25_scores below
-    # dedup_exact rotated OUT in r4 (r1+r3 green; exact-dedup pinned
-    # by tests; minhash/simhash keep the family in-window)
-    # minhash_lsh_pairs rotated OUT in r4 (r1+r3 green; LSH banding
-    # pinned by completeness tests) — slot goes to hdr_quantile_sketch
-    # simhash_pairs rotated OUT in r4 (r1+r3 green; pigeonhole
-    # completeness pinned by tests) — slot goes to source_token_drift
-    # token_stats rotated OUT in r4 (r1+r3 green; textstats pinned by
-    # tests) — slot goes to int8_quantized_topk below
-    # text_quality / doc_fingerprint / lang_id rotated OUT in r4 (all
-    # r1+r3 green; token_stats keeps the textstats family sampled) —
-    # lang_id's slot goes to priority_sample_per_source below
-    # salted_wordcount rotated OUT in r4 (r1+r3 green; salting pinned
-    # by test_skew + test_ops salted-join equivalence)
-    # session_window_agg rotated OUT in r4 (r1+r3 green; session
-    # windows pinned by the stream==batch test) — slot goes to
-    # k_anonymity_audit below
-    # anti_join rotated OUT in r4 (r1+r3 green; semi/anti pinned by
-    # tests and semi_join's r3 row)
-    # -- (4) r4 rotation: plans changed since last sampled row ----------
+    # ============ ROUND-5 WINDOW ============
+    # Composition rule (standing since r3): (a) entries with NO driver
+    # CORRECTNESS row in any round, (b) entries whose PLAN or ORACLE
+    # changed since their last sampled row, (c) r5-new queries. Every
+    # r4-window entry is 50/50 green in CORRECTNESS_r04.json, so all
+    # 50 slots were free to rotate.
+    # -- (1) never driver-sampled in r1-r4 (the r4 verdict queue,
+    #        registry comment block that used to sit below) ------------
+    "bloom_prune_accounting",
+    "pii_redact_stats",
+    "leakage_safe_split",
+    "snapshot_diff",
+    "incremental_agg_maintenance",
+    "source_overlap_matrix",
+    "lang_confusion_matrix",
+    "rfm_segmentation",
+    "image_resize_checksum",
+    "video_frame_checksums",
+    "containment_decontaminate",
+    "windowed_hdr_p95",
+    "streaming_hdr_p95",
+    "stream_stream_full_outer",
+    "grouping_sets_report",
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_revenue",
+    "tpch_q13_order_count_dist",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q21_sole_returner",
+    "tpch_q22_churned_balance",
+    "bpe_merges",
+    # -- (2) plan/oracle changed in r5 ---------------------------------
+    # tpch_q3 was registered TWICE (r2 original + r4 DECIMAL-ranked
+    # rewrite); the rewrite silently shadowed the original, so the
+    # effective plan has never been driver-sampled. Dead duplicate
+    # deleted in r5; rewrite rotates in.
+    "tpch_q3_shipping_priority",
+    "dedup_clusters",       # r5: shared LSH+CC cluster-table memo
+    "curation_pipeline",    # r5: same memo
+    "span_dedup_clean",     # r5: oracle threshold now interpolated
+    # -- (3) r4-window holdovers (each 50/50 green in r4; they keep
+    #        their slots only until displaced by r5-new queries) -------
     "doc_repetition",
     "supplier_cosine_topk",
-    "dedup_clusters",
-    # -- (5) new in r4: no driver row exists yet ------------------------
     "benchmark_decontaminate",
     "mixture_reweight",
     "global_shuffle_order",
@@ -7743,7 +7669,6 @@ _FRONT: list[str] = [
     "tpch_q12_priority_by_returnflag",
     "tpch_q14_promo_share",
     "streaming_stateful_bucket_stats",
-    "span_dedup_clean",
     "k_anonymity_audit",
     "streaming_session_windows",
     "priority_sample_per_source",
@@ -7751,19 +7676,6 @@ _FRONT: list[str] = [
     "bm25_scores",
     "hdr_quantile_sketch",
     "int8_quantized_topk",
-    # bloom_prune_accounting, pii_redact_stats, leakage_safe_split,
-    # snapshot_diff, incremental_agg_maintenance,
-    # source_overlap_matrix, lang_confusion_matrix, rfm_segmentation,
-    # image_resize_checksum, video_frame_checksums,
-    # containment_decontaminate, tpch_q10_returned_revenue,
-    # windowed_hdr_p95, streaming_hdr_p95, stream_stream_full_outer,
-    # grouping_sets_report, bpe_merges and the six
-    # other r4 TPC-H shapes (q3/q6/q8/q10/q13/q15/q16/q17/q21/q22)
-    # (q3/q6/q17/q21/q22) stay OUTSIDE the window this round — all
-    # integer/string output (lowest hash risk), each pinned by a
-    # dedicated r4 test (no-false-negatives / zero-residual /
-    # no-crossing-pairs / exact-BPE-recompute); rotate into the r5
-    # window per the standing new-plan rule.
 ]
 
 
