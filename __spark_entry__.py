@@ -21,8 +21,8 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 from distributed_mapreduce_p2p_spark.registry import (  # noqa: E402
-    ORACLES,
     QUERIES,
+    finalize_oracles,
     flagship,
 )
 
@@ -37,4 +37,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    # The driver compares Spark vs DuckDB at sf=0.01, so dynamic
+    # (generated expected-value) oracles render against that path.
+    return finalize_oracles("/root/testdata/sf0.01")

@@ -7558,18 +7558,105 @@ def q_tpch_q8_market_share(spark, sf_dir):
     )
 
 
-@register("bpe_merges")  # no SQL oracle: iterative argmax training
+@register("bpe_merges")  # oracle is DYNAMIC — see _bpe_expected_oracle
 def q_bpe_merges(spark, sf_dir):
     """Train 8 BPE merges over the corpus (operators/text.py::
     bpe_learn) and return the merge table (round, pair, freq) — the
     subword-tokenizer training step of an LLM data pipeline.
-    Genuinely non-SQL-expressible (each round's re-tokenization
-    depends on the previous round's argmax — a recursive CTE cannot
-    aggregate over its own recursive term), so the driver records
-    the weaker rows-only check; the exact semantics are pinned by
-    test_r4_pipeline::test_bpe_merges_match_local_recompute, a
-    pure-Python BPE with identical tie-breaking."""
+    The training loop is genuinely non-SQL-expressible (each round's
+    re-tokenization depends on the previous round's argmax — a
+    recursive CTE cannot aggregate over its own recursive term), so
+    the oracle is generated instead of written: an INDEPENDENT
+    pure-Python BPE recompute (same tokenizer, same (freq desc, a, b)
+    tie-break, same left-to-right non-overlapping merge rule) runs at
+    ``oracle_sql()`` time and is emitted as a VALUES literal — see
+    ``_bpe_expected_oracle`` / ``finalize_oracles`` below. The exact
+    semantics are additionally pinned by test_r4_pipeline::
+    test_bpe_merges_match_local_recompute."""
     return T.bpe_learn(_t(spark, sf_dir, "documents"), rounds=8)
+
+
+def _bpe_expected_oracle(sf_dir: str, rounds: int = 8) -> str | None:
+    """Generate the expected ``bpe_merges`` table for ``sf_dir`` as a
+    DuckDB VALUES literal, via a pure-Python BPE recompute that is
+    implementation-independent from operators/text.py::bpe_learn
+    (dict-of-tuples state vs Spark HOF fold). ~0.3 s at sf0.01
+    (vocab-bounded: 8 rounds over the distinct-word table, not the
+    corpus). Returns None when the parquet is unreadable so callers
+    fall back to the driver's rows-only check instead of crashing."""
+    import re as _re
+    from collections import Counter as _Counter
+
+    try:
+        import pyarrow.parquet as _pq
+
+        texts = (
+            _pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+            .column("text")
+            .to_pylist()
+        )
+    except Exception:
+        return None
+    wc: _Counter = _Counter()
+    for t in texts:
+        wc.update(w for w in _re.split("[^A-Za-z]+", t or "") if w)
+    syms = {tuple(w) + ("_",): c for w, c in wc.items()}
+    out: list[tuple[int, str, int]] = []
+    for rnd in range(1, rounds + 1):
+        pc: _Counter = _Counter()
+        for s, c in syms.items():
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        (a, b), f = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((rnd, f"{a}+{b}", f))
+        merged: dict[tuple[str, ...], int] = {}
+        for s, c in syms.items():
+            acc: list[str] = []
+            for x in s:
+                if acc and acc[-1] == a and x == b:
+                    acc[-1] = a + b
+                else:
+                    acc.append(x)
+            t2 = tuple(acc)
+            merged[t2] = merged.get(t2, 0) + c
+        syms = merged
+    if not out:
+        return None
+    rows = ", ".join(f"({r}, '{p}', {f})" for r, p, f in out)
+    return (
+        'SELECT CAST(c0 AS BIGINT) AS "round", c1 AS pair,'
+        " CAST(c2 AS BIGINT) AS freq"
+        f" FROM (VALUES {rows}) t(c0, c1, c2)"
+    )
+
+
+#: Oracles whose SQL must be *generated* per scale factor (the SQL is
+#: an expected-value literal, not a query over the views). The driver
+#: always compares at sf0.01, so ``oracle_sql()`` renders with that
+#: path; local tools (parity_one, test_oracle_parity) render with the
+#: SF they sweep.
+DYNAMIC_ORACLES: dict = {"bpe_merges": _bpe_expected_oracle}
+
+
+def finalize_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict:
+    """Static ORACLES plus the dynamic entries rendered for sf_dir.
+    Memoized per sf_dir (the recompute is cheap but tests call this
+    per-parametrization)."""
+    cached = _FINALIZED_CACHE.get(sf_dir)
+    if cached is not None:
+        return dict(cached)
+    out = dict(ORACLES)
+    for name, gen in DYNAMIC_ORACLES.items():
+        sql = gen(sf_dir)
+        if sql is not None:
+            out[name] = sql
+    _FINALIZED_CACHE[sf_dir] = out
+    return dict(out)
+
+
+_FINALIZED_CACHE: dict = {}
 
 
 # =====================================================================

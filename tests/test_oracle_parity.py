@@ -13,7 +13,7 @@ from tests.oracle import compare, duck_con
 def _pairs():
     from distributed_mapreduce_p2p_spark import registry
 
-    return sorted(registry.ORACLES.keys())
+    return sorted(registry.finalize_oracles(SF_SMALL).keys())
 
 
 @pytest.fixture(scope="module")
@@ -28,7 +28,8 @@ def test_parity(spark, con, name):
     from distributed_mapreduce_p2p_spark import registry
 
     df = registry.QUERIES[name](spark, SF_SMALL)
-    issues = compare(df, con, registry.ORACLES[name], name)
+    oracle = registry.finalize_oracles(SF_SMALL)[name]
+    issues = compare(df, con, oracle, name)
     assert not issues, "\n".join(issues)
 
 

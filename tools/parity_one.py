@@ -32,10 +32,11 @@ def main() -> None:
     names = args or list(registry.QUERIES)
     spark = get_spark(app_name="parity_one")
     con = duck_con(sf)
+    oracles = registry.finalize_oracles(sf)
     failed = []
     for name in names:
         df = registry.QUERIES[name](spark, sf)
-        issues = compare(df, con, registry.ORACLES[name], name)
+        issues = compare(df, con, oracles[name], name)
         n = df.count()
         if issues:
             failed.append(name)
