@@ -133,11 +133,19 @@ def cmd_sql(args) -> int:
     from distributed_mapreduce_p2p_spark.sources.io import read_table
 
     spark = _spark(args.cores)
+    from pyspark.errors import AnalysisException
+
     for t in _TABLES:
         try:
             read_table(spark, args.sf, t).createOrReplaceTempView(t)
-        except Exception:
+        except AnalysisException:
             pass  # missing table in a partial sf dir — view just absent
+        except Exception as e:  # corrupt/unreadable: warn, don't mask
+            print(
+                f"warning: could not register view '{t}': "
+                f"{type(e).__name__}: {e}",
+                file=sys.stderr,
+            )
     spark.sql(args.stmt).show(args.rows, truncate=False)
     return 0
 

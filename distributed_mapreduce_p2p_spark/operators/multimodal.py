@@ -396,13 +396,16 @@ def encode_bmp_pixels(px) -> bytes:
 
 def bmp_pixels(payload: bytes):
     """Decode a BMP payload into its (h, w*3) pixel-byte array (pad
-    columns stripped) plus (width, height)."""
+    columns stripped) plus (width, height). The pixel offset is read
+    from the file header (bfOffBits), not assumed to be 14+40 — a
+    conformant BMP may carry a longer DIB or a palette between header
+    and pixels (r4 advice)."""
     import numpy as np
 
     w, h = decode_bmp(payload)
+    _, _, _, _, off = struct.unpack_from(_BMP_HEADER_FMT, payload, 0)
     row = w * 3
     pad = (-row) % 4
-    off = 14 + 40
     arr = np.frombuffer(
         payload, dtype=np.uint8, count=(row + pad) * h, offset=off
     ).reshape(h, row + pad)

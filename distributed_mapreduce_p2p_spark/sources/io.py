@@ -459,19 +459,21 @@ def compact_files(
     itself is one round-robin exchange. On a cluster the same effect
     inside a query is AQE's advisory partition size; this helper is
     the explicit table-maintenance form (OPTIMIZE/rewrite_data_files
-    in lakehouse terms). Local paths only in tests; the listing goes
-    through the same ``inputFiles()`` the scheduler uses, so any
-    Hadoop-visible FS works.
+    in lakehouse terms). Sizing goes through the Hadoop FileSystem
+    API (not os.path.getsize), so hdfs://, abfs://, s3a:// and
+    file:// URIs all resolve — whatever ``inputFiles()`` returns.
     """
     import math
-    import os
-    from urllib.parse import urlparse
 
     df = spark.read.parquet(src)
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    hconf = sc._jsc.hadoopConfiguration()
     total = 0
     for uri in df.inputFiles():
-        p = urlparse(uri)
-        total += os.path.getsize(p.path if p.scheme in ("file", "") else uri)
+        jpath = jvm.org.apache.hadoop.fs.Path(uri)
+        fs = jpath.getFileSystem(hconf)
+        total += fs.getFileStatus(jpath).getLen()
     n_out = max(1, math.ceil(total / target_bytes))
     df.repartition(n_out).write.mode("overwrite").parquet(dst)
     return n_out
@@ -519,14 +521,20 @@ def publish_atomic(
     new_ver = cur_ver + 1
     vdir = os.path.join(table_root, f"v={new_ver}")
     df.write.mode("errorifexists").parquet(vdir)
-    spark = df.sparkSession
     files = sorted(
         f
         for f in os.listdir(vdir)
         if f.endswith(".parquet") and not f.startswith("_")
     )
+    # Row counts come from the parquet FOOTER metadata — zero data
+    # scan, zero Spark jobs (the previous form launched one full
+    # read+count job per output file, re-reading the version O(files)
+    # times; the r4 advice flagged it).
+    import pyarrow.parquet as pq
+
     counts = {
-        f: spark.read.parquet(os.path.join(vdir, f)).count() for f in files
+        f: pq.ParquetFile(os.path.join(vdir, f)).metadata.num_rows
+        for f in files
     }
     manifest = {
         "version": new_ver,
