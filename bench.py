@@ -86,8 +86,16 @@ def main() -> None:
             word_count,
         )
 
+        # Expanded paths, not a glob: a glob makes FileStreamSink's
+        # metadata probe stat the literal pattern, which logs a full
+        # FileNotFoundException stack at WARN (harmless, but it's the
+        # only stack trace in the driver's bounded stdout tail and
+        # reads exactly like a crash — r4 verdict nit #2).
+        import glob as _glob
+
+        txts = sorted(_glob.glob(f"{ref_data}/*.txt"))
         t0 = time.perf_counter()
-        corpus = spark.read.text(f"{ref_data}/*.txt")
+        corpus = spark.read.text(txts)
         n = word_count(corpus, "value", sep=TOKEN_SEP_UNICODE).count()
         timings["reference_corpus_wordcount"] = round(time.perf_counter() - t0, 4)
         assert n == 26010, f"golden cardinality mismatch: {n}"
@@ -148,6 +156,11 @@ def main() -> None:
     # bounded tail of stdout, and a ~4 KB line of 102 timings
     # overflows it (every BENCH_r0*.json came back "parsed": null).
     detail_path = REPO / "BENCH_DETAIL.json"
+    # Keep the previous run's detail for the regression gate
+    # (tools/bench_regress.py): rounds 2-4 each had silent per-query
+    # outliers; diffing consecutive details makes them self-reporting.
+    if detail_path.exists():
+        (REPO / "BENCH_DETAIL.prev.json").write_text(detail_path.read_text())
     detail_path.write_text(
         json.dumps(
             {

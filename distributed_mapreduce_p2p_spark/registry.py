@@ -4145,6 +4145,13 @@ def q_trade_graph_triangles(spark, sf_dir):
                 * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
             ).alias("vol")
         )
+        # ≤ |nations|² rows after the fact-scale agg. Materialize so
+        # the two downstream references (the mean-volume totals and
+        # the edge filter) cannot re-run the lineitem join — the DAG
+        # otherwise leans on ReusedExchange, which r4's bench showed
+        # is not reliable under AQE here (+56% outlier, root-caused
+        # in r5 as a double fact pass + session contention).
+        .localCheckpoint(eager=True)
     )
     und = (
         trade.where(F.col("cn") != F.col("sn"))
@@ -7770,9 +7777,9 @@ _FRONT: list[str] = [
     "dedup_clusters",       # r5: shared LSH+CC cluster-table memo
     "curation_pipeline",    # r5: same memo
     "span_dedup_clean",     # r5: oracle threshold now interpolated
+    "trade_graph_triangles",  # r5: trade matrix checkpointed (bench fix)
     # -- (3) r4-window holdovers (each 50/50 green in r4; they keep
     #        their slots only until displaced by r5-new queries) -------
-    "doc_repetition",
     "supplier_cosine_topk",
     "benchmark_decontaminate",
     "mixture_reweight",
