@@ -515,3 +515,113 @@ def frame_extract_real(assets: DataFrame, every_n: int = 2) -> DataFrame:
             " px_checksum long",
         )
     )
+
+
+def audio_resample_real(assets: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL audio resample round-trip over actual RIFF/WAVE bytes
+    (Arrow-batched mapInPandas): parse the PCM with the stdlib
+    ``wave`` reader, integer-decimate to every ``factor``-th FRAME
+    (all channels of a kept frame survive — the exact-arithmetic
+    stand-in for a polyphase resampler, which needs scipy), RE-ENCODE
+    the decimated PCM as a spec-conformant WAV at rate//factor, then
+    re-decode THAT payload for the reported features — like
+    ``resize_real``, the full decode→resample→encode→decode loop runs
+    on real bytes. Integer features (sample sum + peak) keep the
+    stage hash-verifiable."""
+
+    def _rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "asset_id": [],
+                "in_rate": [],
+                "out_rate": [],
+                "n_in": [],
+                "n_out": [],
+                "sample_sum": [],
+                "peak": [],
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    sr, nc, ns = (
+                        w.getframerate(),
+                        w.getnchannels(),
+                        w.getnframes(),
+                    )
+                    pcm = np.frombuffer(w.readframes(ns), dtype="<i2")
+                frames = pcm.reshape(ns, nc)[::factor]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(nc)
+                    w.setsampwidth(2)
+                    w.setframerate(sr // factor)
+                    w.writeframes(frames.astype("<i2").tobytes())
+                with wave.open(io.BytesIO(buf.getvalue()), "rb") as w:
+                    sr2, nc2, ns2 = (
+                        w.getframerate(),
+                        w.getnchannels(),
+                        w.getnframes(),
+                    )
+                    pcm2 = np.frombuffer(
+                        w.readframes(ns2), dtype="<i2"
+                    ).astype(np.int64)
+                out["asset_id"].append(int(aid))
+                out["in_rate"].append(sr)
+                out["out_rate"].append(sr2)
+                out["n_in"].append(ns)
+                out["n_out"].append(ns2)
+                out["sample_sum"].append(int(pcm2.sum()))
+                out["peak"].append(int(np.abs(pcm2).max()) if len(pcm2) else 0)
+            yield pd.DataFrame(out)
+
+    return (
+        assets.where(F.col("modality") == "audio")
+        .select("asset_id", "payload")
+        .mapInPandas(
+            _rs,
+            "asset_id long, in_rate long, out_rate long, n_in long,"
+            " n_out long, sample_sum long, peak long",
+        )
+    )
+
+
+def channel_stats_real(assets: DataFrame) -> DataFrame:
+    """Per-channel pixel statistics from REAL BMP bytes: decode the
+    actual pixel block (header-declared offset, pad stripped) and sum
+    each of the three interleaved byte channels — the
+    channel-mean/normalization pass an image-training pipeline runs
+    per image. Exact integer sums keep it hash-verifiable."""
+
+    def _cs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "asset_id": [],
+                "width": [],
+                "height": [],
+                "c0_sum": [],
+                "c1_sum": [],
+                "c2_sum": [],
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                px, w, h = bmp_pixels(bytes(payload))
+                arr = px.astype(np.int64)
+                out["asset_id"].append(int(aid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["c0_sum"].append(int(arr[:, 0::3].sum()))
+                out["c1_sum"].append(int(arr[:, 1::3].sum()))
+                out["c2_sum"].append(int(arr[:, 2::3].sum()))
+            yield pd.DataFrame(out)
+
+    return (
+        assets.where(F.col("modality") == "image")
+        .select("asset_id", "payload")
+        .mapInPandas(
+            _cs,
+            "asset_id long, width int, height int, c0_sum long,"
+            " c1_sum long, c2_sum long",
+        )
+    )

@@ -144,6 +144,21 @@ def numbered_result_scalable(
     )
 
 
+def _bpe_merge_fold(a: str, b: str) -> str:
+    """SQL fold expression applying ONE merge (a,b) -> ab to a
+    ``symbols`` array column, left-to-right non-overlapping (the BPE
+    application rule). Symbols are ASCII letters + '_' so the
+    literals embed safely."""
+    ab = a + b
+    return (
+        "aggregate(symbols, cast(array() as array<string>),"
+        " (acc, x) -> CASE WHEN size(acc) > 0"
+        f" AND element_at(acc, -1) = '{a}' AND x = '{b}'"
+        f" THEN concat(slice(acc, 1, size(acc) - 1), array('{ab}'))"
+        " ELSE concat(acc, array(x)) END)"
+    )
+
+
 def bpe_learn(docs: DataFrame, rounds: int = 8) -> DataFrame:
     """Learn ``rounds`` BPE merges over the corpus and return the
     merge table ``(round, pair, freq)`` — the iterative
@@ -167,6 +182,19 @@ def bpe_learn(docs: DataFrame, rounds: int = 8) -> DataFrame:
     Symbols are ASCII letters plus the ``_`` end-of-word marker, so
     merged tokens embed safely in the fold expression literals.
     """
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        bpe_learn_merges(docs, rounds),
+        "round: bigint, pair: string, freq: bigint",
+    )
+
+
+def bpe_learn_merges(
+    docs: DataFrame, rounds: int = 8
+) -> list[tuple[int, str, int]]:
+    """The training loop behind ``bpe_learn``, returning the merge
+    list ``[(round, "a+b", freq), ...]`` as plain Python — the form
+    ``bpe_token_counts`` (the APPLY side) consumes."""
     words = word_count(docs)
     syms = words.select(
         "cnt",
@@ -199,18 +227,33 @@ def bpe_learn(docs: DataFrame, rounds: int = 8) -> DataFrame:
             break
         a, b, f = best[0].a, best[0].b, best[0].f
         out.append((rnd, f"{a}+{b}", int(f)))
-        ab = a + b
         syms = syms.select(
             "cnt",
-            F.expr(
-                "aggregate(symbols, cast(array() as array<string>),"
-                " (acc, x) -> CASE WHEN size(acc) > 0"
-                f" AND element_at(acc, -1) = '{a}' AND x = '{b}'"
-                f" THEN concat(slice(acc, 1, size(acc) - 1), array('{ab}'))"
-                " ELSE concat(acc, array(x)) END)"
-            ).alias("symbols"),
+            F.expr(_bpe_merge_fold(a, b)).alias("symbols"),
         ).localCheckpoint(eager=True)
-    spark = docs.sparkSession
-    return spark.createDataFrame(
-        out, "round: bigint, pair: string, freq: bigint"
+    return out
+
+
+def bpe_token_counts(
+    docs: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """APPLY a learned merge list: per distinct word, the token count
+    under the BPE vocabulary — ``(word, n_tokens)``. This is the
+    inference side of ``bpe_learn`` (tokenizer application), and like
+    training it is vocabulary-bounded: the folds run once per
+    DISTINCT word, never per corpus occurrence; callers join the
+    resulting map back to the corpus (broadcast — the vocab is tiny
+    relative to the corpus even at 100 TB)."""
+    syms = tokenize(docs).distinct().select(
+        "word",
+        F.expr(
+            "concat(filter(split(word, ''), x -> x <> ''), array('_'))"
+        ).alias("symbols"),
     )
+    # Sequential narrow projections: 8 chained JVM folds, one stage,
+    # no shuffle between them.
+    for a, b in merges:
+        syms = syms.select(
+            "word", F.expr(_bpe_merge_fold(a, b)).alias("symbols")
+        )
+    return syms.select("word", F.size("symbols").cast("long").alias("n_tokens"))

@@ -123,6 +123,22 @@ def _dedup_cluster_table(spark, sf_dir: str, threshold: float = 0.5):
     return df
 
 
+#: Per-process memo of the learned BPE merge list keyed by
+#: (SparkContext, sf_dir, rounds) — the training loop (8 driver-side
+#: argmax collects) feeds both the bpe_merges table and the
+#: tokenizer_apply_bpe application query; train once per process.
+_BPE_MERGES_MEMO: dict = {}
+
+
+def _bpe_merges(spark, sf_dir: str, rounds: int = 8):
+    key = (id(spark.sparkContext), sf_dir, rounds)
+    out = _BPE_MERGES_MEMO.get(key)
+    if out is None:
+        out = T.bpe_learn_merges(_t(spark, sf_dir, "documents"), rounds)
+        _BPE_MERGES_MEMO[key] = out
+    return out
+
+
 def _epoch_us(col: str):
     """Epoch microseconds from a TIMESTAMP_NTZ column, timezone-free.
 
@@ -7609,8 +7625,12 @@ def q_bpe_merges(spark, sf_dir):
     ``oracle_sql()`` time and is emitted as a VALUES literal — see
     ``_bpe_expected_oracle`` / ``finalize_oracles`` below. The exact
     semantics are additionally pinned by test_r4_pipeline::
-    test_bpe_merges_match_local_recompute."""
-    return T.bpe_learn(_t(spark, sf_dir, "documents"), rounds=8)
+    test_bpe_merges_match_local_recompute. Served from the
+    per-process merge memo shared with tokenizer_apply_bpe."""
+    return spark.createDataFrame(
+        _bpe_merges(spark, sf_dir, 8),
+        "round: bigint, pair: string, freq: bigint",
+    )
 
 
 def _bpe_expected_oracle(sf_dir: str, rounds: int = 8) -> str | None:
@@ -7697,6 +7717,653 @@ _FINALIZED_CACHE: dict = {}
 
 
 # =====================================================================
+# Round-5 additions: lakehouse CDC, interval analytics, n-gram LM,
+# tokenizer application, feature binning, multimodal round-trips,
+# graph reuse
+# =====================================================================
+
+
+@register(
+    "tpch_q9_profit_shape",
+    oracle="""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l_discount AS DECIMAL(4,2))
+                    - CAST(p_retailprice AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2)))
+                AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%o%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q_tpch_q9_profit_shape(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit by nation and year),
+    adapted to the fixture's schema: no partsupp table, so unit cost
+    is p_retailprice (the join topology — lineitem fanning out to
+    part + supplier + orders + nation — is Q9's; only the cost column
+    differs). Plan: three broadcast dimension joins hang off the one
+    fact shuffle join with orders; profit is an exact DECIMAL
+    expression summed before the single double cast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%o%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = _t(spark, sf_dir, "nation")
+    amount = F.expr(
+        "CAST(l_extendedprice AS DECIMAL(12,2))"
+        " * CAST(1 - l_discount AS DECIMAL(4,2))"
+        " - CAST(p_retailprice AS DECIMAL(12,2))"
+        " * CAST(l_quantity AS DECIMAL(12,2))"
+    )
+    return (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "merge_upsert_batch",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(o_totalprice AS DECIMAL(14,2)) AS price
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ), changes AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 9 = 0 THEN 'D' ELSE 'U' END AS op,
+             o_orderstatus AS st,
+             CAST(o_totalprice AS DECIMAL(14,2))
+               + CAST(1.00 AS DECIMAL(14,2)) AS price
+      FROM orders WHERE o_orderkey % 3 = 0
+    ), merged AS (
+      SELECT COALESCE(c.k, b.k) AS k,
+             COALESCE(c.st, b.st) AS st,
+             COALESCE(c.price, b.price) AS price, c.op
+      FROM base b FULL OUTER JOIN changes c ON b.k = c.k
+      WHERE c.op IS NULL OR c.op = 'U'
+    )
+    SELECT st AS o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price) AS DOUBLE) AS total_price,
+           CAST(SUM(k) AS BIGINT) AS key_checksum
+    FROM merged GROUP BY st
+    """,
+)
+def q_merge_upsert_batch(spark, sf_dir):
+    """Lakehouse MERGE (batch CDC apply): a change batch of upserts
+    and deletes applied to a keyed base table in ONE co-partitioned
+    full outer join — MERGE INTO semantics (WHEN MATCHED AND op='D'
+    DELETE / WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT) without a
+    table format dependency; the complement to snapshot_diff (which
+    derives a change stream, where this applies one). Both sides are
+    carved deterministically from ``orders`` (base drops keys ≡0 mod
+    7; changes take keys ≡0 mod 3, delete those ≡0 mod 9, bump the
+    rest by 1.00). At 100 TB the join shuffles on the table key —
+    exactly what Delta/Iceberg MERGE compiles to — and the verified
+    output is the per-status row count + exact-DECIMAL price total +
+    key checksum over the post-merge table."""
+    orders = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(14,2)")
+    base = orders.where(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("bk"),
+        F.col("o_orderstatus").alias("bst"),
+        price.alias("bprice"),
+    )
+    changes = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("ck"),
+        F.when(F.col("o_orderkey") % 9 == 0, "D").otherwise("U").alias("op"),
+        F.col("o_orderstatus").alias("cst"),
+        (price + F.lit("1.00").cast("decimal(14,2)")).alias("cprice"),
+    )
+    merged = (
+        base.join(changes, F.col("bk") == F.col("ck"), "full_outer")
+        .where(F.col("op").isNull() | (F.col("op") == "U"))
+        .select(
+            F.coalesce("ck", "bk").alias("k"),
+            F.coalesce("cst", "bst").alias("st"),
+            F.coalesce("cprice", "bprice").alias("price"),
+        )
+    )
+    return merged.groupBy(F.col("st").alias("o_orderstatus")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price").cast("double").alias("total_price"),
+        F.sum("k").cast("long").alias("key_checksum"),
+    )
+
+
+@register(
+    "interval_merge_islands",
+    oracle="""
+    WITH iv AS (
+      SELECT o_custkey AS cust,
+             CAST(date_diff('day', DATE '1990-01-01', o_orderdate)
+                  AS BIGINT) AS s,
+             CAST(date_diff('day', DATE '1990-01-01', o_orderdate)
+                  AS BIGINT) + 30 AS e
+      FROM orders
+    ), flagged AS (
+      SELECT cust, s, e,
+             CASE WHEN MAX(e) OVER (PARTITION BY cust ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                  OR s > MAX(e) OVER (PARTITION BY cust ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ), isl AS (
+      SELECT cust, s, e,
+             SUM(new_island) OVER (PARTITION BY cust ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM flagged
+    )
+    SELECT cust AS o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(cov) AS BIGINT) AS covered_days
+    FROM (SELECT cust, island, MAX(e) - MIN(s) AS cov
+          FROM isl GROUP BY cust, island)
+    GROUP BY cust
+    """,
+)
+def q_interval_merge_islands(spark, sf_dir):
+    """Gaps-and-islands interval union: each order opens a 30-day
+    activity interval; overlapping intervals per customer merge into
+    islands, reporting islands count + total covered days — the
+    classic entitlement/coverage computation (and the batch twin of
+    session windows). One shuffle on the partition key; the island
+    assignment is the standard two-window pass (trailing cummax flags
+    island starts, running sum numbers them) — scales as a single
+    per-key sort, no self-join. Dates are bridged to integer day
+    offsets so both engines do pure BIGINT arithmetic."""
+    iv = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1990-01-01").cast("date")
+        ).cast("long").alias("s"),
+    ).withColumn("e", F.col("s") + 30)
+    w = Window.partitionBy("cust").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(
+            prev_max_e.isNull() | (F.col("s") > prev_max_e), 1
+        ).otherwise(0),
+    )
+    isl = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_island = isl.groupBy("cust", "island").agg(
+        (F.max("e") - F.min("s")).alias("cov")
+    )
+    return per_island.groupBy(F.col("cust").alias("o_custkey")).agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("cov").cast("long").alias("covered_days"),
+    )
+
+
+@register(
+    "time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents,
+             CAST(date_diff('microseconds', ts,
+                  LEAD(ts) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id)) AS BIGINT) AS dur
+      FROM events
+    )
+    SELECT event_type,
+           (CAST(CAST(SUM(cents * dur) AS BIGINT) AS DOUBLE)
+            / CAST(CAST(SUM(dur) AS BIGINT) AS DOUBLE)) / 100.0 AS twap,
+           CAST(SUM(dur) AS BIGINT) AS total_us
+    FROM seq WHERE dur IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average (TWAP) per event type: each reading
+    holds until the next one, so the mean weighs each value by its
+    holding duration — the correct aggregate for irregularly-sampled
+    gauges (price feeds, sensor states), where a plain AVG
+    over-weights bursts. One window pass (LEAD over the per-key time
+    order) + one aggregation; at 100 TB both shuffle once on the key.
+    Bit-portable arithmetic: value is exact cents (the fixture is
+    2-decimal), durations are integer µs, so the weighted sum is ONE
+    exact BIGINT (~1e16 < 2^63) and both engines perform the same two
+    IEEE divisions on identically-rounded int64→double casts."""
+    ev = _t(spark, sf_dir, "events")
+    us = _epoch_us("ts")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(14,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        (F.lead(us).over(w) - us).alias("dur"),
+    ).where(F.col("dur").isNotNull())
+    return seq.groupBy("event_type").agg(
+        (
+            (
+                F.sum(F.col("cents") * F.col("dur")).cast("double")
+                / F.sum("dur").cast("double")
+            )
+            / F.lit(100.0)
+        ).alias("twap"),
+        F.sum("dur").cast("long").alias("total_us"),
+    )
+
+
+@register(
+    "ngram_lm_next_token",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS wl
+      FROM documents
+    ), bg AS (
+      SELECT w1, w2, COUNT(*) AS cnt FROM (
+        SELECT wl[i] AS w1, wl[i+1] AS w2
+        FROM w, unnest(CASE WHEN len(wl) >= 2
+                            THEN generate_series(1, len(wl) - 1)
+                            ELSE [] END) AS t(i)
+      ) GROUP BY w1, w2
+    )
+    SELECT w1, w2, CAST(cnt AS BIGINT) AS cnt,
+           CAST(ROW_NUMBER() OVER (PARTITION BY w1
+                ORDER BY cnt DESC, w2) AS BIGINT) AS rnk
+    FROM bg QUALIFY rnk <= 3
+    """,
+)
+def q_ngram_lm_next_token(spark, sf_dir):
+    """Bigram language-model table: for every context word, the top-3
+    next tokens by conditional frequency — the n-gram LM / draft-table
+    build step (speculative decoding drafts, autocomplete, smoothing
+    baselines all start here). Corpus-wide bigram count (map-side
+    combined) + one per-context window for the top-k; ties break
+    lexicographically so the ranking is total and engine-portable.
+    At 100 TB both stages shuffle on the context word; the rank
+    window never sees more rows per key than distinct successors."""
+    docs = _t(spark, sf_dir, "documents")
+    bg = (
+        docs.select(
+            F.expr(
+                "filter(split(lower(text), '[^a-z]+'), x -> x <> '')"
+            ).alias("w")
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w)-1),"
+                    " i -> struct(element_at(w, i) AS w1,"
+                    " element_at(w, i+1) AS w2))"
+                    " ELSE array() END"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rw = Window.partitionBy("w1").orderBy(F.col("cnt").desc(), "w2")
+    return (
+        bg.withColumn("rnk", F.row_number().over(rw).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("w1", "w2", "cnt", "rnk")
+    )
+
+
+@register("tokenizer_apply_bpe")  # oracle is DYNAMIC — see below
+def q_tokenizer_apply_bpe(spark, sf_dir):
+    """APPLY the learned BPE tokenizer to the corpus: per source,
+    word count, token count under the 8-merge vocabulary, and
+    tokens-per-word — the inference side of ``bpe_merges`` (training
+    without application is half a tokenizer), and the fertility
+    statistic LLM data work tracks per source. The merge list comes
+    from the per-process training memo (_bpe_merges); application is
+    vocabulary-bounded — 8 chained JVM folds over the DISTINCT-word
+    table, then the corpus joins the tiny (word -> n_tokens) map by
+    broadcast — the corpus itself is never re-folded per occurrence.
+    Oracle: generated per-SF by an independent pure-Python recompute
+    (``_bpe_apply_expected_oracle``), like bpe_merges."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        tuple(pair.split("+", 1)) for _, pair, _ in _bpe_merges(spark, sf_dir, 8)
+    ]
+    vocab = T.bpe_token_counts(docs, merges)
+    words = docs.select(
+        "source",
+        F.explode(F.split("text", "[^A-Za-z]+")).alias("word"),
+    ).where(F.col("word") != "")
+    return (
+        words.join(broadcast(vocab), "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_tokens",
+            (
+                F.col("n_tokens").cast("double")
+                / F.col("n_words").cast("double")
+            ).alias("tokens_per_word"),
+        )
+    )
+
+
+def _bpe_apply_expected_oracle(sf_dir: str, rounds: int = 8) -> str | None:
+    """Expected ``tokenizer_apply_bpe`` table for ``sf_dir`` as a
+    VALUES literal: the same independent pure-Python BPE recompute as
+    ``_bpe_expected_oracle``, then merges applied to every distinct
+    word and token counts accumulated per source. The
+    tokens-per-word ratio is computed IN SQL from the exact integer
+    literals so the division is the identical IEEE op Spark runs."""
+    import re as _re
+    from collections import Counter as _Counter
+
+    try:
+        import pyarrow.parquet as _pq
+
+        tb = _pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["source", "text"]
+        )
+        sources = tb.column("source").to_pylist()
+        texts = tb.column("text").to_pylist()
+    except Exception:
+        return None
+    wc: _Counter = _Counter()
+    for t in texts:
+        wc.update(w for w in _re.split("[^A-Za-z]+", t or "") if w)
+    syms = {tuple(w) + ("_",): c for w, c in wc.items()}
+    merges: list[tuple[str, str]] = []
+    for _ in range(rounds):
+        pc: _Counter = _Counter()
+        for s, c in syms.items():
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        (a, b), _f = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b))
+        merged: dict[tuple[str, ...], int] = {}
+        for s, c in syms.items():
+            acc: list[str] = []
+            for x in s:
+                if acc and acc[-1] == a and x == b:
+                    acc[-1] = a + b
+                else:
+                    acc.append(x)
+            t2 = tuple(acc)
+            merged[t2] = merged.get(t2, 0) + c
+        syms = merged
+    ntok: dict[str, int] = {}
+    for w in wc:
+        acc2: list[str] = list(w) + ["_"]
+        for a, b in merges:
+            res: list[str] = []
+            for x in acc2:
+                if res and res[-1] == a and x == b:
+                    res[-1] = a + b
+                else:
+                    res.append(x)
+            acc2 = res
+        ntok[w] = len(acc2)
+    per_src: dict[str, list[int]] = {}
+    for src, t in zip(sources, texts):
+        acc3 = per_src.setdefault(src, [0, 0])
+        for w in _re.split("[^A-Za-z]+", t or ""):
+            if w:
+                acc3[0] += 1
+                acc3[1] += ntok[w]
+    if not per_src:
+        return None
+    rows = ", ".join(
+        f"('{src}', {nw}, {nt})" for src, (nw, nt) in sorted(per_src.items())
+    )
+    return (
+        "SELECT c0 AS source, CAST(c1 AS BIGINT) AS n_words,"
+        " CAST(c2 AS BIGINT) AS n_tokens,"
+        " CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE) AS tokens_per_word"
+        f" FROM (VALUES {rows}) t(c0, c1, c2)"
+    )
+
+
+@register(
+    "equidepth_bins",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(o_totalprice AS DECIMAL(14,2)) AS p,
+             NTILE(10) OVER (ORDER BY CAST(o_totalprice AS DECIMAL(14,2)),
+                             o_orderkey) AS bin
+      FROM orders
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(p) AS DOUBLE) AS lo, CAST(MAX(p) AS DOUBLE) AS hi,
+           CAST(SUM(p) AS DOUBLE) AS total
+    FROM t GROUP BY bin
+    """,
+)
+def q_equidepth_bins(spark, sf_dir):
+    """Equi-depth (quantile) binning: 10 equal-population buckets
+    over order value with per-bucket boundaries and exact totals —
+    the feature-discretization / histogram-equalization pass (the
+    complement of histogram_value_bins' equi-WIDTH buckets). The
+    o_orderkey tiebreak makes the NTILE order total, so bucket
+    assignment is deterministic on any engine. NOTE the global NTILE
+    is a single-partition sort — correct here and fine for a result
+    table; the 100 TB form computes boundaries via approx quantiles
+    (or a sampled exact sort) and bins with a range join, trading the
+    global sort for two scans."""
+    t = _t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("decimal(14,2)").alias("p"),
+        "o_orderkey",
+    )
+    w = Window.orderBy("p", "o_orderkey")
+    return (
+        t.withColumn("bin", F.ntile(10).over(w).cast("long"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("p").cast("double").alias("lo"),
+            F.max("p").cast("double").alias("hi"),
+            F.sum("p").cast("double").alias("total"),
+        )
+    )
+
+
+@register(
+    "audio_resample_checksum",
+    oracle="""
+    WITH aud AS (
+      SELECT doc_id AS asset_id, doc_id AS seed,
+             CAST(8000 + (doc_id % 5) * 1000 AS BIGINT) AS rate,
+             CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+             CAST(100 + doc_id % 400 AS BIGINT) AS ns
+      FROM documents WHERE doc_id % 3 = 1
+    ), kept AS (
+      SELECT a.asset_id, a.seed, a.rate, a.ch, a.ns, fr.f, cc.c,
+             ((a.seed * 131 + (fr.f * a.ch + cc.c) * 7) % 65536) - 32768
+               AS val
+      FROM aud a,
+           unnest(generate_series(0, a.ns - 1, 2)) AS fr(f),
+           unnest(generate_series(0, a.ch - 1)) AS cc(c)
+    )
+    SELECT asset_id,
+           MAX(rate) AS in_rate, MAX(rate) // 2 AS out_rate,
+           MAX(ns) AS n_in, CAST(COUNT(*) / MAX(ch) AS BIGINT) AS n_out,
+           CAST(SUM(val) AS BIGINT) AS sample_sum,
+           CAST(MAX(ABS(val)) AS BIGINT) AS peak
+    FROM kept GROUP BY asset_id
+    """,
+)
+def q_audio_resample_checksum(spark, sf_dir):
+    """REAL audio resample round-trip: executors encode each audio
+    asset as a real RIFF/WAVE (interleaved sample i =
+    (seed*131 + 7i) mod 65536 - 32768), parse the actual bytes,
+    decimate to every 2nd frame, RE-ENCODE the result as a WAV at
+    half the rate, re-decode THAT, and report exact integer features
+    (multimodal.py::audio_resample_real). The oracle recomputes
+    everything arithmetically from the generation formula + the
+    decimation rule — completing the per-modality round-trip trio
+    with image_resize_checksum and video_frame_checksums."""
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    return MM.audio_resample_real(MM.real_assets(ids), factor=2)
+
+
+@register(
+    "image_channel_stats",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id AS asset_id, doc_id AS seed,
+             CAST(4 + doc_id % 29 AS BIGINT) AS w,
+             CAST(3 + doc_id % 17 AS BIGINT) AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ), grid AS (
+      SELECT i.asset_id, i.w, i.h, x.x % 3 AS c,
+             (i.seed + 31 * y.y + x.x) % 256 AS b
+      FROM img i,
+           unnest(generate_series(0, i.h - 1)) AS y(y),
+           unnest(generate_series(0, i.w * 3 - 1)) AS x(x)
+    )
+    SELECT asset_id, CAST(MAX(w) AS INT) AS width,
+           CAST(MAX(h) AS INT) AS height,
+           CAST(SUM(CASE WHEN c = 0 THEN b ELSE 0 END) AS BIGINT) AS c0_sum,
+           CAST(SUM(CASE WHEN c = 1 THEN b ELSE 0 END) AS BIGINT) AS c1_sum,
+           CAST(SUM(CASE WHEN c = 2 THEN b ELSE 0 END) AS BIGINT) AS c2_sum
+    FROM grid GROUP BY asset_id
+    """,
+)
+def q_image_channel_stats(spark, sf_dir):
+    """Per-channel pixel sums from REAL BMP bytes — the channel
+    mean/normalization statistics an image-training pipeline computes
+    per image (multimodal.py::channel_stats_real decodes the actual
+    pixel block at the header-declared offset and sums the three
+    interleaved channels). The oracle recomputes the sums
+    arithmetically from the generation formula; exact integers, so a
+    hash match proves the byte-level decode."""
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    return MM.channel_stats_real(MM.real_assets(ids))
+
+
+@register(
+    "trade_graph_components",
+    oracle="""
+    WITH RECURSIVE trade AS MATERIALIZED (
+      SELECT c_nationkey AS cn, s_nationkey AS sn,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1 - l_discount AS DECIMAL(4,2))) AS vol
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2
+    ), und AS MATERIALIZED (
+      SELECT LEAST(cn, sn) AS a, GREATEST(cn, sn) AS b,
+             SUM(vol) AS vol
+      FROM trade WHERE cn <> sn GROUP BY 1, 2
+    ), edges0 AS MATERIALIZED (
+      SELECT a, b FROM und
+      WHERE CAST(vol AS DOUBLE) * (SELECT COUNT(*) FROM und)
+            > (SELECT CAST(SUM(vol) AS DOUBLE) FROM und)
+    ), edges AS (
+      SELECT a AS src, b AS dst FROM edges0
+      UNION ALL SELECT b, a FROM edges0
+    ), reach(node, label) AS (
+      SELECT n_nationkey, n_nationkey FROM nation
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src
+    )
+    SELECT CAST(node AS BIGINT) AS n_nationkey,
+           CAST(MIN(label) AS BIGINT) AS component_id
+    FROM reach GROUP BY node
+    """,
+)
+def q_trade_graph_components(spark, sf_dir):
+    """Connected components over the SAME above-mean bilateral-trade
+    graph as trade_graph_triangles (edge derivation shared verbatim;
+    the oracle's recursive CTE mirrors dedup_clusters'). Demonstrates
+    the alternating-star CC operator (operators/dedup.py::
+    connected_components — O(log n) rounds, edge-list state) on a
+    second, relation-derived graph; every nation is labeled with its
+    component's minimum nation key, isolated nations label
+    themselves."""
+    from distributed_mapreduce_p2p_spark.operators.dedup import (
+        connected_components,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    trade = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("cn"),
+            F.col("s_nationkey").alias("sn"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+            ).alias("vol")
+        )
+        .localCheckpoint(eager=True)
+    )
+    und = (
+        trade.where(F.col("cn") != F.col("sn"))
+        .groupBy(
+            F.least("cn", "sn").alias("a"),
+            F.greatest("cn", "sn").alias("b"),
+        )
+        .agg(F.sum("vol").alias("vol"))
+    )
+    totals = und.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("vol").cast("double").alias("total_vol"),
+    )
+    edges = (
+        und.crossJoin(broadcast(totals))
+        .where(
+            F.col("vol").cast("double") * F.col("n_pairs")
+            > F.col("total_vol")
+        )
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    nodes = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("doc_id")
+    )
+    labels, _ = connected_components(edges, nodes)
+    return labels.select(
+        F.col("doc_id").cast("long").alias("n_nationkey"),
+        F.col("cluster_id").cast("long").alias("component_id"),
+    )
+
+
+DYNAMIC_ORACLES["tokenizer_apply_bpe"] = _bpe_apply_expected_oracle
+
+
+# =====================================================================
 # Driver-window ordering
 # =====================================================================
 # The grading driver verifies oracle parity for the FIRST 50 entries of
@@ -7778,25 +8445,30 @@ _FRONT: list[str] = [
     "curation_pipeline",    # r5: same memo
     "span_dedup_clean",     # r5: oracle threshold now interpolated
     "trade_graph_triangles",  # r5: trade matrix checkpointed (bench fix)
-    # -- (3) r4-window holdovers (each 50/50 green in r4; they keep
-    #        their slots only until displaced by r5-new queries) -------
+    # -- (3) NEW in r5: no driver row exists --------------------------
+    "tpch_q9_profit_shape",
+    "merge_upsert_batch",
+    "interval_merge_islands",
+    "time_weighted_avg",
+    "ngram_lm_next_token",
+    "tokenizer_apply_bpe",
+    "equidepth_bins",
+    "audio_resample_checksum",
+    "image_channel_stats",
+    "trade_graph_components",
+    # -- (4) r4-window holdovers (each 50/50 green in r4; they keep
+    #        their slots only until displaced by r5-new queries;
+    #        mixture_reweight / global_shuffle_order / source_reputation
+    #        / tpch_q2 / pseudonymize_events / tpch_q4 / tpch_q12 /
+    #        tpch_q14 / priority_sample_per_source / source_token_drift
+    #        were displaced by section (3) — all r4-green, unchanged) --
     "supplier_cosine_topk",
     "benchmark_decontaminate",
-    "mixture_reweight",
-    "global_shuffle_order",
-    "source_reputation",
     "scd2_history",
     "doc_chunking",
-    "tpch_q2_min_cost_supplier",
-    "pseudonymize_events",
-    "tpch_q4_exists_priority",
-    "tpch_q12_priority_by_returnflag",
-    "tpch_q14_promo_share",
     "streaming_stateful_bucket_stats",
     "k_anonymity_audit",
     "streaming_session_windows",
-    "priority_sample_per_source",
-    "source_token_drift",
     "bm25_scores",
     "hdr_quantile_sketch",
     "int8_quantized_topk",

@@ -32,6 +32,12 @@ QUERIES = [
     "tpch_q3_shipping_priority",
     "tpch_q17_small_qty_revenue",
     "rfm_segmentation",
+    # r5 float-producing additions
+    "tpch_q9_profit_shape",
+    "merge_upsert_batch",
+    "time_weighted_avg",
+    "tokenizer_apply_bpe",
+    "equidepth_bins",
 ]
 
 

@@ -1,0 +1,269 @@
+"""Structural/exact-recompute tests for the round-5 queries —
+invariants and independent pure-Python recomputes on top of the
+DuckDB hash parity (which tests/test_oracle_parity.py already runs
+for every one of these)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def _q(name):
+    from distributed_mapreduce_p2p_spark import registry
+
+    return registry.QUERIES[name]
+
+
+def test_merge_upsert_matches_local_recompute(spark):
+    """Apply the same deterministic change batch in pure Python
+    (decimal cents, no floats) and compare per-status aggregates."""
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").collect()
+    state = {}
+    for r in orders:
+        cents = round(r.o_totalprice * 100)
+        if r.o_orderkey % 7 != 0:
+            state[r.o_orderkey] = (r.o_orderstatus, cents)
+    for r in orders:
+        if r.o_orderkey % 3 != 0:
+            continue
+        if r.o_orderkey % 9 == 0:
+            state.pop(r.o_orderkey, None)
+        else:
+            state[r.o_orderkey] = (
+                r.o_orderstatus,
+                round(r.o_totalprice * 100) + 100,
+            )
+    expect = {}
+    for k, (st, cents) in state.items():
+        n, tot, ks = expect.get(st, (0, 0, 0))
+        expect[st] = (n + 1, tot + cents, ks + k)
+    got = {
+        r.o_orderstatus: (r.n, round(r.total_price * 100), r.key_checksum)
+        for r in _q("merge_upsert_batch")(spark, SF_SMALL).collect()
+    }
+    assert got == expect
+
+
+def test_interval_islands_match_local_recompute(spark):
+    """Sweep-line interval union per customer in pure Python."""
+    import datetime
+
+    epoch = datetime.date(1990, 1, 1)
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .select("o_custkey", "o_orderdate")
+        .collect()
+    )
+    per_cust = {}
+    for r in rows:
+        d = r.o_orderdate.date() if hasattr(r.o_orderdate, "date") else r.o_orderdate
+        s = (d - epoch).days
+        per_cust.setdefault(r.o_custkey, []).append((s, s + 30))
+    expect = {}
+    for cust, ivs in per_cust.items():
+        ivs.sort()
+        islands = []
+        for s, e in ivs:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        expect[cust] = (len(islands), sum(e - s for s, e in islands))
+    got = {
+        r.o_custkey: (r.n_islands, r.covered_days)
+        for r in _q("interval_merge_islands")(spark, SF_SMALL).collect()
+    }
+    assert got == expect
+
+
+def test_time_weighted_avg_matches_local_recompute(spark):
+    """Exact integer cents*µs recompute with the identical final
+    float ops — results must be bit-equal, not just close."""
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    )
+    per_type = {}
+    for r in rows:
+        per_type.setdefault(r.event_type, []).append(r)
+    expect = {}
+    for et, rs in per_type.items():
+        rs.sort(key=lambda r: (r.ts, r.event_id))
+        s = d = 0
+        for a, b in zip(rs, rs[1:]):
+            dur = round((b.ts - a.ts).total_seconds() * 1_000_000)
+            s += round(a.value * 100) * dur
+            d += dur
+        expect[et] = ((float(s) / float(d)) / 100.0, d)
+    got = {
+        r.event_type: (r.twap, r.total_us)
+        for r in _q("time_weighted_avg")(spark, SF_SMALL).collect()
+    }
+    assert got == expect
+
+
+def test_ngram_lm_table_shape(spark):
+    """rnk is 1..3 per context, counts are non-increasing within a
+    context, and every (w1, w2) count matches an independent Spark
+    bigram count."""
+    out = _q("ngram_lm_next_token")(spark, SF_SMALL)
+    rows = out.collect()
+    per_ctx = {}
+    for r in rows:
+        per_ctx.setdefault(r.w1, []).append((r.rnk, r.cnt, r.w2))
+    for w1, lst in per_ctx.items():
+        lst.sort()
+        assert [r for r, _, _ in lst] == list(range(1, len(lst) + 1))
+        cnts = [c for _, c, _ in lst]
+        assert cnts == sorted(cnts, reverse=True)
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    import re
+    from collections import Counter
+
+    bg = Counter()
+    for d in docs:
+        ws = [w for w in re.split("[^a-z]+", d.text.lower()) if w]
+        bg.update(zip(ws, ws[1:]))
+    for r in rows:
+        assert bg[(r.w1, r.w2)] == r.cnt
+
+
+def test_tokenizer_apply_totals(spark):
+    """Word totals must equal the corpus word count per source, and
+    BPE can only shorten: n_words <= n_tokens <= letters+1 per word
+    implies per-source bounds."""
+    out = {
+        r.source: (r.n_words, r.n_tokens)
+        for r in _q("tokenizer_apply_bpe")(spark, SF_SMALL).collect()
+    }
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    words = docs.select(
+        "source", F.explode(F.split("text", "[^A-Za-z]+")).alias("w")
+    ).where(F.col("w") != "")
+    expect_words = {
+        r.source: r.n
+        for r in words.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    max_tokens = {
+        r.source: r.m
+        for r in words.groupBy("source")
+        .agg(F.sum(F.length("w") + 1).alias("m"))
+        .collect()
+    }
+    assert set(out) == set(expect_words)
+    for src, (nw, nt) in out.items():
+        assert nw == expect_words[src]
+        assert nw <= nt <= max_tokens[src]
+
+
+def test_equidepth_bins_are_equal_population(spark):
+    out = _q("equidepth_bins")(spark, SF_SMALL).collect()
+    total = spark.read.parquet(f"{SF_SMALL}/orders.parquet").count()
+    assert sorted(r.bin for r in out) == list(range(1, 11))
+    assert sum(r.n for r in out) == total
+    sizes = [r.n for r in out]
+    assert max(sizes) - min(sizes) <= 1
+    by_bin = sorted(out, key=lambda r: r.bin)
+    for a, b in zip(by_bin, by_bin[1:]):
+        assert a.hi <= b.lo
+        assert a.lo <= a.hi
+
+
+def test_audio_resample_round_trip_one_asset(spark):
+    """Cross-check one asset against a direct stdlib decode of the
+    generated WAV, decimated in numpy."""
+    import io as _io
+    import wave
+
+    import numpy as np
+
+    from distributed_mapreduce_p2p_spark.operators import multimodal as MM
+
+    out = {r.asset_id: r for r in _q("audio_resample_checksum")(spark, SF_SMALL).collect()}
+    aid = sorted(out)[0]
+    rate, ch, ns = 8000 + (aid % 5) * 1000, 1 + aid % 2, 100 + aid % 400
+    payload = MM.encode_wav(rate, ch, ns, aid)
+    with wave.open(_io.BytesIO(payload), "rb") as w:
+        pcm = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    kept = pcm.reshape(ns, ch)[::2].astype(np.int64)
+    r = out[aid]
+    assert (r.in_rate, r.out_rate) == (rate, rate // 2)
+    assert (r.n_in, r.n_out) == (ns, math.ceil(ns / 2))
+    assert r.sample_sum == int(kept.sum())
+    assert r.peak == int(np.abs(kept).max())
+
+
+def test_image_channel_stats_one_asset(spark):
+    """Cross-check one asset against a direct decode of the real BMP."""
+    import numpy as np
+
+    from distributed_mapreduce_p2p_spark.operators import multimodal as MM
+
+    out = {r.asset_id: r for r in _q("image_channel_stats")(spark, SF_SMALL).collect()}
+    aid = sorted(out)[0]
+    w, h = 4 + aid % 29, 3 + aid % 17
+    px, ww, hh = MM.bmp_pixels(MM.encode_bmp(w, h, aid))
+    arr = px.astype(np.int64)
+    r = out[aid]
+    assert (r.width, r.height) == (w, h) == (ww, hh)
+    assert r.c0_sum == int(arr[:, 0::3].sum())
+    assert r.c1_sum == int(arr[:, 1::3].sum())
+    assert r.c2_sum == int(arr[:, 2::3].sum())
+
+
+def test_trade_components_consistent_with_edges(spark):
+    """Both endpoints of every trade edge share a component; the
+    component id is the component's minimum member; label set matches
+    a pure-Python union-find over the same edges."""
+    labels = {
+        r.n_nationkey: r.component_id
+        for r in _q("trade_graph_components")(spark, SF_SMALL).collect()
+    }
+    tri = _q("trade_graph_triangles")(spark, SF_SMALL).collect()[0]
+    # recompute edges with the same rule, in Python, from the trade matrix
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    c = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+    s = spark.read.parquet(f"{SF_SMALL}/supplier.parquet")
+    trade = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("c_nationkey", "s_nationkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+            ).alias("vol")
+        )
+        .collect()
+    )
+    und = {}
+    for r in trade:
+        if r.c_nationkey == r.s_nationkey:
+            continue
+        k = (min(r.c_nationkey, r.s_nationkey), max(r.c_nationkey, r.s_nationkey))
+        und[k] = und.get(k, 0) + r.vol
+    total = sum(und.values())
+    n_pairs = len(und)
+    edges = [k for k, v in und.items() if float(v) * n_pairs > float(total)]
+    assert len(edges) == tri.n_edges
+    parent = {n: n for n in labels}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {n: min(m for m in labels if find(m) == find(n)) for n in labels}
+    assert labels == expect
