@@ -51,49 +51,55 @@ def test_entry_contract(spark):
 
 def test_first_50_window_composition():
     """The driver verifies exactly the first 50 queries() entries;
-    that window must contain every prior-round red (now fixed) and
-    every query whose plan changed since its last sampled driver row
-    (the round-4 standing rule)."""
+    that window must contain every entry that has never earned a
+    driver CORRECTNESS row and every query whose plan/oracle changed
+    since its last sampled row (the standing rule, round-5 window)."""
     mod = _load_entry()
     head = list(mod.queries())[:50]
     must_cover = {
-        # r3 reds, contract bugs fixed r4 — must re-sample
-        "json_props_stats",
-        "array_agg_sorted",
-        # plans changed since last sampled row (r4 standing rule)
-        "doc_repetition",
-        "supplier_cosine_topk",
+        # never driver-sampled in r1-r4 (r4 verdict queue)
+        "bloom_prune_accounting",
+        "pii_redact_stats",
+        "leakage_safe_split",
+        "snapshot_diff",
+        "incremental_agg_maintenance",
+        "source_overlap_matrix",
+        "lang_confusion_matrix",
+        "rfm_segmentation",
+        "image_resize_checksum",
+        "video_frame_checksums",
+        "containment_decontaminate",
+        "windowed_hdr_p95",
+        "streaming_hdr_p95",
+        "stream_stream_full_outer",
+        "grouping_sets_report",
+        "tpch_q6_forecast_revenue",
+        "tpch_q8_market_share",
+        "tpch_q10_returned_revenue",
+        "tpch_q13_order_count_dist",
+        "tpch_q15_top_supplier",
+        "tpch_q16_supplier_counts",
+        "tpch_q17_small_qty_revenue",
+        "tpch_q21_sole_returner",
+        "tpch_q22_churned_balance",
+        "bpe_merges",
+        # plan/oracle changed in r5 (standing rule)
+        "tpch_q3_shipping_priority",
         "dedup_clusters",
-        # new in r4 — first driver sample
-        "benchmark_decontaminate",
-        "mixture_reweight",
-        "global_shuffle_order",
-        "source_reputation",
-        "scd2_history",
-        "doc_chunking",
-        "tpch_q2_min_cost_supplier",
-        "pseudonymize_events",
-        "tpch_q4_exists_priority",
-        "tpch_q12_priority_by_returnflag",
-        "tpch_q14_promo_share",
-        "streaming_stateful_bucket_stats",
-        # r2 fails (events-read bug + contract fixes)
-        "streaming_tumbling_window",
-        "interval_overlap_join",
-        "fm_sketch_distinct",
-        "inverted_index",
-        "pagerank_parts",
-        "stream_stream_join",
-        "stream_stream_left_outer",
-        "streaming_dedup_user_minute",
-        "resample_ffill",
-        # never-sampled priorities (VERDICT r2 'What's missing' #1)
-        "streaming_upsert_counts",
-        "udaf_energy_by_type",
-        "tpch_q19_disjunctive_filter",
-        "unpivot_metrics",
-        "weekly_growth",
-        "vocab_growth",
+        "curation_pipeline",
+        "span_dedup_clean",
+        "trade_graph_triangles",
+        # new in r5 — first driver sample
+        "tpch_q9_profit_shape",
+        "merge_upsert_batch",
+        "interval_merge_islands",
+        "time_weighted_avg",
+        "ngram_lm_next_token",
+        "tokenizer_apply_bpe",
+        "equidepth_bins",
+        "audio_resample_checksum",
+        "image_channel_stats",
+        "trade_graph_components",
     }
     missing = must_cover - set(head)
     assert not missing, f"driver window lost priority entries: {missing}"

@@ -74,6 +74,18 @@ QUERIES = [
     "rfm_segmentation",
     "image_resize_checksum",
     "video_frame_checksums",
+    # r5: the r4-verdict heavies that were still missing measured 10x
+    # evidence, plus the r5-new heavy shapes
+    "stream_stream_full_outer",
+    "streaming_hdr_p95",
+    "bpe_merges",
+    "basket_pairs_lift",
+    "ngram_jaccard_pairs",
+    "tpch_q9_profit_shape",
+    "merge_upsert_batch",
+    "interval_merge_islands",
+    "time_weighted_avg",
+    "tokenizer_apply_bpe",
 ]
 
 
@@ -112,7 +124,12 @@ def build_scaled(spark, out_dir: str) -> None:
         "orders": ("o_orderkey", "o_custkey"),
         "customer": ("c_custkey",),
         "supplier": ("s_suppkey",),
+        # part is rekeyed with lineitem so per-part fan-outs stay
+        # constant (the supplier_cosine_topk premise); nation below
+        # stays verbatim — dimensions that don't grow with the fact.
+        "part": ("p_partkey",),
     }
+    read_table(spark, SF, "nation").write.parquet(f"{out_dir}/nation.parquet")
     for tname, keys in rekey.items():
         t = read_table(spark, SF, tname)
         t.crossJoin(reps).select(
