@@ -669,3 +669,47 @@ def test_q16_not_in_is_null_aware_anti_join(spark):
         "BroadcastHashJoin" in l and l.rstrip().endswith("true")
         for l in anti_lines
     ), anti_lines
+
+
+def test_q9_three_broadcast_dims_one_fact_shuffle_join(spark):
+    """Q9 shape: part/supplier/nation attach as broadcasts with the
+    p_name filter pushed to the part scan; only the lineitem-orders
+    fact join shuffles."""
+    from distributed_mapreduce_p2p_spark.plans.explain import (
+        explain_str,
+        pushed_filters,
+    )
+
+    df = _q("tpch_q9_profit_shape", spark)
+    simple = explain_str(df, "simple")
+    assert simple.count("BroadcastHashJoin") >= 3
+    pf = " ".join(pushed_filters(df))
+    assert "p_name" in pf, pf
+
+
+def test_merge_upsert_is_one_join(spark):
+    """MERGE compiles to exactly one (full outer) join over the key —
+    no extra anti/semi passes for the delete branch."""
+    from distributed_mapreduce_p2p_spark.plans.explain import explain_str
+
+    simple = explain_str(_q("merge_upsert_batch", spark), "simple")
+    assert simple.count("Join") == 1, simple
+    assert "FullOuter" in simple
+
+
+def test_interval_islands_single_key_exchange(spark):
+    """Both window passes and the two aggregations reuse ONE hash
+    exchange on the customer key — the island algorithm adds no
+    shuffle beyond the partitioning itself."""
+    from distributed_mapreduce_p2p_spark.plans.explain import shuffle_count
+
+    assert shuffle_count(_q("interval_merge_islands", spark)) <= 2
+
+
+def test_tokenizer_apply_broadcasts_vocab(spark):
+    """The corpus joins the (word -> n_tokens) map by broadcast; the
+    corpus side is never shuffled for the join."""
+    from distributed_mapreduce_p2p_spark.plans.explain import explain_str
+
+    simple = explain_str(_q("tokenizer_apply_bpe", spark), "simple")
+    assert "BroadcastHashJoin" in simple
