@@ -230,7 +230,13 @@ def bpe_learn_merges(
         syms = syms.select(
             "cnt",
             F.expr(_bpe_merge_fold(a, b)).alias("symbols"),
-        ).localCheckpoint(eager=True)
+        )
+        # Checkpoint every OTHER round: two nested HOF folds are
+        # cheap to plan, and halving the eager materialization jobs
+        # matters when each round is job-scheduling-bound (the vocab
+        # table is tiny). Lineage still never nests more than 2 folds.
+        if rnd % 2 == 0:
+            syms = syms.localCheckpoint(eager=True)
     return out
 
 
