@@ -51,6 +51,15 @@ def main() -> int:
     assert n > 0
 
     qs, osql = mod.queries(), mod.oracle_sql()
+    if sf_dir.rstrip("/") != "/root/testdata/sf0.01":
+        # oracle_sql() renders DYNAMIC (generated expected-value)
+        # oracles for the driver's fixed sf0.01; when sweeping another
+        # SF, re-render just those for the SF under test.
+        from distributed_mapreduce_p2p_spark import registry as _reg
+
+        dyn = _reg.finalize_oracles(sf_dir)
+        osql = dict(osql)
+        osql.update({k: dyn[k] for k in _reg.DYNAMIC_ORACLES if k in dyn})
     window = [n for n in qs if n in osql] if run_all else list(qs)[:50]
     total = len(window)
     con = duck_con(sf_dir)

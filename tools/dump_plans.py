@@ -153,6 +153,37 @@ SHOWCASE: list[tuple[str, str]] = [
         "BroadcastHashJoin with p_type/r_name filters pushed into "
         "the scans.",
     ),
+    (
+        "tpch_q9_profit_shape",
+        "Q9 topology: part/supplier/nation attach as BroadcastHashJoin "
+        "with the p_name filter pushed to the part scan; only the "
+        "lineitem-orders fact join shuffles; exact-DECIMAL profit "
+        "summed partial+final.",
+    ),
+    (
+        "merge_upsert_batch",
+        "MERGE INTO compiled to ONE co-partitioned full outer join; "
+        "the delete branch is a post-join filter, not a second "
+        "anti-join pass.",
+    ),
+    (
+        "interval_merge_islands",
+        "Gaps-and-islands: trailing-cummax flag + running-sum island "
+        "ids + both aggregations all reuse one o_custkey exchange.",
+    ),
+    (
+        "time_weighted_avg",
+        "LEAD durations and the final agg share the event_type "
+        "exchange; weighted sum is exact BIGINT cents*us — the double "
+        "division happens once per output row.",
+    ),
+    (
+        "tokenizer_apply_bpe",
+        "Vocabulary-bounded application: 8 chained JVM folds over the "
+        "DISTINCT-word table; the corpus joins the (word, n_tokens) "
+        "map via BroadcastHashJoin — the corpus is never re-folded "
+        "per occurrence.",
+    ),
 ]
 
 
