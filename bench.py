@@ -155,12 +155,23 @@ def main() -> None:
     # line (last) with only the top-10 slowest — the driver stores a
     # bounded tail of stdout, and a ~4 KB line of 102 timings
     # overflows it (every BENCH_r0*.json came back "parsed": null).
-    detail_path = REPO / "BENCH_DETAIL.json"
+    # SPARK_GRAFT_BENCH_DETAIL lets callers redirect the detail file;
+    # test_bench_json_contract runs bench at sf0.001 and used to
+    # CLOBBER the round's sf0.1 artifact with toy-SF timings (r4's
+    # committed BENCH_DETAIL.json was silently an sf0.001 test run).
+    detail_path = Path(
+        os.environ.get("SPARK_GRAFT_BENCH_DETAIL", REPO / "BENCH_DETAIL.json")
+    )
     # Keep the previous run's detail for the regression gate
     # (tools/bench_regress.py): rounds 2-4 each had silent per-query
     # outliers; diffing consecutive details makes them self-reporting.
     if detail_path.exists():
-        (REPO / "BENCH_DETAIL.prev.json").write_text(detail_path.read_text())
+        prev = json.loads(detail_path.read_text())
+        if prev.get("sf") == (float(sf) if sf.replace(".", "").isdigit() else sf):
+            # only a same-SF run is a meaningful regression baseline
+            detail_path.with_suffix(".prev.json").write_text(
+                json.dumps(prev, indent=1)
+            )
     detail_path.write_text(
         json.dumps(
             {

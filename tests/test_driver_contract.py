@@ -169,9 +169,15 @@ def test_no_complex_output_columns(spark):
 def test_bench_json_contract():
     """bench.py must exit 0 and print ONE parseable JSON line with
     the driver's expected keys; run at sf0.001 to keep it quick."""
+    import tempfile
+
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
     env["SPARK_GRAFT_CPUS"] = "8"
+    # Redirect the detail file: this toy-SF run must not clobber the
+    # round's committed sf0.1 BENCH_DETAIL.json.
+    detail_tmp = tempfile.mktemp(prefix="bench_detail_", suffix=".json")
+    env["SPARK_GRAFT_BENCH_DETAIL"] = detail_tmp
     proc = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
         capture_output=True,
@@ -191,7 +197,9 @@ def test_bench_json_contract():
     assert 0 < len(d["queries"]) <= 10
     assert d["n_queries"] >= 100
     assert all(isinstance(v, (int, float)) for v in d["queries"].values())
-    detail = json.loads((REPO / "BENCH_DETAIL.json").read_text())
+    from pathlib import Path
+
+    detail = json.loads(Path(detail_tmp).read_text())
     assert len(detail["queries"]) >= 100
     assert abs(detail["value"] - d["value"]) < 1e-6
 
