@@ -8363,6 +8363,236 @@ def q_trade_graph_components(spark, sf_dir):
 DYNAMIC_ORACLES["tokenizer_apply_bpe"] = _bpe_apply_expected_oracle
 
 
+@register(
+    "kmeans_assign_iter",
+    oracle="WITH " + _D_BASE + f"""
+    , cent AS (SELECT vec_id AS cent_id, embedding, norm2
+               FROM base WHERE vec_id < 16)
+    , asg0 AS (
+        SELECT q.vec_id, c.cent_id, {_IVF_SIM_Q_C} AS sim
+        FROM base q CROSS JOIN cent c)
+    , asg AS (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cent_id) AS rnk
+        FROM asg0)
+    , assigned AS (
+        SELECT a.cent_id AS cluster_id, b.embedding
+        FROM asg a JOIN base b USING (vec_id) WHERE a.rnk = 1)
+    , comp AS (
+        SELECT cluster_id, generate_subscripts(embedding, 1) AS dim,
+               CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS fx
+        FROM assigned)
+    SELECT cluster_id, CAST(dim AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(fx) AS BIGINT) AS comp_sum_fx,
+           CAST(CAST(SUM(fx) AS BIGINT) AS DOUBLE) / COUNT(*)
+             / 1000000.0 AS mean_comp
+    FROM comp GROUP BY cluster_id, dim
+    """,
+)
+def q_kmeans_assign_iter(spark, sf_dir):
+    """One k-means iteration over the embedding table — the
+    clustering step behind IVF index training, semantic dedup
+    bucketing, and topic bucketing of training corpora: assign every
+    vector to its nearest (cosine) centroid, then recompute each
+    centroid as the member mean. Deterministic centroid seed (first
+    16 vectors, ann_ivf_topk's stand-in). The mean is computed in
+    FIXED POINT: components are truncated to 1e-6 ticks (trunc, not
+    round — round-half modes differ across engines) so the per-
+    cluster component sums are exact BIGINTs on any partitioning and
+    both engines perform the identical two final IEEE divisions.
+    Plan: broadcast-nested-loop assignment against 16 centroids (one
+    scan), per-vector top-1 window, one posexplode + hash agg on
+    (cluster, dim) — no all-pairs term anywhere; iterate by feeding
+    the output back as the next centroid table."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = SIM.with_norm2(emb)
+    cent = base.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm2").alias("c_n2"),
+    )
+    asg = (
+        base.select(
+            "vec_id",
+            F.col("embedding").alias("q_emb"),
+            F.col("norm2").alias("q_n2"),
+        )
+        .crossJoin(broadcast(cent))
+        .select("vec_id", "cent_id", SIM._sim_col())
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cent_id")
+    assigned = (
+        asg.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("vec_id", F.col("cent_id").alias("cluster_id"))
+        .join(base.select("vec_id", "embedding"), "vec_id")
+    )
+    comp = assigned.select(
+        "cluster_id",
+        F.posexplode("embedding").alias("pos0", "vf"),
+    ).select(
+        "cluster_id",
+        (F.col("pos0") + 1).cast("long").alias("dim"),
+        F.expr("cast(cast(vf as double) * 1000000 as bigint)").alias("fx"),
+    )
+    return comp.groupBy("cluster_id", "dim").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("fx").cast("long").alias("comp_sum_fx"),
+        (
+            (F.sum("fx").cast("long").cast("double") / F.count(F.lit(1)))
+            / F.lit(1000000.0)
+        ).alias("mean_comp"),
+    )
+
+
+@register(
+    "event_path_topk",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e2,
+             LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e3
+      FROM events
+    ), paths AS (
+      SELECT event_type || '>' || e2 || '>' || e3 AS path
+      FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path)
+                AS BIGINT) AS rnk
+    FROM paths GROUP BY path
+    QUALIFY rnk <= 10
+    """,
+)
+def q_event_path_topk(spark, sf_dir):
+    """Top-10 three-step user journeys (event-type paths) — the
+    product-analytics path analysis that generalizes
+    event_transition_matrix from pairs to n-step sequences. One
+    user_id exchange carries both LEADs; path counting is a hash agg
+    over at most |event_types|^3 keys, so the final top-k window is
+    over a tiny relation (the single-partition window is bounded by
+    construction, not by data size). Deterministic tie-break by path
+    string."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    paths = seq.select(
+        F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    rw = Window.orderBy(F.col("n").desc(), "path")
+    return (
+        counts.withColumn("rnk", F.row_number().over(rw).cast("long"))
+        .where(F.col("rnk") <= 10)
+    )
+
+
+@register(
+    "hapax_ratio_per_source",
+    oracle="""
+    WITH wf AS (
+      SELECT source, w, COUNT(*) AS f FROM (
+        SELECT source,
+               unnest(list_filter(string_split_regex(lower(text),
+                      '[^a-z]+'), x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY source, w
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
+    FROM wf GROUP BY source
+    """,
+)
+def q_hapax_ratio_per_source(spark, sf_dir):
+    """Vocabulary richness per source: hapax legomena (words
+    occurring exactly once within the source) as a share of the
+    source's distinct vocabulary — a standard lexical-diversity /
+    synthetic-text tell (templated or looped generations have
+    abnormally low hapax ratios; OCR noise abnormally high). Two
+    hash aggs that share the (source, word) exchange; integer counts
+    with one final division."""
+    docs = _t(spark, sf_dir, "documents")
+    wf = (
+        docs.select(
+            "source",
+            F.explode(
+                F.expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')")
+            ).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    return wf.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        (
+            F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("hapax_ratio"),
+    )
+
+
+@register(
+    "trimmed_mean_group",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderpriority AS pri,
+             CAST(o_totalprice AS DECIMAL(14,2)) AS p,
+             NTILE(10) OVER (PARTITION BY o_orderpriority
+                   ORDER BY CAST(o_totalprice AS DECIMAL(14,2)),
+                            o_orderkey) AS b
+      FROM orders
+    )
+    SELECT pri AS o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(CAST(SUM(p * 100) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 100.0 AS trimmed_mean
+    FROM t WHERE b BETWEEN 2 AND 9
+    GROUP BY pri
+    """,
+)
+def q_trimmed_mean_group(spark, sf_dir):
+    """Robust (10%-trimmed) mean per group: drop each priority's top
+    and bottom value deciles, average the middle 80% — the
+    outlier-insensitive aggregate monitoring pipelines use where a
+    plain mean chases tail spikes. Decile assignment is a
+    deterministic per-group NTILE (o_orderkey tiebreak = total
+    order); the kept sum is exact integer cents so the single
+    division is engine-identical. One exchange on the group key
+    carries the window and both aggregates."""
+    t = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").cast("decimal(14,2)").alias("p"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("pri").orderBy("p", "o_orderkey")
+    kept = t.withColumn("b", F.ntile(10).over(w)).where(
+        F.col("b").between(2, 9)
+    )
+    return kept.groupBy(F.col("pri").alias("o_orderpriority")).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        (
+            (F.sum(F.col("p") * 100).cast("long").cast("double")
+             / F.count(F.lit(1)).cast("double"))
+            / F.lit(100.0)
+        ).alias("trimmed_mean"),
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -8456,6 +8686,10 @@ _FRONT: list[str] = [
     "audio_resample_checksum",
     "image_channel_stats",
     "trade_graph_components",
+    "kmeans_assign_iter",
+    "event_path_topk",
+    "hapax_ratio_per_source",
+    "trimmed_mean_group",
     # -- (4) r4-window holdovers (each 50/50 green in r4; they keep
     #        their slots only until displaced by r5-new queries;
     #        mixture_reweight / global_shuffle_order / source_reputation
@@ -8463,11 +8697,7 @@ _FRONT: list[str] = [
     #        tpch_q14 / priority_sample_per_source / source_token_drift
     #        were displaced by section (3) — all r4-green, unchanged) --
     "supplier_cosine_topk",
-    "benchmark_decontaminate",
-    "scd2_history",
-    "doc_chunking",
     "streaming_stateful_bucket_stats",
-    "k_anonymity_audit",
     "streaming_session_windows",
     "bm25_scores",
     "hdr_quantile_sketch",

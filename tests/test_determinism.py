@@ -38,6 +38,9 @@ QUERIES = [
     "time_weighted_avg",
     "tokenizer_apply_bpe",
     "equidepth_bins",
+    "kmeans_assign_iter",
+    "hapax_ratio_per_source",
+    "trimmed_mean_group",
 ]
 
 

@@ -100,6 +100,10 @@ def test_first_50_window_composition():
         "audio_resample_checksum",
         "image_channel_stats",
         "trade_graph_components",
+        "kmeans_assign_iter",
+        "event_path_topk",
+        "hapax_ratio_per_source",
+        "trimmed_mean_group",
     }
     missing = must_cover - set(head)
     assert not missing, f"driver window lost priority entries: {missing}"

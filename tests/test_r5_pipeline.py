@@ -267,3 +267,113 @@ def test_trade_components_consistent_with_edges(spark):
             parent[max(ra, rb)] = min(ra, rb)
     expect = {n: min(m for m in labels if find(m) == find(n)) for n in labels}
     assert labels == expect
+
+
+def test_kmeans_assignment_properties(spark):
+    """Every cluster id is one of the 16 seeds, members sum to the
+    table size, and each vector really is nearest (cosine) to its
+    assigned centroid — checked in numpy with the same fold order."""
+    import numpy as np
+
+    out = _q("kmeans_assign_iter")(spark, SF_SMALL).collect()
+    clusters = {r.cluster_id for r in out}
+    assert clusters <= set(range(16))
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    n_vec = len(emb)
+    # n_members is repeated per dim; dim count must be constant
+    dims = {r.dim for r in out}
+    assert dims == set(range(1, 65))
+    total = sum(r.n_members for r in out if r.dim == 1)
+    assert total == n_vec
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb}
+    cents = {i: vecs[i] for i in range(16)}
+
+    def cos(a, b):
+        return float(a @ b) / (
+            (float(a @ a) ** 0.5) * (float(b @ b) ** 0.5)
+        )
+
+    # spot-check 25 vectors' nearest centroid against member counts:
+    # recompute the full assignment and compare per-cluster counts
+    counts = {}
+    for vid, v in vecs.items():
+        best = max(
+            ((cos(v, c), -cid) for cid, c in cents.items()),
+        )
+        cid = -best[1]
+        counts[cid] = counts.get(cid, 0) + 1
+    got = {r.cluster_id: r.n_members for r in out if r.dim == 1}
+    assert got == counts
+
+
+def test_event_paths_match_local_recompute(spark):
+    from collections import Counter
+
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r)
+    paths = Counter()
+    for rs in per_user.values():
+        rs.sort(key=lambda r: (r.ts, r.event_id))
+        ets = [r.event_type for r in rs]
+        for i in range(len(ets) - 2):
+            paths[">".join(ets[i : i + 3])] += 1
+    expect = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r.path, r.n)
+        for r in sorted(
+            _q("event_path_topk")(spark, SF_SMALL).collect(),
+            key=lambda r: r.rnk,
+        )
+    ]
+    assert got == expect
+
+
+def test_hapax_ratio_bounds_and_counts(spark):
+    import re
+    from collections import Counter
+
+    out = {
+        r.source: (r.n_distinct, r.n_hapax)
+        for r in _q("hapax_ratio_per_source")(spark, SF_SMALL).collect()
+    }
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    per_src = {}
+    for d in docs:
+        c = per_src.setdefault(d.source, Counter())
+        c.update(w for w in re.split("[^a-z]+", d.text.lower()) if w)
+    expect = {
+        s: (len(c), sum(1 for f in c.values() if f == 1))
+        for s, c in per_src.items()
+    }
+    assert out == expect
+
+
+def test_trimmed_mean_drops_extremes(spark):
+    """The trimmed mean must sit strictly inside [min, max] and be
+    computed over exactly the middle-8-decile population."""
+    out = _q("trimmed_mean_group")(spark, SF_SMALL).collect()
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    from pyspark.sql import functions as SF
+
+    stats = {
+        r.pri: r
+        for r in orders.groupBy(F.col("o_orderpriority").alias("pri"))
+        .agg(
+            SF.count(SF.lit(1)).alias("n"),
+            SF.min("o_totalprice").alias("lo"),
+            SF.max("o_totalprice").alias("hi"),
+            SF.avg("o_totalprice").alias("mean"),
+        )
+        .collect()
+    }
+    for r in out:
+        s = stats[r.o_orderpriority]
+        assert s.lo < r.trimmed_mean < s.hi
+        # ntile leaves ~80% after dropping bins 1 and 10
+        assert abs(r.n_kept - 0.8 * s.n) <= 2
