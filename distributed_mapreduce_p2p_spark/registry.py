@@ -8593,6 +8593,316 @@ def q_trimmed_mean_group(spark, sf_dir):
     )
 
 
+@register(
+    "table_profile",
+    oracle="""
+    SELECT col, n_nulls, n_distinct FROM (
+      SELECT 'o_orderkey' AS col,
+             CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey', CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus',
+             CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'o_totalprice',
+             CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+             CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'o_orderdate',
+             CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+             CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority',
+             CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+    )
+    """,
+)
+def q_table_profile(spark, sf_dir):
+    """Column profiling (the data-quality fingerprint an ingest
+    pipeline records per load): null count + EXACT distinct count for
+    every column of ``orders``, emitted long-format. ONE scan: all
+    twelve aggregates run in a single agg (Catalyst plans the
+    multi-distinct via Expand), then a stack() unpivot — vs the
+    naive one-scan-per-column loop the oracle spells out. At 100 TB
+    swap exact distincts for approx_count_distinct (HLL) — same
+    plan shape minus the Expand blowup; exact is the point here
+    because the oracle can hash-check it."""
+    orders = _t(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    agg = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.count(c).alias(f"nn_{c}") for c in cols],
+        *[F.countDistinct(c).alias(f"nd_{c}") for c in cols],
+    )
+    stack = ", ".join(
+        f"'{c}', n_rows - nn_{c}, nd_{c}" for c in cols
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS (col, n_nulls, n_distinct)"
+        )
+    ).select(
+        "col",
+        F.col("n_nulls").cast("long"),
+        F.col("n_distinct").cast("long"),
+    )
+
+
+@register(
+    "json_quarantine_audit",
+    oracle=r"""
+    WITH dirty AS (
+      SELECT event_id,
+             CASE WHEN event_id % 13 = 0 THEN substr(props, 1, 3)
+                  WHEN event_id % 11 = 0 THEN '{}'
+                  ELSE props END AS t
+      FROM events
+    ), cls AS (
+      SELECT event_id,
+             CASE WHEN NOT json_valid(t) THEN 'parse_fail'
+                  WHEN t NOT LIKE '%"k"%' THEN 'missing_field'
+                  ELSE 'ok' END AS status,
+             TRY_CAST(regexp_extract(t, '"k": (\d+)', 1) AS BIGINT) AS k
+      FROM dirty
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+           CAST(COALESCE(SUM(CASE WHEN status = 'ok' THEN k END), 0)
+                AS BIGINT) AS k_sum
+    FROM cls GROUP BY status
+    """,
+)
+def q_json_quarantine_audit(spark, sf_dir):
+    """Schema-enforced JSON ingest with quarantine accounting: rows
+    that fail to parse or lack the required field are CLASSIFIED and
+    counted (with id checksums) instead of silently nulled — the
+    ingest-contract audit every schema-on-read pipeline needs before
+    trusting a feed. The dirty feed is carved deterministically from
+    ``props`` (every 13th id truncated mid-token, every remaining
+    11th an empty object). Spark side parses with the real VARIANT
+    parser — ``try_parse_json`` is NULL on malformed input (unlike
+    PERMISSIVE from_json, which silently yields a null-field struct
+    for truncated JSON — the bug class this audit exists to catch);
+    the oracle reaches the same classification via json_valid +
+    regexp so both engines agree row-for-row. Pure scan-side
+    expressions + one small agg."""
+    ev = _t(spark, sf_dir, "events")
+    dirty = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 13 == 0, F.expr("substr(props, 1, 3)"))
+        .when(F.col("event_id") % 11 == 0, F.lit("{}"))
+        .otherwise(F.col("props"))
+        .alias("t"),
+    )
+    cls = dirty.select(
+        "event_id",
+        F.expr("try_parse_json(t)").isNull().alias("bad"),
+        F.expr(
+            "variant_get(try_parse_json(t), '$.k', 'bigint')"
+        ).alias("k"),
+        F.col("t").contains('"k"').alias("has_k"),
+    ).select(
+        "event_id",
+        F.when(F.col("bad"), "parse_fail")
+        .when(~F.col("has_k"), "missing_field")
+        .otherwise("ok")
+        .alias("status"),
+        "k",
+    )
+    return cls.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").cast("long").alias("id_checksum"),
+        F.coalesce(
+            F.sum(F.when(F.col("status") == "ok", F.col("k"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("k_sum"),
+    )
+
+
+@register(
+    "scd2_pointintime_join",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type AS state, ts AS valid_from, event_id
+      FROM ordered WHERE prev_type IS NULL OR event_type <> prev_type
+    ), iv AS (
+      SELECT user_id, state, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id
+                  ORDER BY valid_from, event_id) AS valid_to
+      FROM changes
+    )
+    SELECT e.event_type, COALESCE(i.state, 'NONE') AS state_1h_ago,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events e
+    LEFT JOIN iv i
+      ON i.user_id = e.user_id
+     AND i.valid_from <= e.ts - INTERVAL 1 HOUR
+     AND (i.valid_to IS NULL OR e.ts - INTERVAL 1 HOUR < i.valid_to)
+    GROUP BY e.event_type, COALESCE(i.state, 'NONE')
+    """,
+)
+def q_scd2_pointintime_join(spark, sf_dir):
+    """Point-in-time-correct join against an SCD2 dimension — the
+    feature-store / warehouse "state as of T" primitive that prevents
+    label leakage: each event is joined to the state interval
+    containing ``ts - 1h`` (what was this user doing an hour ago?),
+    producing the lagged state-transition matrix. The dimension is
+    the scd2_history interval table; containment rides the user_id
+    equi-join as a range filter (hash join + residual predicate,
+    never a cartesian), with unmatched events (first hour of a user's
+    life) kept as 'NONE' via the left join. At 100 TB both sides
+    shuffle once on the entity key — the standard PIT-join shape."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(
+        F.col("prev_type").isNull()
+        | (F.col("event_type") != F.col("prev_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    iv = changes.select(
+        F.col("user_id").alias("i_user"),
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        "event_id",
+    ).select(
+        "i_user",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(
+            Window.partitionBy("i_user").orderBy("valid_from", "event_id")
+        ).alias("valid_to"),
+    )
+    asof = F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    joined = ev.join(
+        iv,
+        (F.col("user_id") == F.col("i_user"))
+        & (F.col("valid_from") <= asof)
+        & (F.col("valid_to").isNull() | (asof < F.col("valid_to"))),
+        "left",
+    )
+    return joined.groupBy(
+        "event_type",
+        F.coalesce("state", F.lit("NONE")).alias("state_1h_ago"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "embedding_norm_outliers",
+    oracle="WITH " + _D_BASE + """
+    , ranked AS (
+      SELECT vec_id, norm2,
+             ROW_NUMBER() OVER (ORDER BY norm2, vec_id) AS rk,
+             COUNT(*) OVER () AS n
+      FROM base
+    )
+    SELECT vec_id, norm2,
+           CASE WHEN rk * 100 <= n THEN 'low' ELSE 'high' END AS tag
+    FROM ranked
+    WHERE rk * 100 <= n OR rk * 100 > n * 99
+    """,
+)
+def q_embedding_norm_outliers(spark, sf_dir):
+    """Embedding QA: flag vectors whose squared L2 norm falls in the
+    bottom or top percentile — degenerate (near-zero, failed encode)
+    and exploded (normalization bug) vectors are the two classic
+    embedding-table defects, and norm screening is the cheap gate
+    before any ANN indexing. Exact percentile by rank (integer
+    arithmetic, deterministic vec_id tiebreak); the norm comes from
+    the shared left-to-right fold so both engines agree bitwise. The
+    global rank window is the toy-scale form — at 100 TB compute the
+    two cut norms via approx quantiles (or a two-pass exact count)
+    and broadcast them as filters, same output."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = SIM.with_norm2(emb).select("vec_id", "norm2")
+    w = Window.orderBy("norm2", "vec_id")
+    ranked = base.select(
+        "vec_id",
+        "norm2",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    return ranked.where(
+        (F.col("rk") * 100 <= F.col("n"))
+        | (F.col("rk") * 100 > F.col("n") * 99)
+    ).select(
+        "vec_id",
+        "norm2",
+        F.when(F.col("rk") * 100 <= F.col("n"), "low")
+        .otherwise("high")
+        .alias("tag"),
+    )
+
+
+@register(
+    "cumulative_distinct_users",
+    oracle="""
+    WITH fs AS (
+      SELECT user_id,
+             MIN(strftime(ts, '%Y-%m-%d')) AS first_day
+      FROM events GROUP BY user_id
+    ), per_day AS (
+      SELECT first_day AS day, COUNT(*) AS new_users
+      FROM fs GROUP BY first_day
+    )
+    SELECT day, CAST(new_users AS BIGINT) AS new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cumulative_users
+    FROM per_day
+    """,
+)
+def q_cumulative_distinct_users(spark, sf_dir):
+    """Cumulative distinct users per day — the growth metric a naive
+    per-day COUNT(DISTINCT ... WHERE ts <= day) computes in O(days ×
+    data). The scalable identity: a user contributes to the running
+    distinct count exactly once, on their FIRST day — so one
+    first-touch aggregation + a tiny per-day running sum replaces the
+    quadratic rescan. Day keys are formatted strings (lexicographic
+    == chronological), making the window order engine-portable."""
+    ev = _t(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(
+        F.min(F.date_format("ts", "yyyy-MM-dd")).alias("first_day")
+    )
+    per_day = fs.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -8690,6 +9000,11 @@ _FRONT: list[str] = [
     "event_path_topk",
     "hapax_ratio_per_source",
     "trimmed_mean_group",
+    "table_profile",
+    "json_quarantine_audit",
+    "scd2_pointintime_join",
+    "embedding_norm_outliers",
+    "cumulative_distinct_users",
     # -- (4) r4-window holdovers (each 50/50 green in r4; they keep
     #        their slots only until displaced by r5-new queries;
     #        mixture_reweight / global_shuffle_order / source_reputation
@@ -8697,11 +9012,6 @@ _FRONT: list[str] = [
     #        tpch_q14 / priority_sample_per_source / source_token_drift
     #        were displaced by section (3) — all r4-green, unchanged) --
     "supplier_cosine_topk",
-    "streaming_stateful_bucket_stats",
-    "streaming_session_windows",
-    "bm25_scores",
-    "hdr_quantile_sketch",
-    "int8_quantized_topk",
 ]
 
 

@@ -41,6 +41,7 @@ QUERIES = [
     "kmeans_assign_iter",
     "hapax_ratio_per_source",
     "trimmed_mean_group",
+    "embedding_norm_outliers",
 ]
 
 

@@ -104,6 +104,11 @@ def test_first_50_window_composition():
         "event_path_topk",
         "hapax_ratio_per_source",
         "trimmed_mean_group",
+        "table_profile",
+        "json_quarantine_audit",
+        "scd2_pointintime_join",
+        "embedding_norm_outliers",
+        "cumulative_distinct_users",
     }
     missing = must_cover - set(head)
     assert not missing, f"driver window lost priority entries: {missing}"

@@ -377,3 +377,80 @@ def test_trimmed_mean_drops_extremes(spark):
         assert s.lo < r.trimmed_mean < s.hi
         # ntile leaves ~80% after dropping bins 1 and 10
         assert abs(r.n_kept - 0.8 * s.n) <= 2
+
+
+def test_table_profile_matches_direct_counts(spark):
+    out = {
+        r.col: (r.n_nulls, r.n_distinct)
+        for r in _q("table_profile")(spark, SF_SMALL).collect()
+    }
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    for c in orders.columns:
+        nn = orders.where(F.col(c).isNull()).count()
+        nd = orders.select(c).distinct().count()
+        assert out[c] == (nn, nd), c
+
+
+def test_json_quarantine_partitions_the_feed(spark):
+    """The three classes partition the events exactly, and the id
+    checksums reconstruct the total."""
+    out = {r.status: r for r in _q("json_quarantine_audit")(spark, SF_SMALL).collect()}
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    total = ev.count()
+    id_sum = ev.agg(F.sum("event_id")).collect()[0][0]
+    assert set(out) == {"ok", "parse_fail", "missing_field"}
+    assert sum(r.n for r in out.values()) == total
+    assert sum(r.id_checksum for r in out.values()) == id_sum
+    # the carve rates: ~1/13 parse_fail, ~(1/11 of the rest) missing
+    assert out["parse_fail"].n > 0 and out["missing_field"].n > 0
+    assert out["ok"].k_sum > 0
+    assert out["parse_fail"].k_sum == 0 and out["missing_field"].k_sum == 0
+
+
+def test_pointintime_join_is_lossless_and_lagged(spark):
+    """Every event appears exactly once (left join against disjoint
+    intervals), and an event whose user had no state an hour earlier
+    lands in NONE."""
+    out = _q("scd2_pointintime_join")(spark, SF_SMALL).collect()
+    total = spark.read.parquet(f"{SF_SMALL}/events.parquet").count()
+    assert sum(r.n for r in out) == total
+    assert any(r.state_1h_ago == "NONE" for r in out)
+    types = {r.event_type for r in out}
+    states = {r.state_1h_ago for r in out} - {"NONE"}
+    assert states <= types
+
+
+def test_norm_outliers_are_the_rank_extremes(spark):
+    import numpy as np
+
+    out = _q("embedding_norm_outliers")(spark, SF_SMALL).collect()
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    norms = {}
+    for r in emb:
+        v = np.array(r.embedding, dtype=np.float64)
+        # same left-to-right fold as the shared _COSINE dot
+        acc = 0.0
+        for x in r.embedding:
+            acc = acc + float(x) * float(x)
+        norms[r.vec_id] = acc
+    n = len(norms)
+    ranked = sorted(norms.items(), key=lambda kv: (kv[1], kv[0]))
+    lows = {vid for i, (vid, _) in enumerate(ranked, 1) if i * 100 <= n}
+    highs = {vid for i, (vid, _) in enumerate(ranked, 1) if i * 100 > n * 99}
+    got_low = {r.vec_id for r in out if r.tag == "low"}
+    got_high = {r.vec_id for r in out if r.tag == "high"}
+    assert got_low == lows and got_high == highs
+
+
+def test_cumulative_distinct_users_totals(spark):
+    out = sorted(
+        _q("cumulative_distinct_users")(spark, SF_SMALL).collect(),
+        key=lambda r: r.day,
+    )
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    assert out[-1].cumulative_users == n_users
+    run = 0
+    for r in out:
+        run += r.new_users
+        assert r.cumulative_users == run
