@@ -109,6 +109,7 @@ def test_first_50_window_composition():
         "scd2_pointintime_join",
         "embedding_norm_outliers",
         "cumulative_distinct_users",
+        "token_budget_sample",
     }
     missing = must_cover - set(head)
     assert not missing, f"driver window lost priority entries: {missing}"

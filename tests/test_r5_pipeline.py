@@ -454,3 +454,89 @@ def test_cumulative_distinct_users_totals(spark):
     for r in out:
         run += r.new_users
         assert r.cumulative_users == run
+
+
+def test_token_budget_sample_semantics(spark):
+    """Each source's kept set must (a) follow the deterministic hash
+    order, (b) stop at the first doc crossing the 2000-token budget."""
+    import hashlib
+    import re
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    per_src = {}
+    for d in docs:
+        ntok = len([w for w in re.split("[^A-Za-z]+", d.text) if w])
+        per_src.setdefault(d.source, []).append(
+            (hashlib.md5(str(d.doc_id).encode()).hexdigest(), d.doc_id, ntok)
+        )
+    expect = {}
+    for src, lst in per_src.items():
+        lst.sort()
+        cum = n = tok = chk = 0
+        for _, did, ntok in lst:
+            if cum >= 2000:
+                break
+            cum += ntok
+            n += 1
+            tok += ntok
+            chk += did
+        expect[src] = (n, tok, chk)
+    got = {
+        r.source: (r.n_docs, r.tokens_kept, r.doc_checksum)
+        for r in _q("token_budget_sample")(spark, SF_SMALL).collect()
+    }
+    assert got == expect
+
+
+def test_fm_windowed_cells_merge_to_global(spark):
+    """Mergeability: pairwise-MAX of the per-day cells must equal the
+    global sketch's cells (recomputed via the same hash)."""
+    from pyspark.sql import functions as SF
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    hashed = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.expr(
+            "cast(conv(substring(md5(concat('fm:', cast(user_id as string))), 1, 10),"
+            " 16, 10) as bigint)"
+        ).alias("h"),
+    )
+    per_day_cells = (
+        hashed.where(F.expr("h div 64 <> 0"))
+        .groupBy("day", F.expr("h % 64").alias("bucket"))
+        .agg(F.expr("max(cast(log2((h div 64) & (-(h div 64))) as bigint))").alias("mtz"))
+    )
+    merged = (
+        per_day_cells.groupBy("bucket").agg(SF.max("mtz").alias("mtz"))
+    )
+    global_cells = (
+        hashed.where(F.expr("h div 64 <> 0"))
+        .groupBy(F.expr("h % 64").alias("bucket"))
+        .agg(F.expr("max(cast(log2((h div 64) & (-(h div 64))) as bigint))").alias("mtz"))
+    )
+    a = {r.bucket: r.mtz for r in merged.collect()}
+    b = {r.bucket: r.mtz for r in global_cells.collect()}
+    assert a == b
+    # and the query's per-day sums are consistent with its cells
+    out = _q("fm_sketch_windowed")(spark, SF_SMALL).collect()
+    assert all(r.n_buckets <= 64 and r.sum_max_tz >= 0 for r in out)
+
+
+def test_mad_by_group_matches_statistics_median(spark):
+    """Low-median recompute in pure Python over exact cents."""
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").collect()
+    per = {}
+    for r in orders:
+        per.setdefault(r.o_orderpriority, []).append(round(r.o_totalprice * 100))
+    expect = {}
+    for pri, cs in per.items():
+        cs.sort()
+        med = cs[(len(cs) + 1) // 2 - 1]
+        devs = sorted(abs(c - med) for c in cs)
+        mad = devs[(len(devs) + 1) // 2 - 1]
+        expect[pri] = (med / 100.0, mad / 100.0)
+    got = {
+        r.o_orderpriority: (r.median_price, r.mad_price)
+        for r in _q("mad_by_group")(spark, SF_SMALL).collect()
+    }
+    assert got == expect
