@@ -296,3 +296,76 @@ def global_rank_scalable(
         )
         .drop("_pid", "_offset")
     )
+
+
+def merge_islands(
+    df: DataFrame, key: str, s_col: str, e_col: str
+) -> DataFrame:
+    """Gaps-and-islands interval union per key: merge overlapping
+    [s, e) integer intervals and return one row per key —
+    ``(key, n_islands, covered)`` where covered = Σ island lengths.
+    The standard two-window pass: a trailing cummax of the interval
+    end flags island starts, a running sum numbers them; one shuffle
+    on the key, no self-join. Used by the interval_merge_islands
+    registry query (orders → 30-day activity windows) and
+    property-tested against a pure-Python sweep line
+    (tests/test_properties.py)."""
+    w = Window.partitionBy(key).orderBy(s_col, e_col)
+    prev_max_e = F.max(e_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "_new_island",
+        F.when(
+            prev_max_e.isNull() | (F.col(s_col) > prev_max_e), 1
+        ).otherwise(0),
+    )
+    isl = flagged.withColumn(
+        "_island",
+        F.sum("_new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_island = isl.groupBy(key, "_island").agg(
+        (F.max(e_col) - F.min(s_col)).alias("_cov")
+    )
+    return per_island.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("_cov").cast("long").alias("covered"),
+    )
+
+
+def apply_cdc(base: DataFrame, changes: DataFrame) -> DataFrame:
+    """MERGE INTO semantics as ONE co-partitioned full outer join:
+    ``base(k, ...)`` + ``changes(k, op, ...)`` where op є {'D','U'} →
+    the post-merge table. 'D' deletes the key, 'U' upserts the
+    change's value columns (matched -> update, unmatched -> insert);
+    base rows without a change pass through. Value columns are every
+    non-key, non-op column name the two sides SHARE. This is the plan
+    shape Delta/Iceberg MERGE compiles to; used by the
+    merge_upsert_batch registry query and property-tested against a
+    dict apply (tests/test_properties.py)."""
+    val_cols = [
+        c for c in base.columns if c != "k" and c in changes.columns
+    ]
+    b = base.select(
+        F.col("k").alias("_bk"),
+        *[F.col(c).alias(f"_b_{c}") for c in val_cols],
+    )
+    c = changes.select(
+        F.col("k").alias("_ck"),
+        "op",
+        *[F.col(cc).alias(f"_c_{cc}") for cc in val_cols],
+    )
+    merged = (
+        b.join(c, F.col("_bk") == F.col("_ck"), "full_outer")
+        .where(F.col("op").isNull() | (F.col("op") == "U"))
+        .select(
+            F.coalesce("_ck", "_bk").alias("k"),
+            *[
+                F.coalesce(f"_c_{cc}", f"_b_{cc}").alias(cc)
+                for cc in val_cols
+            ],
+        )
+    )
+    return merged

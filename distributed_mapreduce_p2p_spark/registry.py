@@ -7833,25 +7833,17 @@ def q_merge_upsert_batch(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     price = F.col("o_totalprice").cast("decimal(14,2)")
     base = orders.where(F.col("o_orderkey") % 7 != 0).select(
-        F.col("o_orderkey").alias("bk"),
-        F.col("o_orderstatus").alias("bst"),
-        price.alias("bprice"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        price.alias("price"),
     )
     changes = orders.where(F.col("o_orderkey") % 3 == 0).select(
-        F.col("o_orderkey").alias("ck"),
+        F.col("o_orderkey").alias("k"),
         F.when(F.col("o_orderkey") % 9 == 0, "D").otherwise("U").alias("op"),
-        F.col("o_orderstatus").alias("cst"),
-        (price + F.lit("1.00").cast("decimal(14,2)")).alias("cprice"),
+        F.col("o_orderstatus").alias("st"),
+        (price + F.lit("1.00").cast("decimal(14,2)")).alias("price"),
     )
-    merged = (
-        base.join(changes, F.col("bk") == F.col("ck"), "full_outer")
-        .where(F.col("op").isNull() | (F.col("op") == "U"))
-        .select(
-            F.coalesce("ck", "bk").alias("k"),
-            F.coalesce("cst", "bst").alias("st"),
-            F.coalesce("cprice", "bprice").alias("price"),
-        )
-    )
+    merged = R.apply_cdc(base, changes)
     return merged.groupBy(F.col("st").alias("o_orderstatus")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("price").cast("double").alias("total_price"),
@@ -7909,26 +7901,10 @@ def q_interval_merge_islands(spark, sf_dir):
             F.col("o_orderdate"), F.lit("1990-01-01").cast("date")
         ).cast("long").alias("s"),
     ).withColumn("e", F.col("s") + 30)
-    w = Window.partitionBy("cust").orderBy("s", "e")
-    prev_max_e = F.max("e").over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    flagged = iv.withColumn(
-        "new_island",
-        F.when(
-            prev_max_e.isNull() | (F.col("s") > prev_max_e), 1
-        ).otherwise(0),
-    )
-    isl = flagged.withColumn(
-        "island",
-        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    per_island = isl.groupBy("cust", "island").agg(
-        (F.max("e") - F.min("s")).alias("cov")
-    )
-    return per_island.groupBy(F.col("cust").alias("o_custkey")).agg(
-        F.count(F.lit(1)).alias("n_islands"),
-        F.sum("cov").cast("long").alias("covered_days"),
+    return R.merge_islands(iv, "cust", "s", "e").select(
+        F.col("cust").alias("o_custkey"),
+        "n_islands",
+        F.col("covered").alias("covered_days"),
     )
 
 

@@ -238,3 +238,134 @@ def test_global_rank_scalable_is_the_sorted_index(spark, keys, n_parts):
     got = {r.k: r.rk for r in out.collect()}
     expect = {k: i + 1 for i, k in enumerate(sorted(keys))}
     assert got == expect
+
+
+@given(
+    intervals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # key
+            st.integers(min_value=0, max_value=60),     # start
+            st.integers(min_value=1, max_value=25),     # length
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_merge_islands_matches_sweep_line(spark, intervals):
+    """Gaps-and-islands union == pure-Python sweep line, for random
+    overlapping/touching/nested intervals of VARIABLE length (the
+    registry query only exercises the fixed-30-day case)."""
+    from distributed_mapreduce_p2p_spark.operators.relational import (
+        merge_islands,
+    )
+
+    rows = [(k, s, s + ln) for k, s, ln in intervals]
+    df = spark.createDataFrame(rows, "key long, s long, e long")
+    got = {
+        r.key: (r.n_islands, r.covered)
+        for r in merge_islands(df, "key", "s", "e").collect()
+    }
+    expect = {}
+    per = {}
+    for k, s, e in rows:
+        per.setdefault(k, []).append((s, e))
+    for k, ivs in per.items():
+        ivs.sort()
+        islands = []
+        for s, e in ivs:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        expect[k] = (len(islands), sum(e - s for s, e in islands))
+    assert got == expect
+
+
+@given(
+    base=st.dictionaries(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=99),
+        max_size=15,
+    ),
+    changes=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.sampled_from(["D", "U"]),
+            st.integers(min_value=100, max_value=199),
+        ),
+        max_size=15,
+        unique_by=lambda c: c[0],
+    ),
+)
+@settings(max_examples=20, deadline=None)
+def test_apply_cdc_matches_dict_apply(spark, base, changes):
+    """MERGE semantics == dict apply: deletes remove, upserts
+    replace-or-insert, untouched base rows pass through."""
+    from distributed_mapreduce_p2p_spark.operators.relational import (
+        apply_cdc,
+    )
+
+    bdf = spark.createDataFrame(
+        [(k, v) for k, v in base.items()] or [(None, None)],
+        "k long, v long",
+    ).where("k is not null")
+    cdf = spark.createDataFrame(
+        changes or [(None, None, None)], "k long, op string, v long"
+    ).where("k is not null")
+    got = {r.k: r.v for r in apply_cdc(bdf, cdf).collect()}
+    state = dict(base)
+    for k, op, v in changes:
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    assert got == state
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=8),
+        min_size=1,
+        max_size=12,
+    ),
+    merges=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", "_"]),
+            st.sampled_from(["a", "b", "c", "_"]),
+        ),
+        max_size=4,
+    ),
+)
+@settings(max_examples=15, deadline=None)
+def test_bpe_token_counts_match_python_fold(spark, words, merges):
+    """The JVM fold chain applying arbitrary merge sequences must
+    match the pure-Python left-to-right non-overlapping fold for
+    every distinct word (includes pathological self-merges like
+    (a, a) over 'aaaa')."""
+    from distributed_mapreduce_p2p_spark.operators.text import (
+        bpe_token_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(" ".join(words),)], "text string"
+    )
+    got = {
+        r.word: r.n_tokens
+        for r in bpe_token_counts(docs, merges).collect()
+    }
+    expect = {}
+    for w in set(words):
+        acc = []
+        for x in list(w) + ["_"]:
+            acc.append(x)
+        for a, b in merges:
+            res = []
+            for x in acc:
+                if res and res[-1] == a and x == b:
+                    res[-1] = a + b
+                else:
+                    res.append(x)
+            acc = res
+        expect[w] = len(acc)
+    assert got == expect
