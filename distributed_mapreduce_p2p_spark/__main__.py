@@ -150,6 +150,21 @@ def cmd_sql(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    from distributed_mapreduce_p2p_spark.operators.profiling import profile
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+
+    spark = _spark(args.cores)
+    if args.table.endswith(".parquet") or "/" in args.table:
+        df = spark.read.parquet(args.table)
+    else:
+        df = read_table(spark, args.sf, args.table)
+    profile(df, approx=args.approx).orderBy("col").show(
+        1000, truncate=False
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="distributed_mapreduce_p2p_spark")
     p.add_argument("--cores", type=int, default=8)
@@ -182,6 +197,19 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--sf", default="/root/testdata/sf0.01")
     s.add_argument("-n", "--rows", type=int, default=20)
     s.set_defaults(fn=cmd_sql)
+
+    pr = sub.add_parser(
+        "profile",
+        help="per-column null/distinct profile of a table or parquet path",
+    )
+    pr.add_argument("table", help="testdata table name or a parquet path")
+    pr.add_argument("--sf", default="/root/testdata/sf0.01")
+    pr.add_argument(
+        "--approx",
+        action="store_true",
+        help="HLL approx distincts (the 100 TB form) instead of exact",
+    )
+    pr.set_defaults(fn=cmd_profile)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -8590,33 +8590,12 @@ def q_table_profile(spark, sf_dir):
     naive one-scan-per-column loop the oracle spells out. At 100 TB
     swap exact distincts for approx_count_distinct (HLL) — same
     plan shape minus the Expand blowup; exact is the point here
-    because the oracle can hash-check it."""
-    orders = _t(spark, sf_dir, "orders")
-    cols = [
-        "o_orderkey",
-        "o_custkey",
-        "o_orderstatus",
-        "o_totalprice",
-        "o_orderdate",
-        "o_orderpriority",
-    ]
-    agg = orders.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        *[F.count(c).alias(f"nn_{c}") for c in cols],
-        *[F.countDistinct(c).alias(f"nd_{c}") for c in cols],
-    )
-    stack = ", ".join(
-        f"'{c}', n_rows - nn_{c}, nd_{c}" for c in cols
-    )
-    return agg.select(
-        F.expr(
-            f"stack({len(cols)}, {stack}) AS (col, n_nulls, n_distinct)"
-        )
-    ).select(
-        "col",
-        F.col("n_nulls").cast("long"),
-        F.col("n_distinct").cast("long"),
-    )
+    because the oracle can hash-check it. Generic over any
+    DataFrame via operators/profiling.py::profile (also the
+    `profile` CLI subcommand)."""
+    from distributed_mapreduce_p2p_spark.operators.profiling import profile
+
+    return profile(_t(spark, sf_dir, "orders"))
 
 
 @register(

@@ -463,3 +463,21 @@ def test_observe_metrics_on_curation_scan(spark):
     assert m["n_rows"] == docs.count()
     assert m["n_null_text"] == 0
     assert m["n_rows"] - m["n_short"] == kept
+
+
+def test_generic_profile_counts_nulls_and_distincts(spark):
+    """operators/profiling.py::profile over an arbitrary DataFrame
+    with nulls — exact and approx variants share schema; exact values
+    match hand counts."""
+    from distributed_mapreduce_p2p_spark.operators.profiling import profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b"), (None, None)],
+        "x long, s string",
+    )
+    got = {r.col: (r.n_nulls, r.n_distinct) for r in profile(df).collect()}
+    assert got == {"x": (2, 3), "s": (2, 2)}
+    approx = profile(df, approx=True)
+    assert approx.columns == ["col", "n_nulls", "n_distinct"]
+    ga = {r.col: r.n_nulls for r in approx.collect()}
+    assert ga == {"x": 2, "s": 2}
