@@ -166,8 +166,13 @@ def main() -> None:
     # (tools/bench_regress.py): rounds 2-4 each had silent per-query
     # outliers; diffing consecutive details makes them self-reporting.
     if detail_path.exists():
-        prev = json.loads(detail_path.read_text())
-        if prev.get("sf") == (float(sf) if sf.replace(".", "").isdigit() else sf):
+        try:
+            prev = json.loads(detail_path.read_text())
+        except (json.JSONDecodeError, OSError):
+            prev = None  # corrupt/truncated prior detail: skip snapshot
+        if prev and prev.get("sf") == (
+            float(sf) if sf.replace(".", "").isdigit() else sf
+        ):
             # only a same-SF run is a meaningful regression baseline
             detail_path.with_suffix(".prev.json").write_text(
                 json.dumps(prev, indent=1)

@@ -19,15 +19,24 @@ from pyspark.sql import functions as F
 
 
 def profile(df: DataFrame, approx: bool = False) -> DataFrame:
-    """Per-column ``(col, n_nulls, n_distinct)`` in ONE scan."""
+    """Per-column ``(col, n_nulls, n_distinct)`` in ONE scan.
+
+    Column names only ever appear through the Column API and
+    positional aliases (``nn_0``/``nd_0``) — a column named
+    ``user.id``, ``first name`` or ``it's`` profiles fine; the label
+    literal in the stack() is quote-escaped.
+    """
     cols = df.columns
     distinct = F.approx_count_distinct if approx else F.countDistinct
     agg = df.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        *[F.count(c).alias(f"nn_{c}") for c in cols],
-        *[distinct(c).alias(f"nd_{c}") for c in cols],
+        *[F.count(df[c]).alias(f"nn_{i}") for i, c in enumerate(cols)],
+        *[distinct(df[c]).alias(f"nd_{i}") for i, c in enumerate(cols)],
     )
-    stack = ", ".join(f"'{c}', n_rows - nn_{c}, nd_{c}" for c in cols)
+    stack = ", ".join(
+        "'{}', n_rows - nn_{}, nd_{}".format(c.replace("'", "\\'"), i, i)
+        for i, c in enumerate(cols)
+    )
     return agg.select(
         F.expr(f"stack({len(cols)}, {stack}) AS (col, n_nulls, n_distinct)")
     ).select(

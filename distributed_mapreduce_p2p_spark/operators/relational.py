@@ -362,8 +362,13 @@ def apply_cdc(base: DataFrame, changes: DataFrame) -> DataFrame:
         .where(F.col("op").isNull() | (F.col("op") == "U"))
         .select(
             F.coalesce("_ck", "_bk").alias("k"),
+            # When a change row exists (op='U'), its values WIN even
+            # when NULL — real MERGE updates to NULL; a COALESCE here
+            # would silently keep the stale base value.
             *[
-                F.coalesce(f"_c_{cc}", f"_b_{cc}").alias(cc)
+                F.when(F.col("op") == "U", F.col(f"_c_{cc}"))
+                .otherwise(F.col(f"_b_{cc}"))
+                .alias(cc)
                 for cc in val_cols
             ],
         )

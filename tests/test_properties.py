@@ -292,7 +292,9 @@ def test_merge_islands_matches_sweep_line(spark, intervals):
         st.tuples(
             st.integers(min_value=0, max_value=30),
             st.sampled_from(["D", "U"]),
-            st.integers(min_value=100, max_value=199),
+            st.one_of(
+                st.none(), st.integers(min_value=100, max_value=199)
+            ),
         ),
         max_size=15,
         unique_by=lambda c: c[0],
@@ -301,7 +303,8 @@ def test_merge_islands_matches_sweep_line(spark, intervals):
 @settings(max_examples=20, deadline=None)
 def test_apply_cdc_matches_dict_apply(spark, base, changes):
     """MERGE semantics == dict apply: deletes remove, upserts
-    replace-or-insert, untouched base rows pass through."""
+    replace-or-insert (INCLUDING updates to NULL — a change row's
+    value wins even when None), untouched base rows pass through."""
     from distributed_mapreduce_p2p_spark.operators.relational import (
         apply_cdc,
     )

@@ -27,7 +27,11 @@ def main() -> int:
     only = set(sys.argv[2:])
     spark = get_spark(app_name="sweep-oracles")
     con = duck_con(sf_dir)
-    names = [n for n in registry.QUERIES if n in registry.ORACLES]
+    # finalize_oracles = static ORACLES + the generated (dynamic)
+    # oracles rendered for THIS sf — without it the sweep silently
+    # skipped bpe_merges/tokenizer_apply_bpe, which the driver checks.
+    oracles = registry.finalize_oracles(sf_dir)
+    names = [n for n in registry.QUERIES if n in oracles]
     if only:
         names = [n for n in names if n in only]
     bad = []
@@ -35,7 +39,7 @@ def main() -> int:
         t0 = time.time()
         try:
             df = registry.QUERIES[name](spark, sf_dir)
-            issues = compare(df, con, registry.ORACLES[name], name)
+            issues = compare(df, con, oracles[name], name)
         except Exception as e:  # surface, keep sweeping
             issues = [f"{name}: EXC {type(e).__name__}: {e}"]
         dt = time.time() - t0
