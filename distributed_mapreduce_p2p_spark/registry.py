@@ -9044,6 +9044,106 @@ def q_mad_by_group(spark, sf_dir):
     )
 
 
+#: staged CDC change feeds, keyed (applicationId, sf_dir) — immutable
+#: input, staged once per process (the _STAGED_EVENTS pattern).
+_STAGED_CDC: dict = {}
+
+
+@register(
+    "streaming_cdc_apply",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(o_totalprice AS DECIMAL(14,2)) AS price
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ), changes AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 9 = 0 THEN 'D' ELSE 'U' END AS op,
+             o_orderstatus AS st,
+             CAST(o_totalprice AS DECIMAL(14,2))
+               + CAST(1.00 AS DECIMAL(14,2)) AS price
+      FROM orders WHERE o_orderkey % 3 = 0
+    ), merged AS (
+      SELECT COALESCE(c.k, b.k) AS k,
+             COALESCE(c.st, b.st) AS st,
+             COALESCE(c.price, b.price) AS price, c.op
+      FROM base b FULL OUTER JOIN changes c ON b.k = c.k
+      WHERE c.op IS NULL OR c.op = 'U'
+    )
+    SELECT st AS o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price) AS DOUBLE) AS total_price,
+           CAST(SUM(k) AS BIGINT) AS key_checksum
+    FROM merged GROUP BY st
+    """,
+)
+def q_streaming_cdc_apply(spark, sf_dir):
+    """The STREAMING half of the CDC pair: the same deterministic
+    change batch as merge_upsert_batch, but applied through the real
+    Structured Streaming engine — changes staged as files, streamed
+    with availableNow, each micro-batch MERGEd (upserts + deletes,
+    operators/relational.py::apply_cdc) into a CdcParquetSink whose
+    atomic version pointer survives replay. The final sink state must
+    equal the one-shot batch MERGE exactly (same oracle as
+    merge_upsert_batch), proving stream==batch for MERGE semantics —
+    the Delta/Iceberg streaming-MERGE contract without the table
+    format. Keys are unique within the feed, so micro-batch order
+    cannot change the outcome (the property that makes availableNow's
+    file-split nondeterminism harmless)."""
+    import tempfile
+
+    from distributed_mapreduce_p2p_spark.streaming.replication import (
+        CdcParquetSink,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    # The feed carries exact integer CENTS (parquet file-stream
+    # decimals round-trip awkwardly through a declared read schema;
+    # int cents are unambiguous). The final double is identical to the
+    # oracle's CAST(SUM(DECIMAL(14,2)) AS DOUBLE): both are the
+    # correctly-rounded double of the exact rational Σcents/100.
+    cents = F.expr(
+        "cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)"
+    )
+    base = orders.where(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        cents.alias("cents"),
+    )
+    skey = (spark.sparkContext.applicationId, sf_dir)
+    staged = _STAGED_CDC.get(skey)
+    if staged is None:
+        staged = tempfile.mkdtemp(prefix="sg_cdc_") + "/changes"
+        orders.where(F.col("o_orderkey") % 3 == 0).select(
+            F.col("o_orderkey").alias("k"),
+            F.when(F.col("o_orderkey") % 9 == 0, "D")
+            .otherwise("U")
+            .alias("op"),
+            F.col("o_orderstatus").alias("st"),
+            (cents + 100).alias("cents"),
+        ).write.parquet(staged)
+        _STAGED_CDC[skey] = staged
+    schema = "k bigint, op string, st string, cents bigint"
+    tmp = tempfile.mkdtemp(prefix="sg_cdc_run_")
+    sink = CdcParquetSink(f"{tmp}/sink", key="k")
+    sink.upsert_batch(base, -1)  # seed the pre-CDC table version
+    with _stream_conf(spark):
+        stream = spark.readStream.schema(schema).parquet(staged)
+        q = (
+            stream.writeStream.foreachBatch(sink.apply_cdc_batch)
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    out = sink.read(spark)
+    return out.groupBy(F.col("st").alias("o_orderstatus")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("cents").cast("double") / F.lit(100.0)).alias("total_price"),
+        F.sum("k").cast("long").alias("key_checksum"),
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -9161,7 +9261,9 @@ _FRONT: list[str] = [
     # basket_pairs_lift likewise queues for r6: its items relation
     # gained a localCheckpoint late in r5 (same results, parity
     # re-verified at sf0.01; r1/r3 driver rows exist for the prior
-    # plan).
+    # plan). streaming_cdc_apply (r5-new, stream==batch MERGE proof,
+    # same oracle as merge_upsert_batch which IS windowed) also
+    # queues for r6.
 ]
 
 

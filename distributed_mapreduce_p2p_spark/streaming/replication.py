@@ -113,8 +113,6 @@ class KeyedParquetSink:
         return spark.read.parquet(cur)
 
     def upsert_batch(self, batch: DataFrame, batch_id: int) -> None:
-        import shutil
-
         spark = batch.sparkSession
         current = self.read(spark)
         new = batch.dropDuplicates([self.key])
@@ -123,6 +121,13 @@ class KeyedParquetSink:
             if current is not None
             else new
         )
+        self._commit(merged, batch_id)
+
+    def _commit(self, merged: DataFrame, batch_id: int) -> None:
+        """Write a new version directory and atomically repoint
+        CURRENT (shared by the upsert and CDC apply paths)."""
+        import shutil
+
         prev = self._current()
         # Unique suffix per invocation: a REPLAYED batch id must not
         # reuse the committed version's directory — mode("overwrite")
@@ -139,6 +144,45 @@ class KeyedParquetSink:
         os.replace(tmp_ptr, os.path.join(self.path, "CURRENT"))  # atomic
         if prev and prev != vdir:
             shutil.rmtree(prev, ignore_errors=True)
+
+
+class CdcParquetSink(KeyedParquetSink):
+    """K4 extended to full CDC semantics: micro-batches carry an
+    ``op`` column ('D' delete / 'U' upsert) and each batch is applied
+    with MERGE INTO semantics (operators/relational.py::apply_cdc —
+    one full outer join per batch) against the current version, then
+    committed through the same atomic version-pointer protocol as
+    the upsert sink. At-least-once replay stays idempotent because a
+    replayed batch re-applies the same per-key final ops against a
+    state where they already took effect (delete of a missing key is
+    a no-op; an upsert overwrites with the identical row).
+
+    This is the streaming half of a CDC pipeline: snapshot_diff
+    derives a change stream, this sink applies one continuously —
+    the dependency-free analog of a Delta/Iceberg streaming MERGE."""
+
+    def apply_cdc_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from distributed_mapreduce_p2p_spark.operators.relational import (
+            apply_cdc,
+        )
+
+        spark = batch.sparkSession
+        current = self.read(spark)
+        # keep-last per key within the batch (files may replay)
+        changes = batch.dropDuplicates([self.key]).withColumnRenamed(
+            self.key, "k"
+        )
+        if current is None:
+            merged = (
+                changes.where(F.col("op") == "U").drop("op")
+            )
+        else:
+            merged = apply_cdc(
+                current.withColumnRenamed(self.key, "k"), changes
+            )
+        self._commit(
+            merged.withColumnRenamed("k", self.key), batch_id
+        )
 
 
 def run_replication(
