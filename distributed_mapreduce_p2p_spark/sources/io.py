@@ -543,6 +543,13 @@ def publish_atomic(
         "row_counts": counts,
         "total_rows": sum(counts.values()),
     }
+    # Per-version manifest first (enables time travel), then the
+    # atomic live-pointer rename — the commit point stays a single
+    # os.replace.
+    with open(
+        os.path.join(table_root, f"_MANIFEST.v{new_ver}.json"), "w"
+    ) as fh:
+        json.dump(manifest, fh)
     fd, tmp = tempfile.mkstemp(dir=table_root, prefix="._manifest.")
     with os.fdopen(fd, "w") as fh:
         json.dump(manifest, fh)
@@ -563,15 +570,68 @@ def read_manifest(table_root: str) -> dict | None:
         return json.load(fh)
 
 
-def read_published(spark: SparkSession, table_root: str) -> DataFrame:
-    """Read the LIVE version of a ``publish_atomic`` table: resolve
-    the manifest, then scan exactly the files it lists — a concurrent
-    in-flight publish (data files written, manifest not yet renamed)
-    is invisible."""
-    m = read_manifest(table_root)
-    if m is None:
-        raise FileNotFoundError(f"no published version at {table_root}")
+def read_published(
+    spark: SparkSession, table_root: str, version: int | None = None
+) -> DataFrame:
+    """Read a ``publish_atomic`` table: the LIVE version by default,
+    or — time travel — any still-retained historical ``version`` via
+    its per-version manifest. Scans exactly the files the manifest
+    lists, so a concurrent in-flight publish (data files written,
+    manifest not yet renamed) is invisible, and a vacuumed version
+    fails loudly instead of reading a partial directory."""
+    import json
     import os
 
+    if version is None:
+        m = read_manifest(table_root)
+        if m is None:
+            raise FileNotFoundError(f"no published version at {table_root}")
+    else:
+        vpath = os.path.join(table_root, f"_MANIFEST.v{version}.json")
+        if not os.path.exists(vpath):
+            raise FileNotFoundError(
+                f"version {version} not found (never published, or vacuumed)"
+            )
+        with open(vpath) as fh:
+            m = json.load(fh)
     paths = [os.path.join(table_root, m["dir"], f) for f in m["files"]]
+    for p in paths:
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"version {m['version']} is partially vacuumed: missing {p}"
+            )
     return spark.read.parquet(*paths)
+
+
+def vacuum_published(table_root: str, keep: int = 2) -> list[int]:
+    """Retention for ``publish_atomic`` tables: delete version
+    directories (and their manifests) older than the newest ``keep``
+    versions. The LIVE version is never deleted regardless of
+    ``keep``. Returns the version numbers removed. The equivalent of
+    VACUUM / expire_snapshots — without it every publish leaks its
+    predecessor's data files forever."""
+    import json
+    import os
+    import re
+    import shutil
+
+    live = read_manifest(table_root)
+    live_ver = live["version"] if live else 0
+    versions = sorted(
+        int(m.group(1))
+        for f in os.listdir(table_root)
+        if (m := re.fullmatch(r"_MANIFEST\.v(\d+)\.json", f))
+    )
+    cut = versions[:-keep] if keep > 0 else versions
+    removed = []
+    for v in cut:
+        if v == live_ver:
+            continue
+        with open(os.path.join(table_root, f"_MANIFEST.v{v}.json")) as fh:
+            m2 = json.load(fh)
+        shutil.rmtree(
+            os.path.join(table_root, m2["dir"]), ignore_errors=True
+        )
+        os.remove(os.path.join(table_root, f"_MANIFEST.v{v}.json"))
+        removed.append(v)
+    return removed

@@ -659,3 +659,32 @@ def test_schema_evolution_mergeschema_and_pinned_read(spark, tmp_path):
     ] == ["bigint", "bigint", "string"]
     assert stable.count() == 15
     assert stable.where("b IS NOT NULL").count() == 5
+
+
+def test_publish_time_travel_and_vacuum(spark, tmp_path):
+    """Time travel reads any retained version; vacuum expires old
+    versions but never the live one; a vacuumed version fails loudly."""
+    import pytest as _pytest
+
+    from distributed_mapreduce_p2p_spark.sources.io import (
+        publish_atomic,
+        read_published,
+        vacuum_published,
+    )
+
+    root = str(tmp_path / "tbl")
+    for n in (1, 2, 3):
+        df = spark.range(n * 10).withColumnRenamed("id", "x")
+        publish_atomic(df, root)
+    assert read_published(spark, root).count() == 30          # live = v3
+    assert read_published(spark, root, version=1).count() == 10
+    assert read_published(spark, root, version=2).count() == 20
+    removed = vacuum_published(root, keep=2)
+    assert removed == [1]
+    assert read_published(spark, root, version=2).count() == 20
+    with _pytest.raises(FileNotFoundError):
+        read_published(spark, root, version=1)
+    # live survives even keep=0
+    removed = vacuum_published(root, keep=0)
+    assert 3 not in removed
+    assert read_published(spark, root).count() == 30
