@@ -9144,6 +9144,115 @@ def q_streaming_cdc_apply(spark, sf_dir):
     )
 
 
+@register(
+    "source_dataset_card",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, lang, text, md5(text) AS h,
+             CAST(len(list_filter(string_split_regex(text, '[^A-Za-z]+'),
+                                  x -> x <> '')) AS BIGINT) AS nw,
+             (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                / length(text) >= 0.5
+              AND len(list_filter(string_split_regex(lower(text),
+                      '[^a-z]+'), x -> x <> '')) >= 20) AS passes
+      FROM documents
+    ), lang_rank AS (
+      SELECT source, lang,
+             ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY COUNT(*) DESC, lang) AS rk
+      FROM d GROUP BY source, lang
+    ), agg AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(nw) AS BIGINT) AS n_words,
+             CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT)
+               AS n_exact_dups,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT)
+               AS quality_pass
+      FROM d GROUP BY source
+    )
+    SELECT a.source, a.n_docs, a.n_words,
+           CAST(a.n_words AS DOUBLE) / CAST(a.n_docs AS DOUBLE)
+             AS mean_words,
+           a.n_exact_dups, a.n_langs,
+           lr.lang AS top_lang, a.quality_pass,
+           CAST(a.quality_pass AS DOUBLE) / CAST(a.n_docs AS DOUBLE)
+             AS pass_rate
+    FROM agg a JOIN lang_rank lr ON lr.source = a.source AND lr.rk = 1
+    """,
+)
+def q_source_dataset_card(spark, sf_dir):
+    """The per-source DATASET CARD: one row per source with the
+    curation metrics a training-data review actually reads — volume
+    (docs, words, mean length), exact-duplicate count, language
+    spread + dominant language, and the share passing the
+    curation_pipeline quality rules. The composite that turns the
+    individual operators into the governance artifact shipped with a
+    dataset release. One (source) aggregation pass with
+    multi-distinct, plus a tiny per-source language mode window; at
+    100 TB everything shuffles once on source (the card is
+    sources-sized, not corpus-sized)."""
+    docs = _t(spark, sf_dir, "documents")
+    alpha_ratio = F.length(
+        F.regexp_replace("text", "[^A-Za-z]", "")
+    ) / F.length("text")
+    n_lower = F.expr(
+        "size(filter(split(lower(text), '[^a-z]+'), x -> x <> ''))"
+    )
+    d = docs.select(
+        "source",
+        "lang",
+        F.md5("text").alias("h"),
+        F.expr(
+            "cast(size(filter(split(text, '[^A-Za-z]+'), x -> x <> ''))"
+            " as bigint)"
+        ).alias("nw"),
+        ((alpha_ratio >= 0.5) & (n_lower >= 20)).alias("passes"),
+    )
+    lang_rank = (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("cnt").desc(), "lang"
+                )
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nw").cast("long").alias("n_words"),
+        (F.count(F.lit(1)) - F.countDistinct("h"))
+        .cast("long")
+        .alias("n_exact_dups"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum(F.when(F.col("passes"), 1).otherwise(0))
+        .cast("long")
+        .alias("quality_pass"),
+    )
+    return agg.join(broadcast(lang_rank), "source").select(
+        "source",
+        "n_docs",
+        "n_words",
+        (
+            F.col("n_words").cast("double") / F.col("n_docs").cast("double")
+        ).alias("mean_words"),
+        "n_exact_dups",
+        "n_langs",
+        "top_lang",
+        "quality_pass",
+        (
+            F.col("quality_pass").cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("pass_rate"),
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -9262,8 +9371,9 @@ _FRONT: list[str] = [
     # gained a localCheckpoint late in r5 (same results, parity
     # re-verified at sf0.01; r1/r3 driver rows exist for the prior
     # plan). streaming_cdc_apply (r5-new, stream==batch MERGE proof,
-    # same oracle as merge_upsert_batch which IS windowed) also
-    # queues for r6.
+    # same oracle as merge_upsert_batch which IS windowed) and
+    # source_dataset_card (r5-new composite of windowed operators)
+    # also queue for r6.
 ]
 
 

@@ -540,3 +540,28 @@ def test_mad_by_group_matches_statistics_median(spark):
         for r in _q("mad_by_group")(spark, SF_SMALL).collect()
     }
     assert got == expect
+
+
+def test_dataset_card_consistency(spark):
+    """Card invariants: docs sum to the corpus, dup counts match an
+    md5 group recount, pass rate within [0,1], top_lang is a real
+    mode."""
+    from collections import Counter
+
+    out = {r.source: r for r in _q("source_dataset_card")(spark, SF_SMALL).collect()}
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    assert sum(r.n_docs for r in out.values()) == len(docs)
+    per_src_langs = {}
+    per_src_texts = {}
+    for d in docs:
+        per_src_langs.setdefault(d.source, Counter())[d.lang] += 1
+        per_src_texts.setdefault(d.source, []).append(d.text)
+    for src, r in out.items():
+        lc = per_src_langs[src]
+        best = min(lc.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert r.top_lang == best[0]
+        assert r.n_langs == len(lc)
+        texts = per_src_texts[src]
+        assert r.n_exact_dups == len(texts) - len(set(texts))
+        assert 0.0 <= r.pass_rate <= 1.0
+        assert r.quality_pass <= r.n_docs
