@@ -165,3 +165,44 @@ def pagerank_fixedpoint(
         if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", F.col("r").alias("rank_fp"))
+
+
+def bfs_levels(
+    edges: DataFrame, src_node: int, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Breadth-first levels (unweighted shortest hop counts) from
+    ``src_node`` over an undirected edge list: ``(node, level)`` for
+    every REACHED node. Frontier-expansion loop — each round is one
+    equi-join + anti-join (the iterative driver-loop class, like
+    PageRank/CC), bounded by the graph diameter; the frontier and
+    level table are checkpointed per round so round N's plan does not
+    nest N joins. At 100 TB both joins shuffle on the node key, and
+    state is the visited set — the standard distributed BFS shape."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    levels = spark.createDataFrame(
+        [(int(src_node), 0)], "node: long, level: long"
+    ).localCheckpoint(eager=True)
+    frontier = levels
+    depth = 0
+    while True:
+        depth += 1
+        nxt = (
+            frontier.join(e, frontier.node == e.u)
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(levels.select("node"), "node", "left_anti")
+            .withColumn("level", F.lit(depth).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels = levels.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return levels

@@ -9253,6 +9253,67 @@ def q_source_dataset_card(spark, sf_dir):
     )
 
 
+@register(
+    "trade_graph_bfs_levels",
+    oracle="""
+    WITH RECURSIVE trade AS MATERIALIZED (
+      SELECT c_nationkey AS cn, s_nationkey AS sn,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1 - l_discount AS DECIMAL(4,2))) AS vol
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2
+    ), und AS MATERIALIZED (
+      SELECT LEAST(cn, sn) AS a, GREATEST(cn, sn) AS b, SUM(vol) AS vol
+      FROM trade WHERE cn <> sn GROUP BY 1, 2
+    ), edges0 AS MATERIALIZED (
+      SELECT a, b FROM und
+      WHERE CAST(vol AS DOUBLE) * (SELECT COUNT(*) FROM und)
+            > (SELECT CAST(SUM(vol) AS DOUBLE) FROM und)
+    ), edges AS (
+      SELECT a AS src, b AS dst FROM edges0
+      UNION ALL SELECT b, a FROM edges0
+    ), reach(node, d) AS (
+      SELECT (SELECT MIN(a) FROM edges0), 0
+      UNION
+      SELECT e.dst, r.d + 1
+      FROM reach r JOIN edges e ON r.node = e.src
+      WHERE r.d < 64
+    )
+    SELECT n_nationkey,
+           CAST(COALESCE(lv.level, -1) AS BIGINT) AS level
+    FROM nation
+    LEFT JOIN (SELECT node, CAST(MIN(d) AS BIGINT) AS level
+               FROM reach GROUP BY node) lv
+      ON lv.node = n_nationkey
+    """,
+)
+def q_trade_graph_bfs_levels(spark, sf_dir):
+    """BFS shortest-hop levels from the lowest-keyed trading nation
+    over the above-mean trade graph (same memoized edge list as
+    triangles/components — operators/graph.py::bfs_levels completes
+    the graph-operator trio: counting, components, traversal).
+    Frontier expansion is one equi-join + anti-join per round,
+    diameter-bounded; unreached nations report level -1. The oracle's
+    recursive CTE takes MIN over all reachable (node, depth) pairs —
+    identical to BFS levels on an unweighted graph."""
+    edges = _trade_edges(spark, sf_dir)
+    src_row = edges.agg(F.min("a").alias("m")).collect()[0]
+    src = int(src_row.m) if src_row.m is not None else 0
+    levels = GR.bfs_levels(edges, src, "a", "b")
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey")
+    )
+    return nation.join(
+        levels, nation.n_nationkey == levels.node, "left"
+    ).select(
+        "n_nationkey",
+        F.coalesce("level", F.lit(-1)).cast("long").alias("level"),
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -9373,7 +9434,8 @@ _FRONT: list[str] = [
     # plan). streaming_cdc_apply (r5-new, stream==batch MERGE proof,
     # same oracle as merge_upsert_batch which IS windowed) and
     # source_dataset_card (r5-new composite of windowed operators)
-    # also queue for r6.
+    # and trade_graph_bfs_levels (r5-new; shares the memoized edge
+    # table two windowed queries exercise) also queue for r6.
 ]
 
 

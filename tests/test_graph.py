@@ -112,3 +112,29 @@ def test_pagerank_mass_is_conserved_upper_bound(spark):
         r.rank_fp for r in GR.pagerank_fixedpoint(df, iters=4).collect()
     )
     assert 0 < total <= GR.SCALE
+
+
+def test_bfs_levels_match_networkless_bruteforce(spark):
+    """BFS levels vs a pure-Python BFS on a hand-built graph with a
+    disconnected component (the unreached-node path)."""
+    from collections import deque
+
+    from distributed_mapreduce_p2p_spark.operators.graph import bfs_levels
+
+    edges = [(1, 2), (2, 3), (3, 4), (1, 4), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.level for r in bfs_levels(df, 1).collect()}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect = {1: 0}
+    q = deque([1])
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if v not in expect:
+                expect[v] = expect[u] + 1
+                q.append(v)
+    assert got == expect          # only reached nodes; 5,6 absent
+    assert 5 not in got and 6 not in got

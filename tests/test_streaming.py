@@ -529,3 +529,69 @@ def test_streaming_cdc_apply_equals_batch_merge(spark):
         .first()
     )
     assert some_deleted is not None  # carve produces deletes at this SF
+
+
+def test_cdc_sink_restart_converges_to_batch_merge(spark, tmpdir):
+    """Kill the CDC stream mid-feed (maxFilesPerTrigger=1 + short
+    timeout), restart from the same checkpoint, and the sink must
+    converge to EXACTLY the batch MERGE state — the replay-idempotent
+    MERGE contract under restart."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_p2p_spark.operators.relational import apply_cdc
+    from distributed_mapreduce_p2p_spark.streaming.replication import (
+        CdcParquetSink,
+    )
+
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    cents = F.expr(
+        "cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)"
+    )
+    base = orders.where(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        cents.alias("cents"),
+    )
+    changes = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 9 == 0, "D").otherwise("U").alias("op"),
+        F.col("o_orderstatus").alias("st"),
+        (cents + 100).alias("cents"),
+    )
+    staged = f"{tmpdir}/changes"
+    changes.repartition(8).write.parquet(staged)
+    sink = CdcParquetSink(f"{tmpdir}/sink", key="k")
+    sink.upsert_batch(base, -1)
+    schema = "k bigint, op string, st string, cents bigint"
+
+    def run(timeout):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink.apply_cdc_batch)
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmpdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(timeout)
+        if not finished:
+            q.stop()  # the kill
+        return finished
+
+    run(3.0)  # phase 1: likely killed mid-feed (8 single-file batches)
+    mid = sink.read(spark).count()
+    assert mid > 0
+    # phase 2: restart from the same checkpoint; must finish and
+    # converge (retry while slow-host timeouts interfere)
+    for _ in range(5):
+        if run(60.0):
+            break
+    expect = apply_cdc(base, changes)
+    got = sink.read(spark)
+    assert got.count() == expect.count()
+    diff = got.exceptAll(expect).count() + expect.exceptAll(got).count()
+    assert diff == 0, "restarted CDC sink diverged from the batch MERGE"
