@@ -9314,6 +9314,82 @@ def q_trade_graph_bfs_levels(spark, sf_dir):
     )
 
 
+@register(
+    "priority_mix_drift",
+    oracle="""
+    WITH cell AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+             o_orderpriority AS p, CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1, 2
+    ), yr AS (SELECT y, CAST(SUM(c) AS BIGINT) AS ny FROM cell GROUP BY y),
+    gl AS (SELECT p, CAST(SUM(c) AS BIGINT) AS cp FROM cell GROUP BY p),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cell),
+    nums AS (
+      SELECT yr.y, yr.ny, tot.n,
+             CAST(SUM(ABS(cell.c * tot.n - gl.cp * yr.ny)) AS BIGINT)
+               AS dn
+      FROM cell
+      JOIN yr ON yr.y = cell.y
+      JOIN gl ON gl.p = cell.p
+      CROSS JOIN tot
+      GROUP BY yr.y, yr.ny, tot.n
+    )
+    SELECT y AS o_year, ny AS n_orders, dn AS drift_num,
+           CAST(dn AS DOUBLE)
+             / (2.0 * CAST(n AS DOUBLE) * CAST(ny AS DOUBLE)) AS tvd
+    FROM nums
+    """,
+)
+def q_priority_mix_drift(spark, sf_dir):
+    """Distribution-drift monitoring on relational data: per year,
+    the total-variation distance between that year's order-priority
+    mix and the global mix — source_token_drift's TVD applied to the
+    warehouse (the canary for upstream process changes). Exact cross-
+    multiplied integer arithmetic: TVD numerator
+    Σ|c_cell·N − C_pri·n_year| is a BIGINT, so the one double
+    division is engine-identical. Everything aggregates from ONE tiny
+    (year × priority) cell table; the per-year and per-priority
+    margins broadcast back onto it."""
+    cell = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.col("o_orderpriority").alias("p"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    yr = cell.groupBy("y").agg(F.sum("c").cast("long").alias("ny"))
+    gl = cell.groupBy("p").agg(F.sum("c").cast("long").alias("cp"))
+    tot = cell.agg(F.sum("c").cast("long").alias("n"))
+    nums = (
+        cell.join(broadcast(yr), "y")
+        .join(broadcast(gl), "p")
+        .crossJoin(broadcast(tot))
+        .groupBy("y", "ny", "n")
+        .agg(
+            F.sum(
+                F.abs(F.col("c") * F.col("n") - F.col("cp") * F.col("ny"))
+            )
+            .cast("long")
+            .alias("dn")
+        )
+    )
+    return nums.select(
+        F.col("y").alias("o_year"),
+        F.col("ny").alias("n_orders"),
+        F.col("dn").alias("drift_num"),
+        (
+            F.col("dn").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n").cast("double")
+                * F.col("ny").cast("double")
+            )
+        ).alias("tvd"),
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -9434,8 +9510,9 @@ _FRONT: list[str] = [
     # plan). streaming_cdc_apply (r5-new, stream==batch MERGE proof,
     # same oracle as merge_upsert_batch which IS windowed) and
     # source_dataset_card (r5-new composite of windowed operators)
-    # and trade_graph_bfs_levels (r5-new; shares the memoized edge
-    # table two windowed queries exercise) also queue for r6.
+    # trade_graph_bfs_levels (r5-new; shares the memoized edge
+    # table two windowed queries exercise) and priority_mix_drift
+    # (r5-new TVD drift) also queue for r6.
 ]
 
 

@@ -565,3 +565,25 @@ def test_dataset_card_consistency(spark):
         assert r.n_exact_dups == len(texts) - len(set(texts))
         assert 0.0 <= r.pass_rate <= 1.0
         assert r.quality_pass <= r.n_docs
+
+
+def test_priority_mix_drift_bounds_and_recompute(spark):
+    """TVD in [0,1]; exact integer numerator matches a Counter
+    recompute."""
+    from collections import Counter
+
+    out = {r.o_year: r for r in _q("priority_mix_drift")(spark, SF_SMALL).collect()}
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").collect()
+    cell = Counter((r.o_orderdate.year, r.o_orderpriority) for r in orders)
+    ny = Counter(y for (y, _p) in cell.elements())
+    cp = Counter(p for (_y, p) in cell.elements())
+    n = sum(cell.values())
+    for y, r in out.items():
+        dn = sum(
+            abs(c * n - cp[p] * ny[y])
+            for (yy, p), c in cell.items()
+            if yy == y
+        )
+        assert r.drift_num == dn
+        assert r.n_orders == ny[y]
+        assert 0.0 <= r.tvd <= 1.0
