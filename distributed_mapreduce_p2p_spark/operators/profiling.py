@@ -34,7 +34,13 @@ def profile(df: DataFrame, approx: bool = False) -> DataFrame:
         *[distinct(df[c]).alias(f"nd_{i}") for i, c in enumerate(cols)],
     )
     stack = ", ".join(
-        "'{}', n_rows - nn_{}, nd_{}".format(c.replace("'", "\\'"), i, i)
+        "'{}', n_rows - nn_{}, nd_{}".format(
+            # backslashes BEFORE quotes, or a name ending in \ eats
+            # the closing quote of its own label literal
+            c.replace("\\", "\\\\").replace("'", "\\'"),
+            i,
+            i,
+        )
         for i, c in enumerate(cols)
     )
     return agg.select(

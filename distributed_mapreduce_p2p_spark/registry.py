@@ -7844,8 +7844,13 @@ def q_tpch_q9_profit_shape(spark, sf_dir):
       FROM orders WHERE o_orderkey % 3 = 0
     ), merged AS (
       SELECT COALESCE(c.k, b.k) AS k,
-             COALESCE(c.st, b.st) AS st,
-             COALESCE(c.price, b.price) AS price, c.op
+             -- mirror apply_cdc exactly: an op='U' change WINS even
+             -- when its value is NULL (real MERGE updates to NULL);
+             -- COALESCE would keep the stale base value and silently
+             -- diverge on a feed with NULL change columns.
+             CASE WHEN c.op = 'U' THEN c.st ELSE b.st END AS st,
+             CASE WHEN c.op = 'U' THEN c.price ELSE b.price END AS price,
+             c.op
       FROM base b FULL OUTER JOIN changes c ON b.k = c.k
       WHERE c.op IS NULL OR c.op = 'U'
     )
@@ -9065,8 +9070,13 @@ _STAGED_CDC: dict = {}
       FROM orders WHERE o_orderkey % 3 = 0
     ), merged AS (
       SELECT COALESCE(c.k, b.k) AS k,
-             COALESCE(c.st, b.st) AS st,
-             COALESCE(c.price, b.price) AS price, c.op
+             -- mirror apply_cdc exactly: an op='U' change WINS even
+             -- when its value is NULL (real MERGE updates to NULL);
+             -- COALESCE would keep the stale base value and silently
+             -- diverge on a feed with NULL change columns.
+             CASE WHEN c.op = 'U' THEN c.st ELSE b.st END AS st,
+             CASE WHEN c.op = 'U' THEN c.price ELSE b.price END AS price,
+             c.op
       FROM base b FULL OUTER JOIN changes c ON b.k = c.k
       WHERE c.op IS NULL OR c.op = 'U'
     )
@@ -9301,11 +9311,18 @@ def q_trade_graph_bfs_levels(spark, sf_dir):
     identical to BFS levels on an unweighted graph."""
     edges = _trade_edges(spark, sf_dir)
     src_row = edges.agg(F.min("a").alias("m")).collect()[0]
-    src = int(src_row.m) if src_row.m is not None else 0
-    levels = GR.bfs_levels(edges, src, "a", "b")
     nation = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").cast("long").alias("n_nationkey")
     )
+    if src_row.m is None:
+        # Degenerate graph (no above-mean edge, e.g. all bilateral
+        # volumes equal): nothing is reachable. The oracle's
+        # recursive seed MIN(a) is NULL there and every nation
+        # reports -1 — mirror that instead of synthesizing a src.
+        return nation.select(
+            "n_nationkey", F.lit(-1).cast("long").alias("level")
+        )
+    levels = GR.bfs_levels(edges, int(src_row.m), "a", "b")
     return nation.join(
         levels, nation.n_nationkey == levels.node, "left"
     ).select(
@@ -9429,14 +9446,28 @@ def q_priority_mix_drift(spark, sf_dir):
 # reds were contract bugs fixed r4, and re-sampling flips the row.
 
 _FRONT: list[str] = [
-    # ============ ROUND-5 WINDOW ============
+    # ============ ROUND-6 WINDOW ============
     # Composition rule (standing since r3): (a) entries with NO driver
     # CORRECTNESS row in any round, (b) entries whose PLAN or ORACLE
-    # changed since their last sampled row, (c) r5-new queries. Every
-    # r4-window entry is 50/50 green in CORRECTNESS_r04.json, so all
-    # 50 slots were free to rotate.
-    # -- (1) never driver-sampled in r1-r4 (the r4 verdict queue,
-    #        registry comment block that used to sit below) ------------
+    # changed since their last sampled row, (c) r6-new queries, then
+    # holdovers (all 50/50 green in CORRECTNESS_r05.json) fill to 50.
+    # -- (1) never driver-sampled (landed after the r5 window froze;
+    #        the r5 verdict's top item — closing these brings
+    #        cumulative driver coverage to every registered query) ----
+    "fm_sketch_windowed",
+    "mad_by_group",
+    "streaming_cdc_apply",   # + oracle changed r6 (COALESCE -> CASE)
+    "source_dataset_card",
+    "trade_graph_bfs_levels",  # + plan changed r6 (empty-graph -> all -1)
+    "priority_mix_drift",
+    "basket_pairs_lift",     # items localCheckpoint landed post-freeze
+    # -- (2) plan/oracle changed in r6 (ADVICE fixes) ------------------
+    "merge_upsert_batch",    # oracle COALESCE -> CASE (NULL-wins MERGE)
+    "table_profile",         # profile() label escaping hardened
+    # -- (3) NEW in r6: no driver row exists --------------------------
+    # (inserted here as they land)
+    # -- (4) r5-window holdovers (each 50/50 green in r5; displaced
+    #        from the tail as section (3) grows) ----------------------
     "bloom_prune_accounting",
     "pii_redact_stats",
     "leakage_safe_split",
@@ -9462,19 +9493,12 @@ _FRONT: list[str] = [
     "tpch_q21_sole_returner",
     "tpch_q22_churned_balance",
     "bpe_merges",
-    # -- (2) plan/oracle changed in r5 ---------------------------------
-    # tpch_q3 was registered TWICE (r2 original + r4 DECIMAL-ranked
-    # rewrite); the rewrite silently shadowed the original, so the
-    # effective plan has never been driver-sampled. Dead duplicate
-    # deleted in r5; rewrite rotates in.
     "tpch_q3_shipping_priority",
-    "dedup_clusters",       # r5: shared LSH+CC cluster-table memo
-    "curation_pipeline",    # r5: same memo
-    "span_dedup_clean",     # r5: oracle threshold now interpolated
-    "trade_graph_triangles",  # r5: trade matrix checkpointed (bench fix)
-    # -- (3) NEW in r5: no driver row exists --------------------------
+    "dedup_clusters",
+    "curation_pipeline",
+    "span_dedup_clean",
+    "trade_graph_triangles",
     "tpch_q9_profit_shape",
-    "merge_upsert_batch",
     "interval_merge_islands",
     "time_weighted_avg",
     "ngram_lm_next_token",
@@ -9485,34 +9509,13 @@ _FRONT: list[str] = [
     "trade_graph_components",
     "kmeans_assign_iter",
     "event_path_topk",
-    "hapax_ratio_per_source",
-    "trimmed_mean_group",
-    "table_profile",
-    "json_quarantine_audit",
-    "scd2_pointintime_join",
-    "embedding_norm_outliers",
-    "cumulative_distinct_users",
-    "token_budget_sample",
-    # -- (4) r4-window holdovers (each 50/50 green in r4; they keep
-    #        their slots only until displaced by r5-new queries;
-    #        mixture_reweight / global_shuffle_order / source_reputation
-    #        / tpch_q2 / pseudonymize_events / tpch_q4 / tpch_q12 /
-    #        tpch_q14 / priority_sample_per_source / source_token_drift
-    #        were displaced by section (3) — all r4-green, unchanged) --
-    # fm_sketch_windowed and mad_by_group (r5-new, integer/low-risk
-    # outputs, each pinned by a dedicated test + the full sweep) stay
-    # OUTSIDE the window this round — all 50 slots are taken by the
-    # never-sampled backlog + changed plans + the other 20 r5-new
-    # queries; rotate them into the r6 window per the standing rule.
-    # basket_pairs_lift likewise queues for r6: its items relation
-    # gained a localCheckpoint late in r5 (same results, parity
-    # re-verified at sf0.01; r1/r3 driver rows exist for the prior
-    # plan). streaming_cdc_apply (r5-new, stream==batch MERGE proof,
-    # same oracle as merge_upsert_batch which IS windowed) and
-    # source_dataset_card (r5-new composite of windowed operators)
-    # trade_graph_bfs_levels (r5-new; shares the memoized edge
-    # table two windowed queries exercise) and priority_mix_drift
-    # (r5-new TVD drift) also queue for r6.
+    # Displaced to make room for the 9 section-(1)/(2) entries (all
+    # r5-green, unchanged, still swept by test_oracle_parity):
+    # hapax_ratio_per_source, trimmed_mean_group, json_quarantine_audit,
+    # scd2_pointintime_join, embedding_norm_outliers,
+    # cumulative_distinct_users, token_budget_sample. Further
+    # holdovers rotate out from this tail
+    # as r6-new queries land in section (3).
 ]
 
 

@@ -543,17 +543,22 @@ def publish_atomic(
         "row_counts": counts,
         "total_rows": sum(counts.values()),
     }
-    # Per-version manifest first (enables time travel), then the
-    # atomic live-pointer rename — the commit point stays a single
-    # os.replace.
-    with open(
-        os.path.join(table_root, f"_MANIFEST.v{new_ver}.json"), "w"
-    ) as fh:
-        json.dump(manifest, fh)
+    # The atomic live-pointer rename IS the commit point; the
+    # per-version manifest (time travel) is written strictly AFTER
+    # it. Writing it first would let read_published(version=N) serve
+    # a version that died before ever committing live; writing it
+    # after means a crash in the gap costs only time travel to the
+    # (still live-readable) newest version, never phantom data —
+    # read_published additionally refuses versions beyond the live
+    # manifest and falls back to the live manifest for the gap case.
     fd, tmp = tempfile.mkstemp(dir=table_root, prefix="._manifest.")
     with os.fdopen(fd, "w") as fh:
         json.dump(manifest, fh)
     os.replace(tmp, os.path.join(table_root, "_MANIFEST.json"))
+    with open(
+        os.path.join(table_root, f"_MANIFEST.v{new_ver}.json"), "w"
+    ) as fh:
+        json.dump(manifest, fh)
     return manifest
 
 
@@ -587,13 +592,31 @@ def read_published(
         if m is None:
             raise FileNotFoundError(f"no published version at {table_root}")
     else:
+        live = read_manifest(table_root)
+        live_ver = live["version"] if live else 0
+        if version > live_ver:
+            # A per-version manifest may exist transiently for a
+            # publish that never committed live (crash between data
+            # write and pointer rename was never possible, but the
+            # inverse ordering guard keeps this invariant explicit):
+            # only versions <= the live pointer are ever readable.
+            raise FileNotFoundError(
+                f"version {version} was never committed live "
+                f"(table is at v{live_ver})"
+            )
         vpath = os.path.join(table_root, f"_MANIFEST.v{version}.json")
-        if not os.path.exists(vpath):
+        if os.path.exists(vpath):
+            with open(vpath) as fh:
+                m = json.load(fh)
+        elif version == live_ver:
+            # publisher crashed after the live commit but before the
+            # per-version manifest write: the live manifest IS this
+            # version's manifest.
+            m = live
+        else:
             raise FileNotFoundError(
                 f"version {version} not found (never published, or vacuumed)"
             )
-        with open(vpath) as fh:
-            m = json.load(fh)
     paths = [os.path.join(table_root, m["dir"], f) for f in m["files"]]
     for p in paths:
         if not os.path.exists(p):

@@ -168,10 +168,39 @@ class CdcParquetSink(KeyedParquetSink):
 
         spark = batch.sparkSession
         current = self.read(spark)
-        # keep-last per key within the batch (files may replay)
-        changes = batch.dropDuplicates([self.key]).withColumnRenamed(
-            self.key, "k"
-        )
+        # Within-batch conflict resolution. A real CDC feed can carry
+        # several ops for one key in one micro-batch (e.g. 'U' then
+        # 'D'); keeping "an arbitrary row" would apply them
+        # nondeterministically. Contract: if the feed has a ``seq``
+        # ordering column, keep-last per key by seq (row_number, the
+        # Debezium/LSN pattern); otherwise exact duplicate rows are
+        # collapsed (at-least-once replay) and a batch with
+        # CONFLICTING rows for one key raises instead of guessing.
+        from pyspark.sql import Window
+
+        if "seq" in batch.columns:
+            w = Window.partitionBy(self.key).orderBy(F.col("seq").desc())
+            batch = (
+                batch.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn", "seq")
+            )
+        else:
+            batch = batch.dropDuplicates()
+            conflict = (
+                batch.groupBy(self.key)
+                .count()
+                .where(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if conflict:
+                raise ValueError(
+                    "CDC batch carries conflicting rows for one key and "
+                    "no 'seq' ordering column; add one to define "
+                    "keep-last order"
+                )
+        changes = batch.withColumnRenamed(self.key, "k")
         if current is None:
             merged = (
                 changes.where(F.col("op") == "U").drop("op")

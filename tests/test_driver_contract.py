@@ -53,63 +53,21 @@ def test_first_50_window_composition():
     """The driver verifies exactly the first 50 queries() entries;
     that window must contain every entry that has never earned a
     driver CORRECTNESS row and every query whose plan/oracle changed
-    since its last sampled row (the standing rule, round-5 window)."""
+    since its last sampled row (the standing rule, round-6 window)."""
     mod = _load_entry()
     head = list(mod.queries())[:50]
     must_cover = {
-        # never driver-sampled in r1-r4 (r4 verdict queue)
-        "bloom_prune_accounting",
-        "pii_redact_stats",
-        "leakage_safe_split",
-        "snapshot_diff",
-        "incremental_agg_maintenance",
-        "source_overlap_matrix",
-        "lang_confusion_matrix",
-        "rfm_segmentation",
-        "image_resize_checksum",
-        "video_frame_checksums",
-        "containment_decontaminate",
-        "windowed_hdr_p95",
-        "streaming_hdr_p95",
-        "stream_stream_full_outer",
-        "grouping_sets_report",
-        "tpch_q6_forecast_revenue",
-        "tpch_q8_market_share",
-        "tpch_q10_returned_revenue",
-        "tpch_q13_order_count_dist",
-        "tpch_q15_top_supplier",
-        "tpch_q16_supplier_counts",
-        "tpch_q17_small_qty_revenue",
-        "tpch_q21_sole_returner",
-        "tpch_q22_churned_balance",
-        "bpe_merges",
-        # plan/oracle changed in r5 (standing rule)
-        "tpch_q3_shipping_priority",
-        "dedup_clusters",
-        "curation_pipeline",
-        "span_dedup_clean",
-        "trade_graph_triangles",
-        # new in r5 — first driver sample
-        "tpch_q9_profit_shape",
+        # never driver-sampled (landed after the r5 window froze)
+        "fm_sketch_windowed",
+        "mad_by_group",
+        "streaming_cdc_apply",
+        "source_dataset_card",
+        "trade_graph_bfs_levels",
+        "priority_mix_drift",
+        "basket_pairs_lift",
+        # plan/oracle changed in r6 (ADVICE fixes, standing rule)
         "merge_upsert_batch",
-        "interval_merge_islands",
-        "time_weighted_avg",
-        "ngram_lm_next_token",
-        "tokenizer_apply_bpe",
-        "equidepth_bins",
-        "audio_resample_checksum",
-        "image_channel_stats",
-        "trade_graph_components",
-        "kmeans_assign_iter",
-        "event_path_topk",
-        "hapax_ratio_per_source",
-        "trimmed_mean_group",
         "table_profile",
-        "json_quarantine_audit",
-        "scd2_pointintime_join",
-        "embedding_norm_outliers",
-        "cumulative_distinct_users",
-        "token_budget_sample",
     }
     missing = must_cover - set(head)
     assert not missing, f"driver window lost priority entries: {missing}"
