@@ -84,9 +84,13 @@ def numbered_result(df: DataFrame, text_col: str = "text") -> DataFrame:
     is the 1-based line number of the sorted result
     (replication/replication.go:13-16, 524-550).
 
-    ``row_number`` over a global order is a single-partition window —
-    fine for a result table (26k rows in the reference); for 100 TB
-    results use ``zipWithIndex``-style partition-offset numbering.
+    DEMO FORM — reference-faithful, NOT the scale path.
+    ``row_number`` over a global order funnels the whole result
+    through ONE partition; acceptable only because the reference's
+    result table is small (26k rows). For any large result use
+    ``numbered_result_scalable`` (partition-offset numbering,
+    identical output, every stage partition-parallel — its plan is
+    asserted single-partition-exchange-free in tests/test_plans.py).
     """
     w = Window.orderBy("word")
     return word_count(df, text_col).withColumn(

@@ -228,9 +228,28 @@ def read_text_chunks_space_aligned(
     payload.
     """
     import os
+    import re
 
     if isinstance(paths, str):
         paths = [paths]
+    # Both the grid builder (os.path.getsize) and the task-side
+    # reader (plain open/seek in read_aligned_range) speak the LOCAL
+    # filesystem only. On hdfs://, s3a://, abfs://, ... fail loudly
+    # here instead of a confusing worker stack trace — the
+    # production-shaped twin is the ``chunktext`` Python DataSource
+    # (sources/chunk_source.py), which receives ranges through
+    # Spark's own FS-agnostic file listing.
+    local = []
+    for p in paths:
+        m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", p)
+        if m and m.group(1) != "file":
+            raise ValueError(
+                f"read_text_chunks_space_aligned is local-FS-only "
+                f"(got {p!r}); use spark.read.format('chunktext') "
+                f"for {m.group(1)}:// storage"
+            )
+        local.append(p[7:] if p.startswith("file://") else p)
+    paths = local
     ranges = []
     for p in paths:
         size = os.path.getsize(p)
@@ -658,3 +677,48 @@ def vacuum_published(table_root: str, keep: int = 2) -> list[int]:
         os.remove(os.path.join(table_root, f"_MANIFEST.v{v}.json"))
         removed.append(v)
     return removed
+
+
+def maintain_table(
+    spark: SparkSession,
+    table_root: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    keep: int = 2,
+) -> tuple[dict, list[int]]:
+    """The full table-maintenance lifecycle for ``publish_atomic``
+    tables in one call — OPTIMIZE then VACUUM, lakehouse-style:
+
+    1. **Compact**: read the LIVE version, rewrite it into
+       ``ceil(total_bytes / target_bytes)`` near-target files, and
+       commit the rewrite as a NEW version through the same atomic
+       manifest protocol (``expected_version`` pins the version we
+       compacted, so a concurrent writer wins and the compaction
+       retries rather than clobbering fresh data). Readers never
+       observe the rewrite in flight — identical bytes, fewer files.
+    2. **Vacuum**: drop version directories beyond the newest
+       ``keep`` (never the live one).
+
+    Returns ``(new_manifest, removed_versions)``. A long-lived keyed
+    upsert sink (K4) accretes one version per trigger; running this
+    on a schedule is what keeps a year-old 100 TB streaming table
+    scannable.
+    """
+    import math
+    import os
+
+    live = read_manifest(table_root)
+    if live is None:
+        raise FileNotFoundError(f"no published version at {table_root}")
+    df = read_published(spark, table_root)
+    total = sum(
+        os.path.getsize(os.path.join(table_root, live["dir"], f))
+        if os.path.exists(os.path.join(table_root, live["dir"], f))
+        else 0
+        for f in live["files"]
+    )
+    n_out = max(1, math.ceil(total / target_bytes))
+    new_m = publish_atomic(
+        df.repartition(n_out), table_root, expected_version=live["version"]
+    )
+    removed = vacuum_published(table_root, keep=keep)
+    return new_m, removed

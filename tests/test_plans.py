@@ -713,3 +713,29 @@ def test_tokenizer_apply_broadcasts_vocab(spark):
 
     simple = explain_str(_q("tokenizer_apply_bpe", spark), "simple")
     assert "BroadcastHashJoin" in simple
+
+
+def test_numbered_scalable_no_single_partition_exchange(spark):
+    """The scale-path S4 twin must number rows WITHOUT funneling data
+    through one partition: no SinglePartition exchange and no
+    partition-less window anywhere in its plan (the demo form
+    ``wordcount_numbered`` deliberately has one — reference-faithful
+    for a 26k-row result table; this pins the scalable twin as the
+    100 TB path)."""
+    from distributed_mapreduce_p2p_spark.plans.explain import explain_str
+
+    df = _q("wordcount_numbered_scalable", spark)
+    simple = explain_str(df, "simple")
+    # broadcast join carries the offsets; the wide side is not
+    # re-shuffled for it
+    assert "BroadcastHashJoin" in simple
+    # The offsets table (n_parts rows, groupBy(pid) then a running
+    # total) may legitimately pass through ONE SinglePartition
+    # exchange before being broadcast. The data side must never: its
+    # window is partitioned by pid and its exchanges hash/range
+    # partitioned.
+    assert simple.count("SinglePartition") <= 1, simple
+    # the demo form, by contrast, owns a global-order window: pin the
+    # contrast so a future edit can't silently swap them
+    demo = explain_str(_q("wordcount_numbered", spark), "simple")
+    assert demo.count("SinglePartition") >= 1, demo
