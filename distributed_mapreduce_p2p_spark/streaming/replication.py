@@ -123,12 +123,20 @@ class KeyedParquetSink:
         )
         self._commit(merged, batch_id)
 
+    #: committed versions retained besides the live one. ≥1 so a
+    #: CONCURRENT reader that resolved CURRENT just before a commit
+    #: can still finish scanning its (now-previous) version — the
+    #: same reason real table formats separate commit from vacuum.
+    RETAIN_PREVIOUS = 2
+
     def _commit(self, merged: DataFrame, batch_id: int) -> None:
         """Write a new version directory and atomically repoint
-        CURRENT (shared by the upsert and CDC apply paths)."""
+        CURRENT (shared by the upsert and CDC apply paths); then
+        vacuum versions older than the newest RETAIN_PREVIOUS
+        predecessors (never the one CURRENT points at)."""
+        import re
         import shutil
 
-        prev = self._current()
         # Unique suffix per invocation: a REPLAYED batch id must not
         # reuse the committed version's directory — mode("overwrite")
         # would clobber the very files the merge plan lazily reads.
@@ -142,8 +150,19 @@ class KeyedParquetSink:
         with open(tmp_ptr, "w") as fh:
             fh.write(os.path.basename(vdir))
         os.replace(tmp_ptr, os.path.join(self.path, "CURRENT"))  # atomic
-        if prev and prev != vdir:
-            shutil.rmtree(prev, ignore_errors=True)
+        keep = os.path.basename(vdir)
+        versions = sorted(
+            (
+                d
+                for d in os.listdir(self.path)
+                if re.fullmatch(r"v-?\d+_[0-9a-f]+", d) and d != keep
+            ),
+            key=lambda d: int(d[1:].split("_")[0]),
+        )
+        for stale in versions[: -self.RETAIN_PREVIOUS or None]:
+            shutil.rmtree(
+                os.path.join(self.path, stale), ignore_errors=True
+            )
 
 
 class CdcParquetSink(KeyedParquetSink):
@@ -271,7 +290,9 @@ INGEST_OUTPUT_SCHEMA = "bucket int, watermark long, n_total long, n_batch long"
 INGEST_STATE_SCHEMA = "watermark long, n_total long"
 
 
-def stateful_ordered_ingest(stream: DataFrame, n_buckets: int = 8) -> DataFrame:
+def stateful_ordered_ingest(
+    stream: DataFrame, n_buckets: int = 8, emit: str = "stats"
+) -> DataFrame:
     """R3: per-key stateful ordered ingest (ReceiveData, replication/
     replication.go:276-336) via ``applyInPandasWithState``.
 
@@ -282,11 +303,20 @@ def stateful_ordered_ingest(stream: DataFrame, n_buckets: int = 8) -> DataFrame:
     bucket no matter how long the stream runs (the property that
     matters at 100 TB; buffering items in state would not survive).
 
-    Emits one row per (bucket, batch): the advanced watermark and
-    counts — the observable the reference exposes via its
-    ``DataId`` watermark.
+    ``emit="stats"`` (default) emits one row per (bucket, batch): the
+    advanced watermark and counts — the observable the reference
+    exposes via its ``DataId`` watermark. ``emit="rows"`` passes the
+    payload rows through (watermark column attached) so a downstream
+    ``foreachBatch`` sink receives them AFTER state advanced — the
+    full ReceiveData→dumpDataToFile chain in one query; state stays
+    O(1), the payload is never buffered in it.
     """
     import pandas as pd  # noqa: F401
+
+    if emit not in ("stats", "rows"):
+        raise ValueError(f"emit must be 'stats' or 'rows', got {emit!r}")
+    passthrough = emit == "rows"
+    payload_cols = [c for c in stream.columns]
 
     def ingest(key, pdfs, state):
         if state.exists:
@@ -294,6 +324,7 @@ def stateful_ordered_ingest(stream: DataFrame, n_buckets: int = 8) -> DataFrame:
         else:
             watermark, n_total = 0, 0
         n_batch = 0
+        batches = []
         for pdf in pdfs:
             if not len(pdf):
                 continue
@@ -301,24 +332,201 @@ def stateful_ordered_ingest(stream: DataFrame, n_buckets: int = 8) -> DataFrame:
             m = int(pdf["id"].max())
             if m > watermark:
                 watermark = m
+            if passthrough:
+                batches.append(pdf)
         n_total += n_batch
         state.update((watermark, n_total))
-        yield pd.DataFrame(
-            {
-                "bucket": [key[0]],
-                "watermark": [watermark],
-                "n_total": [n_total],
-                "n_batch": [n_batch],
-            }
-        )
+        if passthrough:
+            for pdf in batches:
+                out = pdf[payload_cols].copy()
+                out["bucket"] = key[0]
+                out["watermark"] = watermark
+                yield out
+        else:
+            yield pd.DataFrame(
+                {
+                    "bucket": [key[0]],
+                    "watermark": [watermark],
+                    "n_total": [n_total],
+                    "n_batch": [n_batch],
+                }
+            )
 
     bucketed = stream.withColumn(
         "bucket", (F.col("id") % n_buckets).cast("int")
     )
+    out_schema = (
+        ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in stream.schema.fields
+        )
+        + ", bucket int, watermark long"
+        if passthrough
+        else INGEST_OUTPUT_SCHEMA
+    )
     return bucketed.groupBy("bucket").applyInPandasWithState(
         ingest,
-        outputStructType=INGEST_OUTPUT_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=INGEST_STATE_SCHEMA,
         outputMode="append",
         timeoutConf="NoTimeout",
+    )
+
+
+# ------------------------------------------------------- R3 (successor)
+# transformWithStateInPandas migration: applyInPandasWithState's
+# supported successor in Spark 4.x. Same O(1)-per-bucket state tuple;
+# the new API additionally offers timers and per-state TTL — the
+# reference's 10 s healing cadence (CheckAndDump,
+# replication/replication.go:339-460) maps directly onto a processing
+# -time timer (see ordered_ingest_tws's heal_every_ms).
+
+TWS_STORE_CONF = (
+    "spark.sql.streaming.stateStore.providerClass",
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider",
+)
+
+
+def bucket_stats_tws(stream: DataFrame, n_buckets: int = 16) -> DataFrame:
+    """Per-bucket running (count, exact cents sum, high-watermark id)
+    — the same custom stateful aggregate as the registry's
+    ``streaming_stateful_bucket_stats`` — on
+    ``transformWithStateInPandas``. State is one ValueState tuple per
+    bucket (O(1) forever). Requires the RocksDB state-store provider
+    (``TWS_STORE_CONF``); callers scope it with ``scoped_conf``.
+
+    Emits one cumulative row per (bucket, batch); cumulative counters
+    are monotone, so MAX over emissions equals the batch GROUP BY —
+    the same batching-invariant contract the old-API form is
+    oracle-checked against."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _BucketStats(StatefulProcessor):
+        def init(self, handle):
+            self._agg = handle.getValueState(
+                "agg", "n long, cents long, mx long"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import numpy as np
+            import pandas as pd
+
+            if self._agg.exists():
+                n, cents, mx = self._agg.get()
+            else:
+                n, cents, mx = 0, 0, -1
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                n += len(pdf)
+                cents += int(
+                    np.floor(pdf["value"].to_numpy() * 100).sum()
+                )
+                m = int(pdf["event_id"].max())
+                if m > mx:
+                    mx = m
+            self._agg.update((n, cents, mx))
+            yield pd.DataFrame(
+                {
+                    "bucket": [key[0]],
+                    "n_events": [n],
+                    "sum_cents": [cents],
+                    "max_event_id": [mx],
+                }
+            )
+
+        def close(self):
+            pass
+
+    bucketed = stream.withColumn(
+        "bucket", (F.col("user_id") % n_buckets).cast("int")
+    )
+    return bucketed.groupBy("bucket").transformWithStateInPandas(
+        _BucketStats(),
+        outputStructType=(
+            "bucket int, n_events long, sum_cents long, max_event_id long"
+        ),
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
+def ordered_ingest_tws(
+    stream: DataFrame, n_buckets: int = 8, heal_every_ms: int = 10_000
+) -> DataFrame:
+    """R3+R4 on the successor API: per-bucket high-watermark/count
+    state PLUS the reference's periodic healing check as a real
+    processing-time TIMER (CheckAndDump fires every 10 s,
+    replication/replication.go:339-460 — ``heal_every_ms`` is that
+    cadence). Every timer expiry emits a ``kind='heal'`` row carrying
+    the bucket's current watermark — the hook a gap-healing consumer
+    subscribes to; input batches emit ``kind='data'`` rows. State
+    stays two integers per bucket. Requires TWS_STORE_CONF and
+    ``timeMode='ProcessingTime'`` (timers exist only there)."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _Ingest(StatefulProcessor):
+        def init(self, handle):
+            self._st = handle.getValueState("st", "wm long, n long")
+            self._handle = handle
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            if self._st.exists():
+                wm, n = self._st.get()
+            else:
+                wm, n = 0, 0
+                self._handle.registerTimer(
+                    timer_values.getCurrentProcessingTimeInMs()
+                    + heal_every_ms
+                )
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                n += len(pdf)
+                m = int(pdf["id"].max())
+                if m > wm:
+                    wm = m
+            self._st.update((wm, n))
+            yield pd.DataFrame(
+                {
+                    "bucket": [key[0]],
+                    "kind": ["data"],
+                    "watermark": [wm],
+                    "n_total": [n],
+                }
+            )
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            import pandas as pd
+
+            wm, n = self._st.get() if self._st.exists() else (0, 0)
+            # re-arm: the healing check is periodic, not one-shot
+            self._handle.registerTimer(
+                timer_values.getCurrentProcessingTimeInMs() + heal_every_ms
+            )
+            yield pd.DataFrame(
+                {
+                    "bucket": [key[0]],
+                    "kind": ["heal"],
+                    "watermark": [wm],
+                    "n_total": [n],
+                }
+            )
+
+        def close(self):
+            pass
+
+    bucketed = stream.withColumn(
+        "bucket", (F.col("id") % n_buckets).cast("int")
+    )
+    return bucketed.groupBy("bucket").transformWithStateInPandas(
+        _Ingest(),
+        outputStructType=(
+            "bucket int, kind string, watermark long, n_total long"
+        ),
+        outputMode="Append",
+        timeMode="ProcessingTime",
     )

@@ -595,3 +595,177 @@ def test_cdc_sink_restart_converges_to_batch_merge(spark, tmpdir):
     assert got.count() == expect.count()
     diff = got.exceptAll(expect).count() + expect.exceptAll(got).count()
     assert diff == 0, "restarted CDC sink diverged from the batch MERGE"
+
+
+def test_replication_midstream_prefix_invariant(spark, tmpdir):
+    """The reference's ordered-delivery contract (PDF §2.2.1, leader
+    cadence replication/replication.go:202-210): at ANY instant while
+    the stream runs, the follower's flushed state is exactly rows
+    1..watermark — an ordered, gap-free prefix, not only the
+    converged final set.
+
+    Full chain in ONE query: rate source → broadcast join to the
+    numbered result (R1/R2) → stateful watermark ingest with payload
+    passthrough (R3) → keyed upsert sink (R6). Asserted at two live
+    checkpoints with a strictly-growing watermark. The rate source is
+    run at 5 rows/s (the reference's own 0.5 row/s contract scaled
+    10x so the test bounds at seconds; the rate source takes integer
+    rows-per-second, and the plan is cadence-independent)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_p2p_spark.sources.io import scoped_conf
+    from distributed_mapreduce_p2p_spark.streaming.replication import (
+        KeyedParquetSink,
+        rate_replication_stream,
+        stateful_ordered_ingest,
+    )
+
+    result = spark.range(1, 1001).select(
+        F.col("id"),
+        F.concat(F.lit("w"), F.col("id")).alias("word"),
+        (F.col("id") % 7).alias("cnt"),
+    )
+    sink = KeyedParquetSink(f"{tmpdir}/prefix_sink")
+
+    def flush(batch, batch_id):
+        sink.upsert_batch(batch.select("id", "word", "cnt"), batch_id)
+
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "2"):
+        stream = rate_replication_stream(spark, result, rows_per_second=5)
+        ingested = stateful_ordered_ingest(stream, n_buckets=1, emit="rows")
+        q = (
+            ingested.writeStream.foreachBatch(flush)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmpdir}/prefix_ckpt")
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            checkpoints = []
+            deadline = time.monotonic() + 120
+            while len(checkpoints) < 2 and time.monotonic() < deadline:
+                df = sink.read(spark)
+                ids = (
+                    sorted(r.id for r in df.select("id").collect())
+                    if df is not None
+                    else []
+                )
+                want = 3 if not checkpoints else checkpoints[0][1] + 3
+                if len(ids) >= want:
+                    checkpoints.append((ids, len(ids)))
+                q.awaitTermination(0.5)
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    assert len(checkpoints) == 2, "stream never delivered two checkpoints"
+    for ids, _ in checkpoints:
+        # THE invariant: a gap-free 1-based prefix at a live instant
+        assert ids == list(range(1, ids[-1] + 1)), ids[:20]
+    assert checkpoints[1][0][-1] > checkpoints[0][0][-1], "watermark grew"
+
+
+def test_tws_operators_build_without_execution(spark):
+    """The transformWithStateInPandas operators must construct their
+    streaming plans (schema + grouping) on any runtime — only
+    EXECUTION needs the protobuf state protocol. Pins the output
+    schemas the executed form is oracle-checked against."""
+    from distributed_mapreduce_p2p_spark.streaming.replication import (
+        bucket_stats_tws,
+        ordered_ingest_tws,
+    )
+
+    stream = spark.readStream.format("rate").load().selectExpr(
+        "value AS event_id", "value % 7 AS user_id",
+        "CAST(value AS DOUBLE) AS value",
+    )
+    out = bucket_stats_tws(stream, n_buckets=4)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "bucket", "n_events", "sum_cents", "max_event_id",
+    ]
+    stream2 = spark.readStream.format("rate").load().selectExpr(
+        "value + 1 AS id"
+    )
+    heal = ordered_ingest_tws(stream2, n_buckets=2, heal_every_ms=1000)
+    assert heal.isStreaming
+    assert [f.name for f in heal.schema.fields] == [
+        "bucket", "kind", "watermark", "n_total",
+    ]
+
+
+def test_tws_migration(spark, tmpdir):
+    """Executed proof of the applyInPandasWithState ->
+    transformWithStateInPandas migration: same per-bucket state, same
+    final counters as the batch GROUP BY. Skips where the TWS state
+    protocol's protobuf dependency is absent (this container); on a
+    protobuf-equipped runtime the registry also exposes the same
+    computation as the oracle-checked
+    ``streaming_stateful_bucket_stats_tws``."""
+    import pytest as _pytest
+
+    _pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state protocol requires protobuf",
+    )
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_p2p_spark.sources.io import (
+        read_table,
+        scoped_conf,
+    )
+    from distributed_mapreduce_p2p_spark.streaming.replication import (
+        TWS_STORE_CONF,
+        bucket_stats_tws,
+    )
+
+    ev = read_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "value"
+    )
+    staged = f"{tmpdir}/tws_src"
+    ev.repartition(3).write.parquet(staged)
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
+        with scoped_conf(spark, *TWS_STORE_CONF):
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(staged)
+            )
+            out = f"{tmpdir}/tws_out"
+            q = (
+                bucket_stats_tws(stream, n_buckets=8)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", f"{tmpdir}/tws_ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+    emitted = spark.read.parquet(out)
+    final = {
+        (r.bucket, r.n_events, r.sum_cents, r.max_event_id)
+        for r in emitted.groupBy("bucket")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("sum_cents").alias("sum_cents"),
+            F.max("max_event_id").alias("max_event_id"),
+        )
+        .collect()
+    }
+    expected = {
+        (r.bucket, r.n_events, r.sum_cents, r.max_event_id)
+        for r in ev.groupBy(
+            (F.col("user_id") % 8).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100).cast("long")
+            ).alias("sum_cents"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .collect()
+    }
+    assert final == expected
