@@ -9486,6 +9486,559 @@ def q_priority_mix_drift(spark, sf_dir):
     )
 
 
+
+
+# =====================================================================
+# Round-6 additions: TPC-H q11/q20 adaptations, drift/skyline/skew
+# diagnostics, sketch set algebra, corpus novelty
+# =====================================================================
+
+
+@register(
+    "tpch_q11_important_parts",
+    oracle="""
+    WITH val AS (
+      SELECT l_partkey AS p,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                      AS BIGINT)
+                 * CAST(FLOOR(l_quantity) AS BIGINT)) AS v_cents
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+      GROUP BY 1
+    )
+    SELECT p AS p_partkey,
+           CAST(CAST(v_cents AS BIGINT) AS DOUBLE) / 100.0 AS part_value
+    FROM val
+    WHERE v_cents * (SELECT CAST(COUNT(*) AS BIGINT) FROM val)
+          > 2 * (SELECT CAST(SUM(v_cents) AS BIGINT) FROM val)
+    """,
+)
+def q_tpch_q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (important stock identification): per-part
+    value held by a nation group, kept only where it exceeds a
+    fraction of the GLOBAL total — the scalar-subquery-over-the-same
+    -aggregate pattern. Adapted to the fixture (no partsupp): value
+    is shipped extendedprice*quantity through suppliers of three
+    nations. Exact integer cents end-to-end; the threshold compare
+    is cross-multiplied (v*n_parts > 2*total, i.e. >2x the mean part
+    share — scale-invariant) so no division ever happens.
+    Plan: ONE fact pass builds the per-part value table
+    (localCheckpoint — the q11 semantics need it twice: once for the
+    global total, once filtered); the total attaches as a 1-row
+    broadcast. At 100 TB the fact join shuffles once on suppkey and
+    the dimension side stays broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            broadcast(
+                _t(spark, sf_dir, "nation").where(
+                    F.col("n_name").isin(
+                        "NATION_3", "NATION_7", "NATION_11"
+                    )
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    cents = F.expr(
+        "cast(cast(l_extendedprice as decimal(12,2)) * 100 as bigint)"
+        " * cast(floor(l_quantity) as bigint)"
+    )
+    val = (
+        li.join(broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("p"))
+        .agg(F.sum(cents).alias("v_cents"))
+        .localCheckpoint(eager=True)
+    )
+    tot = val.agg(
+        F.sum("v_cents").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+    )
+    return (
+        val.crossJoin(broadcast(tot))
+        .where(F.col("v_cents") * F.col("n_parts") > 2 * F.col("total"))
+        .select(
+            F.col("p").alias("p_partkey"),
+            (F.col("v_cents").cast("double") / F.lit(100.0)).alias(
+                "part_value"
+            ),
+        )
+    )
+
+
+@register(
+    "tpch_q20_part_promotion",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey AS sk, l_partkey AS pk,
+             SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS qty
+      FROM lineitem
+      WHERE year(l_shipdate) = 1995
+      GROUP BY 1, 2
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT sk FROM shipped JOIN part ON pk = p_partkey
+      WHERE p_name LIKE '%ol%' AND qty > 60)
+    """,
+)
+def q_tpch_q20_part_promotion(spark, sf_dir):
+    """TPC-H Q20 shape (potential part promotion): suppliers who
+    shipped more than a threshold quantity of pattern-matched parts
+    in one year — the nested semi-join chain (supplier IN (parts
+    join shipped-quantities)). Adapted to the fixture: availqty
+    becomes the shipped-quantity aggregate itself. Plan: the year
+    filter pushes to the lineitem scan, the part pattern filter
+    broadcasts, and the supplier probe is a LEFT SEMI join — no
+    row duplication anywhere. Integer quantities via FLOOR (trunc
+    semantics match both engines)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.year("l_shipdate") == 1995
+    )
+    shipped = li.groupBy(
+        F.col("l_suppkey").alias("sk"), F.col("l_partkey").alias("pk")
+    ).agg(
+        F.sum(F.expr("cast(floor(l_quantity) as bigint)")).alias("qty")
+    )
+    parts = _t(spark, sf_dir, "part").where(F.col("p_name").like("%ol%"))
+    cand = (
+        shipped.join(broadcast(parts), shipped.pk == parts.p_partkey)
+        .where(F.col("qty") > 60)
+        .select("sk")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    return sup.join(
+        cand, sup.s_suppkey == cand.sk, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@register(
+    "cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '1990-01-01', o_orderdate)
+                  AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS nd
+      FROM daily
+    )
+    SELECT d AS day_num, c AS n_orders,
+           CAST(SUM(c * nd - t) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cusum_num,
+           CAST(SUM(c * nd - t) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE)
+             / (CAST(t AS DOUBLE) * CAST(nd AS DOUBLE)) AS cusum_scaled
+    FROM daily CROSS JOIN tot
+    """,
+)
+def q_cusum_changepoint(spark, sf_dir):
+    """Change-point detection via CUSUM on the daily order-arrival
+    rate: the running sum of (daily count - global mean), whose
+    extremum locates the most likely rate shift — the classic
+    monitoring statistic for 'did the upstream pipeline change'.
+    Exact cross-multiplied integers (c·N_days - total per day, summed
+    — no mean division in the hot path) with ONE double scaling at
+    the end. The window runs over the ~thousands-row daily AGGREGATE,
+    never raw orders, so the single-partition cumulative sort is
+    bounded by days-of-history at any input scale."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1990-01-01")
+            )
+            .cast("long")
+            .alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tot = daily.agg(
+        F.sum("c").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("nd"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.crossJoin(broadcast(tot))
+        .withColumn(
+            "cusum_num",
+            F.sum(F.col("c") * F.col("nd") - F.col("t"))
+            .over(w)
+            .cast("long"),
+        )
+        .select(
+            F.col("d").alias("day_num"),
+            F.col("c").alias("n_orders"),
+            "cusum_num",
+            (
+                F.col("cusum_num").cast("double")
+                / (F.col("t").cast("double") * F.col("nd").cast("double"))
+            ).alias("cusum_scaled"),
+        )
+    )
+
+
+@register(
+    "pareto_frontier_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+             CAST(date_diff('day', DATE '1990-01-01', o_orderdate)
+                  AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rc
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT y AS o_year, d AS day_num, n AS n_orders,
+           rc AS revenue_cents
+    FROM daily a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM daily b
+      WHERE b.y = a.y AND b.n >= a.n AND b.rc >= a.rc
+        AND (b.n > a.n OR b.rc > a.rc)
+    )
+    """,
+)
+def q_pareto_frontier_daily(spark, sf_dir):
+    """Skyline (Pareto-frontier) query: per year, the days not
+    dominated on (order count, revenue) — the multi-objective 'best
+    days' operator (Borzsony et al., ICDE'01 skyline shape). The
+    oracle is the quadratic NOT EXISTS definition; the Spark plan is
+    the O(n log n) sort-filter skyline: group to per-(year, n) max
+    revenue, running strict-prefix max over descending n, keep
+    groups beating every higher-n group, then re-join to recover
+    qualifying days. Every step is an aggregate or a bounded window
+    over the per-year DAILY table (≤366 rows/partition/year),
+    never raw orders."""
+    rc = F.expr(
+        "cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)"
+    )
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1990-01-01")
+            )
+            .cast("long")
+            .alias("d"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(rc).alias("rc"))
+        .localCheckpoint(eager=True)
+    )
+    gn = daily.groupBy("y", "n").agg(F.max("rc").alias("gmax"))
+    w = Window.partitionBy("y").orderBy(F.col("n").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    keep = (
+        gn.withColumn("premax", F.max("gmax").over(w))
+        .where(
+            F.col("premax").isNull() | (F.col("gmax") > F.col("premax"))
+        )
+        .select("y", "n", "gmax")
+    )
+    return (
+        daily.join(broadcast(keep), ["y", "n"])
+        .where(F.col("rc") == F.col("gmax"))
+        .select(
+            F.col("y").alias("o_year"),
+            F.col("d").alias("day_num"),
+            F.col("n").alias("n_orders"),
+            F.col("rc").alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "key_skew_report",
+    oracle="""
+    WITH per_key AS (
+      SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1
+    ), tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM per_key)
+    SELECT rank, k AS custkey, cnt,
+           CAST(cnt * 1000000 // n AS BIGINT) AS share_ppm
+    FROM (
+      SELECT k, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, k) AS rank
+      FROM per_key
+    ) CROSS JOIN tot
+    WHERE rank <= 10
+    """,
+)
+def q_key_skew_report(spark, sf_dir):
+    """Join-key skew diagnostics: the top-10 hottest values of a
+    join/aggregation key with exact counts and parts-per-million
+    share — the report that decides whether a 100 TB join needs
+    salting or AQE skew splitting before it runs. TakeOrdered
+    pattern: per-key counts (one partial-agg shuffle), top-10 via
+    orderBy+limit (per-partition top-k merged on the driver, no
+    global sort materialization), rank attached by a window over the
+    10 surviving rows only, total attached as a 1-row broadcast.
+    Integer ppm via DIV (trunc) on both engines."""
+    per_key = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = per_key.agg(F.sum("cnt").cast("long").alias("n"))
+    top = per_key.orderBy(F.col("cnt").desc(), F.col("k")).limit(10)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("k"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .crossJoin(broadcast(tot))
+        .select(
+            "rank",
+            F.col("k").alias("custkey"),
+            "cnt",
+            F.expr("CAST(cnt * 1000000 DIV n AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+    )
+
+
+@register(
+    "char_class_stats",
+    oracle="""
+    SELECT source,
+           CAST(SUM(length(regexp_replace(text, '[^A-Za-z]', '', 'g')))
+             AS BIGINT) AS n_alpha,
+           CAST(SUM(length(regexp_replace(text, '[^0-9]', '', 'g')))
+             AS BIGINT) AS n_digit,
+           CAST(SUM(length(text)
+                    - length(regexp_replace(text, ' ', '', 'g')))
+             AS BIGINT) AS n_space,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars
+    FROM documents GROUP BY source
+    """,
+)
+def q_char_class_stats(spark, sf_dir):
+    """Character-class composition per source (alpha/digit/space/
+    total counts) — the cheapest text-quality signal a crawl
+    pipeline computes (a source whose digit or symbol share jumps is
+    boilerplate/spam; the length ratios feed the quality-scoring
+    family in operators/textstats.py). Pure JVM-side regexp_replace
+    + length arithmetic inside one partial-aggregated groupBy: no
+    UDF, no shuffle beyond the 20-group agg, exact integers."""
+    d = _t(spark, sf_dir, "documents")
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    digit = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    space = F.length(F.col("text")) - F.length(
+        F.regexp_replace("text", " ", "")
+    )
+    return d.groupBy("source").agg(
+        F.sum(alpha).cast("long").alias("n_alpha"),
+        F.sum(digit).cast("long").alias("n_digit"),
+        F.sum(space).cast("long").alias("n_space"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+    )
+
+
+@register(
+    "fm_sketch_set_ops",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT source, g
+      FROM (SELECT source,
+                   unnest(string_split(text, ' ')) AS g
+            FROM documents)
+      WHERE g <> ''
+    ), hashed AS (
+      SELECT source,
+             ('0x' || substr(md5('fm:' || g), 1, 10))::BIGINT AS h
+      FROM toks
+    ), cells AS (
+      SELECT source, h % 64 AS bucket,
+             MAX(CAST(log2((h // 64) & (-(h // 64))) AS BIGINT))
+               AS max_tz
+      FROM hashed WHERE h // 64 <> 0
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             COALESCE(a.bucket, b.bucket) AS bucket,
+             GREATEST(COALESCE(a.max_tz, -1), COALESCE(b.max_tz, -1))
+               AS u_tz,
+             a.max_tz AS a_tz, b.max_tz AS b_tz
+      FROM (SELECT * FROM cells
+            WHERE CAST(substr(source, 4) AS INT) % 2 = 0) a
+      FULL OUTER JOIN
+           (SELECT * FROM cells
+            WHERE CAST(substr(source, 4) AS INT) % 2 = 1) b
+        ON a.bucket = b.bucket
+       AND CAST(substr(b.source, 4) AS INT)
+           = CAST(substr(a.source, 4) AS INT) + 1
+      WHERE COALESCE(a.source, '') <> '' AND COALESCE(b.source, '') <> ''
+    )
+    SELECT src_a, src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(a_tz) AS BIGINT) AS sum_tz_a,
+           CAST(SUM(b_tz) AS BIGINT) AS sum_tz_b,
+           CAST(SUM(u_tz) AS BIGINT) AS sum_tz_union
+    FROM pairs GROUP BY 1, 2
+    """,
+)
+def q_fm_sketch_set_ops(spark, sf_dir):
+    """Sketch SET ALGEBRA: Flajolet-Martin vocabulary sketches per
+    source, merged pairwise (src2k vs src2k+1) by cell-wise MAX —
+    the property that makes FM/HLL sketches unionable across
+    partitions and days without re-scanning (|A∩B| then falls out by
+    inclusion-exclusion client-side). Integer sketch cells only
+    (sum of per-bucket max trailing-zeros for A, B and A∪B) —
+    bit-portable per the repo's no-libm rule; estimates are one
+    pow-and-divide away for a consumer. The cells table is built
+    once (one distinct + one agg); the pair merge joins 64-row
+    sketches, not data."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "source",
+            F.explode(F.split(F.col("text"), " ")).alias("g"),
+        )
+        .where(F.col("g") != "")
+        .distinct()
+    )
+    hashed = toks.select(
+        "source",
+        F.expr(
+            "cast(conv(substring(md5(concat('fm:', g)), 1, 10), 16, 10)"
+            " as bigint)"
+        ).alias("h"),
+    )
+    cells = (
+        hashed.where(F.expr("h div 64 <> 0"))
+        .groupBy(
+            "source", F.expr("h % 64").alias("bucket")
+        )
+        .agg(
+            F.expr(
+                "max(cast(log2((h div 64) & (-(h div 64))) as bigint))"
+            ).alias("max_tz")
+        )
+        .withColumn(
+            "idx", F.expr("cast(substring(source, 4) as int)")
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = cells.where(F.col("idx") % 2 == 0).select(
+        F.col("source").alias("src_a"),
+        F.col("idx").alias("ia"),
+        F.col("bucket").alias("ba"),
+        F.col("max_tz").alias("a_tz"),
+    )
+    b = cells.where(F.col("idx") % 2 == 1).select(
+        F.col("source").alias("src_b"),
+        F.col("idx").alias("ib"),
+        F.col("bucket").alias("bb"),
+        F.col("max_tz").alias("b_tz"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("ba") == F.col("bb")) & (F.col("ib") == F.col("ia") + 1),
+        "full_outer",
+    ).where(F.col("src_a").isNotNull() & F.col("src_b").isNotNull())
+    return pairs.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("a_tz").cast("long").alias("sum_tz_a"),
+        F.sum("b_tz").cast("long").alias("sum_tz_b"),
+        F.sum(
+            F.greatest(
+                F.coalesce("a_tz", F.lit(-1)),
+                F.coalesce("b_tz", F.lit(-1)),
+            )
+        )
+        .cast("long")
+        .alias("sum_tz_union"),
+    )
+
+
+@register(
+    "source_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ts
+      FROM documents
+    ), idx AS (
+      SELECT doc_id, source, ts,
+             unnest(range(1, len(ts) - 1)) AS i
+      FROM toks
+    ), grams AS (
+      SELECT DISTINCT source,
+             ('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' '
+                                 || ts[i+2]), 1, 12))::BIGINT AS gh
+      FROM idx
+    ), firsts AS (
+      SELECT gh, MIN(source) AS first_src FROM grams GROUP BY gh
+    )
+    SELECT g.source,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_src = g.source THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel
+    FROM grams g JOIN firsts f ON g.gh = f.gh
+    GROUP BY g.source
+    """,
+)
+def q_source_ngram_novelty(spark, sf_dir):
+    """Cross-source content novelty: per source, how many of its
+    distinct word-3-gram fingerprints appear in NO lexicographically
+    earlier source — the marginal-contribution measure a curation
+    pipeline uses to decide whether adding a crawl actually adds
+    content (complement of containment_decontaminate's overlap).
+    Shingles reuse the corpus tokenization (space-split, matching
+    the oracle exactly); attribution is a window MIN over the gram
+    hash — one distinct + one window shuffle on the 48-bit gram key,
+    both partition-parallel at any corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    grams = (
+        d.select(
+            "source", F.split(F.col("text"), " ").alias("w")
+        )
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(w) >= 3 THEN transform("
+                    "sequence(1, size(w)-2), i -> concat_ws(' ',"
+                    " element_at(w, i), element_at(w, i+1),"
+                    " element_at(w, i+2))) ELSE array() END"
+                )
+            ).alias("g"),
+        )
+        .select(
+            "source",
+            F.expr(
+                "cast(conv(substring(md5(g), 1, 12), 16, 10) as bigint)"
+            ).alias("gh"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("gh")
+    return (
+        grams.withColumn("first_src", F.min("source").over(w))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(
+                    F.col("first_src") == F.col("source"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -9544,7 +10097,14 @@ _FRONT: list[str] = [
     "merge_upsert_batch",    # oracle COALESCE -> CASE (NULL-wins MERGE)
     "table_profile",         # profile() label escaping hardened
     # -- (3) NEW in r6: no driver row exists --------------------------
-    # (inserted here as they land)
+    "tpch_q11_important_parts",
+    "tpch_q20_part_promotion",
+    "cusum_changepoint",
+    "pareto_frontier_daily",
+    "key_skew_report",
+    "char_class_stats",
+    "fm_sketch_set_ops",
+    "source_ngram_novelty",
     # -- (4) r5-window holdovers (each 50/50 green in r5; displaced
     #        from the tail as section (3) grows) ----------------------
     "bloom_prune_accounting",
@@ -9580,21 +10140,15 @@ _FRONT: list[str] = [
     "tpch_q9_profit_shape",
     "interval_merge_islands",
     "time_weighted_avg",
-    "ngram_lm_next_token",
-    "tokenizer_apply_bpe",
-    "equidepth_bins",
-    "audio_resample_checksum",
-    "image_channel_stats",
-    "trade_graph_components",
-    "kmeans_assign_iter",
-    "event_path_topk",
-    # Displaced to make room for the 9 section-(1)/(2) entries (all
-    # r5-green, unchanged, still swept by test_oracle_parity):
+    # Displaced to make room for the 9 section-(1)/(2) entries and the
+    # 8 section-(3) r6-new queries (all displaced entries r5-green,
+    # unchanged, still swept by test_oracle_parity):
+    # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
+    # audio_resample_checksum, image_channel_stats,
+    # trade_graph_components, kmeans_assign_iter, event_path_topk,
     # hapax_ratio_per_source, trimmed_mean_group, json_quarantine_audit,
     # scd2_pointintime_join, embedding_norm_outliers,
-    # cumulative_distinct_users, token_budget_sample. Further
-    # holdovers rotate out from this tail
-    # as r6-new queries land in section (3).
+    # cumulative_distinct_users, token_budget_sample.
 ]
 
 

