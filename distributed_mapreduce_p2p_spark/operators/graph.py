@@ -206,3 +206,75 @@ def bfs_levels(
         levels = levels.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return levels
+
+
+def sssp_costs(
+    edges: DataFrame,
+    src_node: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Single-source shortest-path COSTS over an undirected weighted
+    edge list (integer weights): ``(node, cost)`` for every reached
+    node — distributed Bellman-Ford. Each round relaxes every edge
+    out of the current distance table (one equi-join), min-combines
+    candidate distances with the incumbent (one groupBy), and stops
+    at fixpoint (no row improved). Converges in at most |V|-1 rounds
+    on non-negative weights; each round is checkpointed so round N's
+    plan does not nest N joins (same discipline as bfs_levels /
+    pagerank_fixedpoint above).
+
+    Integer weights keep the relaxation exactly reproducible on any
+    partitioning/engine (the pagerank_fixedpoint argument): min() of
+    bigints has no accumulation-order sensitivity, so an oracle can
+    replay it with a recursive CTE bit-for-bit. At 100 TB the edge
+    list shuffles once per round on the node key and the distance
+    table is the only growing state — the standard iterative
+    frontier-relaxation shape (Pregel-style SSSP without the
+    framework).
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .unionAll(
+            edges.select(
+                F.col(dst).alias("u"), F.col(src).alias("v"),
+                F.col(weight).cast("long").alias("w"),
+            )
+        )
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(int(src_node), 0)], "node: long, cost: long"
+    ).localCheckpoint(eager=True)
+    while True:
+        relaxed = (
+            dist.join(e, dist.node == e.u)
+            .select(F.col("v").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
+            .unionByName(dist)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+        at_fixpoint = (
+            relaxed.join(
+                dist.select("node", F.col("cost").alias("old_cost")),
+                "node",
+                "left",
+            )
+            .where(
+                F.col("old_cost").isNull()
+                | (F.col("cost") < F.col("old_cost"))
+            )
+            .isEmpty()
+        )
+        dist = relaxed
+        if at_fixpoint:
+            return dist

@@ -147,10 +147,16 @@ def _bpe_merges(spark, sf_dir: str, rounds: int = 8):
 #: per (SparkContext, sf_dir), localCheckpoint'ed.
 _TRADE_EDGES_MEMO: dict = {}
 
+#: Per-process memo of the UNDIRECTED bilateral-volume table
+#: (a < b, vol) BEFORE the above-mean filter — the fact-scale join
+#: behind it is shared by _trade_edges (4 graph queries) and the
+#: weighted shortest-cost query, which needs the volumes themselves.
+_TRADE_UND_MEMO: dict = {}
 
-def _trade_edges(spark, sf_dir: str):
+
+def _trade_und(spark, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
-    df = _TRADE_EDGES_MEMO.get(key)
+    df = _TRADE_UND_MEMO.get(key)
     if df is not None:
         return df
     li = _t(spark, sf_dir, "lineitem").select(
@@ -173,11 +179,6 @@ def _trade_edges(spark, sf_dir: str):
                 * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
             ).alias("vol")
         )
-        # ≤ |nations|² rows after the fact-scale agg; materialize so
-        # the two downstream references (mean-volume totals + edge
-        # filter) cannot re-run the lineitem join (r5 root cause of
-        # the r4 trade_graph_triangles bench outlier).
-        .localCheckpoint(eager=True)
     )
     und = (
         trade.where(F.col("cn") != F.col("sn"))
@@ -186,7 +187,22 @@ def _trade_edges(spark, sf_dir: str):
             F.greatest("cn", "sn").alias("b"),
         )
         .agg(F.sum("vol").alias("vol"))
+        # ≤ |nations|² rows after the fact-scale agg; materialize so
+        # every downstream reference (mean-volume totals, edge
+        # filter, rank weights) cannot re-run the lineitem join (r5
+        # root cause of the r4 trade_graph_triangles bench outlier).
+        .localCheckpoint(eager=True)
     )
+    _TRADE_UND_MEMO[key] = und
+    return und
+
+
+def _trade_edges(spark, sf_dir: str):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _TRADE_EDGES_MEMO.get(key)
+    if df is not None:
+        return df
+    und = _trade_und(spark, sf_dir)
     totals = und.agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum("vol").cast("double").alias("total_vol"),
@@ -10039,6 +10055,560 @@ def q_source_ngram_novelty(spark, sf_dir):
     )
 
 
+
+
+# =====================================================================
+# Round-6 batch 2: weighted SSSP, two-sample KS, Gini concentration,
+# chi-square independence, z-order layout accounting, Gopher rules
+# =====================================================================
+
+
+@register(
+    "trade_graph_shortest_cost",
+    oracle="""
+    WITH RECURSIVE trade AS MATERIALIZED (
+      SELECT c_nationkey AS cn, s_nationkey AS sn,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1 - l_discount AS DECIMAL(4,2))) AS vol
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2
+    ), und AS MATERIALIZED (
+      SELECT LEAST(cn, sn) AS a, GREATEST(cn, sn) AS b, SUM(vol) AS vol
+      FROM trade WHERE cn <> sn GROUP BY 1, 2
+    ), we AS MATERIALIZED (
+      SELECT a, b,
+             CAST(DENSE_RANK() OVER (ORDER BY vol DESC) AS BIGINT) AS w
+      FROM und
+    ), edges AS (
+      SELECT a AS src, b AS dst, w FROM we
+      UNION ALL SELECT b, a, w FROM we
+    ), reach(node, cost, d) AS (
+      SELECT (SELECT MIN(a) FROM we), CAST(0 AS BIGINT), 0
+      UNION
+      SELECT e.dst, r.cost + e.w, r.d + 1
+      FROM reach r JOIN edges e ON r.node = e.src
+      WHERE r.d < 40
+    )
+    SELECT n_nationkey,
+           CAST(COALESCE(mc.cost, -1) AS BIGINT) AS cost
+    FROM nation
+    LEFT JOIN (SELECT node, CAST(MIN(cost) AS BIGINT) AS cost
+               FROM reach GROUP BY node) mc
+      ON mc.node = n_nationkey
+    """,
+)
+def q_trade_graph_shortest_cost(spark, sf_dir):
+    """Weighted single-source shortest path over the bilateral trade
+    graph — completes the graph-operator family (count/components/
+    traversal/now COST traversal; operators/graph.py::sssp_costs is
+    distributed Bellman-Ford). Edge weight = dense rank of bilateral
+    volume DESCENDING (rank 1 = the busiest lane = the cheapest hop),
+    an integer, so every relaxation is exactly reproducible and the
+    oracle replays it with a recursive CTE (paths of <= |V|-1 edges
+    suffice; the CTE's depth bound is 40 > |nations|). The rank
+    window runs over the post-agg <=|nations|^2 bilateral table, not
+    the fact table; unreached nations report -1 (same degenerate
+    convention as trade_graph_bfs_levels). At 100 TB the fact-scale
+    cost is the ONE shared _trade_und aggregation (memoized across
+    the graph family); per relaxation round it's one equi-join + one
+    min-combine on the node key."""
+    und = _trade_und(spark, sf_dir)
+    we = und.select(
+        "a",
+        "b",
+        F.dense_rank()
+        .over(Window.orderBy(F.col("vol").desc()))
+        .cast("long")
+        .alias("w"),
+    )
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey")
+    )
+    src_row = we.agg(F.min("a").alias("m")).collect()[0]
+    if src_row.m is None:
+        return nation.select(
+            "n_nationkey", F.lit(-1).cast("long").alias("cost")
+        )
+    costs = GR.sssp_costs(we, int(src_row.m), "a", "b", "w")
+    return nation.join(
+        costs, nation.n_nationkey == costs.node, "left"
+    ).select(
+        "n_nationkey",
+        F.coalesce("cost", F.lit(-1)).cast("long").alias("cost"),
+    )
+
+
+@register(
+    "ks_statistic_sources",
+    oracle="""
+    WITH pts AS (
+      SELECT source, n_chars AS x, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ), ns AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1
+    ), pairs AS (
+      SELECT l.source AS sa, r.source AS sb, l.n AS na, r.n AS nb
+      FROM ns l JOIN ns r ON l.source < r.source
+    ), ev AS (
+      SELECT p.sa, p.sb, p.na, p.nb, t.x, t.c AS ca,
+             CAST(0 AS BIGINT) AS cb
+      FROM pairs p JOIN pts t ON t.source = p.sa
+      UNION ALL
+      SELECT p.sa, p.sb, p.na, p.nb, t.x, CAST(0 AS BIGINT), t.c
+      FROM pairs p JOIN pts t ON t.source = p.sb
+    ), gr AS (
+      SELECT sa, sb, na, nb, x,
+             CAST(SUM(ca) AS BIGINT) AS ca, CAST(SUM(cb) AS BIGINT) AS cb
+      FROM ev GROUP BY 1, 2, 3, 4, 5
+    ), cum AS (
+      SELECT sa, sb, na, nb,
+             CAST(SUM(ca) OVER (PARTITION BY sa, sb ORDER BY x)
+                  AS BIGINT) AS fa,
+             CAST(SUM(cb) OVER (PARTITION BY sa, sb ORDER BY x)
+                  AS BIGINT) AS fb
+      FROM gr
+    )
+    SELECT sa, sb, na, nb,
+           CAST(MAX(ABS(fa * nb - fb * na)) AS BIGINT) AS ks_num,
+           CAST(MAX(ABS(fa * nb - fb * na)) AS DOUBLE)
+             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS ks
+    FROM cum GROUP BY sa, sb, na, nb
+    """,
+)
+def q_ks_statistic_sources(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov statistic on document
+    length for EVERY source pair — the distribution-shift test a
+    mixture designer runs to decide whether two crawls can share
+    preprocessing settings. All-integer formulation: at each pooled
+    value x the ECDF gap is |F_a(x)*n_b - F_b(x)*n_a| (cross-
+    multiplied cumulative counts, no division until the single final
+    one), so the max is exact and engine-identical. Scale shape: the
+    per-(source,length) cell table is post-agg tiny; each cell fans
+    out to the <=|sources| pairs containing its source via two
+    EQUI-joins on the source key (no all-pairs row comparison), and
+    the running ECDF is a window partitioned per pair — parallel
+    across pairs at any corpus size. The k-row source-pair list
+    itself is the one deliberate tiny non-equi self-join
+    (<=|sources|^2 rows; whitelisted)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").alias("x")
+    )
+    pts = d.groupBy("source", "x").agg(F.count(F.lit(1)).alias("c"))
+    ns = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    l, r = ns.alias("l"), ns.alias("r")
+    pairs = (
+        l.join(r, F.col("l.source") < F.col("r.source"))
+        .select(
+            F.col("l.source").alias("sa"),
+            F.col("r.source").alias("sb"),
+            F.col("l.n").alias("na"),
+            F.col("r.n").alias("nb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    eva = pts.join(broadcast(pairs), pts.source == pairs.sa).select(
+        "sa", "sb", "na", "nb", "x",
+        F.col("c").alias("ca"), F.lit(0).cast("long").alias("cb"),
+    )
+    evb = pts.join(broadcast(pairs), pts.source == pairs.sb).select(
+        "sa", "sb", "na", "nb", "x",
+        F.lit(0).cast("long").alias("ca"), F.col("c").alias("cb"),
+    )
+    gr = (
+        eva.unionByName(evb)
+        .groupBy("sa", "sb", "na", "nb", "x")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    w = Window.partitionBy("sa", "sb").orderBy("x")
+    cum = gr.select(
+        "sa", "sb", "na", "nb",
+        F.sum("ca").over(w).cast("long").alias("fa"),
+        F.sum("cb").over(w).cast("long").alias("fb"),
+    )
+    gap = F.abs(
+        F.col("fa") * F.col("nb") - F.col("fb") * F.col("na")
+    )
+    return cum.groupBy("sa", "sb", "na", "nb").agg(
+        F.max(gap).cast("long").alias("ks_num"),
+        (
+            F.max(gap).cast("double")
+            / (F.col("na").cast("double") * F.col("nb").cast("double"))
+        ).alias("ks"),
+    )
+
+
+@register(
+    "revenue_gini_by_nation",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_custkey, c.c_nationkey,
+             COALESCE(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                               * 100 AS BIGINT)), 0) AS cents
+      FROM customer c LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ), rk AS (
+      SELECT c_nationkey, cents,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                     ORDER BY cents) AS BIGINT) AS i,
+             CAST(COUNT(*) OVER (PARTITION BY c_nationkey)
+                  AS BIGINT) AS n
+      FROM rev
+    )
+    SELECT c_nationkey,
+           CAST(MAX(n) AS BIGINT) AS n_cust,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(SUM((2 * i - n - 1) * cents) AS BIGINT) AS gini_num,
+           CASE WHEN SUM(cents) > 0 THEN
+             CAST(SUM((2 * i - n - 1) * cents) AS DOUBLE)
+               / (CAST(MAX(n) AS DOUBLE)
+                  * CAST(SUM(cents) AS DOUBLE))
+           ELSE 0.0 END AS gini
+    FROM rk GROUP BY c_nationkey
+    """,
+)
+def q_revenue_gini_by_nation(spark, sf_dir):
+    """Revenue-concentration (Gini coefficient) of customer spend
+    within each nation — the inequality audit run per segment before
+    rebalancing a sampling mix (a Gini near 1 means a handful of
+    hub customers dominate the nation's volume). Exact integer
+    formulation of the sorted-rank identity
+    G = sum_i (2i - n - 1) x_(i) / (n * sum x): revenue is integer
+    cents (DECIMAL-first cast), the rank weight sum over any tied
+    revenue block is order-invariant (sum of (2i-n-1) over the tie
+    positions does not depend on intra-tie order), so gini_num is a
+    deterministic BIGINT and the one division happens once in
+    double. Windows partition BY NATION — ranks never cross
+    partitions, so the sort parallelizes across nations at any
+    customer count (zero global windows). Customers with no orders
+    count as zero-revenue rows (LEFT join)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)"
+        ).alias("cents"),
+    )
+    rev = (
+        cust.join(o, cust.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).alias("cents"))
+    )
+    wn = Window.partitionBy("c_nationkey")
+    rk = rev.select(
+        "c_nationkey",
+        "cents",
+        F.row_number().over(wn.orderBy("cents")).cast("long").alias("i"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    )
+    num = F.sum(
+        (2 * F.col("i") - F.col("n") - 1) * F.col("cents")
+    )
+    return rk.groupBy("c_nationkey").agg(
+        F.max("n").cast("long").alias("n_cust"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        num.cast("long").alias("gini_num"),
+        F.when(
+            F.sum("cents") > 0,
+            num.cast("double")
+            / (
+                F.max("n").cast("double")
+                * F.sum("cents").cast("double")
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("gini"),
+    )
+
+
+@register(
+    "chi2_priority_status",
+    oracle="""
+    WITH cell AS (
+      SELECT o_orderpriority AS p, o_orderstatus AS st,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM orders GROUP BY 1, 2
+    ), rm AS (SELECT p, CAST(SUM(obs) AS BIGINT) AS r
+              FROM cell GROUP BY p),
+    cm AS (SELECT st, CAST(SUM(obs) AS BIGINT) AS c
+           FROM cell GROUP BY st),
+    tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cell)
+    SELECT cell.p AS o_orderpriority, cell.st AS o_orderstatus, obs,
+           CAST(obs * n - r * c AS BIGINT) AS dev_num,
+           CAST(obs * n - r * c AS DOUBLE)
+             * CAST(obs * n - r * c AS DOUBLE)
+             / CAST(n AS DOUBLE) / CAST(r AS DOUBLE)
+             / CAST(c AS DOUBLE) AS chi2_cell
+    FROM cell
+    JOIN rm ON rm.p = cell.p
+    JOIN cm ON cm.st = cell.st
+    CROSS JOIN tot
+    """,
+)
+def q_chi2_priority_status(spark, sf_dir):
+    """Chi-square independence cells for order priority x order
+    status — the categorical-association scan a data-quality monitor
+    runs to catch a correlated upstream change (e.g. a feed that
+    started emitting one status only for urgent orders). Per-cell
+    deviation obs*N - row*col is EXACT BIGINT (cross-multiplied, no
+    expected-count division); the per-cell chi2 contribution is then
+    a fixed left-associated double expression (d*d/N/r/c), identical
+    under IEEE in any engine. Cells stay rows (no cross-engine
+    float-sum ordering); the margins and the 1-row total broadcast
+    back onto the tiny cell table (whitelisted scalar attach)."""
+    cell = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("p"),
+            F.col("o_orderstatus").alias("st"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+        .localCheckpoint(eager=True)
+    )
+    rm = cell.groupBy("p").agg(F.sum("obs").cast("long").alias("r"))
+    cm = cell.groupBy("st").agg(F.sum("obs").cast("long").alias("c"))
+    tot = cell.agg(F.sum("obs").cast("long").alias("n"))
+    return (
+        cell.join(broadcast(rm), "p")
+        .join(broadcast(cm), "st")
+        .crossJoin(broadcast(tot))
+        .select(
+            F.col("p").alias("o_orderpriority"),
+            F.col("st").alias("o_orderstatus"),
+            "obs",
+            F.expr("obs * n - r * c").cast("long").alias("dev_num"),
+            F.expr(
+                "cast(obs * n - r * c as double)"
+                " * cast(obs * n - r * c as double)"
+                " / cast(n as double) / cast(r as double)"
+                " / cast(c as double)"
+            ).alias("chi2_cell"),
+        )
+    )
+
+
+@register(
+    "zorder_layout_stats",
+    oracle="""
+    WITH z AS (
+      SELECT ((((l_partkey >> 0) & 1) << 0)
+       + (((l_suppkey >> 0) & 1) << 1)
+       + (((l_partkey >> 1) & 1) << 2)
+       + (((l_suppkey >> 1) & 1) << 3)
+       + (((l_partkey >> 2) & 1) << 4)
+       + (((l_suppkey >> 2) & 1) << 5)
+       + (((l_partkey >> 3) & 1) << 6)
+       + (((l_suppkey >> 3) & 1) << 7)
+       + (((l_partkey >> 4) & 1) << 8)
+       + (((l_suppkey >> 4) & 1) << 9)
+       + (((l_partkey >> 5) & 1) << 10)
+       + (((l_suppkey >> 5) & 1) << 11)
+       + (((l_partkey >> 6) & 1) << 12)
+       + (((l_suppkey >> 6) & 1) << 13)
+       + (((l_partkey >> 7) & 1) << 14)
+       + (((l_suppkey >> 7) & 1) << 15)
+       + (((l_partkey >> 8) & 1) << 16)
+       + (((l_suppkey >> 8) & 1) << 17)
+       + (((l_partkey >> 9) & 1) << 18)
+       + (((l_suppkey >> 9) & 1) << 19)
+       + (((l_partkey >> 10) & 1) << 20)
+       + (((l_suppkey >> 10) & 1) << 21)
+       + (((l_partkey >> 11) & 1) << 22)
+       + (((l_suppkey >> 11) & 1) << 23)
+       + (((l_partkey >> 12) & 1) << 24)
+       + (((l_suppkey >> 12) & 1) << 25)
+       + (((l_partkey >> 13) & 1) << 26)
+       + (((l_suppkey >> 13) & 1) << 27)
+       + (((l_partkey >> 14) & 1) << 28)
+       + (((l_suppkey >> 14) & 1) << 29)
+       + (((l_partkey >> 15) & 1) << 30)
+       + (((l_suppkey >> 15) & 1) << 31)
+       + (((l_partkey >> 16) & 1) << 32)
+       + (((l_suppkey >> 16) & 1) << 33)
+       + (((l_partkey >> 17) & 1) << 34)
+       + (((l_suppkey >> 17) & 1) << 35)
+       + (((l_partkey >> 18) & 1) << 36)
+       + (((l_suppkey >> 18) & 1) << 37)
+       + (((l_partkey >> 19) & 1) << 38)
+       + (((l_suppkey >> 19) & 1) << 39)) AS z, l_partkey AS p, l_suppkey AS s
+      FROM lineitem
+    ), mx AS (SELECT CAST(MAX(z) AS BIGINT) AS mz FROM z)
+    SELECT CAST(z // (mz // 64 + 1) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(p) AS BIGINT) AS p_min,
+           CAST(MAX(p) AS BIGINT) AS p_max,
+           CAST(MIN(s) AS BIGINT) AS s_min,
+           CAST(MAX(s) AS BIGINT) AS s_max
+    FROM z CROSS JOIN mx
+    GROUP BY 1
+    """,
+)
+def q_zorder_layout_stats(spark, sf_dir):
+    """Z-order (Morton-curve) layout accounting for the multi-
+    dimensional clustering decision: interleave the bits of
+    (l_partkey, l_suppkey) into one integer sort key, bucket the
+    keyspace into 64 equal z-ranges (the would-be files of a
+    z-ordered rewrite), and report each bucket's min/max in BOTH
+    dimensions. The point the report proves: under z-order the
+    per-file min/max envelopes are tight in part AND supplier
+    simultaneously, so parquet min/max data skipping prunes on
+    EITHER predicate column — the layout a 100 TB table wants when
+    two uncorrelated columns both carry selective filters (single-
+    column sort gives tight envelopes in one dimension only). The
+    interleave is 20 bits/dimension of pure integer shift/mask
+    arithmetic (exact in both engines; caps keys at 2^20, asserted
+    fine for this fixture family), and the bucket width derives from
+    the 1-row global max (whitelisted scalar attach)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.expr(
+            """(shiftleft(shiftright(l_partkey, 0) & 1, 0)
+       + shiftleft(shiftright(l_suppkey, 0) & 1, 1)
+       + shiftleft(shiftright(l_partkey, 1) & 1, 2)
+       + shiftleft(shiftright(l_suppkey, 1) & 1, 3)
+       + shiftleft(shiftright(l_partkey, 2) & 1, 4)
+       + shiftleft(shiftright(l_suppkey, 2) & 1, 5)
+       + shiftleft(shiftright(l_partkey, 3) & 1, 6)
+       + shiftleft(shiftright(l_suppkey, 3) & 1, 7)
+       + shiftleft(shiftright(l_partkey, 4) & 1, 8)
+       + shiftleft(shiftright(l_suppkey, 4) & 1, 9)
+       + shiftleft(shiftright(l_partkey, 5) & 1, 10)
+       + shiftleft(shiftright(l_suppkey, 5) & 1, 11)
+       + shiftleft(shiftright(l_partkey, 6) & 1, 12)
+       + shiftleft(shiftright(l_suppkey, 6) & 1, 13)
+       + shiftleft(shiftright(l_partkey, 7) & 1, 14)
+       + shiftleft(shiftright(l_suppkey, 7) & 1, 15)
+       + shiftleft(shiftright(l_partkey, 8) & 1, 16)
+       + shiftleft(shiftright(l_suppkey, 8) & 1, 17)
+       + shiftleft(shiftright(l_partkey, 9) & 1, 18)
+       + shiftleft(shiftright(l_suppkey, 9) & 1, 19)
+       + shiftleft(shiftright(l_partkey, 10) & 1, 20)
+       + shiftleft(shiftright(l_suppkey, 10) & 1, 21)
+       + shiftleft(shiftright(l_partkey, 11) & 1, 22)
+       + shiftleft(shiftright(l_suppkey, 11) & 1, 23)
+       + shiftleft(shiftright(l_partkey, 12) & 1, 24)
+       + shiftleft(shiftright(l_suppkey, 12) & 1, 25)
+       + shiftleft(shiftright(l_partkey, 13) & 1, 26)
+       + shiftleft(shiftright(l_suppkey, 13) & 1, 27)
+       + shiftleft(shiftright(l_partkey, 14) & 1, 28)
+       + shiftleft(shiftright(l_suppkey, 14) & 1, 29)
+       + shiftleft(shiftright(l_partkey, 15) & 1, 30)
+       + shiftleft(shiftright(l_suppkey, 15) & 1, 31)
+       + shiftleft(shiftright(l_partkey, 16) & 1, 32)
+       + shiftleft(shiftright(l_suppkey, 16) & 1, 33)
+       + shiftleft(shiftright(l_partkey, 17) & 1, 34)
+       + shiftleft(shiftright(l_suppkey, 17) & 1, 35)
+       + shiftleft(shiftright(l_partkey, 18) & 1, 36)
+       + shiftleft(shiftright(l_suppkey, 18) & 1, 37)
+       + shiftleft(shiftright(l_partkey, 19) & 1, 38)
+       + shiftleft(shiftright(l_suppkey, 19) & 1, 39))"""
+        ).alias("z"),
+        F.col("l_partkey").alias("p"),
+        F.col("l_suppkey").alias("s"),
+    )
+    mx = li.agg(F.max("z").cast("long").alias("mz"))
+    return (
+        li.crossJoin(broadcast(mx))
+        .groupBy(
+            F.expr("z DIV (mz DIV 64 + 1)").cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("p").cast("long").alias("p_min"),
+            F.max("p").cast("long").alias("p_max"),
+            F.min("s").cast("long").alias("s_min"),
+            F.max("s").cast("long").alias("s_max"),
+        )
+    )
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=r"""
+    WITH feat AS (
+      SELECT source,
+             len(list_filter(string_split_regex(text, '[\s]+'),
+                             x -> x <> '')) AS nw,
+             len(list_filter(string_split_regex(text, '[\s]+'),
+                             x -> regexp_matches(x, '[A-Za-z]')))
+               AS aw,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               AS alpha,
+             length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+               AS sym,
+             length(text) AS nchars
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN nw >= 50 AND nw <= 100000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS pass_wc,
+           CAST(SUM(CASE WHEN 3 * nw <= alpha AND alpha <= 10 * nw
+                         THEN 1 ELSE 0 END) AS BIGINT) AS pass_mwl,
+           CAST(SUM(CASE WHEN 10 * sym <= nchars
+                         THEN 1 ELSE 0 END) AS BIGINT) AS pass_sym,
+           CAST(SUM(CASE WHEN 5 * aw >= 4 * nw
+                         THEN 1 ELSE 0 END) AS BIGINT) AS pass_alpha,
+           CAST(SUM(CASE WHEN nw >= 50 AND nw <= 100000
+                          AND 3 * nw <= alpha AND alpha <= 10 * nw
+                          AND 10 * sym <= nchars
+                          AND 5 * aw >= 4 * nw
+                         THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+    FROM feat GROUP BY source
+    """,
+)
+def q_gopher_quality_flags(spark, sf_dir):
+    """Gopher-style document quality rules (Rae et al. 2021, public
+    Gopher paper SS A1.1; also RefinedWeb/C4 filter stacks), rolled
+    up per source: word-count bounds, mean-word-length bounds,
+    symbol-character ratio, and alpha-word ratio, plus the composite
+    pass_all a curation pipeline actually gates on. Every rule is a
+    CROSS-MULTIPLIED integer comparison (3*nw <= alpha <= 10*nw
+    instead of a mean division; 10*sym <= chars; 5*aw >= 4*nw), so
+    the per-source pass counts are exact on any engine — ratio
+    thresholds without ever computing a ratio. One narrow projection
+    pass over the corpus, one partial-agg shuffle on source; at
+    100 TB this is the cheapest possible shape for a full-corpus
+    quality census."""
+    d = _t(spark, sf_dir, "documents")
+    feat = d.select(
+        "source",
+        F.expr(
+            r"size(filter(split(text, '[\\s]+'), x -> x <> ''))"
+        ).cast("long").alias("nw"),
+        F.expr(
+            r"size(filter(split(text, '[\\s]+'),"
+            r" x -> x rlike '[A-Za-z]'))"
+        ).cast("long").alias("aw"),
+        F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+        .cast("long")
+        .alias("alpha"),
+        F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
+        .cast("long")
+        .alias("sym"),
+        F.length("text").cast("long").alias("nchars"),
+    )
+    r_wc = (F.col("nw") >= 50) & (F.col("nw") <= 100000)
+    r_mwl = (3 * F.col("nw") <= F.col("alpha")) & (
+        F.col("alpha") <= 10 * F.col("nw")
+    )
+    r_sym = 10 * F.col("sym") <= F.col("nchars")
+    r_alpha = 5 * F.col("aw") >= 4 * F.col("nw")
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")
+    return feat.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        cnt(r_wc).alias("pass_wc"),
+        cnt(r_mwl).alias("pass_mwl"),
+        cnt(r_sym).alias("pass_sym"),
+        cnt(r_alpha).alias("pass_alpha"),
+        cnt(r_wc & r_mwl & r_sym & r_alpha).alias("pass_all"),
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -10105,6 +10675,18 @@ _FRONT: list[str] = [
     "char_class_stats",
     "fm_sketch_set_ops",
     "source_ngram_novelty",
+    # -- (3b) NEW in r6 batch 2: no driver row exists ----------------
+    "trade_graph_shortest_cost",
+    "ks_statistic_sources",
+    "revenue_gini_by_nation",
+    "chi2_priority_status",
+    "zorder_layout_stats",
+    "gopher_quality_flags",
+    # -- (3c) plan changed in r6 batch 2: _trade_edges now derives
+    #         from the shared _trade_und memo (checkpoint moved from
+    #         the directed trade table to the undirected vol table);
+    #         triangles + bfs_levels already hold window slots above.
+    "trade_graph_components",
     # -- (4) r5-window holdovers (each 50/50 green in r5; displaced
     #        from the tail as section (3) grows) ----------------------
     "bloom_prune_accounting",
@@ -10129,26 +10711,24 @@ _FRONT: list[str] = [
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_counts",
     "tpch_q17_small_qty_revenue",
-    "tpch_q21_sole_returner",
-    "tpch_q22_churned_balance",
-    "bpe_merges",
-    "tpch_q3_shipping_priority",
     "dedup_clusters",
-    "curation_pipeline",
     "span_dedup_clean",
     "trade_graph_triangles",
-    "tpch_q9_profit_shape",
-    "interval_merge_islands",
     "time_weighted_avg",
-    # Displaced to make room for the 9 section-(1)/(2) entries and the
-    # 8 section-(3) r6-new queries (all displaced entries r5-green,
-    # unchanged, still swept by test_oracle_parity):
+    # Displaced to make room for the 9 section-(1)/(2) entries, the
+    # 8 section-(3) r6-new queries, the 6 section-(3b) batch-2
+    # queries, and the section-(3c) plan-change rotation (all
+    # displaced entries r5-green, unchanged, still swept by
+    # test_oracle_parity):
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
-    # trade_graph_components, kmeans_assign_iter, event_path_topk,
+    # kmeans_assign_iter, event_path_topk,
     # hapax_ratio_per_source, trimmed_mean_group, json_quarantine_audit,
     # scd2_pointintime_join, embedding_norm_outliers,
-    # cumulative_distinct_users, token_budget_sample.
+    # cumulative_distinct_users, token_budget_sample,
+    # curation_pipeline, tpch_q9_profit_shape, interval_merge_islands,
+    # tpch_q3_shipping_priority, bpe_merges,
+    # tpch_q21_sole_returner, tpch_q22_churned_balance.
 ]
 
 

@@ -382,3 +382,214 @@ def test_source_ngram_novelty_set_differential(spark):
         for s, gs in grams.items()
     }
     assert got == expect
+
+
+# ------------------------------------------------- r6 batch 2 queries
+
+
+def test_sssp_costs_match_python_dijkstra(spark):
+    """trade_graph_shortest_cost equals a driver-side Dijkstra over
+    the SAME weighted edge list (und volumes collected, dense ranks
+    recomputed in Python) — validates the distributed Bellman-Ford
+    fixpoint independently of the oracle's recursive CTE."""
+    import heapq
+
+    from distributed_mapreduce_p2p_spark import registry
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    und = registry._trade_und(spark, SF_SMALL).collect()
+    vols = sorted({r.vol for r in und}, reverse=True)
+    rank = {v: i + 1 for i, v in enumerate(vols)}
+    adj: dict[int, list] = {}
+    for r in und:
+        w = rank[r.vol]
+        adj.setdefault(r.a, []).append((r.b, w))
+        adj.setdefault(r.b, []).append((r.a, w))
+    src = min(r.a for r in und)
+    dist = {src: 0}
+    pq = [(0, src)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, 1 << 60):
+            continue
+        for v, w in adj.get(u, []):
+            nd = d + w
+            if nd < dist.get(v, 1 << 60):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    nations = [
+        r.n_nationkey
+        for r in read_table(spark, SF_SMALL, "nation").collect()
+    ]
+    expect = {n: dist.get(n, -1) for n in nations}
+    got = {
+        r.n_nationkey: r.cost
+        for r in _q(spark, "trade_graph_shortest_cost").collect()
+    }
+    assert got == expect
+    assert got[src] == 0
+
+
+def test_ks_statistic_python_recompute(spark):
+    """Every pair's ks_num equals the max cross-multiplied ECDF gap
+    recomputed from raw n_chars lists in Python."""
+    docs = _docs(spark).select("source", "n_chars").collect()
+    by_src: dict[str, list] = {}
+    for r in docs:
+        by_src.setdefault(r.source, []).append(r.n_chars)
+    got = {
+        (r.sa, r.sb): (r.na, r.nb, r.ks_num)
+        for r in _q(spark, "ks_statistic_sources").collect()
+    }
+    srcs = sorted(by_src)
+    assert set(got) == {
+        (a, b) for i, a in enumerate(srcs) for b in srcs[i + 1 :]
+    }
+    for (sa, sb), (na, nb, ks_num) in got.items():
+        xa, xb = sorted(by_src[sa]), sorted(by_src[sb])
+        assert (na, nb) == (len(xa), len(xb))
+        xs = sorted(set(xa) | set(xb))
+        best = 0
+        for x in xs:
+            fa = sum(1 for v in xa if v <= x)
+            fb = sum(1 for v in xb if v <= x)
+            best = max(best, abs(fa * nb - fb * na))
+        assert ks_num == best
+
+
+def test_gini_python_recompute(spark):
+    """gini_num per nation equals the sorted-rank identity computed
+    in Python from exact cents, including zero-order customers."""
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    cust = read_table(spark, SF_SMALL, "customer").collect()
+    orders = read_table(spark, SF_SMALL, "orders").collect()
+    cents_by_cust: dict[int, int] = {c.c_custkey: 0 for c in cust}
+    for o in orders:
+        c = int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01")) * 100
+        )
+        cents_by_cust[o.o_custkey] += c
+    by_nation: dict[int, list] = {}
+    for c in cust:
+        by_nation.setdefault(c.c_nationkey, []).append(
+            cents_by_cust[c.c_custkey]
+        )
+    got = {
+        r.c_nationkey: (r.n_cust, r.total_cents, r.gini_num)
+        for r in _q(spark, "revenue_gini_by_nation").collect()
+    }
+    for nk, xs in by_nation.items():
+        xs.sort()
+        n = len(xs)
+        num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+        assert got[nk] == (n, sum(xs), num)
+
+
+def test_chi2_cells_python_recompute(spark):
+    """dev_num is exactly obs*N - row*col for every cell, and the
+    cells tile the contingency table (margins add back to N)."""
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    orders = read_table(spark, SF_SMALL, "orders").collect()
+    cells: dict[tuple, int] = {}
+    for o in orders:
+        k = (o.o_orderpriority, o.o_orderstatus)
+        cells[k] = cells.get(k, 0) + 1
+    n = len(orders)
+    rows = _q(spark, "chi2_priority_status").collect()
+    assert {(r.o_orderpriority, r.o_orderstatus) for r in rows} == set(
+        cells
+    )
+    assert sum(r.obs for r in rows) == n
+    for r in rows:
+        rm = sum(
+            v for (p, _), v in cells.items() if p == r.o_orderpriority
+        )
+        cm = sum(
+            v for (_, s), v in cells.items() if s == r.o_orderstatus
+        )
+        obs = cells[(r.o_orderpriority, r.o_orderstatus)]
+        assert r.obs == obs
+        assert r.dev_num == obs * n - rm * cm
+        assert r.chi2_cell == pytest.approx(
+            float(obs * n - rm * cm) ** 2 / n / rm / cm
+        )
+
+
+def test_zorder_buckets_python_recompute(spark):
+    """Bucket stats equal a Python bit-interleave over every lineitem
+    row, and z-order delivers 2-D locality: every bucket's part-key
+    envelope spans at most half the global key range (a single-column
+    sort cannot bound the secondary dimension at all)."""
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    def zval(p, s):
+        z = 0
+        for i in range(20):
+            z |= ((p >> i) & 1) << (2 * i)
+            z |= ((s >> i) & 1) << (2 * i + 1)
+        return z
+
+    li = read_table(spark, SF_SMALL, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    ).collect()
+    zs = [(zval(r.l_partkey, r.l_suppkey), r.l_partkey, r.l_suppkey) for r in li]
+    bw = max(z for z, _, _ in zs) // 64 + 1
+    agg: dict[int, list] = {}
+    for z, p, s in zs:
+        b = agg.setdefault(z // bw, [0, 1 << 60, 0, 1 << 60, 0])
+        b[0] += 1
+        b[1], b[2] = min(b[1], p), max(b[2], p)
+        b[3], b[4] = min(b[3], s), max(b[4], s)
+    got = {
+        r.bucket: [r.n_rows, r.p_min, r.p_max, r.s_min, r.s_max]
+        for r in _q(spark, "zorder_layout_stats").collect()
+    }
+    assert got == agg
+    p_range = max(p for _, p, _ in zs) - min(p for _, p, _ in zs)
+    assert all(
+        (b[2] - b[1]) <= p_range // 2 + 1 for b in got.values()
+    ), "z-order buckets must bound the part-key envelope"
+
+
+def test_gopher_flags_python_recompute(spark):
+    """Per-source pass counts equal a Python re-implementation of the
+    cross-multiplied Gopher rules on the raw text."""
+    import re as _re
+
+    docs = _docs(spark).select("source", "text").collect()
+    agg: dict[str, list] = {}
+    for r in docs:
+        t = r.text
+        words = [w for w in _re.split(r"\s+", t) if w != ""]
+        nw = len(words)
+        aw = sum(1 for w in words if _re.search("[A-Za-z]", w))
+        alpha = len(_re.sub("[^A-Za-z]", "", t))
+        sym = len(_re.sub(r"[A-Za-z0-9\s]", "", t))
+        nchars = len(t)
+        r_wc = 50 <= nw <= 100000
+        r_mwl = 3 * nw <= alpha <= 10 * nw
+        r_sym = 10 * sym <= nchars
+        r_alpha = 5 * aw >= 4 * nw
+        a = agg.setdefault(r.source, [0, 0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += r_wc
+        a[2] += r_mwl
+        a[3] += r_sym
+        a[4] += r_alpha
+        a[5] += r_wc and r_mwl and r_sym and r_alpha
+    got = {
+        r.source: [
+            r.n_docs, r.pass_wc, r.pass_mwl,
+            r.pass_sym, r.pass_alpha, r.pass_all,
+        ]
+        for r in _q(spark, "gopher_quality_flags").collect()
+    }
+    assert got == agg
