@@ -10610,6 +10610,543 @@ def q_gopher_quality_flags(spark, sf_dir):
 
 
 # =====================================================================
+# Round-6 batch 3: distribution analytics + data-quality audits
+# =====================================================================
+
+@register(
+    "mode_by_group",
+    oracle="""
+    WITH cnt AS (
+      SELECT n_name, o_orderpriority AS pr, CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), r AS (
+      SELECT n_name, pr, c,
+             ROW_NUMBER() OVER (PARTITION BY n_name
+                                ORDER BY c DESC, pr ASC) AS rn
+      FROM cnt
+    )
+    SELECT n_name, pr AS modal_priority, c AS n_orders FROM r WHERE rn = 1
+    """,
+)
+def q_mode_by_group(spark, sf_dir):
+    """Deterministic per-group mode (most frequent order priority per
+    nation, ties broken by priority string ascending). The A1 shape
+    (SURVEY §2 hash group-by; reference mapreduce/worker.go reduce
+    phase) generalized to argmax-of-count: the only full-data shuffle
+    is the first partial+final count on (nation, priority); the
+    row_number window then runs on the group-CARDINALITY table
+    (|nations| x |priorities| rows), so at 100 TB the window input is
+    bounded by distinct keys, not data volume."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cnt = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.col("o_orderpriority").alias("pr"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("c").desc(), F.col("pr").asc()
+    )
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(
+            "n_name",
+            F.col("pr").alias("modal_priority"),
+            F.col("c").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "fk_integrity_audit",
+    oracle="""
+    SELECT 'orders->customer' AS rel, CAST(COUNT(*) AS BIGINT) AS n_child,
+           CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    UNION ALL
+    SELECT 'lineitem->orders', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    UNION ALL
+    SELECT 'lineitem->part', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+    UNION ALL
+    SELECT 'lineitem->supplier', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+    UNION ALL
+    SELECT 'customer->nation', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+    UNION ALL
+    SELECT 'supplier->nation', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+    UNION ALL
+    SELECT 'nation->region', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def q_fk_integrity_audit(spark, sf_dir):
+    """Referential-integrity census over the whole star schema: one
+    row per FK relationship with child cardinality and orphan count —
+    the first audit any 100 TB ingest runs before joins are trusted.
+    Each relationship is a left join + null-count aggregate (NOT an
+    anti-join-then-count, so n_child and n_orphan come from a single
+    pass over the child table); small parents (nation/region) are
+    broadcast explicitly, big ones (orders/customer/part/supplier)
+    shuffle on their key — exactly the partitioning the later
+    production joins will reuse. Output is a 7-row union of 1-row
+    aggregates: constant-size result regardless of scale."""
+    t = {
+        k: _t(spark, sf_dir, k)
+        for k in (
+            "orders", "customer", "lineitem", "part",
+            "supplier", "nation", "region",
+        )
+    }
+
+    def rel(name, child, ck, parent, pk, small_parent):
+        p = parent.select(F.col(pk).alias("__pk"))
+        if small_parent:
+            p = broadcast(p)
+        j = child.select(F.col(ck).alias("__ck")).join(
+            p, F.col("__ck") == F.col("__pk"), "left"
+        )
+        return j.agg(
+            F.count(F.lit(1)).cast("long").alias("n_child"),
+            F.sum(F.when(F.col("__pk").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphan"),
+        ).select(
+            F.lit(name).alias("rel"), "n_child", "n_orphan"
+        )
+
+    parts = [
+        rel("orders->customer", t["orders"], "o_custkey",
+            t["customer"], "c_custkey", False),
+        rel("lineitem->orders", t["lineitem"], "l_orderkey",
+            t["orders"], "o_orderkey", False),
+        rel("lineitem->part", t["lineitem"], "l_partkey",
+            t["part"], "p_partkey", False),
+        rel("lineitem->supplier", t["lineitem"], "l_suppkey",
+            t["supplier"], "s_suppkey", False),
+        rel("customer->nation", t["customer"], "c_nationkey",
+            t["nation"], "n_nationkey", True),
+        rel("supplier->nation", t["supplier"], "s_nationkey",
+            t["nation"], "n_nationkey", True),
+        rel("nation->region", t["nation"], "n_regionkey",
+            t["region"], "r_regionkey", True),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@register(
+    "bitmap_segment_overlap",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, user_id // 63 AS blk,
+             bit_or(1::BIGINT << CAST(mod(user_id, 63) AS INTEGER)) AS mask
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type AS type_a, c.event_type AS type_b,
+           CAST(SUM(bit_count(a.mask & c.mask)) AS BIGINT) AS n_common_users
+    FROM b a JOIN b c ON a.blk = c.blk AND a.event_type < c.event_type
+    GROUP BY 1, 2
+    """,
+)
+def q_bitmap_segment_overlap(spark, sf_dir):
+    """Audience-overlap matrix via bitmap aggregation (the
+    roaring-bitmap pattern, public Chambi et al. 2016): users are
+    packed into 63-bit blocks (block = user DIV 63, bit = user MOD
+    63 — 63 not 64 keeps the sign bit clear on both engines), one
+    bit_or-aggregated mask per (event_type, block), and pairwise
+    type overlap is sum(bit_count(a & b)) joined ON BLOCK. The
+    exact-distinct-intersection that would naively be a user-level
+    self-join (|users|² candidate space) becomes a join on
+    |users|/63 block rows per type — a 63x input compression that
+    grows with the block width, the same reason OLAP engines ship
+    bitmap indexes for segment-overlap queries at 100 TB."""
+    e = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    b = e.groupBy(
+        "event_type", F.expr("user_id DIV 63").alias("blk")
+    ).agg(
+        F.bit_or(
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT),"
+                " CAST(user_id % 63 AS INT))"
+            )
+        ).alias("mask")
+    )
+    b2 = b.select(
+        F.col("event_type").alias("tb"),
+        F.col("blk").alias("blk2"),
+        F.col("mask").alias("m2"),
+    )
+    return (
+        b.join(
+            b2,
+            (F.col("blk") == F.col("blk2"))
+            & (F.col("event_type") < F.col("tb")),
+        )
+        .groupBy(
+            F.col("event_type").alias("type_a"),
+            F.col("tb").alias("type_b"),
+        )
+        .agg(
+            F.sum(
+                F.bit_count(F.col("mask").bitwiseAND(F.col("m2")))
+            )
+            .cast("long")
+            .alias("n_common_users")
+        )
+    )
+
+
+@register(
+    "lorenz_decile_shares",
+    oracle="""
+    WITH c AS (
+      SELECT r_name, c_custkey,
+             CAST(CAST(c_acctbal AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE c_acctbal > 0
+    ), d AS (
+      SELECT r_name, cents,
+             NTILE(10) OVER (PARTITION BY r_name
+                             ORDER BY cents, c_custkey) AS decile
+      FROM c
+    ), s AS (
+      SELECT r_name, CAST(decile AS BIGINT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_cust,
+             CAST(SUM(cents) AS BIGINT) AS dec_cents
+      FROM d GROUP BY 1, 2
+    ), t AS (
+      SELECT r_name, CAST(SUM(dec_cents) AS BIGINT) AS tot FROM s GROUP BY 1
+    )
+    SELECT s.r_name, decile, n_cust, dec_cents,
+           CAST(dec_cents AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+    FROM s JOIN t ON s.r_name = t.r_name
+    """,
+)
+def q_lorenz_decile_shares(spark, sf_dir):
+    """Lorenz-curve decile shares of positive account balance per
+    region — the inequality report behind revenue_gini_by_nation,
+    materialized as the classic "top decile holds X%" table. Exact
+    NTILE(10) with a total tie-break (cents, custkey) so decile
+    assignment is engine-identical; all accumulation in BIGINT cents
+    and ONE double division per output row. The per-region sort is a
+    bounded-cardinality window (|regions| partitions): the exact
+    demo form, like wordcount_numbered — at 100 TB the scalable twin
+    is cutpoint-based bucketing (equidepth_bins), which trades exact
+    equal-count deciles for a single pass; this form is the oracle
+    anchor that validates it."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    base = (
+        c.join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .where("c_acctbal > 0")
+        .select(
+            "r_name",
+            "c_custkey",
+            F.expr(
+                "CAST(CAST(c_acctbal AS DECIMAL(14,2)) * 100 AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    w = Window.partitionBy("r_name").orderBy("cents", "c_custkey")
+    s = (
+        base.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("r_name", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+            F.sum("cents").cast("long").alias("dec_cents"),
+        )
+    )
+    t = s.groupBy("r_name").agg(
+        F.sum("dec_cents").cast("long").alias("tot")
+    )
+    return s.join(t, "r_name").select(
+        "r_name",
+        "decile",
+        "n_cust",
+        "dec_cents",
+        (
+            F.col("dec_cents").cast("double")
+            / F.col("tot").cast("double")
+        ).alias("share"),
+    )
+
+
+@register(
+    "ewma_dyadic",
+    oracle="""
+    WITH s AS (
+      SELECT n_name, CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT a.n_name, strftime(a.d, '%Y-%m-%d') AS day,
+           CAST(SUM(b.cents * (1::BIGINT
+                << CAST(15 - (a.d - b.d) AS INTEGER))) AS BIGINT) AS num,
+           CAST(SUM(1::BIGINT
+                << CAST(15 - (a.d - b.d) AS INTEGER)) AS BIGINT) AS den,
+           CAST(SUM(b.cents * (1::BIGINT
+                << CAST(15 - (a.d - b.d) AS INTEGER))) AS DOUBLE)
+             / CAST(SUM(1::BIGINT
+                << CAST(15 - (a.d - b.d) AS INTEGER)) AS DOUBLE)
+             / 100.0 AS ewma
+    FROM s a JOIN s b
+      ON a.n_name = b.n_name AND b.d BETWEEN a.d - 15 AND a.d
+    GROUP BY 1, 2
+    """,
+)
+def q_ewma_dyadic(spark, sf_dir):
+    """Exponentially-weighted moving average of daily revenue per
+    nation with alpha = 1/2 over a trailing 16-day window, computed
+    ENTIRELY in integers: the weight for a lag-j observation is the
+    dyadic 2^(15-j) via shiftleft (no pow/exp — libm-free per the
+    repo's portability rule), numerator and denominator accumulate
+    in BIGINT, and the only floating ops are the final two divisions
+    in a fixed order. Gaps in the series self-normalize because the
+    denominator sums only the weights actually present. The range
+    self-join is equi on nation + a 16-day band, so per-key fan-out
+    is bounded by the window width (<=16 rows) independent of data
+    volume — the banded-join shape that survives 100 TB, vs a
+    per-offset window function which cannot express per-lag
+    weights."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    s = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    a = s.alias("a")
+    b = s.alias("b")
+    lag = F.datediff(F.col("a.d"), F.col("b.d"))
+    wgt = F.expr(
+        "shiftleft(CAST(1 AS BIGINT),"
+        " CAST(15 - datediff(a.d, b.d) AS INT))"
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.n_name") == F.col("b.n_name"))
+            & lag.between(0, 15),
+        )
+        .groupBy(
+            F.col("a.n_name").alias("n_name"),
+            F.date_format(F.col("a.d"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.sum(F.col("b.cents") * wgt).cast("long").alias("num"),
+            F.sum(wgt).cast("long").alias("den"),
+        )
+        .select(
+            "n_name",
+            "day",
+            "num",
+            "den",
+            (
+                F.col("num").cast("double")
+                / F.col("den").cast("double")
+                / F.lit(100.0)
+            ).alias("ewma"),
+        )
+    )
+
+
+@register(
+    "simpson_diversity",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(text),
+                                                   '[^a-z0-9]+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ), cnt AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(c * (c - 1)) AS BIGINT) AS rep_pairs,
+           1.0 - CAST(SUM(c * (c - 1)) AS DOUBLE)
+               / (CAST(SUM(c) AS DOUBLE)
+                  * CAST(SUM(c) - 1 AS DOUBLE)) AS gini_simpson
+    FROM cnt GROUP BY source
+    """,
+)
+def q_simpson_diversity(spark, sf_dir):
+    """Gini-Simpson lexical diversity per source: 1 - sum(c*(c-1)) /
+    (N*(N-1)) — the probability two tokens drawn without replacement
+    differ. Chosen over Shannon entropy deliberately: entropy needs
+    log (libm, not engine-portable), while Simpson's index is a pure
+    integer ratio — rep_pairs and N accumulate exactly in BIGINT and
+    the single division happens once per source row. Corpus-diversity
+    scoring is a standard curation signal next to gopher_quality_flags.
+    Two shuffles (token counts on (source, token), rollup on source),
+    both with map-side partial aggregation; token cardinality, not
+    corpus size, bounds the second stage at 100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.explode(
+            F.expr(
+                "filter(split(lower(text), '[^a-z0-9]+'),"
+                " x -> x <> '')"
+            )
+        ).alias("w"),
+    )
+    cnt = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    agg = cnt.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c") * (F.col("c") - 1))
+        .cast("long")
+        .alias("rep_pairs"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "rep_pairs",
+        (
+            F.lit(1.0)
+            - F.col("rep_pairs").cast("double")
+            / (
+                F.col("n_tokens").cast("double")
+                * (F.col("n_tokens") - 1).cast("double")
+            )
+        ).alias("gini_simpson"),
+    )
+
+
+@register(
+    "theil_sen_slope",
+    oracle="""
+    WITH w AS (
+      SELECT n_name,
+             CAST((CAST(o_orderdate AS DATE) - DATE '1995-01-01') // 7
+                  AS BIGINT) AS wk,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), p AS (
+      SELECT a.n_name,
+             CAST(b.cents - a.cents AS DOUBLE)
+               / CAST(b.wk - a.wk AS DOUBLE) AS slope
+      FROM w a JOIN w b ON a.n_name = b.n_name AND b.wk > a.wk
+    ), r AS (
+      SELECT n_name, slope,
+             ROW_NUMBER() OVER (PARTITION BY n_name
+                                ORDER BY slope) AS rn,
+             COUNT(*) OVER (PARTITION BY n_name) AS n
+      FROM p
+    )
+    SELECT n_name, CAST(n AS BIGINT) AS n_pairs,
+           slope AS sen_slope_cents_per_week
+    FROM r WHERE rn = (n + 1) // 2
+    """,
+)
+def q_theil_sen_slope(spark, sf_dir):
+    """Theil–Sen robust trend estimator (public Sen 1968 / Theil
+    1950): per-nation weekly-revenue slope as the LOWER MEDIAN of all
+    pairwise slopes — outlier-resistant where corr_slope's OLS is
+    not. The pairwise self-join is deliberately on the WEEKLY
+    aggregate, so the pair space is (weeks choose 2) per nation —
+    bounded by the calendar (~350 weeks -> ~61k pairs/nation)
+    regardless of row count, which is what makes the O(n^2)
+    estimator feasible at 100 TB: aggregate first, go quadratic on
+    the bounded series only. Slopes are exact-integer deltas with one
+    IEEE division each; the median picks an ELEMENT (rn = (n+1) DIV
+    2), so equal-slope tie order cannot change the emitted value."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.expr(
+                "CAST(datediff(CAST(o_orderdate AS DATE),"
+                " DATE '1995-01-01') DIV 7 AS BIGINT)"
+            ).alias("wk"),
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    a = w.alias("a")
+    b = w.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.n_name") == F.col("b.n_name"))
+        & (F.col("b.wk") > F.col("a.wk")),
+    ).select(
+        F.col("a.n_name").alias("n_name"),
+        (
+            (F.col("b.cents") - F.col("a.cents")).cast("double")
+            / (F.col("b.wk") - F.col("a.wk")).cast("double")
+        ).alias("slope"),
+    )
+    win = Window.partitionBy("n_name").orderBy("slope")
+    cw = Window.partitionBy("n_name")
+    return (
+        pairs.withColumn("rn", F.row_number().over(win))
+        .withColumn("n", F.count(F.lit(1)).over(cw))
+        .where(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select(
+            "n_name",
+            F.col("n").cast("long").alias("n_pairs"),
+            F.col("slope").alias("sen_slope_cents_per_week"),
+        )
+    )
+
+
+# =====================================================================
 # Driver-window ordering
 # =====================================================================
 # The grading driver verifies oracle parity for the FIRST 50 entries of
@@ -10687,6 +11224,14 @@ _FRONT: list[str] = [
     #         the directed trade table to the undirected vol table);
     #         triangles + bfs_levels already hold window slots above.
     "trade_graph_components",
+    # -- (3d) NEW in r6 batch 3: no driver row exists ----------------
+    "mode_by_group",
+    "fk_integrity_audit",
+    "bitmap_segment_overlap",
+    "lorenz_decile_shares",
+    "ewma_dyadic",
+    "simpson_diversity",
+    "theil_sen_slope",
     # -- (4) r5-window holdovers (each 50/50 green in r5; displaced
     #        from the tail as section (3) grows) ----------------------
     "bloom_prune_accounting",
@@ -10708,18 +11253,14 @@ _FRONT: list[str] = [
     "tpch_q8_market_share",
     "tpch_q10_returned_revenue",
     "tpch_q13_order_count_dist",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_counts",
-    "tpch_q17_small_qty_revenue",
-    "dedup_clusters",
-    "span_dedup_clean",
-    "trade_graph_triangles",
-    "time_weighted_avg",
     # Displaced to make room for the 9 section-(1)/(2) entries, the
     # 8 section-(3) r6-new queries, the 6 section-(3b) batch-2
-    # queries, and the section-(3c) plan-change rotation (all
-    # displaced entries r5-green, unchanged, still swept by
-    # test_oracle_parity):
+    # queries, the section-(3c) plan-change rotation, and the 7
+    # section-(3d) batch-3 queries (all displaced entries r5-green,
+    # unchanged, still swept by test_oracle_parity):
+    # tpch_q15_top_supplier, tpch_q16_supplier_counts,
+    # tpch_q17_small_qty_revenue, dedup_clusters, span_dedup_clean,
+    # trade_graph_triangles, time_weighted_avg,
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

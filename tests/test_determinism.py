@@ -46,6 +46,11 @@ QUERIES = [
     # IEEE division)
     "tpch_q11_important_parts",
     "cusum_changepoint",
+    # r6 batch 3
+    "lorenz_decile_shares",
+    "ewma_dyadic",
+    "simpson_diversity",
+    "theil_sen_slope",
 ]
 
 

@@ -593,3 +593,243 @@ def test_gopher_flags_python_recompute(spark):
         for r in _q(spark, "gopher_quality_flags").collect()
     }
     assert got == agg
+
+
+# ------------------------------------------- r6 batch 3: analytics
+
+
+def test_mode_by_group_python_recompute(spark):
+    """Modal priority per nation equals a Python argmax with the
+    (count desc, priority asc) tie-break over the raw join."""
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    cust = {
+        c.c_custkey: c.c_nationkey
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    nname = {
+        n.n_nationkey: n.n_name
+        for n in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    cnt: dict[tuple, int] = {}
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        k = (nname[cust[o.o_custkey]], o.o_orderpriority)
+        cnt[k] = cnt.get(k, 0) + 1
+    want = {}
+    for (nn, pr), c in cnt.items():
+        cur = want.get(nn)
+        if cur is None or (-c, pr) < (-cur[1], cur[0]):
+            want[nn] = (pr, c)
+    got = {
+        r.n_name: (r.modal_priority, r.n_orders)
+        for r in _q(spark, "mode_by_group").collect()
+    }
+    assert got == want
+
+
+def test_fk_integrity_audit_counts(spark):
+    """Child cardinalities match raw table counts and the synthetic
+    star schema is orphan-free on every relationship."""
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    rows = {r.rel: r for r in _q(spark, "fk_integrity_audit").collect()}
+    assert set(rows) == {
+        "orders->customer", "lineitem->orders", "lineitem->part",
+        "lineitem->supplier", "customer->nation", "supplier->nation",
+        "nation->region",
+    }
+    for rel, child in [
+        ("orders->customer", "orders"),
+        ("lineitem->orders", "lineitem"),
+        ("customer->nation", "customer"),
+        ("nation->region", "nation"),
+    ]:
+        assert (
+            rows[rel].n_child
+            == read_table(spark, SF_SMALL, child).count()
+        )
+    assert all(r.n_orphan == 0 for r in rows.values())
+
+
+def test_fk_integrity_audit_detects_orphans(spark, tmp_path):
+    """Deleting half the parents makes the audit report exactly the
+    children whose FK landed in the deleted half (injected-fault
+    check: the query's null-count path, not just the happy path)."""
+    import shutil
+
+    from distributed_mapreduce_p2p_spark import registry
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    sf = str(tmp_path / "sf")
+    shutil.copytree(SF_SMALL, sf)
+    cust = read_table(spark, SF_SMALL, "customer")
+    kept = cust.where("c_custkey % 2 = 0")
+    kept.write.mode("overwrite").parquet(f"{sf}/customer.parquet")
+    orders = read_table(spark, SF_SMALL, "orders").collect()
+    want_orphans = sum(1 for o in orders if o.o_custkey % 2 == 1)
+    rows = {
+        r.rel: r
+        for r in registry.QUERIES["fk_integrity_audit"](
+            spark, sf
+        ).collect()
+    }
+    assert rows["orders->customer"].n_orphan == want_orphans
+    assert rows["orders->customer"].n_child == len(orders)
+
+
+def test_bitmap_overlap_python_recompute(spark):
+    """Popcount-of-AND over 63-bit blocks equals the exact distinct
+    set intersection per event-type pair."""
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    users: dict[str, set] = {}
+    for e in read_table(spark, SF_SMALL, "events").collect():
+        users.setdefault(e.event_type, set()).add(e.user_id)
+    got = {
+        (r.type_a, r.type_b): r.n_common_users
+        for r in _q(spark, "bitmap_segment_overlap").collect()
+    }
+    types = sorted(users)
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            inter = len(users[a] & users[b])
+            if inter or (a, b) in got:
+                assert got[(a, b)] == inter
+
+
+def test_lorenz_deciles_partition_and_monotone(spark):
+    """Per region: deciles tile the positive-balance customers with
+    NTILE's size contract (sizes differ by at most 1, larger deciles
+    first), shares sum to 1, and decile sums are nondecreasing in
+    decile index (sorted ascending by balance)."""
+    from collections import defaultdict
+
+    rows = _q(spark, "lorenz_decile_shares").collect()
+    by_r = defaultdict(list)
+    for r in rows:
+        by_r[r.r_name].append(r)
+    for rs in by_r.values():
+        rs.sort(key=lambda r: r.decile)
+        assert [r.decile for r in rs] == list(range(1, len(rs) + 1))
+        sizes = [r.n_cust for r in rs]
+        assert max(sizes) - min(sizes) <= 1
+        assert sizes == sorted(sizes, reverse=True)
+        assert sum(r.share for r in rs) == pytest.approx(1.0)
+        cents = [r.dec_cents / r.n_cust for r in rs]
+        assert cents == sorted(cents)
+
+
+def test_ewma_dyadic_python_recompute(spark):
+    """num/den equal the dyadic-weight recurrence computed in Python
+    from the exact per-day cents, and ewma is exactly the same two
+    IEEE divisions."""
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    cust = {
+        c.c_custkey: c.c_nationkey
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    nname = {
+        n.n_nationkey: n.n_name
+        for n in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    series: dict[tuple, int] = {}
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        k = (nname[cust[o.o_custkey]], o.o_orderdate.date())
+        c = int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01")) * 100
+        )
+        series[k] = series.get(k, 0) + c
+    rows = _q(spark, "ewma_dyadic").collect()
+    assert len(rows) == len(series)
+    import datetime
+
+    for r in rows[:200]:
+        d = datetime.date.fromisoformat(r.day)
+        num = den = 0
+        for j in range(16):
+            v = series.get((r.n_name, d - datetime.timedelta(days=j)))
+            if v is not None:
+                num += v << (15 - j)
+                den += 1 << (15 - j)
+        assert (r.num, r.den) == (num, den)
+        assert r.ewma == float(num) / float(den) / 100.0
+
+
+def test_simpson_diversity_python_recompute(spark):
+    """rep_pairs/N/types equal a Python token count; index bounds."""
+    import re
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    cnt: dict[str, dict] = {}
+    for d in read_table(spark, SF_SMALL, "documents").collect():
+        m = cnt.setdefault(d.source, {})
+        for w in re.split(r"[^a-z0-9]+", d.text.lower()):
+            if w:
+                m[w] = m.get(w, 0) + 1
+    for r in _q(spark, "simpson_diversity").collect():
+        m = cnt[r.source]
+        n = sum(m.values())
+        rep = sum(c * (c - 1) for c in m.values())
+        assert (r.n_tokens, r.n_types, r.rep_pairs) == (n, len(m), rep)
+        assert 0.0 <= r.gini_simpson <= 1.0
+        assert r.gini_simpson == 1.0 - float(rep) / (
+            float(n) * float(n - 1)
+        )
+
+
+def test_theil_sen_python_recompute(spark):
+    """Per-nation slope equals the lower median of all pairwise
+    weekly slopes computed in Python (robustness: recompute agrees
+    even though the pair space is quadratic in weeks)."""
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    import datetime
+
+    epoch = datetime.date(1995, 1, 1)
+    cust = {
+        c.c_custkey: c.c_nationkey
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    nname = {
+        n.n_nationkey: n.n_name
+        for n in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    wk: dict[tuple, int] = {}
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        w = (o.o_orderdate.date() - epoch).days // 7
+        k = (nname[cust[o.o_custkey]], w)
+        c = int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01")) * 100
+        )
+        wk[k] = wk.get(k, 0) + c
+    by_n: dict[str, list] = {}
+    for (nn, w), c in wk.items():
+        by_n.setdefault(nn, []).append((w, c))
+    got = {
+        r.n_name: (r.n_pairs, r.sen_slope_cents_per_week)
+        for r in _q(spark, "theil_sen_slope").collect()
+    }
+    for nn, pts in by_n.items():
+        slopes = sorted(
+            float(c2 - c1) / float(w2 - w1)
+            for i, (w1, c1) in enumerate(pts)
+            for (w2, c2) in pts
+            if w2 > w1
+        )
+        assert got[nn] == (
+            len(slopes),
+            slopes[(len(slopes) + 1) // 2 - 1],
+        )
