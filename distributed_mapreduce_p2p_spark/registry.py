@@ -11147,6 +11147,503 @@ def q_theil_sen_slope(spark, sf_dir):
 
 
 # =====================================================================
+# Round-6 batch 4: hierarchy shares, ABC, inter-arrival, sweep-line,
+# KMV sketch, graph assortativity
+# =====================================================================
+
+@register(
+    "share_of_parent",
+    oracle="""
+    WITH rev AS (
+      SELECT r_name, n_name,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS nation_cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2
+    ), reg AS (
+      SELECT r_name, CAST(SUM(nation_cents) AS BIGINT) AS region_cents
+      FROM rev GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(region_cents) AS BIGINT) AS total_cents FROM reg
+    )
+    SELECT rev.r_name, n_name, nation_cents, region_cents,
+           CAST(nation_cents AS DOUBLE) / CAST(region_cents AS DOUBLE)
+             AS share_in_region,
+           CAST(region_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+             AS region_share_of_total
+    FROM rev JOIN reg ON rev.r_name = reg.r_name CROSS JOIN tot
+    """,
+)
+def q_share_of_parent(spark, sf_dir):
+    """Percent-of-parent hierarchy report (nation share within
+    region, region share of total) — the two-level rollup every BI
+    layer asks of an engine. ONE fact-scale aggregation to the leaf
+    level; parents are re-aggregated from the LEAF TABLE (never a
+    second fact pass), and the 1-row grand total is a broadcast
+    scalar attach. Exact BIGINT cents everywhere; each emitted share
+    is one IEEE division. The leaf->parent->total reuse pattern is
+    what keeps hierarchy reports single-pass at 100 TB."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("nation_cents")
+        )
+        .localCheckpoint(eager=False)
+    )
+    reg = rev.groupBy("r_name").agg(
+        F.sum("nation_cents").cast("long").alias("region_cents")
+    )
+    tot = reg.agg(
+        F.sum("region_cents").cast("long").alias("total_cents")
+    )
+    return (
+        rev.join(reg, "r_name")
+        .crossJoin(broadcast(tot))
+        .select(
+            "r_name",
+            "n_name",
+            "nation_cents",
+            "region_cents",
+            (
+                F.col("nation_cents").cast("double")
+                / F.col("region_cents").cast("double")
+            ).alias("share_in_region"),
+            (
+                F.col("region_cents").cast("double")
+                / F.col("total_cents").cast("double")
+            ).alias("region_share_of_total"),
+        )
+    )
+
+
+@register(
+    "abc_classification",
+    oracle="""
+    WITH p AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1
+    ), w AS (
+      SELECT l_partkey, cents,
+             CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                                   ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_cents,
+             CAST(SUM(cents) OVER () AS BIGINT) AS tot
+      FROM p
+    )
+    SELECT l_partkey, cents, cum_cents,
+           CASE WHEN cum_cents * 100 <= tot * 80 THEN 'A'
+                WHEN cum_cents * 100 <= tot * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM w
+    """,
+)
+def q_abc_classification(spark, sf_dir):
+    """ABC / Pareto inventory classification: parts ranked by revenue
+    with an exact global cumulative sum; class A while cumulative
+    share <= 80%, B to 95%, C after — thresholds CROSS-MULTIPLIED in
+    BIGINT (cum*100 <= tot*80), so no division and no float appears
+    anywhere. The cumulative sum is the SCALABLE two-phase form (the
+    numbered_result_scalable pattern): range-repartition on the sort
+    key, per-partition running sums in parallel windows, per-partition
+    totals rolled into broadcast prefix offsets — NO single-partition
+    global window, unlike the oracle's demo SUM() OVER (ORDER BY).
+    The plan is asserted single-partition-exchange-free in
+    tests/test_plans.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("cents")
+        )
+        .withColumn("neg", -F.col("cents"))
+        .repartitionByRange(8, "neg", "l_partkey")
+        .withColumn("pid", F.spark_partition_id())
+        # lineage guard: pid must not be recomputed under another plan
+        .localCheckpoint()
+    )
+    counts = p.groupBy("pid").agg(
+        F.sum("cents").cast("long").alias("psum")
+    )
+    off_w = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = counts.select(
+        "pid",
+        (F.sum("psum").over(off_w) - F.col("psum")).alias("offset"),
+        F.sum("psum").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("tot"),
+    )
+    in_part = Window.partitionBy("pid").orderBy("neg", "l_partkey")
+    return (
+        p.join(F.broadcast(offsets), "pid")
+        .withColumn(
+            "cum_cents",
+            (F.sum("cents").over(in_part) + F.col("offset")).cast(
+                "long"
+            ),
+        )
+        .select(
+            "l_partkey",
+            "cents",
+            "cum_cents",
+            F.when(
+                F.col("cum_cents") * 100 <= F.col("tot") * 80, "A"
+            )
+            .when(F.col("cum_cents") * 100 <= F.col("tot") * 95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+
+
+@register(
+    "order_gap_stats",
+    oracle="""
+    WITH o2 AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+             LAG(CAST(o_orderdate AS DATE)) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders
+    ), g AS (
+      SELECT o_custkey, CAST(d - prev AS BIGINT) AS gap
+      FROM o2 WHERE prev IS NOT NULL
+    ), j AS (
+      SELECT n_name, gap
+      FROM g JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+    ), r AS (
+      SELECT n_name, gap,
+             ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY gap) AS rn,
+             COUNT(*) OVER (PARTITION BY n_name) AS n,
+             CAST(SUM(gap) OVER (PARTITION BY n_name) AS BIGINT)
+               AS total_gap
+      FROM j
+    )
+    SELECT n_name, CAST(n AS BIGINT) AS n_gaps,
+           total_gap AS sum_gap_days, gap AS median_gap_days
+    FROM r WHERE rn = (n + 1) // 2
+    """,
+)
+def q_order_gap_stats(spark, sf_dir):
+    """Inter-arrival-time analysis: days between consecutive orders
+    per customer (lag window keyed on the HIGH-cardinality customer —
+    partition-parallel at any scale, total tie-break on orderkey),
+    rolled up per nation with count, exact day total, and the lower
+    median (element pick, tie-order invariant — same rule as
+    theil_sen_slope). Purchase-cadence distributions drive churn and
+    forecast models; everything here is integer-exact so the result
+    hashes identically on any engine or partitioning."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    g = (
+        o.select(
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w).alias(
+                "prev"
+            ),
+        )
+        .where(F.col("prev").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff("d", "prev").cast("long").alias("gap"),
+        )
+    )
+    j = (
+        g.join(c, g.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", "gap")
+    )
+    win = Window.partitionBy("n_name").orderBy("gap")
+    cw = Window.partitionBy("n_name")
+    return (
+        j.withColumn("rn", F.row_number().over(win))
+        .withColumn("n", F.count(F.lit(1)).over(cw))
+        .withColumn(
+            "total_gap", F.sum("gap").over(cw).cast("long")
+        )
+        .where(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select(
+            "n_name",
+            F.col("n").cast("long").alias("n_gaps"),
+            F.col("total_gap").alias("sum_gap_days"),
+            F.col("gap").alias("median_gap_days"),
+        )
+    )
+
+
+@register(
+    "max_concurrency",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type, ts AS t, 1 AS delta FROM events
+      UNION ALL
+      SELECT event_type, ts + INTERVAL 1 HOUR, -1 FROM events
+    ), r AS (
+      SELECT event_type,
+             CAST(SUM(delta) OVER (PARTITION BY event_type
+                                   ORDER BY t, delta
+                                   ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS conc
+      FROM pts
+    )
+    SELECT event_type, CAST(MAX(conc) AS BIGINT) AS max_concurrent,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_events
+    FROM r GROUP BY event_type
+    """,
+)
+def q_max_concurrency(spark, sf_dir):
+    """Peak concurrency per event type via the sweep-line reduction:
+    each event becomes a (+1 at start, -1 at start+1h) delta pair,
+    a running sum over (time, delta) gives instantaneous concurrency,
+    and MAX collapses it. Ordering deltas -1-before-+1 at equal
+    timestamps encodes half-open [s, e) intervals AND makes the MAX
+    tie-order invariant (any permutation of equal (t, delta) rows
+    yields the same running-sum multiset). The interval-overlap
+    counting problem without an interval self-join — O(n log n)
+    instead of O(n²); at 100 TB the per-type window would be
+    sub-partitioned by time bucket with per-bucket carry-in offsets
+    (the abc_classification two-phase pattern)."""
+    e = _t(spark, sf_dir, "events")
+    pts = e.select(
+        "event_type",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("delta"),
+    ).unionAll(
+        e.select(
+            "event_type",
+            F.expr("ts + INTERVAL 1 HOUR").alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        pts.withColumn("conc", F.sum("delta").over(w).cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.max("conc").cast("long").alias("max_concurrent"),
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "kmv_distinct_estimate",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT s_nationkey AS nk, l_orderkey AS ok
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    ), h AS (
+      SELECT DISTINCT nk,
+             ('0x' || substr(md5(CAST(ok AS VARCHAR)), 1, 12))::BIGINT
+               AS hv
+      FROM pairs
+    ), r AS (
+      SELECT nk, hv,
+             ROW_NUMBER() OVER (PARTITION BY nk ORDER BY hv) AS rn,
+             COUNT(*) OVER (PARTITION BY nk) AS nd
+      FROM h
+    )
+    SELECT n_name, CAST(nd AS BIGINT) AS n_exact_hashes,
+           hv AS kth_min_hash,
+           CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+             / CAST(kth_min_hash AS DOUBLE) AS kmv_estimate
+    FROM r JOIN nation ON nk = n_nationkey
+    WHERE rn = 64
+    """,
+)
+def q_kmv_distinct_estimate(spark, sf_dir):
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch
+    (public Bar-Yossef et al. 2002; the Theta-sketch core): per
+    supplier nation, the 64 smallest 48-bit md5 hashes of distinct
+    order keys; the k-th minimum alone yields the unbiased estimate
+    (k-1) * 2^48 / kth_min. Joins the repo's sketch family (FM, CM,
+    Bloom, MinHash — same portable md5->BIGINT base hash, affine
+    family recipe) with the BOTTOM-K mergeable-sample primitive the
+    others lack: unions of KMV sketches merge by keeping the k
+    smallest of the union, which is what makes it the
+    distributed-distinct workhorse. Exact integer hash cells per the
+    no-libm rule; the estimate is one double multiply + divide in
+    fixed order. Per-group state is k rows regardless of input size
+    — the definition of a 100 TB-safe distinct estimator."""
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    h = (
+        li.join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("s_nationkey").alias("nk"),
+            F.expr(
+                "CAST(conv(substring(md5(CAST(l_orderkey AS STRING)),"
+                " 1, 12), 16, 10) AS BIGINT)"
+            ).alias("hv"),
+        )
+        .distinct()
+    )
+    win = Window.partitionBy("nk").orderBy("hv")
+    cw = Window.partitionBy("nk")
+    r = (
+        h.withColumn("rn", F.row_number().over(win))
+        .withColumn("nd", F.count(F.lit(1)).over(cw))
+        .where(F.col("rn") == 64)
+    )
+    return r.join(
+        broadcast(n), r.nk == n.n_nationkey
+    ).select(
+        "n_name",
+        F.col("nd").cast("long").alias("n_exact_hashes"),
+        F.col("hv").alias("kth_min_hash"),
+        (
+            F.lit(63.0)
+            * F.lit(281474976710656.0)
+            / F.col("hv").cast("double")
+        ).alias("kmv_estimate"),
+    )
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle="""
+    WITH trade AS MATERIALIZED (
+      SELECT c_nationkey AS cn, s_nationkey AS sn,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1 - l_discount AS DECIMAL(4,2))) AS vol
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2
+    ), und AS MATERIALIZED (
+      SELECT LEAST(cn, sn) AS a, GREATEST(cn, sn) AS b, SUM(vol) AS vol
+      FROM trade WHERE cn <> sn GROUP BY 1, 2
+    ), edges0 AS MATERIALIZED (
+      SELECT a, b FROM und
+      WHERE CAST(vol AS DOUBLE) * (SELECT COUNT(*) FROM und)
+            > (SELECT CAST(SUM(vol) AS DOUBLE) FROM und)
+    ), edges AS (
+      SELECT a AS src, b AS dst FROM edges0
+      UNION ALL SELECT b, a FROM edges0
+    ), deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM edges GROUP BY 1
+    ), ed AS (
+      SELECT ds.d AS dx, dd.d AS dy
+      FROM edges JOIN deg ds ON edges.src = ds.node
+                 JOIN deg dd ON edges.dst = dd.node
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_e,
+             CAST(SUM(dx) AS BIGINT) AS sx,
+             CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+             CAST(SUM(dx * dy) AS BIGINT) AS sxy
+      FROM ed
+    )
+    SELECT n_e, sx, sxx, sxy,
+           n_e * sxy - sx * sx AS slope_num,
+           n_e * sxx - sx * sx AS slope_den,
+           CAST(n_e * sxy - sx * sx AS DOUBLE)
+             / CAST(n_e * sxx - sx * sx AS DOUBLE)
+               AS assortativity_slope
+    FROM s
+    """,
+)
+def q_graph_degree_assortativity(spark, sf_dir):
+    """Degree assortativity of the bilateral-trade graph as the
+    regression slope of neighbor degree on node degree over directed
+    edge endpoints (Newman 2002's assortativity, in the repo's
+    corr_slope integer form: by symmetry of the directed edge list
+    sum(dx)=sum(dy) and sum(dx²)=sum(dy²), so the Pearson numerator/
+    denominator reduce to the exact BIGINT moments n·Sxy − Sx² and
+    n·Sxx − Sx² — no sqrt needed, one final division). Degrees come
+    from one groupBy over the shared _trade_edges memo (zero extra
+    fact-scale passes); the two degree attaches are broadcast joins
+    onto a ≤|nations|² edge list. Hub-attraction structure in one
+    row: negative = hubs trade with the periphery."""
+    und = _trade_edges(spark, sf_dir)
+    edges = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    ed = (
+        edges.join(
+            broadcast(deg.select(F.col("node").alias("s_n"),
+                                 F.col("d").alias("dx"))),
+            F.col("src") == F.col("s_n"),
+        )
+        .join(
+            broadcast(deg.select(F.col("node").alias("d_n"),
+                                 F.col("d").alias("dy"))),
+            F.col("dst") == F.col("d_n"),
+        )
+        .select("dx", "dy")
+    )
+    s = ed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_e"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+    )
+    return s.select(
+        "n_e",
+        "sx",
+        "sxx",
+        "sxy",
+        (F.col("n_e") * F.col("sxy") - F.col("sx") * F.col("sx"))
+        .alias("slope_num"),
+        (F.col("n_e") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .alias("slope_den"),
+        (
+            (
+                F.col("n_e") * F.col("sxy")
+                - F.col("sx") * F.col("sx")
+            ).cast("double")
+            / (
+                F.col("n_e") * F.col("sxx")
+                - F.col("sx") * F.col("sx")
+            ).cast("double")
+        ).alias("assortativity_slope"),
+    )
+
+
+# =====================================================================
 # Driver-window ordering
 # =====================================================================
 # The grading driver verifies oracle parity for the FIRST 50 entries of
@@ -11232,6 +11729,13 @@ _FRONT: list[str] = [
     "ewma_dyadic",
     "simpson_diversity",
     "theil_sen_slope",
+    # -- (3e) NEW in r6 batch 4: no driver row exists ----------------
+    "share_of_parent",
+    "abc_classification",
+    "order_gap_stats",
+    "max_concurrency",
+    "kmv_distinct_estimate",
+    "graph_degree_assortativity",
     # -- (4) r5-window holdovers (each 50/50 green in r5; displaced
     #        from the tail as section (3) grows) ----------------------
     "bloom_prune_accounting",
@@ -11245,14 +11749,8 @@ _FRONT: list[str] = [
     "image_resize_checksum",
     "video_frame_checksums",
     "containment_decontaminate",
-    "windowed_hdr_p95",
     "streaming_hdr_p95",
     "stream_stream_full_outer",
-    "grouping_sets_report",
-    "tpch_q6_forecast_revenue",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_revenue",
-    "tpch_q13_order_count_dist",
     # Displaced to make room for the 9 section-(1)/(2) entries, the
     # 8 section-(3) r6-new queries, the 6 section-(3b) batch-2
     # queries, the section-(3c) plan-change rotation, and the 7
@@ -11260,7 +11758,10 @@ _FRONT: list[str] = [
     # unchanged, still swept by test_oracle_parity):
     # tpch_q15_top_supplier, tpch_q16_supplier_counts,
     # tpch_q17_small_qty_revenue, dedup_clusters, span_dedup_clean,
-    # trade_graph_triangles, time_weighted_avg,
+    # trade_graph_triangles, time_weighted_avg, grouping_sets_report,
+    # tpch_q6_forecast_revenue, tpch_q8_market_share,
+    # tpch_q10_returned_revenue, tpch_q13_order_count_dist,
+    # windowed_hdr_p95,
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

@@ -51,6 +51,9 @@ QUERIES = [
     "ewma_dyadic",
     "simpson_diversity",
     "theil_sen_slope",
+    "share_of_parent",
+    "kmv_distinct_estimate",
+    "graph_degree_assortativity",
 ]
 
 

@@ -739,3 +739,43 @@ def test_numbered_scalable_no_single_partition_exchange(spark):
     # contrast so a future edit can't silently swap them
     demo = explain_str(_q("wordcount_numbered", spark), "simple")
     assert demo.count("SinglePartition") >= 1, demo
+
+
+def test_abc_cumsum_no_single_partition_exchange(spark):
+    """abc_classification's exact global cumulative sum must run as
+    the two-phase partition-offset form: data-side windows are
+    partitioned by pid, offsets arrive by broadcast, and at most the
+    tiny per-partition totals table passes through a SinglePartition
+    exchange (contrast: its ORACLE is the demo SUM() OVER (ORDER BY)
+    single-partition form)."""
+    from distributed_mapreduce_p2p_spark.plans.explain import explain_str
+
+    simple = explain_str(_q("abc_classification", spark), "simple")
+    assert "BroadcastHashJoin" in simple
+    assert simple.count("SinglePartition") <= 1, simple
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Hive-style partitioned fact + filtered dim join triggers
+    dynamic partition pruning: the fact scan carries a
+    dynamicpruning subquery on the partition column and reads only
+    the selected partitions' files — the scan shape every 100 TB
+    star join depends on (a full-scan plan here would be a
+    scale-killer)."""
+    from tests.conftest import SF_SMALL
+
+    fact = str(tmp_path / "li_part")
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    li.write.partitionBy("l_returnflag").mode("overwrite").parquet(fact)
+    dim = spark.createDataFrame(
+        [("R", "returned")], ["flag", "label"]
+    )
+    f = spark.read.parquet(fact)
+    j = f.join(dim, f.l_returnflag == dim.flag).where(
+        dim.label == "returned"
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    got = j.count()
+    want = li.where("l_returnflag = 'R'").count()
+    assert got == want and got > 0

@@ -833,3 +833,184 @@ def test_theil_sen_python_recompute(spark):
             len(slopes),
             slopes[(len(slopes) + 1) // 2 - 1],
         )
+
+
+# ---------------------------------------------- r6 batch 4
+
+
+def test_share_of_parent_sums(spark):
+    """Leaf shares sum to 1 within each region, region shares sum to
+    1 overall, and cents roll up exactly level to level."""
+    from collections import defaultdict
+
+    rows = _q(spark, "share_of_parent").collect()
+    by_r = defaultdict(list)
+    for r in rows:
+        by_r[r.r_name].append(r)
+    total = sum({r.r_name: r.region_cents for r in rows}.values())
+    for rs in by_r.values():
+        assert sum(r.nation_cents for r in rs) == rs[0].region_cents
+        assert sum(r.share_in_region for r in rs) == pytest.approx(1.0)
+        assert rs[0].region_share_of_total == pytest.approx(
+            rs[0].region_cents / total
+        )
+
+
+def test_abc_classification_python_recompute(spark):
+    """Class boundaries equal the Python cumulative-share rule on the
+    exact cents, and A|B|C partition the parts in rank order."""
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    cents: dict[int, int] = {}
+    for li in read_table(spark, SF_SMALL, "lineitem").collect():
+        c = int(
+            Decimal(str(li.l_extendedprice)).quantize(Decimal("0.01"))
+            * 100
+        )
+        cents[li.l_partkey] = cents.get(li.l_partkey, 0) + c
+    order = sorted(cents, key=lambda k: (-cents[k], k))
+    tot = sum(cents.values())
+    cum = 0
+    want = {}
+    for k in order:
+        cum += cents[k]
+        want[k] = (
+            cents[k],
+            cum,
+            "A" if cum * 100 <= tot * 80
+            else ("B" if cum * 100 <= tot * 95 else "C"),
+        )
+    got = {
+        r.l_partkey: (r.cents, r.cum_cents, r.abc_class)
+        for r in _q(spark, "abc_classification").collect()
+    }
+    assert got == want
+    assert {v[2] for v in got.values()} == {"A", "B", "C"}
+
+
+def test_order_gap_python_recompute(spark):
+    """Gap count/sum/median per nation equal a Python lag pass with
+    the same (date, orderkey) tie-break."""
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    cust = {
+        c.c_custkey: c.c_nationkey
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    nname = {
+        n.n_nationkey: n.n_name
+        for n in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    by_c: dict[int, list] = {}
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        by_c.setdefault(o.o_custkey, []).append(
+            (o.o_orderdate.date(), o.o_orderkey)
+        )
+    gaps: dict[str, list] = {}
+    for ck, ds in by_c.items():
+        ds.sort()
+        for (d1, _), (d2, _) in zip(ds, ds[1:]):
+            gaps.setdefault(nname[cust[ck]], []).append((d2 - d1).days)
+    got = {
+        r.n_name: (r.n_gaps, r.sum_gap_days, r.median_gap_days)
+        for r in _q(spark, "order_gap_stats").collect()
+    }
+    for nn, g in gaps.items():
+        g.sort()
+        assert got[nn] == (len(g), sum(g), g[(len(g) + 1) // 2 - 1])
+
+
+def test_max_concurrency_python_sweep(spark):
+    """Peak concurrency equals a Python sweep over [ts, ts+1h) with
+    end-before-start tie ordering."""
+    import datetime
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    pts: dict[str, list] = {}
+    for e in read_table(spark, SF_SMALL, "events").collect():
+        pts.setdefault(e.event_type, []).append((e.ts, 1))
+        pts.setdefault(e.event_type, []).append(
+            (e.ts + datetime.timedelta(hours=1), -1)
+        )
+    got = {
+        r.event_type: (r.max_concurrent, r.n_events)
+        for r in _q(spark, "max_concurrency").collect()
+    }
+    for t, ps in pts.items():
+        ps.sort()
+        cur = mx = 0
+        for _, d in ps:
+            cur += d
+            mx = max(mx, cur)
+        assert got[t] == (mx, len(ps) // 2)
+
+
+def test_kmv_estimate_quality_and_exactness(spark):
+    """kth_min_hash is exactly the 64th smallest distinct hash
+    (Python recompute with the same md5 prefix) and the estimate
+    lands within 50% of the true distinct count (k=64 gives
+    ~1/sqrt(62) ≈ 13% expected relative error)."""
+    import hashlib
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    sup = {
+        s.s_suppkey: s.s_nationkey
+        for s in read_table(spark, SF_SMALL, "supplier").collect()
+    }
+    nname = {
+        n.n_nationkey: n.n_name
+        for n in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    orders: dict[str, set] = {}
+    for li in read_table(spark, SF_SMALL, "lineitem").collect():
+        orders.setdefault(nname[sup[li.l_suppkey]], set()).add(
+            li.l_orderkey
+        )
+    rows = _q(spark, "kmv_distinct_estimate").collect()
+    for r in rows:
+        hs = sorted(
+            {
+                int(
+                    hashlib.md5(str(ok).encode()).hexdigest()[:12], 16
+                )
+                for ok in orders[r.n_name]
+            }
+        )
+        assert r.kth_min_hash == hs[63]
+        true = len(orders[r.n_name])
+        assert abs(r.kmv_estimate - true) / true < 0.5
+
+
+def test_assortativity_python_recompute(spark):
+    """Moments equal a Python recompute over the directed edge list
+    derived with the same above-mean rule."""
+    row = _q(spark, "graph_degree_assortativity").collect()[0]
+    from distributed_mapreduce_p2p_spark import registry
+    from tests.conftest import SF_SMALL
+
+    und = [
+        (r.a, r.b)
+        for r in registry._trade_edges(spark, SF_SMALL).collect()
+    ]
+    edges = und + [(b, a) for a, b in und]
+    deg: dict[int, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    n_e = len(edges)
+    sx = sum(deg[s] for s, _ in edges)
+    sxx = sum(deg[s] ** 2 for s, _ in edges)
+    sxy = sum(deg[s] * deg[d] for s, d in edges)
+    assert (row.n_e, row.sx, row.sxx, row.sxy) == (n_e, sx, sxx, sxy)
+    assert row.slope_num == n_e * sxy - sx * sx
+    assert row.slope_den == n_e * sxx - sx * sx
+    assert row.assortativity_slope == float(row.slope_num) / float(
+        row.slope_den
+    )
