@@ -10949,8 +10949,23 @@ def q_ewma_dyadic(spark, sf_dir):
             .alias("cents")
         )
     )
-    a = s.alias("a")
-    b = s.alias("b")
+    # Banded join: bucket = epoch-day DIV 16; a contributor b lands
+    # in the same or previous bucket of its consumer a, so emitting b
+    # under both bucket keys turns the range condition into an EQUI
+    # join on (nation, bucket) with per-row fan-out <= 2 buckets x 16
+    # days — without this, Spark (no OSS range-join optimization)
+    # sort-merges on nation alone and filters |days|^2 pairs per
+    # nation post-join (measured 10.1 s -> sub-second at sf0.1).
+    bkt = "CAST(datediff(d, DATE '1970-01-01') DIV 16 AS BIGINT)"
+    a = s.withColumn("bkt", F.expr(bkt)).alias("a")
+    b = (
+        s.withColumn(
+            "bkt_probe",
+            F.explode(
+                F.array(F.expr(bkt), F.expr(bkt) + F.lit(1))
+            ),
+        )
+    ).alias("b")
     lag = F.datediff(F.col("a.d"), F.col("b.d"))
     wgt = F.expr(
         "shiftleft(CAST(1 AS BIGINT),"
@@ -10960,6 +10975,7 @@ def q_ewma_dyadic(spark, sf_dir):
         a.join(
             b,
             (F.col("a.n_name") == F.col("b.n_name"))
+            & (F.col("a.bkt") == F.col("b.bkt_probe"))
             & lag.between(0, 15),
         )
         .groupBy(
