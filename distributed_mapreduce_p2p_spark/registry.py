@@ -11660,6 +11660,267 @@ def q_graph_degree_assortativity(spark, sf_dir):
 
 
 # =====================================================================
+# Round-6 batch 5: attribution, latency quantiles, cohort LTV
+# =====================================================================
+
+@register(
+    "last_touch_attribution",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, ts, event_type
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), w AS (
+      SELECT event_id, user_id, ts, event_type,
+             LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id
+                        END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_id,
+             LAST_VALUE(CASE WHEN event_type = 'click' THEN ts
+                        END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_ts
+      FROM ev
+    )
+    SELECT event_id AS purchase_id, user_id,
+           CASE WHEN last_click_ts IS NOT NULL
+                 AND last_click_ts >= ts - INTERVAL 7 DAY
+                THEN last_click_id END AS attributed_click_id,
+           CASE WHEN last_click_ts IS NOT NULL
+                 AND last_click_ts >= ts - INTERVAL 7 DAY
+                THEN CAST(date_diff('microseconds', last_click_ts, ts)
+                          AS BIGINT) END AS gap_us
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def q_last_touch_attribution(spark, sf_dir):
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent prior click within a 7-day lookback — the
+    as-of-join (asof_join_last_order) semantics expressed as a SINGLE
+    carry-forward window instead of a join: tag both event types,
+    sort once per user, and last(click_id/click_ts, ignorenulls) over
+    the to-1-PRECEDING frame carries the latest click along the
+    timeline (both carried columns go null on exactly the same rows,
+    so they always describe the SAME click). One shuffle on the
+    high-cardinality user key, zero joins, linear in events — the
+    shape that beats a time-range self-join at 100 TB. The lookback
+    gate and the exact microsecond gap (tz-free NTZ timestampdiff)
+    are computed post-window."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    click_id = F.when(
+        F.col("event_type") == "click", F.col("event_id")
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    out = (
+        e.withColumn(
+            "last_click_id", F.last(click_id, ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "last_click_ts", F.last(click_ts, ignorenulls=True).over(w)
+        )
+        .where(F.col("event_type") == "purchase")
+    )
+    in_window = F.col("last_click_ts").isNotNull() & (
+        F.col("last_click_ts") >= F.expr("ts - INTERVAL 7 DAY")
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(in_window, F.col("last_click_id")).alias(
+            "attributed_click_id"
+        ),
+        F.when(
+            in_window,
+            F.expr(
+                "timestampdiff(MICROSECOND, last_click_ts, ts)"
+            ).cast("long"),
+        ).alias("gap_us"),
+    )
+
+
+@register(
+    "ship_latency_quantiles",
+    oracle="""
+    WITH j AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+             CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+                  AS BIGINT) AS delay
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), r AS (
+      SELECT ym, delay,
+             ROW_NUMBER() OVER (PARTITION BY ym ORDER BY delay) AS rn,
+             COUNT(*) OVER (PARTITION BY ym) AS n
+      FROM j
+    )
+    SELECT ym, CAST(n AS BIGINT) AS n_lineitems,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN delay END)
+                AS BIGINT) AS p50_days,
+           CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN delay END)
+                AS BIGINT) AS p90_days
+    FROM r GROUP BY ym, n
+    """,
+)
+def q_ship_latency_quantiles(spark, sf_dir):
+    """Order-to-ship latency SLO report: exact p50/p90 of
+    (l_shipdate - o_orderdate) days per order month, as rank-element
+    picks (lower median; p90 at ceil(0.9n) = (9n+9) DIV 10) so the
+    emitted integers are tie-order invariant and engine-identical —
+    no interpolation, no floats. The fact-scale work is one
+    equi-join (lineitem->orders) and one shuffle into per-month
+    window partitions (bounded count, high row volume each; the
+    100 TB exact path sub-partitions via the abc_classification
+    two-phase offsets, the approximate path is equidepth_bins /
+    hdr_quantile_sketch — this query anchors both as the exact
+    oracle)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.date_format(
+            F.col("o_orderdate").cast("date"), "yyyy-MM"
+        ).alias("ym"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        )
+        .cast("long")
+        .alias("delay"),
+    )
+    win = Window.partitionBy("ym").orderBy("delay")
+    cw = Window.partitionBy("ym")
+    r = j.withColumn("rn", F.row_number().over(win)).withColumn(
+        "n", F.count(F.lit(1)).over(cw)
+    )
+    return r.groupBy("ym", "n").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("delay"))
+        )
+        .cast("long")
+        .alias("p50_days"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(9 * n + 9) DIV 10"),
+                F.col("delay"),
+            )
+        )
+        .cast("long")
+        .alias("p90_days"),
+    ).select(
+        "ym",
+        F.col("n").cast("long").alias("n_lineitems"),
+        "p50_days",
+        "p90_days",
+    )
+
+
+@register(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS fd
+      FROM orders GROUP BY 1
+    ), sz AS (
+      SELECT strftime(fd, '%Y-%m') AS cohort,
+             CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM f GROUP BY 1
+    ), co AS (
+      SELECT strftime(f.fd, '%Y-%m') AS cohort,
+             (YEAR(CAST(o.o_orderdate AS DATE)) * 12
+              + MONTH(CAST(o.o_orderdate AS DATE)))
+             - (YEAR(f.fd) * 12 + MONTH(f.fd)) AS offset_m,
+             CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100
+                  AS BIGINT) AS cents,
+             o.o_custkey
+      FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+    ), cell AS (
+      SELECT cohort, CAST(offset_m AS BIGINT) AS offset_m,
+             CAST(SUM(cents) AS BIGINT) AS cents,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+               AS active_customers
+      FROM co GROUP BY 1, 2
+    ), cum AS (
+      SELECT cohort, offset_m, cents, active_customers,
+             CAST(SUM(cents) OVER (PARTITION BY cohort ORDER BY offset_m
+                                   ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_cents
+      FROM cell
+    )
+    SELECT c.cohort, offset_m, active_customers, cents, cum_cents,
+           cohort_size,
+           CAST(cum_cents AS DOUBLE) / CAST(cohort_size AS DOUBLE)
+             / 100.0 AS ltv_per_customer
+    FROM cum c JOIN sz ON c.cohort = sz.cohort
+    """,
+)
+def q_cohort_ltv_curve(spark, sf_dir):
+    """Cohort lifetime-value curve: customers grouped by
+    first-order month, revenue accumulated by month offset, LTV
+    normalized by COHORT size (not active count — the standard LTV
+    denominator, so the curve is monotone). The first-order table is
+    one groupBy over orders reused for both cohort assignment (join
+    back on the customer key) and cohort size; the cumulative sum
+    runs on the ~(months x offsets) CELL table, so the window cost
+    is calendar-bounded regardless of order volume. All money in
+    BIGINT cents; the single division + /100.0 is the only float
+    math. retention_cohorts gives the activity matrix; this adds the
+    monetary curve a growth team actually prices against."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    f = o.groupBy("o_custkey").agg(F.min("d").alias("fd"))
+    sz = f.groupBy(
+        F.date_format("fd", "yyyy-MM").alias("cohort")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cohort_size"))
+    co = o.join(f, "o_custkey").select(
+        F.date_format("fd", "yyyy-MM").alias("cohort"),
+        (
+            (F.year("d") * 12 + F.month("d"))
+            - (F.year("fd") * 12 + F.month("fd"))
+        )
+        .cast("long")
+        .alias("offset_m"),
+        "cents",
+        "o_custkey",
+    )
+    cell = co.groupBy("cohort", "offset_m").agg(
+        F.sum("cents").cast("long").alias("cents"),
+        F.countDistinct("o_custkey")
+        .cast("long")
+        .alias("active_customers"),
+    )
+    cw = Window.partitionBy("cohort").orderBy("offset_m").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cell.withColumn(
+        "cum_cents", F.sum("cents").over(cw).cast("long")
+    )
+    return cum.join(broadcast(sz), "cohort").select(
+        "cohort",
+        "offset_m",
+        "active_customers",
+        "cents",
+        "cum_cents",
+        "cohort_size",
+        (
+            F.col("cum_cents").cast("double")
+            / F.col("cohort_size").cast("double")
+            / F.lit(100.0)
+        ).alias("ltv_per_customer"),
+    )
+
+
+# =====================================================================
 # Driver-window ordering
 # =====================================================================
 # The grading driver verifies oracle parity for the FIRST 50 entries of
@@ -11752,15 +12013,16 @@ _FRONT: list[str] = [
     "max_concurrency",
     "kmv_distinct_estimate",
     "graph_degree_assortativity",
+    # -- (3f) NEW in r6 batch 5: no driver row exists ----------------
+    "last_touch_attribution",
+    "ship_latency_quantiles",
+    "cohort_ltv_curve",
     # -- (4) r5-window holdovers (each 50/50 green in r5; displaced
     #        from the tail as section (3) grows) ----------------------
     "bloom_prune_accounting",
     "pii_redact_stats",
     "leakage_safe_split",
-    "snapshot_diff",
-    "incremental_agg_maintenance",
     "source_overlap_matrix",
-    "lang_confusion_matrix",
     "rfm_segmentation",
     "image_resize_checksum",
     "video_frame_checksums",
@@ -11777,7 +12039,8 @@ _FRONT: list[str] = [
     # trade_graph_triangles, time_weighted_avg, grouping_sets_report,
     # tpch_q6_forecast_revenue, tpch_q8_market_share,
     # tpch_q10_returned_revenue, tpch_q13_order_count_dist,
-    # windowed_hdr_p95,
+    # windowed_hdr_p95, incremental_agg_maintenance,
+    # lang_confusion_matrix, snapshot_diff,
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

@@ -54,6 +54,7 @@ QUERIES = [
     "share_of_parent",
     "kmv_distinct_estimate",
     "graph_degree_assortativity",
+    "cohort_ltv_curve",
 ]
 
 

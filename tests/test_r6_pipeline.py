@@ -1014,3 +1014,126 @@ def test_assortativity_python_recompute(spark):
     assert row.assortativity_slope == float(row.slope_num) / float(
         row.slope_den
     )
+
+
+# ---------------------------------------------- r6 batch 5
+
+
+def test_last_touch_python_recompute(spark):
+    """Attribution equals a Python timeline replay per user: latest
+    prior click, 7-day lookback, exact microsecond gap."""
+    import datetime
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    ev: dict[int, list] = {}
+    for e in read_table(spark, SF_SMALL, "events").collect():
+        if e.event_type in ("click", "purchase"):
+            ev.setdefault(e.user_id, []).append(
+                (e.ts, e.event_id, e.event_type)
+            )
+    want = {}
+    for uid, es in ev.items():
+        es.sort()
+        last_click = None
+        for ts, eid, et in es:
+            if et == "purchase":
+                if last_click and last_click[0] >= ts - datetime.timedelta(
+                    days=7
+                ):
+                    gap = int(
+                        (ts - last_click[0]) / datetime.timedelta(
+                            microseconds=1
+                        )
+                    )
+                    want[eid] = (uid, last_click[1], gap)
+                else:
+                    want[eid] = (uid, None, None)
+            else:
+                last_click = (ts, eid)
+    got = {
+        r.purchase_id: (r.user_id, r.attributed_click_id, r.gap_us)
+        for r in _q(spark, "last_touch_attribution").collect()
+    }
+    assert got == want
+    # the fixture must exercise BOTH branches or the test is vacuous
+    assert any(v[1] is not None for v in got.values())
+    assert any(v[1] is None for v in got.values())
+
+
+def test_ship_latency_python_recompute(spark):
+    """p50/p90 equal rank-element picks over Python-sorted delays."""
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    od = {
+        o.o_orderkey: o.o_orderdate.date()
+        for o in read_table(spark, SF_SMALL, "orders").collect()
+    }
+    by_m: dict[str, list] = {}
+    for li in read_table(spark, SF_SMALL, "lineitem").collect():
+        d = od[li.l_orderkey]
+        by_m.setdefault(d.strftime("%Y-%m"), []).append(
+            (li.l_shipdate.date() - d).days
+        )
+    got = {
+        r.ym: (r.n_lineitems, r.p50_days, r.p90_days)
+        for r in _q(spark, "ship_latency_quantiles").collect()
+    }
+    for ym, ds in by_m.items():
+        ds.sort()
+        n = len(ds)
+        assert got[ym] == (
+            n,
+            ds[(n + 1) // 2 - 1],
+            ds[(9 * n + 9) // 10 - 1],
+        )
+
+
+def test_cohort_ltv_python_recompute(spark):
+    """Cohort cells, cumulative cents, and the cohort-size-normalized
+    LTV equal a Python replay; the LTV curve is monotone per cohort."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    orders = read_table(spark, SF_SMALL, "orders").collect()
+    first: dict[int, object] = {}
+    for o in orders:
+        d = o.o_orderdate.date()
+        if o.o_custkey not in first or d < first[o.o_custkey]:
+            first[o.o_custkey] = d
+    size = defaultdict(int)
+    for fd in first.values():
+        size[fd.strftime("%Y-%m")] += 1
+    cells = defaultdict(lambda: [0, set()])
+    for o in orders:
+        fd = first[o.o_custkey]
+        d = o.o_orderdate.date()
+        off = (d.year * 12 + d.month) - (fd.year * 12 + fd.month)
+        c = int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01")) * 100
+        )
+        cell = cells[(fd.strftime("%Y-%m"), off)]
+        cell[0] += c
+        cell[1].add(o.o_custkey)
+    rows = _q(spark, "cohort_ltv_curve").collect()
+    assert len(rows) == len(cells)
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r.cohort].append(r)
+        cents, active = cells[(r.cohort, r.offset_m)]
+        assert (r.cents, r.active_customers) == (cents, len(active))
+        assert r.cohort_size == size[r.cohort]
+    for rs in by_cohort.values():
+        rs.sort(key=lambda r: r.offset_m)
+        cum = 0
+        prev_ltv = 0.0
+        for r in rs:
+            cum += r.cents
+            assert r.cum_cents == cum
+            assert r.ltv_per_customer >= prev_ltv
+            prev_ltv = r.ltv_per_customer
