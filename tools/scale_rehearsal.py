@@ -86,6 +86,16 @@ QUERIES = [
     "interval_merge_islands",
     "time_weighted_avg",
     "tokenizer_apply_bpe",
+    # r6: the new heavy/novel shapes — banded EWMA self-join,
+    # calendar-bounded pairwise Theil-Sen, two-phase cumulative ABC,
+    # sweep-line concurrency, KMV bottom-k, carry-forward attribution
+    "ewma_dyadic",
+    "theil_sen_slope",
+    "abc_classification",
+    "max_concurrency",
+    "kmv_distinct_estimate",
+    "last_touch_attribution",
+    "ship_latency_quantiles",
 ]
 
 
