@@ -11921,6 +11921,376 @@ def q_cohort_ltv_curve(spark, sf_dir):
 
 
 # =====================================================================
+# Round-6 batch 6: forensic / nonparametric statistics + ML encoding
+# =====================================================================
+
+@register(
+    "benford_first_digit",
+    oracle="""
+    WITH c AS (
+      SELECT n_name,
+             CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                                   * 100 AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    ), cnt AS (
+      SELECT n_name, digit, CAST(COUNT(*) AS BIGINT) AS n
+      FROM c GROUP BY 1, 2
+    ), tot AS (
+      SELECT n_name, CAST(SUM(n) AS BIGINT) AS total FROM cnt GROUP BY 1
+    ), exp AS (
+      SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+                            (4, 96910), (5, 79181), (6, 66947),
+                            (7, 57992), (8, 51153), (9, 45757))
+               t(digit, expected_ppm)
+    )
+    SELECT cnt.n_name, cnt.digit, n, total,
+           CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+           CAST(expected_ppm AS BIGINT) AS expected_ppm,
+           CAST(n * 1000000 // total - expected_ppm AS BIGINT)
+             AS deviation_ppm
+    FROM cnt JOIN tot ON cnt.n_name = tot.n_name
+             JOIN exp ON cnt.digit = exp.digit
+    """,
+)
+def q_benford_first_digit(spark, sf_dir):
+    """Benford's-law first-digit audit of order totals per nation —
+    the classic forensic-accounting screen for fabricated amounts.
+    The leading significant digit is extracted ARITHMETICALLY from
+    the exact BIGINT cents via the canonical decimal string (both
+    engines render positive BIGINTs identically; cents vs dollars
+    shifts the magnitude, never the leading digit), so no float
+    formatting is involved. Shares are trunc-ppm integer division
+    per the portability rule; the Benford expectations log10(1+1/d)
+    enter as FIXED integer ppm literals (the only way log gets into
+    a no-libm repo). One fact-scale count shuffle; the digit/total/
+    expectation joins all run on the ≤|nations|x9 cell table."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cnt = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.expr(
+                "CAST(substr(CAST(CAST(CAST(o_totalprice AS"
+                " DECIMAL(14,2)) * 100 AS BIGINT) AS STRING), 1, 1)"
+                " AS BIGINT)"
+            ).alias("digit"),
+        )
+        .groupBy("n_name", "digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = cnt.groupBy("n_name").agg(
+        F.sum("n").cast("long").alias("total")
+    )
+    exp = spark.createDataFrame(
+        [(1, 301030), (2, 176091), (3, 124939), (4, 96910),
+         (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757)],
+        "digit INT, expected_ppm INT",
+    ).select(
+        F.col("digit").cast("long").alias("e_digit"),
+        F.col("expected_ppm").cast("long").alias("expected_ppm"),
+    )
+    return (
+        cnt.join(tot, "n_name")
+        .join(broadcast(exp), cnt.digit == exp.e_digit)
+        .select(
+            "n_name",
+            "digit",
+            "n",
+            "total",
+            F.expr("(n * 1000000) DIV total").cast("long").alias(
+                "share_ppm"
+            ),
+            "expected_ppm",
+            F.expr("(n * 1000000) DIV total - expected_ppm")
+            .cast("long")
+            .alias("deviation_ppm"),
+        )
+    )
+
+
+@register(
+    "mann_whitney_u",
+    oracle="""
+    WITH s AS (
+      SELECT n_name,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS v,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS g1,
+             CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END
+               AS g2
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), cell AS (
+      SELECT n_name, v, CAST(SUM(g1) AS BIGINT) AS c1,
+             CAST(SUM(g2) AS BIGINT) AS c2,
+             CAST(COUNT(*) AS BIGINT) AS ct
+      FROM s GROUP BY 1, 2
+    ), w AS (
+      SELECT n_name, v, c1, c2, ct,
+             CAST(SUM(ct) OVER (PARTITION BY n_name ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) - ct
+                  AS BIGINT) AS lt
+      FROM cell
+    ), agg AS (
+      SELECT n_name,
+             CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c2) AS BIGINT) AS n2,
+             CAST(SUM(c1 * (2 * lt + ct + 1)) AS BIGINT) AS two_r1
+      FROM w GROUP BY 1
+    )
+    SELECT n_name, n1, n2,
+           two_r1 - n1 * (n1 + 1) AS two_u1,
+           2 * n1 * n2 - (two_r1 - n1 * (n1 + 1)) AS two_u2,
+           CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE)
+             / CAST(2 * n1 * n2 AS DOUBLE) AS u1_share
+    FROM agg
+    """,
+)
+def q_mann_whitney_u(spark, sf_dir):
+    """Mann–Whitney U rank-sum test (URGENT vs LOW order values per
+    nation) with EXACT tie handling and zero floats in the core:
+    midrank sums are kept doubled (2R1 = Σ c1·(2·lt + ct + 1) over
+    per-VALUE cells, where lt = combined count below the cell and ct
+    the tie count), so the .5 average ranks never materialize —
+    two_u1/two_u2 are exact BIGINTs with two_u1 + two_u2 = 2·n1·n2
+    as the built-in invariant, and u1_share (the common-language
+    effect size / AUC) is the single division. The rank machinery
+    runs on distinct-VALUE cells per nation (post-agg cardinality),
+    never on raw rows — the same aggregate-first discipline as
+    theil_sen_slope. Nonparametric A/B comparison at 100 TB."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    s = (
+        o.where(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100"
+                " AS BIGINT)"
+            ).alias("v"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("g1"),
+            F.when(F.col("o_orderpriority") == "5-LOW", 1)
+            .otherwise(0)
+            .alias("g2"),
+        )
+    )
+    cell = s.groupBy("n_name", "v").agg(
+        F.sum("g1").cast("long").alias("c1"),
+        F.sum("g2").cast("long").alias("c2"),
+        F.count(F.lit(1)).cast("long").alias("ct"),
+    )
+    cw = Window.partitionBy("n_name").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w = cell.withColumn(
+        "lt", (F.sum("ct").over(cw) - F.col("ct")).cast("long")
+    )
+    agg = w.groupBy("n_name").agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(
+            F.col("c1") * (2 * F.col("lt") + F.col("ct") + 1)
+        )
+        .cast("long")
+        .alias("two_r1"),
+    )
+    two_u1 = F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)
+    return agg.select(
+        "n_name",
+        "n1",
+        "n2",
+        two_u1.alias("two_u1"),
+        (2 * F.col("n1") * F.col("n2") - two_u1).alias("two_u2"),
+        (
+            two_u1.cast("double")
+            / (2 * F.col("n1") * F.col("n2")).cast("double")
+        ).alias("u1_share"),
+    )
+
+
+@register(
+    "runs_test_randomness",
+    oracle="""
+    WITH d AS (
+      SELECT n_name, CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), med AS (
+      SELECT n_name, cents AS median_cents FROM (
+        SELECT n_name, cents,
+               ROW_NUMBER() OVER (PARTITION BY n_name
+                                  ORDER BY cents) AS rn,
+               COUNT(*) OVER (PARTITION BY n_name) AS n
+        FROM d
+      ) WHERE rn = (n + 1) // 2
+    ), sgn AS (
+      SELECT d.n_name, day,
+             CASE WHEN cents > median_cents THEN 1 ELSE 0 END AS s
+      FROM d JOIN med ON d.n_name = med.n_name
+    ), runs AS (
+      SELECT n_name, s,
+             CASE WHEN LAG(s) OVER (PARTITION BY n_name ORDER BY day)
+                    IS NULL
+                    OR LAG(s) OVER (PARTITION BY n_name ORDER BY day)
+                       <> s
+                  THEN 1 ELSE 0 END AS brk
+      FROM sgn
+    )
+    SELECT n_name,
+           CAST(SUM(brk) AS BIGINT) AS n_runs,
+           CAST(SUM(s) AS BIGINT) AS n_above,
+           CAST(COUNT(*) - SUM(s) AS BIGINT) AS n_below,
+           1.0 + CAST(2 * SUM(s) * (COUNT(*) - SUM(s)) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS expected_runs
+    FROM runs GROUP BY n_name
+    """,
+)
+def q_runs_test_randomness(spark, sf_dir):
+    """Wald–Wolfowitz runs test on each nation's daily-revenue
+    series: days are signed above/below the nation's lower-median
+    day (ties below — deterministic), a lag window counts sign-run
+    breaks, and the observed run count is reported against the
+    expected 1 + 2·n1·n2/n under randomness (the single division).
+    Too few runs = trend/autocorrelation, too many = oscillation.
+    Everything upstream of the one division is BIGINT-exact: median
+    by rank-element pick, counts, and the cross-multiplied expected
+    numerator. Series length is calendar-bounded, so the per-nation
+    windows never grow with order volume — the CUSUM/changepoint
+    family's randomness-check companion."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    d = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    win = Window.partitionBy("n_name").orderBy("cents")
+    cw = Window.partitionBy("n_name")
+    med = (
+        d.withColumn("rn", F.row_number().over(win))
+        .withColumn("nn", F.count(F.lit(1)).over(cw))
+        .where(F.col("rn") == F.expr("(nn + 1) DIV 2"))
+        .select("n_name", F.col("cents").alias("median_cents"))
+    )
+    sgn = d.join(med, "n_name").select(
+        "n_name",
+        "day",
+        F.when(F.col("cents") > F.col("median_cents"), 1)
+        .otherwise(0)
+        .alias("s"),
+    )
+    lw = Window.partitionBy("n_name").orderBy("day")
+    runs = sgn.withColumn(
+        "brk",
+        F.when(
+            F.lag("s").over(lw).isNull()
+            | (F.lag("s").over(lw) != F.col("s")),
+            1,
+        ).otherwise(0),
+    )
+    return runs.groupBy("n_name").agg(
+        F.sum("brk").cast("long").alias("n_runs"),
+        F.sum("s").cast("long").alias("n_above"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("long").alias("n_below"),
+        (
+            F.lit(1.0)
+            + (
+                2 * F.sum("s") * (F.count(F.lit(1)) - F.sum("s"))
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("expected_runs"),
+    )
+
+
+@register(
+    "target_encoding",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS gs,
+             CAST(COUNT(*) AS BIGINT) AS gn
+      FROM orders
+    ), c AS (
+      SELECT o_orderpriority,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, n, s, gs, gn,
+           CAST(s * gn + 10 * gs AS DOUBLE)
+             / CAST((n + 10) * gn AS DOUBLE) / 100.0 AS smoothed_mean
+    FROM c CROSS JOIN g
+    """,
+)
+def q_target_encoding(spark, sf_dir):
+    """Smoothed target encoding (the standard m-estimate categorical
+    encoder, m=10): enc(cat) = (sum + m·global_mean) / (n + m),
+    algebraically lifted to ONE division of two exact BIGINTs over
+    the common denominator gn — (s·gn + m·gs) / ((n+m)·gn) — so the
+    global mean is never materialized as an intermediate float. Two
+    aggregates over one fact pass (category cells + 1-row global)
+    and a broadcast scalar attach; the encoder table is
+    |categories| rows at any scale. The s·gn product fits int64
+    through sf0.1 with 100x headroom; at sf>=1 lift the products to
+    DECIMAL(38,0) (same expression, wider type). Leakage note: this
+    is the FULL-data encoder; the leakage-safe variant composes with
+    train_val_split / leakage_safe_split upstream."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)"
+    )
+    g = o.agg(
+        F.sum(cents).cast("long").alias("gs"),
+        F.count(F.lit(1)).cast("long").alias("gn"),
+    )
+    c = o.groupBy("o_orderpriority").agg(
+        F.sum(cents).cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return c.crossJoin(broadcast(g)).select(
+        "o_orderpriority",
+        "n",
+        "s",
+        "gs",
+        "gn",
+        (
+            (F.col("s") * F.col("gn") + 10 * F.col("gs")).cast(
+                "double"
+            )
+            / ((F.col("n") + 10) * F.col("gn")).cast("double")
+            / F.lit(100.0)
+        ).alias("smoothed_mean"),
+    )
+
+
+# =====================================================================
 # Driver-window ordering
 # =====================================================================
 # The grading driver verifies oracle parity for the FIRST 50 entries of
@@ -12017,13 +12387,14 @@ _FRONT: list[str] = [
     "last_touch_attribution",
     "ship_latency_quantiles",
     "cohort_ltv_curve",
+    # -- (3g) NEW in r6 batch 6: no driver row exists ----------------
+    "benford_first_digit",
+    "mann_whitney_u",
+    "runs_test_randomness",
+    "target_encoding",
     # -- (4) r5-window holdovers (each 50/50 green in r5; displaced
     #        from the tail as section (3) grows) ----------------------
-    "bloom_prune_accounting",
     "pii_redact_stats",
-    "leakage_safe_split",
-    "source_overlap_matrix",
-    "rfm_segmentation",
     "image_resize_checksum",
     "video_frame_checksums",
     "containment_decontaminate",
@@ -12040,7 +12411,8 @@ _FRONT: list[str] = [
     # tpch_q6_forecast_revenue, tpch_q8_market_share,
     # tpch_q10_returned_revenue, tpch_q13_order_count_dist,
     # windowed_hdr_p95, incremental_agg_maintenance,
-    # lang_confusion_matrix, snapshot_diff,
+    # lang_confusion_matrix, snapshot_diff, bloom_prune_accounting,
+    # leakage_safe_split, source_overlap_matrix, rfm_segmentation,
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

@@ -55,6 +55,9 @@ QUERIES = [
     "kmv_distinct_estimate",
     "graph_degree_assortativity",
     "cohort_ltv_curve",
+    "mann_whitney_u",
+    "runs_test_randomness",
+    "target_encoding",
 ]
 
 

@@ -1137,3 +1137,174 @@ def test_cohort_ltv_python_recompute(spark):
             assert r.cum_cents == cum
             assert r.ltv_per_customer >= prev_ltv
             prev_ltv = r.ltv_per_customer
+
+
+# ---------------------------------------------- r6 batch 6
+
+
+def test_benford_python_recompute(spark):
+    """Digit counts and trunc-ppm shares equal a Python recompute;
+    per-nation digit counts tile the total."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    cust = {
+        c.c_custkey: c.c_nationkey
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    nname = {
+        n.n_nationkey: n.n_name
+        for n in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    cnt = defaultdict(int)
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        cents = int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01")) * 100
+        )
+        cnt[(nname[cust[o.o_custkey]], int(str(cents)[0]))] += 1
+    rows = _q(spark, "benford_first_digit").collect()
+    got = {(r.n_name, r.digit): r for r in rows}
+    assert set(got) == set(cnt)
+    for k, c in cnt.items():
+        r = got[k]
+        assert r.n == c
+        assert r.share_ppm == c * 1000000 // r.total
+        assert r.deviation_ppm == r.share_ppm - r.expected_ppm
+    for nn in {k[0] for k in cnt}:
+        assert sum(r.n for r in rows if r.n_name == nn) == next(
+            r.total for r in rows if r.n_name == nn
+        )
+
+
+def test_mann_whitney_python_recompute(spark):
+    """two_u1 equals scipy-free midrank arithmetic done in Python on
+    exact cents, and the U1+U2 identity holds."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    cust = {
+        c.c_custkey: c.c_nationkey
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    nname = {
+        n.n_nationkey: n.n_name
+        for n in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    vals = defaultdict(list)
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        if o.o_orderpriority in ("1-URGENT", "5-LOW"):
+            cents = int(
+                Decimal(str(o.o_totalprice)).quantize(Decimal("0.01"))
+                * 100
+            )
+            vals[nname[cust[o.o_custkey]]].append(
+                (cents, o.o_orderpriority == "1-URGENT")
+            )
+    got = {
+        r.n_name: r for r in _q(spark, "mann_whitney_u").collect()
+    }
+    for nn, vs in vals.items():
+        vs.sort()
+        # doubled midranks: 2*rank_avg(v) = 2*lt + ct + 1
+        from collections import Counter
+
+        ctr = Counter(v for v, _ in vs)
+        lt = {}
+        run = 0
+        for v in sorted(ctr):
+            lt[v] = run
+            run += ctr[v]
+        two_r1 = sum(
+            2 * lt[v] + ctr[v] + 1 for v, is1 in vs if is1
+        )
+        n1 = sum(1 for _, is1 in vs if is1)
+        n2 = len(vs) - n1
+        r = got[nn]
+        assert (r.n1, r.n2) == (n1, n2)
+        assert r.two_u1 == two_r1 - n1 * (n1 + 1)
+        assert r.two_u1 + r.two_u2 == 2 * n1 * n2
+        assert r.u1_share == float(r.two_u1) / float(2 * n1 * n2)
+
+
+def test_runs_test_python_recompute(spark):
+    """Run counts equal a Python replay of the sign sequence around
+    the lower-median day."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    cust = {
+        c.c_custkey: c.c_nationkey
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    nname = {
+        n.n_nationkey: n.n_name
+        for n in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    series = defaultdict(dict)
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        d = o.o_orderdate.date()
+        c = int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01")) * 100
+        )
+        m = series[nname[cust[o.o_custkey]]]
+        m[d] = m.get(d, 0) + c
+    got = {
+        r.n_name: r
+        for r in _q(spark, "runs_test_randomness").collect()
+    }
+    for nn, m in series.items():
+        cs = sorted(m.values())
+        med = cs[(len(cs) + 1) // 2 - 1]
+        signs = [1 if m[d] > med else 0 for d in sorted(m)]
+        runs = 1 + sum(
+            1 for a, b in zip(signs, signs[1:]) if a != b
+        )
+        n1 = sum(signs)
+        n0 = len(signs) - n1
+        r = got[nn]
+        assert (r.n_runs, r.n_above, r.n_below) == (runs, n1, n0)
+        assert r.expected_runs == 1.0 + float(2 * n1 * n0) / float(
+            len(signs)
+        )
+
+
+def test_target_encoding_python_recompute(spark):
+    """Smoothed means equal the m-estimate formula on exact cents,
+    and shrinkage is toward the global mean (encoder between the
+    category mean and the global mean)."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    cells = defaultdict(lambda: [0, 0])
+    gs = gn = 0
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        c = int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01")) * 100
+        )
+        cell = cells[o.o_orderpriority]
+        cell[0] += c
+        cell[1] += 1
+        gs += c
+        gn += 1
+    rows = _q(spark, "target_encoding").collect()
+    assert len(rows) == len(cells)
+    for r in rows:
+        s, n = cells[r.o_orderpriority]
+        assert (r.s, r.n, r.gs, r.gn) == (s, n, gs, gn)
+        assert r.smoothed_mean == float(s * gn + 10 * gs) / float(
+            (n + 10) * gn
+        ) / 100.0
+        lo, hi = sorted([s / n, gs / gn])
+        assert lo / 100.0 - 1e-9 <= r.smoothed_mean <= hi / 100.0 + 1e-9
