@@ -12291,6 +12291,271 @@ def q_target_encoding(spark, sf_dir):
 
 
 # =====================================================================
+# Round-6 batch 7: seasonality, elasticity, dedup survivorship
+# =====================================================================
+
+@register(
+    "weekday_seasonality",
+    oracle="""
+    WITH d AS (
+      SELECT n_name,
+             CAST((CAST(o_orderdate AS DATE) - DATE '1995-01-01') % 7
+                  AS BIGINT) AS dow,
+             CAST(o_orderdate AS DATE) AS day,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    ), cell AS (
+      SELECT n_name, dow,
+             CAST(SUM(cents) AS BIGINT) AS dow_cents,
+             CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+      FROM d GROUP BY 1, 2
+    ), tot AS (
+      SELECT n_name, CAST(SUM(dow_cents) AS BIGINT) AS total_cents,
+             CAST(SUM(n_days) AS BIGINT) AS total_days
+      FROM cell GROUP BY 1
+    )
+    SELECT cell.n_name, dow, dow_cents, n_days, total_cents,
+           total_days,
+           (CAST(dow_cents AS DOUBLE) / CAST(total_cents AS DOUBLE))
+             * (CAST(total_days AS DOUBLE) / CAST(n_days AS DOUBLE))
+             AS seasonality_index
+    FROM cell JOIN tot ON cell.n_name = tot.n_name
+    """,
+)
+def q_weekday_seasonality(spark, sf_dir):
+    """Day-of-week seasonality index per nation (mean revenue of
+    each weekday relative to the nation's all-days mean). The
+    weekday is computed ARITHMETICALLY — (days since 1995-01-01
+    Sunday) % 7 — because dayofweek() conventions differ across
+    engines (Spark 1=Sunday, DuckDB 0=Sunday); integer date
+    arithmetic sidesteps the convention entirely. The index is two
+    exact-BIGINT ratios multiplied in fixed order (dow_share x
+    inverse day_share) so the >1e21 four-way integer product that
+    would overflow int64 never forms. One fact shuffle to the
+    (nation, dow) cells; everything after runs on ≤|nations|x7
+    rows."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    d = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.expr(
+                "CAST(datediff(CAST(o_orderdate AS DATE),"
+                " DATE '1995-01-01') % 7 AS BIGINT)"
+            ).alias("dow"),
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100"
+                " AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    cell = d.groupBy("n_name", "dow").agg(
+        F.sum("cents").cast("long").alias("dow_cents"),
+        F.countDistinct("day").cast("long").alias("n_days"),
+    )
+    tot = cell.groupBy("n_name").agg(
+        F.sum("dow_cents").cast("long").alias("total_cents"),
+        F.sum("n_days").cast("long").alias("total_days"),
+    )
+    return cell.join(tot, "n_name").select(
+        "n_name",
+        "dow",
+        "dow_cents",
+        "n_days",
+        "total_cents",
+        "total_days",
+        (
+            (
+                F.col("dow_cents").cast("double")
+                / F.col("total_cents").cast("double")
+            )
+            * (
+                F.col("total_days").cast("double")
+                / F.col("n_days").cast("double")
+            )
+        ).alias("seasonality_index"),
+    )
+
+
+@register(
+    "discount_quantity_elasticity",
+    oracle="""
+    WITH s AS (
+      SELECT p_brand,
+             CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)
+               AS x,
+             CAST(l_quantity AS BIGINT) AS y
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), a AS (
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM s GROUP BY 1
+    )
+    SELECT p_brand, n, sx, sy, sxx, sxy,
+           n * sxy - sx * sy AS slope_num,
+           n * sxx - sx * sx AS slope_den,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE)
+               AS slope_qty_per_discount_pct
+    FROM a
+    """,
+)
+def q_discount_quantity_elasticity(spark, sf_dir):
+    """Demand-response screen: per brand, the OLS slope of order
+    quantity on discount percentage — the pricing team's first
+    elasticity read. The corr_slope integer-moment pattern applied
+    to a JOINED fact (lineitem x part): discounts quantized to
+    exact integer percent (DECIMAL(4,2) x 100), all five moments
+    accumulated in BIGINT map-side, slope_num/slope_den emitted
+    exactly and divided once. One fact join + one partial-agg
+    shuffle to |brands| rows; moment magnitudes stay < 2^45 even at
+    sf1000."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_discount", "l_quantity"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    s = li.join(p, li.l_partkey == p.p_partkey).select(
+        "p_brand",
+        F.expr(
+            "CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)"
+        ).alias("x"),
+        F.col("l_quantity").cast("long").alias("y"),
+    )
+    a = s.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return a.select(
+        "p_brand",
+        "n",
+        "sx",
+        "sy",
+        "sxx",
+        "sxy",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        (num.cast("double") / den.cast("double")).alias(
+            "slope_qty_per_discount_pct"
+        ),
+    )
+
+
+@register(
+    "cluster_best_doc",
+    oracle="WITH RECURSIVE " + _SH_CTE + """,
+    based AS (SELECT doc_id,
+                      ('0x' || substr(md5(sh), 1, 10))::BIGINT AS base
+               FROM sh),
+    seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+    sigs AS (
+      SELECT doc_id, seed,
+             MIN(((976369 + 2 * seed) * base + (13 + 97 * seed))
+                 % 1099511627776) AS minhash
+      FROM based CROSS JOIN seeds
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, seed // 4 AS band,
+             string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_key
+      FROM sigs GROUP BY doc_id, seed // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM cand
+      JOIN sigs sa ON sa.doc_id = doc_a
+      JOIN sigs sb ON sb.doc_id = doc_b AND sb.seed = sa.seed
+      GROUP BY doc_a, doc_b
+      HAVING CAST(SUM(CASE WHEN sa.minhash = sb.minhash
+                           THEN 1 ELSE 0 END)
+                  AS DOUBLE) / 16 >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src
+    ),
+    clus AS (
+      SELECT node AS doc_id, MIN(label) AS cluster_id
+      FROM reach GROUP BY node
+    ),
+    ranked AS (
+      SELECT c.cluster_id, d.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, d.doc_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_docs,
+             SUM(d.n_chars) OVER (PARTITION BY c.cluster_id)
+               AS total_chars
+      FROM clus c JOIN documents d ON c.doc_id = d.doc_id
+    )
+    SELECT cluster_id, doc_id AS survivor_doc_id,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_chars AS BIGINT) AS total_chars,
+           CAST(n_chars AS BIGINT) AS survivor_chars
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_cluster_best_doc(spark, sf_dir):
+    """Dedup SURVIVORSHIP — the step after clustering that actually
+    edits the corpus: per near-dup cluster (the memoized
+    MinHash-LSH + connected-components table shared with
+    dedup_clusters / leakage_safe_split / curation_pipeline), keep
+    the best document by (n_chars DESC, doc_id) — the
+    longest-representative rule RefinedWeb/Dolma-style pipelines
+    apply, with a total tie-break so the survivor is deterministic.
+    One broadcast-scale join of the cluster table onto documents
+    metadata and one argmax window partitioned by cluster id
+    (cluster cardinality-bounded). Emits the audit columns a
+    curation report needs: cluster size, total chars held, survivor
+    chars — (total - survivor) is exactly the dedup savings."""
+    clus = _dedup_cluster_table(spark, sf_dir, 0.5)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = clus.join(d, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    cw = Window.partitionBy("cluster_id")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_docs", F.count(F.lit(1)).over(cw))
+        .withColumn("total_chars", F.sum("n_chars").over(cw))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_doc_id"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_chars").cast("long").alias("total_chars"),
+            F.col("n_chars").cast("long").alias("survivor_chars"),
+        )
+    )
+
+
+# =====================================================================
 # Driver-window ordering
 # =====================================================================
 # The grading driver verifies oracle parity for the FIRST 50 entries of
@@ -12392,12 +12657,13 @@ _FRONT: list[str] = [
     "mann_whitney_u",
     "runs_test_randomness",
     "target_encoding",
+    # -- (3h) NEW in r6 batch 7: no driver row exists ----------------
+    "weekday_seasonality",
+    "discount_quantity_elasticity",
+    "cluster_best_doc",
     # -- (4) r5-window holdovers (each 50/50 green in r5; displaced
     #        from the tail as section (3) grows) ----------------------
-    "pii_redact_stats",
     "image_resize_checksum",
-    "video_frame_checksums",
-    "containment_decontaminate",
     "streaming_hdr_p95",
     "stream_stream_full_outer",
     # Displaced to make room for the 9 section-(1)/(2) entries, the
@@ -12413,6 +12679,8 @@ _FRONT: list[str] = [
     # windowed_hdr_p95, incremental_agg_maintenance,
     # lang_confusion_matrix, snapshot_diff, bloom_prune_accounting,
     # leakage_safe_split, source_overlap_matrix, rfm_segmentation,
+    # pii_redact_stats, video_frame_checksums,
+    # containment_decontaminate,
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

@@ -58,6 +58,8 @@ QUERIES = [
     "mann_whitney_u",
     "runs_test_randomness",
     "target_encoding",
+    "weekday_seasonality",
+    "discount_quantity_elasticity",
 ]
 
 

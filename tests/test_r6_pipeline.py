@@ -1308,3 +1308,130 @@ def test_target_encoding_python_recompute(spark):
         ) / 100.0
         lo, hi = sorted([s / n, gs / gn])
         assert lo / 100.0 - 1e-9 <= r.smoothed_mean <= hi / 100.0 + 1e-9
+
+
+# ---------------------------------------------- r6 batch 7
+
+
+def test_weekday_seasonality_python_recompute(spark):
+    """Cells equal a Python replay with the arithmetic (epoch % 7)
+    weekday; per-nation indexes day-weight to ~1."""
+    import datetime
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    epoch = datetime.date(1995, 1, 1)
+    cust = {
+        c.c_custkey: c.c_nationkey
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    nname = {
+        n.n_nationkey: n.n_name
+        for n in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    cents = defaultdict(int)
+    days = defaultdict(set)
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        d = o.o_orderdate.date()
+        k = (nname[cust[o.o_custkey]], (d - epoch).days % 7)
+        cents[k] += int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01")) * 100
+        )
+        days[k].add(d)
+    rows = _q(spark, "weekday_seasonality").collect()
+    assert len(rows) == len(cents)
+    for r in rows:
+        k = (r.n_name, r.dow)
+        assert (r.dow_cents, r.n_days) == (cents[k], len(days[k]))
+        assert r.seasonality_index == (
+            r.dow_cents / r.total_cents
+        ) * (r.total_days / r.n_days)
+    # day-weighted mean of the index is exactly 1 per nation
+    from collections import defaultdict as dd2
+
+    by_n = dd2(list)
+    for r in rows:
+        by_n[r.n_name].append(r)
+    for rs in by_n.values():
+        tot_d = rs[0].total_days
+        assert sum(
+            r.seasonality_index * r.n_days / tot_d for r in rs
+        ) == pytest.approx(1.0)
+
+
+def test_elasticity_python_recompute(spark):
+    """Moments per brand equal a Python pass over the joined fact."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    brand = {
+        p.p_partkey: p.p_brand
+        for p in read_table(spark, SF_SMALL, "part").collect()
+    }
+    m = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for li in read_table(spark, SF_SMALL, "lineitem").collect():
+        x = int(
+            Decimal(str(li.l_discount)).quantize(Decimal("0.01")) * 100
+        )
+        y = int(li.l_quantity)
+        a = m[brand[li.l_partkey]]
+        a[0] += 1
+        a[1] += x
+        a[2] += y
+        a[3] += x * x
+        a[4] += x * y
+    got = {
+        r.p_brand: r
+        for r in _q(spark, "discount_quantity_elasticity").collect()
+    }
+    assert set(got) == set(m)
+    for b, (n, sx, sy, sxx, sxy) in m.items():
+        r = got[b]
+        assert (r.n, r.sx, r.sy, r.sxx, r.sxy) == (n, sx, sy, sxx, sxy)
+        assert r.slope_num == n * sxy - sx * sy
+        assert r.slope_den == n * sxx - sx * sx
+
+
+def test_cluster_best_doc_consistency(spark):
+    """Survivors tile the cluster table exactly: one survivor per
+    cluster, survivor belongs to its cluster, survivor has the max
+    (n_chars, -doc_id) in the cluster, and total_chars sums the
+    members."""
+    from collections import defaultdict
+
+    from distributed_mapreduce_p2p_spark import registry
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    clus = {
+        r.doc_id: r.cluster_id
+        for r in registry._dedup_cluster_table(
+            spark, SF_SMALL, 0.5
+        ).collect()
+    }
+    chars = {
+        d.doc_id: d.n_chars
+        for d in read_table(spark, SF_SMALL, "documents").collect()
+    }
+    members = defaultdict(list)
+    for doc, cid in clus.items():
+        members[cid].append(doc)
+    rows = _q(spark, "cluster_best_doc").collect()
+    assert {r.cluster_id for r in rows} == set(members)
+    assert len(rows) == len(members)
+    for r in rows:
+        ms = members[r.cluster_id]
+        assert r.survivor_doc_id in ms
+        assert r.n_docs == len(ms)
+        assert r.total_chars == sum(chars[d] for d in ms)
+        best = min(ms, key=lambda d: (-chars[d], d))
+        assert r.survivor_doc_id == best
+        assert r.survivor_chars == chars[best]
+    # the fixture must contain real multi-doc clusters
+    assert any(r.n_docs > 1 for r in rows)
