@@ -12556,6 +12556,308 @@ def q_cluster_best_doc(spark, sf_dir):
 
 
 # =====================================================================
+# Round-6 batch 8: product metrics, concentration, quadrants, top-n agg
+# =====================================================================
+
+@register(
+    "dau_mau_stickiness",
+    oracle="""
+    WITH d AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m') AS ym,
+             CAST(ts AS DATE) AS day, user_id
+      FROM events
+    ), dau AS (
+      SELECT ym, day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      FROM d GROUP BY 1, 2
+    ), mau AS (
+      SELECT ym, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+      FROM d GROUP BY 1
+    ), s AS (
+      SELECT ym, CAST(SUM(dau) AS BIGINT) AS dau_sum,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM dau GROUP BY 1
+    )
+    SELECT s.ym, dau_sum, n_days, mau,
+           CAST(dau_sum AS DOUBLE) / CAST(n_days AS DOUBLE)
+             / CAST(mau AS DOUBLE) AS stickiness
+    FROM s JOIN mau ON s.ym = mau.ym
+    """,
+)
+def q_dau_mau_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness — THE product-engagement ratio: mean daily
+    active users over monthly active users, per month. Two distinct
+    aggregations over one narrow (day, user) projection: per-day
+    distincts roll up map-side into a days-sized table; the monthly
+    distinct is its own shuffle on (month, user). The division
+    happens once per month row after exact BIGINT sums. At 100 TB
+    the exact per-month distinct is the only fact-scale cost and
+    partitions by month; the sketch path (fm_sketch_windowed /
+    kmv_distinct_estimate) swaps in when exactness can be traded."""
+    e = _t(spark, sf_dir, "events").select(
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM").alias("ym"),
+        F.col("ts").cast("date").alias("day"),
+        "user_id",
+    )
+    dau = e.groupBy("ym", "day").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    mau = e.groupBy("ym").agg(
+        F.countDistinct("user_id").cast("long").alias("mau")
+    )
+    s = dau.groupBy("ym").agg(
+        F.sum("dau").cast("long").alias("dau_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    return s.join(mau, "ym").select(
+        "ym",
+        "dau_sum",
+        "n_days",
+        "mau",
+        (
+            F.col("dau_sum").cast("double")
+            / F.col("n_days").cast("double")
+            / F.col("mau").cast("double")
+        ).alias("stickiness"),
+    )
+
+
+@register(
+    "hhi_concentration",
+    oracle="""
+    WITH c AS (
+      SELECT r_name, n_name,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2
+    ), t AS (
+      SELECT r_name, CAST(SUM(cents) AS BIGINT) AS total
+      FROM c GROUP BY 1
+    ), sh AS (
+      SELECT c.r_name,
+             CAST(cents * 1000000 // total AS BIGINT) AS share_ppm
+      FROM c JOIN t ON c.r_name = t.r_name
+    )
+    SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_nations,
+           CAST(SUM(share_ppm * share_ppm) AS BIGINT) AS hhi_ppm2,
+           CAST(1000000000000 // COUNT(*) AS BIGINT)
+             AS min_possible_ppm2
+    FROM sh GROUP BY r_name
+    """,
+)
+def q_hhi_concentration(spark, sf_dir):
+    """Herfindahl–Hirschman market-concentration index per region,
+    ENTIRELY in integers: nation shares as trunc-ppm (the repo's
+    standard fixed-point), HHI = Σ share_ppm² ≤ 1e12 — exact BIGINT,
+    no float anywhere (the naive Σcents² would overflow int64 at
+    ~1e21; fixed-point shares sidestep it at ANY scale, which is the
+    whole design). min_possible_ppm2 = 1e12/n is the uniform-market
+    floor for reading the number. One fact shuffle to the
+    (region, nation) cells; everything after is |nations| rows.
+    The antitrust-screen companion to revenue_gini_by_nation."""
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    c = (
+        o.join(cu, o.o_custkey == cu.c_custkey)
+        .join(broadcast(n), cu.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    t = c.groupBy("r_name").agg(
+        F.sum("cents").cast("long").alias("total")
+    )
+    sh = c.join(t, "r_name").select(
+        "r_name",
+        F.expr("(cents * 1000000) DIV total").cast("long").alias(
+            "share_ppm"
+        ),
+    )
+    return sh.groupBy("r_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nations"),
+        F.sum(F.col("share_ppm") * F.col("share_ppm"))
+        .cast("long")
+        .alias("hhi_ppm2"),
+        F.expr("1000000000000 DIV COUNT(1)").cast("long").alias(
+            "min_possible_ppm2"
+        ),
+    )
+
+
+@register(
+    "median_split_contingency",
+    oracle="""
+    WITH base AS (
+      SELECT r_name, c.c_custkey,
+             CAST(CAST(c_acctbal AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS bal,
+             CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+      FROM customer c
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      LEFT JOIN orders ON o_custkey = c.c_custkey
+      GROUP BY 1, 2, 3
+    ), medb AS (
+      SELECT r_name, bal AS med_bal FROM (
+        SELECT r_name, bal,
+               ROW_NUMBER() OVER (PARTITION BY r_name
+                                  ORDER BY bal, c_custkey) AS rn,
+               COUNT(*) OVER (PARTITION BY r_name) AS n
+        FROM base) WHERE rn = (n + 1) // 2
+    ), medo AS (
+      SELECT r_name, n_orders AS med_ord FROM (
+        SELECT r_name, n_orders,
+               ROW_NUMBER() OVER (PARTITION BY r_name
+                                  ORDER BY n_orders, c_custkey) AS rn,
+               COUNT(*) OVER (PARTITION BY r_name) AS n
+        FROM base) WHERE rn = (n + 1) // 2
+    )
+    SELECT base.r_name,
+           CASE WHEN bal > med_bal THEN 1 ELSE 0 END AS hi_balance,
+           CASE WHEN n_orders > med_ord THEN 1 ELSE 0 END AS hi_activity,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM base JOIN medb ON base.r_name = medb.r_name
+              JOIN medo ON base.r_name = medo.r_name
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_median_split_contingency(spark, sf_dir):
+    """Median-split quadrant analysis: customers cross-classified by
+    (balance above the regional median) x (order count above the
+    regional median) — the 2x2 segmentation behind every
+    "high-value/high-activity" strategy deck. Both medians are
+    lower-median rank picks with total tie-breaks (custkey), so the
+    quadrant boundaries are deterministic integers; the two 1-row-
+    per-region median tables broadcast back onto the customer base
+    and the output is |regions| x 4 rows. One left-join aggregate
+    builds the per-customer activity table (zero-order customers
+    INCLUDED — a common quadrant-analysis bug); medians reuse it."""
+    cu = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    base = (
+        cu.join(broadcast(n), cu.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(o, cu.c_custkey == o.o_custkey, "left")
+        .groupBy(
+            "r_name",
+            "c_custkey",
+            F.expr(
+                "CAST(CAST(c_acctbal AS DECIMAL(14,2)) * 100 AS BIGINT)"
+            ).alias("bal"),
+        )
+        .agg(F.count("o_orderkey").cast("long").alias("n_orders"))
+        .localCheckpoint(eager=False)
+    )
+
+    def lower_median(col):
+        win = Window.partitionBy("r_name").orderBy(col, "c_custkey")
+        cw = Window.partitionBy("r_name")
+        return (
+            base.withColumn("rn", F.row_number().over(win))
+            .withColumn("nn", F.count(F.lit(1)).over(cw))
+            .where(F.col("rn") == F.expr("(nn + 1) DIV 2"))
+            .select("r_name", F.col(col).alias(f"med_{col}"))
+        )
+
+    medb = lower_median("bal")
+    medo = lower_median("n_orders")
+    return (
+        base.join(broadcast(medb), "r_name")
+        .join(broadcast(medo), "r_name")
+        .groupBy(
+            "r_name",
+            F.when(F.col("bal") > F.col("med_bal"), 1)
+            .otherwise(0)
+            .alias("hi_balance"),
+            F.when(F.col("n_orders") > F.col("med_n_orders"), 1)
+            .otherwise(0)
+            .alias("hi_activity"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+
+
+@register(
+    "top_parts_per_supplier",
+    oracle="""
+    WITH v AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1, 2
+    ), r AS (
+      SELECT l_suppkey, l_partkey, cents,
+             ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                ORDER BY cents DESC, l_partkey) AS rn
+      FROM v
+    )
+    SELECT s_name,
+           CAST(SUM(cents) AS BIGINT) AS top3_cents,
+           string_agg(CAST(l_partkey AS VARCHAR), '|' ORDER BY rn)
+             AS top3_parts
+    FROM r JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rn <= 3
+    GROUP BY s_name
+    """,
+)
+def q_top_parts_per_supplier(spark, sf_dir):
+    """Top-3 revenue parts per supplier with the ranked list emitted
+    as an ORDERED pipe-joined string — the repo's no-array-outputs
+    rule (the driver canonicalizer rejects array columns) met via
+    sort_array(collect_list(struct(rn, key))) -> transform ->
+    array_join, which is also the engine-portable twin of SQL's
+    string_agg(... ORDER BY): aggregation order is never trusted,
+    the rank is baked into the collected struct. Rank-then-filter
+    (rn <= 3) bounds the collected list at 3 per supplier BEFORE
+    collect_list, so per-group state is constant — the
+    top-k-then-aggregate discipline, broadcast-joined to supplier
+    names."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    v = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(
+            F.expr(
+                "CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100"
+                " AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("cents").desc(), F.col("l_partkey")
+    )
+    r = (
+        v.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .join(broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return r.groupBy("s_name").agg(
+        F.sum("cents").cast("long").alias("top3_cents"),
+        F.expr(
+            "array_join(transform(array_sort("
+            "collect_list(struct(rn, l_partkey))),"
+            " x -> CAST(x.l_partkey AS STRING)), '|')"
+        ).alias("top3_parts"),
+    )
+
+
+# =====================================================================
 # Driver-window ordering
 # =====================================================================
 # The grading driver verifies oracle parity for the FIRST 50 entries of
@@ -12661,11 +12963,14 @@ _FRONT: list[str] = [
     "weekday_seasonality",
     "discount_quantity_elasticity",
     "cluster_best_doc",
-    # -- (4) r5-window holdovers (each 50/50 green in r5; displaced
-    #        from the tail as section (3) grows) ----------------------
-    "image_resize_checksum",
-    "streaming_hdr_p95",
-    "stream_stream_full_outer",
+    # -- (3i) NEW in r6 batch 8: no driver row exists.
+    #    top_parts_per_supplier QUEUES for the r7 window (standing
+    #    rule: integer-output queries with a pinned recompute test
+    #    can queue a round) — the window is now 100% never-sampled/
+    #    changed entries and cannot fit all four.
+    "dau_mau_stickiness",
+    "hhi_concentration",
+    "median_split_contingency",
     # Displaced to make room for the 9 section-(1)/(2) entries, the
     # 8 section-(3) r6-new queries, the 6 section-(3b) batch-2
     # queries, the section-(3c) plan-change rotation, and the 7
@@ -12680,7 +12985,9 @@ _FRONT: list[str] = [
     # lang_confusion_matrix, snapshot_diff, bloom_prune_accounting,
     # leakage_safe_split, source_overlap_matrix, rfm_segmentation,
     # pii_redact_stats, video_frame_checksums,
-    # containment_decontaminate,
+    # containment_decontaminate, image_resize_checksum,
+    # streaming_hdr_p95, stream_stream_full_outer.
+    # QUEUED for r7 (new in r6, no slot left): top_parts_per_supplier.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

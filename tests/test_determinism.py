@@ -60,6 +60,7 @@ QUERIES = [
     "target_encoding",
     "weekday_seasonality",
     "discount_quantity_elasticity",
+    "dau_mau_stickiness",
 ]
 
 

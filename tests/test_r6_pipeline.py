@@ -1435,3 +1435,139 @@ def test_cluster_best_doc_consistency(spark):
         assert r.survivor_chars == chars[best]
     # the fixture must contain real multi-doc clusters
     assert any(r.n_docs > 1 for r in rows)
+
+
+# ---------------------------------------------- r6 batch 8
+
+
+def test_dau_mau_python_recompute(spark):
+    """Monthly stickiness equals the Python replay; bounded by
+    (1/n_days, 1]."""
+    from collections import defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    daily = defaultdict(set)
+    monthly = defaultdict(set)
+    for e in read_table(spark, SF_SMALL, "events").collect():
+        d = e.ts.date()
+        daily[(d.strftime("%Y-%m"), d)].add(e.user_id)
+        monthly[d.strftime("%Y-%m")].add(e.user_id)
+    rows = _q(spark, "dau_mau_stickiness").collect()
+    assert {r.ym for r in rows} == set(monthly)
+    for r in rows:
+        days = [v for (ym, _), v in daily.items() if ym == r.ym]
+        assert r.dau_sum == sum(len(v) for v in days)
+        assert r.n_days == len(days)
+        assert r.mau == len(monthly[r.ym])
+        assert r.stickiness == r.dau_sum / r.n_days / r.mau
+        assert 0 < r.stickiness <= 1.0
+
+
+def test_hhi_python_recompute(spark):
+    """hhi_ppm2 equals Σ(trunc-ppm share)² from exact cents and sits
+    in [min_possible, 1e12]."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    cust = {
+        c.c_custkey: c.c_nationkey
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    nk2r = {}
+    rname = {
+        r.r_regionkey: r.r_name
+        for r in read_table(spark, SF_SMALL, "region").collect()
+    }
+    for n in read_table(spark, SF_SMALL, "nation").collect():
+        nk2r[n.n_nationkey] = (rname[n.n_regionkey], n.n_name)
+    cents = defaultdict(int)
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        rn, nn = nk2r[cust[o.o_custkey]]
+        cents[(rn, nn)] += int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01")) * 100
+        )
+    tot = defaultdict(int)
+    for (rn, _), c in cents.items():
+        tot[rn] += c
+    want = defaultdict(int)
+    nn_count = defaultdict(int)
+    for (rn, _), c in cents.items():
+        want[rn] += (c * 1000000 // tot[rn]) ** 2
+        nn_count[rn] += 1
+    for r in _q(spark, "hhi_concentration").collect():
+        assert r.hhi_ppm2 == want[r.r_name]
+        assert r.n_nations == nn_count[r.r_name]
+        assert r.min_possible_ppm2 == 10**12 // r.n_nations
+        assert r.min_possible_ppm2 <= r.hhi_ppm2 <= 10**12
+
+
+def test_median_split_tiles_customers(spark):
+    """Quadrant counts tile each region's customer base, and the
+    below-median quadrants hold at least half the mass on each axis
+    (lower-median property)."""
+    from collections import defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    n_cust = defaultdict(int)
+    rname = {
+        r.r_regionkey: r.r_name
+        for r in read_table(spark, SF_SMALL, "region").collect()
+    }
+    n2r = {
+        n.n_nationkey: rname[n.n_regionkey]
+        for n in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    for c in read_table(spark, SF_SMALL, "customer").collect():
+        n_cust[n2r[c.c_nationkey]] += 1
+    rows = _q(spark, "median_split_contingency").collect()
+    by_r = defaultdict(list)
+    for r in rows:
+        assert r.hi_balance in (0, 1) and r.hi_activity in (0, 1)
+        by_r[r.r_name].append(r)
+    for rn, rs in by_r.items():
+        assert sum(r.n_customers for r in rs) == n_cust[rn]
+        lo_bal = sum(r.n_customers for r in rs if r.hi_balance == 0)
+        lo_act = sum(r.n_customers for r in rs if r.hi_activity == 0)
+        assert 2 * lo_bal >= n_cust[rn]
+        assert 2 * lo_act >= n_cust[rn]
+
+
+def test_top_parts_python_recompute(spark):
+    """Ordered top-3 string equals the Python argsort on exact
+    cents with the (cents desc, partkey) tie-break."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    sup = {
+        s.s_suppkey: s.s_name
+        for s in read_table(spark, SF_SMALL, "supplier").collect()
+    }
+    cents = defaultdict(int)
+    for li in read_table(spark, SF_SMALL, "lineitem").collect():
+        cents[(li.l_suppkey, li.l_partkey)] += int(
+            Decimal(str(li.l_extendedprice)).quantize(Decimal("0.01"))
+            * 100
+        )
+    by_s = defaultdict(list)
+    for (sk, pk), c in cents.items():
+        by_s[sk].append((-c, pk))
+    got = {
+        r.s_name: (r.top3_cents, r.top3_parts)
+        for r in _q(spark, "top_parts_per_supplier").collect()
+    }
+    for sk, parts in by_s.items():
+        parts.sort()
+        top = parts[:3]
+        want_str = "|".join(str(pk) for _, pk in top)
+        want_cents = sum(-c for c, _ in top)
+        assert got[sup[sk]] == (want_cents, want_str)
