@@ -12858,6 +12858,148 @@ def q_top_parts_per_supplier(spark, sf_dir):
 
 
 # =====================================================================
+# Round-6 batch 9: batch sessionization, acquisition split
+# =====================================================================
+
+@register(
+    "event_sessions_batch",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                    OR ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, event_id,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_no
+      FROM e
+    ), per AS (
+      SELECT user_id, session_no,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(date_diff('microseconds', MIN(ts), MAX(ts))
+                  AS BIGINT) AS span_us
+      FROM s GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS total_events,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+           CAST(SUM(span_us) AS BIGINT) AS total_session_us
+    FROM per GROUP BY user_id
+    """,
+)
+def q_event_sessions_batch(spark, sf_dir):
+    """BATCH sessionization with a 30-minute inactivity gap — the
+    gaps-and-islands assignment (new-session flag via lag, session
+    id via running sum) that session_window_agg does in Structured
+    Streaming, here as the backfill/batch form every pipeline also
+    needs (reprocessing history through the streaming engine is the
+    wrong tool). All three windows share ONE (user_id) partitioning
+    — high-cardinality, partition-parallel, no global ordering
+    anywhere; session spans are exact tz-free microsecond integers.
+    Per-user session stats roll up in the same shuffle. The oracle
+    is the identical SQL — this is one of the rare operators whose
+    scalable form IS the textbook window form."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    ow = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(ow)
+    # tz-free: NTZ-NTZ microsecond diff, strictly > 30 min like the
+    # oracle's interval comparison (sub-minute precision preserved)
+    e2 = e.withColumn("prev", prev).withColumn(
+        "new_s",
+        F.when(
+            F.col("prev").isNull()
+            | (
+                F.expr("timestampdiff(MICROSECOND, prev, ts)")
+                > F.lit(30 * 60 * 1000000)
+            ),
+            1,
+        ).otherwise(0),
+    )
+    s = e2.withColumn(
+        "session_no",
+        F.sum("new_s")
+        .over(ow.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    per = s.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.expr("timestampdiff(MICROSECOND, MIN(ts), MAX(ts))")
+        .cast("long")
+        .alias("span_us"),
+    )
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("total_events"),
+        F.max("n_events").cast("long").alias("max_session_events"),
+        F.sum("span_us").cast("long").alias("total_session_us"),
+    )
+
+
+@register(
+    "new_vs_returning",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY 1
+    ), d AS (
+      SELECT CAST(e.ts AS DATE) AS day, e.user_id,
+             CASE WHEN CAST(f.first_ts AS DATE) = CAST(e.ts AS DATE)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events e JOIN f ON e.user_id = f.user_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(SUM(is_new) AS BIGINT) AS new_users,
+           CAST(SUM(1 - is_new) AS BIGINT) AS returning_users,
+           CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM d GROUP BY day
+    """,
+)
+def q_new_vs_returning(spark, sf_dir):
+    """Daily new-vs-returning acquisition split: a user is NEW on
+    the day of their first-ever event, RETURNING on any later active
+    day — the growth-accounting companion to
+    cumulative_distinct_users (which proves the first-touch
+    identity) and dau_mau_stickiness. The first-touch table is one
+    groupBy(user) MIN; the classification joins it back on the
+    user key and dedups to (day, user) in the same shuffle. Output
+    is days-bounded; new_users summed over all days equals the total
+    distinct-user count by construction (pinned in the test)."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    f = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    d = (
+        e.join(f, "user_id")
+        .select(
+            F.col("ts").cast("date").alias("day"),
+            "user_id",
+            F.when(
+                F.col("first_ts").cast("date")
+                == F.col("ts").cast("date"),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_new"),
+        )
+        .distinct()
+    )
+    return d.groupBy(
+        F.date_format("day", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum("is_new").cast("long").alias("new_users"),
+        F.sum(1 - F.col("is_new")).cast("long").alias(
+            "returning_users"
+        ),
+        F.count(F.lit(1)).cast("long").alias("active_users"),
+    )
+
+
+# =====================================================================
 # Driver-window ordering
 # =====================================================================
 # The grading driver verifies oracle parity for the FIRST 50 entries of

@@ -1571,3 +1571,77 @@ def test_top_parts_python_recompute(spark):
         want_str = "|".join(str(pk) for _, pk in top)
         want_cents = sum(-c for c, _ in top)
         assert got[sup[sk]] == (want_cents, want_str)
+
+
+# ---------------------------------------------- r6 batch 9
+
+
+def test_event_sessions_python_recompute(spark):
+    """Session counts/sizes/spans equal a Python replay of the
+    30-minute-gap rule per user."""
+    import datetime
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    ev = {}
+    for e in read_table(spark, SF_SMALL, "events").collect():
+        ev.setdefault(e.user_id, []).append((e.ts, e.event_id))
+    got = {
+        r.user_id: (
+            r.n_sessions,
+            r.total_events,
+            r.max_session_events,
+            r.total_session_us,
+        )
+        for r in _q(spark, "event_sessions_batch").collect()
+    }
+    gap = datetime.timedelta(minutes=30)
+    us = datetime.timedelta(microseconds=1)
+    for uid, es in ev.items():
+        es.sort()
+        sessions = []
+        for ts, _ in es:
+            if sessions and ts - sessions[-1][-1] <= gap:
+                sessions[-1].append(ts)
+            else:
+                sessions.append([ts])
+        spans = sum(int((s[-1] - s[0]) / us) for s in sessions)
+        assert got[uid] == (
+            len(sessions),
+            len(es),
+            max(len(s) for s in sessions),
+            spans,
+        )
+    # the 30-min rule must actually merge some events at this SF
+    assert any(g[1] > g[0] for g in got.values())
+
+
+def test_new_vs_returning_python_recompute(spark):
+    """Daily splits equal a Python replay; new_users over all days
+    sums to the total distinct-user count (first-touch identity)."""
+    from collections import defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    first = {}
+    active = defaultdict(set)
+    for e in read_table(spark, SF_SMALL, "events").collect():
+        d = e.ts.date()
+        active[d].add(e.user_id)
+        if e.user_id not in first or d < first[e.user_id]:
+            first[e.user_id] = d
+    rows = _q(spark, "new_vs_returning").collect()
+    assert len(rows) == len(active)
+    for r in rows:
+        import datetime
+
+        d = datetime.date.fromisoformat(r.day)
+        new = sum(1 for u in active[d] if first[u] == d)
+        assert (r.new_users, r.returning_users, r.active_users) == (
+            new,
+            len(active[d]) - new,
+            len(active[d]),
+        )
+    assert sum(r.new_users for r in rows) == len(first)
