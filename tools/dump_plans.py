@@ -184,6 +184,40 @@ SHOWCASE: list[tuple[str, str]] = [
         "map via BroadcastHashJoin — the corpus is never re-folded "
         "per occurrence.",
     ),
+    # ---- round-6 additions -------------------------------------------
+    (
+        "abc_classification",
+        "Exact global cumulative sum WITHOUT a single-partition "
+        "window: range-repartition on the sort key, per-partition "
+        "windows in parallel, 8-row offsets table broadcast back — "
+        "asserted <=1 SinglePartition in test_plans.",
+    ),
+    (
+        "ewma_dyadic",
+        "Banded trailing-window self-join: the 16-day range rides an "
+        "EQUI join on (nation, day-bucket) via 2-bucket explode — "
+        "sort-merge on nation alone would filter |days|^2 pairs "
+        "post-join (measured 10.1s -> 2.9s at sf0.1).",
+    ),
+    (
+        "bitmap_segment_overlap",
+        "bit_or masks per (segment, 63-bit block); pairwise overlap "
+        "joins on BLOCK (63x input compression) and sums "
+        "popcount-of-AND — never a user-level self-join.",
+    ),
+    (
+        "last_touch_attribution",
+        "As-of semantics as ONE carry-forward window per user "
+        "(last ignorenulls over to-1-PRECEDING) — zero joins, one "
+        "shuffle on the high-cardinality user key, linear in events.",
+    ),
+    (
+        "mann_whitney_u",
+        "Rank machinery on distinct-VALUE cells (post-agg), not raw "
+        "rows: doubled midranks keep tie handling in BIGINT; one "
+        "partitioned cumsum window + one rollup share the nation "
+        "partitioning.",
+    ),
 ]
 
 
