@@ -11017,9 +11017,10 @@ def q_ewma_dyadic(spark, sf_dir):
            CAST(SUM(c) AS BIGINT) AS n_tokens,
            CAST(COUNT(*) AS BIGINT) AS n_types,
            CAST(SUM(c * (c - 1)) AS BIGINT) AS rep_pairs,
-           1.0 - CAST(SUM(c * (c - 1)) AS DOUBLE)
-               / (CAST(SUM(c) AS DOUBLE)
-                  * CAST(SUM(c) - 1 AS DOUBLE)) AS gini_simpson
+           CASE WHEN SUM(c) > 1 THEN
+             1.0 - CAST(SUM(c * (c - 1)) AS DOUBLE)
+                 / (CAST(SUM(c) AS DOUBLE)
+                    * CAST(SUM(c) - 1 AS DOUBLE)) END AS gini_simpson
     FROM cnt GROUP BY source
     """,
 )
@@ -11059,13 +11060,16 @@ def q_simpson_diversity(spark, sf_dir):
         "n_tokens",
         "n_types",
         "rep_pairs",
-        (
+        # single-token sources (N<=1) have an undefined index: NULL,
+        # mirrored in the oracle's CASE — never an engine-divergent 0/0
+        F.when(
+            F.col("n_tokens") > 1,
             F.lit(1.0)
             - F.col("rep_pairs").cast("double")
             / (
                 F.col("n_tokens").cast("double")
                 * (F.col("n_tokens") - 1).cast("double")
-            )
+            ),
         ).alias("gini_simpson"),
     )
 
@@ -11591,9 +11595,10 @@ def q_kmv_distinct_estimate(spark, sf_dir):
     SELECT n_e, sx, sxx, sxy,
            n_e * sxy - sx * sx AS slope_num,
            n_e * sxx - sx * sx AS slope_den,
-           CAST(n_e * sxy - sx * sx AS DOUBLE)
-             / CAST(n_e * sxx - sx * sx AS DOUBLE)
-               AS assortativity_slope
+           CASE WHEN n_e * sxx - sx * sx <> 0 THEN
+             CAST(n_e * sxy - sx * sx AS DOUBLE)
+               / CAST(n_e * sxx - sx * sx AS DOUBLE) END
+             AS assortativity_slope
     FROM s
     """,
 )
@@ -11646,7 +11651,11 @@ def q_graph_degree_assortativity(spark, sf_dir):
         .alias("slope_num"),
         (F.col("n_e") * F.col("sxx") - F.col("sx") * F.col("sx"))
         .alias("slope_den"),
-        (
+        # a degree-regular graph has zero degree variance and an
+        # undefined slope: NULL, mirrored in the oracle's CASE
+        F.when(
+            F.col("n_e") * F.col("sxx") - F.col("sx") * F.col("sx")
+            != 0,
             (
                 F.col("n_e") * F.col("sxy")
                 - F.col("sx") * F.col("sx")
@@ -11654,7 +11663,7 @@ def q_graph_degree_assortativity(spark, sf_dir):
             / (
                 F.col("n_e") * F.col("sxx")
                 - F.col("sx") * F.col("sx")
-            ).cast("double")
+            ).cast("double"),
         ).alias("assortativity_slope"),
     )
 
@@ -12051,6 +12060,7 @@ def q_benford_first_digit(spark, sf_dir):
            CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE)
              / CAST(2 * n1 * n2 AS DOUBLE) AS u1_share
     FROM agg
+    WHERE n1 > 0 AND n2 > 0
     """,
 )
 def q_mann_whitney_u(spark, sf_dir):
@@ -12107,7 +12117,10 @@ def q_mann_whitney_u(spark, sf_dir):
         .alias("two_r1"),
     )
     two_u1 = F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)
-    return agg.select(
+    # degenerate-data guard (mirrored in the oracle): a nation with
+    # only one of the two groups has 2*n1*n2 = 0 and u1_share would
+    # be an engine-divergent 0/0 — U is undefined there, drop the row
+    return agg.where((F.col("n1") > 0) & (F.col("n2") > 0)).select(
         "n_name",
         "n1",
         "n2",
@@ -12403,9 +12416,10 @@ def q_weekday_seasonality(spark, sf_dir):
     SELECT p_brand, n, sx, sy, sxx, sxy,
            n * sxy - sx * sy AS slope_num,
            n * sxx - sx * sx AS slope_den,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE)
-               AS slope_qty_per_discount_pct
+           CASE WHEN n * sxx - sx * sx <> 0 THEN
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) END
+             AS slope_qty_per_discount_pct
     FROM a
     """,
 )
@@ -12448,7 +12462,9 @@ def q_discount_quantity_elasticity(spark, sf_dir):
         "sxy",
         num.alias("slope_num"),
         den.alias("slope_den"),
-        (num.cast("double") / den.cast("double")).alias(
+        # zero-variance brands (every discount identical) have an
+        # undefined slope: NULL, mirrored in the oracle's CASE
+        F.when(den != 0, num.cast("double") / den.cast("double")).alias(
             "slope_qty_per_discount_pct"
         ),
     )

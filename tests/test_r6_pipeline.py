@@ -1645,3 +1645,73 @@ def test_new_vs_returning_python_recompute(spark):
             len(active[d]),
         )
     assert sum(r.new_users for r in rows) == len(first)
+
+
+# ------------------------- degenerate-data branches (ADVICE-proofing)
+
+
+def test_elasticity_degenerate_constant_discount(spark, tmp_path):
+    """Zero-variance discounts: slope is NULL on BOTH engines (the
+    CASE guard), full oracle parity on the degenerate fixture — not
+    just the happy path the standard testdata exercises."""
+    import shutil
+
+    from distributed_mapreduce_p2p_spark import registry
+    from tests.conftest import SF_SMALL
+    from tests.oracle import compare, duck_con
+
+    sf = str(tmp_path / "sf")
+    shutil.copytree(SF_SMALL, sf)
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    # single-file parquet (Spark's directory output defeats DuckDB's
+    # plain-path view in duck_con)
+    pdf = li.withColumn("l_discount", F.lit(0.05)).toPandas()
+    import os
+
+    os.remove(f"{sf}/lineitem.parquet")
+    pdf.to_parquet(f"{sf}/lineitem.parquet")
+    df = registry.QUERIES["discount_quantity_elasticity"](spark, sf)
+    rows = df.collect()
+    assert rows and all(
+        r.slope_qty_per_discount_pct is None and r.slope_den == 0
+        for r in rows
+    )
+    con = duck_con(sf)
+    assert (
+        compare(
+            df,
+            con,
+            registry.ORACLES["discount_quantity_elasticity"],
+            "elasticity-degenerate",
+        )
+        == []
+    )
+
+
+def test_mann_whitney_degenerate_one_group(spark, tmp_path):
+    """A fixture with NO '5-LOW' orders: every nation drops from the
+    output on BOTH engines (the n1>0 AND n2>0 guard) instead of
+    emitting an engine-divergent 0/0 share."""
+    import shutil
+
+    from distributed_mapreduce_p2p_spark import registry
+    from tests.conftest import SF_SMALL
+    from tests.oracle import compare, duck_con
+
+    sf = str(tmp_path / "sf")
+    shutil.copytree(SF_SMALL, sf)
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    pdf = o.where("o_orderpriority <> '5-LOW'").toPandas()
+    import os
+
+    os.remove(f"{sf}/orders.parquet")
+    pdf.to_parquet(f"{sf}/orders.parquet")
+    df = registry.QUERIES["mann_whitney_u"](spark, sf)
+    assert df.count() == 0
+    con = duck_con(sf)
+    assert (
+        compare(
+            df, con, registry.ORACLES["mann_whitney_u"], "mwu-degenerate"
+        )
+        == []
+    )
