@@ -165,6 +165,27 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_maintain(args) -> int:
+    """OPTIMIZE + VACUUM for a publish_atomic table root."""
+    from distributed_mapreduce_p2p_spark.sources.io import (
+        maintain_table,
+        read_manifest,
+    )
+
+    spark = _spark(args.cores)
+    before = read_manifest(args.root)
+    new_m, removed = maintain_table(
+        spark, args.root, target_bytes=args.target_bytes, keep=args.keep
+    )
+    print(
+        f"compacted v{before['version']} "
+        f"({len(before['files'])} files) -> v{new_m['version']} "
+        f"({len(new_m['files'])} files); vacuumed versions: "
+        f"{removed or 'none'}"
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="distributed_mapreduce_p2p_spark")
     p.add_argument("--cores", type=int, default=8)
@@ -210,6 +231,22 @@ def main(argv: list[str] | None = None) -> int:
         help="HLL approx distincts (the 100 TB form) instead of exact",
     )
     pr.set_defaults(fn=cmd_profile)
+
+    m = sub.add_parser(
+        "maintain",
+        help="OPTIMIZE+VACUUM a publish_atomic table (compact the live"
+        " version into near-target files, expire old versions)",
+    )
+    m.add_argument("root", help="table root created by publish_atomic")
+    m.add_argument(
+        "--target-bytes", type=int, default=128 * 1024 * 1024,
+        help="compaction target file size (default 128 MiB)",
+    )
+    m.add_argument(
+        "--keep", type=int, default=2,
+        help="published versions to retain (default 2)",
+    )
+    m.set_defaults(fn=cmd_maintain)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -374,3 +374,102 @@ def apply_cdc(base: DataFrame, changes: DataFrame) -> DataFrame:
         )
     )
     return merged
+
+
+def max_concurrent(
+    df: DataFrame, key: str, start_col: str, end_col: str
+) -> DataFrame:
+    """Peak interval concurrency per key via the sweep-line
+    reduction: every [start, end) interval contributes (+1 at start,
+    -1 at end), a running sum over (time, delta) is the
+    instantaneous concurrency, and MAX collapses it. The -1-before-
+    +1 tie order at equal timestamps encodes half-open intervals and
+    makes the MAX invariant under any permutation of tied rows (the
+    running-sum MULTISET is the same), so results are deterministic
+    on any partitioning. O(n log n) per key vs the O(n²) interval
+    self-join. Returns (key, max_concurrent, n_intervals).
+
+    100 TB: per-key windows partition-parallel on the key; for a
+    single giant key, sub-partition by time bucket and carry per-
+    bucket offsets (the ``global_cumsum`` two-phase pattern).
+    Registry demo: ``max_concurrency``; property-tested against a
+    brute-force sweep in tests/test_properties.py."""
+    pts = df.select(
+        F.col(key),
+        F.col(start_col).alias("_t"),
+        F.lit(1).alias("_delta"),
+    ).unionAll(
+        df.select(
+            F.col(key),
+            F.col(end_col).alias("_t"),
+            F.lit(-1).alias("_delta"),
+        )
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_t", "_delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        pts.withColumn("_conc", F.sum("_delta").over(w).cast("long"))
+        .groupBy(key)
+        .agg(
+            F.max("_conc").cast("long").alias("max_concurrent"),
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+        )
+    )
+
+
+def global_cumsum(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    n_parts: int = 8,
+) -> DataFrame:
+    """Exact GLOBAL cumulative sum of ``value_col`` in ``order_cols``
+    order WITHOUT a single-partition window — the two-phase
+    partition-offset pattern (text.py::numbered_result_scalable):
+    range-repartition on the order keys, per-partition running sums
+    in parallel windows, per-partition totals rolled into broadcast
+    prefix offsets. Adds ``_cum`` (running total INCLUDING the row)
+    and ``_total`` (grand total) columns; every stage is
+    partition-parallel (plan-pinned <=1 SinglePartition — the
+    n_parts-row offsets table — in tests/test_plans.py via
+    abc_classification). The order must be total (tie-free) for a
+    well-defined result."""
+    d = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        # lineage guard: _pid must not be recomputed under a
+        # different plan
+        .localCheckpoint()
+    )
+    counts = d.groupBy("_pid").agg(
+        F.sum(value_col).cast("long").alias("_psum")
+    )
+    off_w = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = counts.select(
+        "_pid",
+        (F.sum("_psum").over(off_w) - F.col("_psum")).alias("_offset"),
+        F.sum("_psum")
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("long")
+        .alias("_total"),
+    )
+    in_part = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        d.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "_cum",
+            (F.sum(value_col).over(in_part) + F.col("_offset")).cast(
+                "long"
+            ),
+        )
+        .drop("_pid", "_offset")
+    )

@@ -11301,46 +11301,16 @@ def q_abc_classification(spark, sf_dir):
             .alias("cents")
         )
         .withColumn("neg", -F.col("cents"))
-        .repartitionByRange(8, "neg", "l_partkey")
-        .withColumn("pid", F.spark_partition_id())
-        # lineage guard: pid must not be recomputed under another plan
-        .localCheckpoint()
     )
-    counts = p.groupBy("pid").agg(
-        F.sum("cents").cast("long").alias("psum")
-    )
-    off_w = Window.orderBy("pid").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    offsets = counts.select(
-        "pid",
-        (F.sum("psum").over(off_w) - F.col("psum")).alias("offset"),
-        F.sum("psum").over(
-            Window.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).cast("long").alias("tot"),
-    )
-    in_part = Window.partitionBy("pid").orderBy("neg", "l_partkey")
-    return (
-        p.join(F.broadcast(offsets), "pid")
-        .withColumn(
-            "cum_cents",
-            (F.sum("cents").over(in_part) + F.col("offset")).cast(
-                "long"
-            ),
-        )
-        .select(
-            "l_partkey",
-            "cents",
-            "cum_cents",
-            F.when(
-                F.col("cum_cents") * 100 <= F.col("tot") * 80, "A"
-            )
-            .when(F.col("cum_cents") * 100 <= F.col("tot") * 95, "B")
-            .otherwise("C")
-            .alias("abc_class"),
-        )
+    cum = R.global_cumsum(p, "cents", ["neg", "l_partkey"], n_parts=8)
+    return cum.select(
+        "l_partkey",
+        "cents",
+        F.col("_cum").alias("cum_cents"),
+        F.when(F.col("_cum") * 100 <= F.col("_total") * 80, "A")
+        .when(F.col("_cum") * 100 <= F.col("_total") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
     )
 
 
@@ -11457,28 +11427,13 @@ def q_max_concurrency(spark, sf_dir):
     instead of O(n²); at 100 TB the per-type window would be
     sub-partitioned by time bucket with per-bucket carry-in offsets
     (the abc_classification two-phase pattern)."""
-    e = _t(spark, sf_dir, "events")
-    pts = e.select(
+    e = _t(spark, sf_dir, "events").withColumn(
+        "t_end", F.expr("ts + INTERVAL 1 HOUR")
+    )
+    return R.max_concurrent(e, "event_type", "ts", "t_end").select(
         "event_type",
-        F.col("ts").alias("t"),
-        F.lit(1).alias("delta"),
-    ).unionAll(
-        e.select(
-            "event_type",
-            F.expr("ts + INTERVAL 1 HOUR").alias("t"),
-            F.lit(-1).alias("delta"),
-        )
-    )
-    w = Window.partitionBy("event_type").orderBy("t", "delta").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return (
-        pts.withColumn("conc", F.sum("delta").over(w).cast("long"))
-        .groupBy("event_type")
-        .agg(
-            F.max("conc").cast("long").alias("max_concurrent"),
-            (F.count(F.lit(1)) / 2).cast("long").alias("n_events"),
-        )
+        "max_concurrent",
+        F.col("n_intervals").alias("n_events"),
     )
 
 

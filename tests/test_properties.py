@@ -372,3 +372,75 @@ def test_bpe_token_counts_match_python_fold(spark, words, merges):
             acc = res
         expect[w] = len(acc)
     assert got == expect
+
+
+@given(
+    intervals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=100),
+            st.integers(min_value=1, max_value=30),
+            st.integers(min_value=0, max_value=2),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_max_concurrent_matches_bruteforce_sweep(spark, intervals):
+    """Sweep-line peak concurrency equals a brute-force per-point
+    count over half-open [s, e) intervals, per key — including
+    duplicate endpoints, fully-nested and touching intervals."""
+    from distributed_mapreduce_p2p_spark.operators.relational import (
+        max_concurrent,
+    )
+
+    rows = [(f"k{k}", s, s + d) for s, d, k in intervals]
+    df = spark.createDataFrame(rows, ["key", "s", "e"])
+    got = {
+        r.key: (r.max_concurrent, r.n_intervals)
+        for r in max_concurrent(df, "key", "s", "e").collect()
+    }
+    from collections import defaultdict
+
+    by_k = defaultdict(list)
+    for k, s, e in rows:
+        by_k[k].append((s, e))
+    for k, iv in by_k.items():
+        brute = max(
+            sum(1 for s, e in iv if s <= t < e)
+            for t in {s for s, _ in iv}
+        )
+        assert got[k] == (brute, len(iv))
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000),
+        min_size=1,
+        max_size=60,
+    ),
+    n_parts=st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=25, deadline=None)
+def test_global_cumsum_is_sorted_prefix_sum(spark, vals, n_parts):
+    """The two-phase partition-offset cumulative sum equals the
+    Python prefix sum over the totally-ordered rows for ANY
+    partition count, including negative values and duplicates
+    (tie-broken by the unique id)."""
+    from distributed_mapreduce_p2p_spark.operators.relational import (
+        global_cumsum,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    out = global_cumsum(df, "v", ["v", "id"], n_parts=n_parts).collect()
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    prefix = {}
+    run = 0
+    for i, v in ordered:
+        run += v
+        prefix[i] = run
+    assert len(out) == len(rows)
+    for r in out:
+        assert r._cum == prefix[r.id]
+        assert r._total == sum(vals)

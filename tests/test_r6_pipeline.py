@@ -1715,3 +1715,21 @@ def test_mann_whitney_degenerate_one_group(spark, tmp_path):
         )
         == []
     )
+
+
+def test_cli_maintain_roundtrip(spark, tmp_path):
+    """The `maintain` CLI subcommand runs the OPTIMIZE+VACUUM
+    lifecycle in-process and readers converge on the compacted
+    version."""
+    from distributed_mapreduce_p2p_spark.__main__ import main
+    from distributed_mapreduce_p2p_spark.sources import io as IO
+
+    root = str(tmp_path / "tbl")
+    base = spark.range(2000).withColumnRenamed("id", "k")
+    IO.publish_atomic(base.limit(50), root)
+    IO.publish_atomic(base.repartition(8), root, expected_version=1)
+    assert main(["maintain", root, "--keep", "1"]) == 0
+    m = IO.read_manifest(root)
+    assert m["version"] == 3 and len(m["files"]) == 1
+    out = IO.read_published(spark, root)
+    assert out.count() == 2000
