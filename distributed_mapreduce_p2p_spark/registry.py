@@ -12971,6 +12971,141 @@ def q_new_vs_returning(spark, sf_dir):
 
 
 # =====================================================================
+# Round-6 batch 10: range-dimension banding, weighted median
+# =====================================================================
+
+@register(
+    "price_tier_stats",
+    oracle="""
+    WITH tiers AS (
+      SELECT * FROM (VALUES
+        ('1-small',  0,        10000000),
+        ('2-medium', 10000000, 25000000),
+        ('3-large',  25000000, 40000000),
+        ('4-jumbo',  40000000, 9223372036854775807)
+      ) t(tier, lo, hi)
+    ), o AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    )
+    SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS tier_cents,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents
+    FROM o JOIN tiers ON cents >= lo AND cents < hi
+    GROUP BY tier
+    """,
+)
+def q_price_tier_stats(spark, sf_dir):
+    """Range-dimension banding: the fact stream joins a 4-row tier
+    table on a BETWEEN predicate — the one legitimate use of a
+    broadcast nested-loop join (bounded dim side; cost = |fact| x 4
+    comparisons, constant per row; whitelisted in the plan audit).
+    Contrast with ewma_dyadic, where BOTH sides are fact-scale and
+    the band must be converted to an equi-join — the decision rule
+    is dim-side cardinality. Order amounts stay exact BIGINT cents;
+    the half-open [lo, hi) tiers partition the whole domain, so
+    n_orders sums to the table cardinality (pinned in the test)."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)"
+        ).alias("cents")
+    )
+    tiers = spark.createDataFrame(
+        [
+            ("1-small", 0, 10000000),
+            ("2-medium", 10000000, 25000000),
+            ("3-large", 25000000, 40000000),
+            ("4-jumbo", 40000000, 9223372036854775807),
+        ],
+        "tier STRING, lo LONG, hi LONG",
+    )
+    return (
+        o.join(
+            broadcast(tiers),
+            (F.col("cents") >= F.col("lo"))
+            & (F.col("cents") < F.col("hi")),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("tier_cents"),
+            F.min("cents").cast("long").alias("min_cents"),
+            F.max("cents").cast("long").alias("max_cents"),
+        )
+    )
+
+
+@register(
+    "weighted_median_price",
+    oracle="""
+    WITH cell AS (
+      SELECT p_brand,
+             CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                  AS BIGINT) AS v,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2
+    ), c2 AS (
+      SELECT p_brand, v, w,
+             CAST(SUM(w) OVER (PARTITION BY p_brand ORDER BY v
+                               ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cumw,
+             CAST(SUM(w) OVER (PARTITION BY p_brand) AS BIGINT) AS totw
+      FROM cell
+    )
+    SELECT p_brand,
+           CAST(MIN(CASE WHEN 2 * cumw >= totw THEN v END) AS BIGINT)
+             AS weighted_median_cents,
+           CAST(MAX(totw) AS BIGINT) AS total_qty
+    FROM c2 GROUP BY p_brand
+    """,
+)
+def q_weighted_median_price(spark, sf_dir):
+    """QUANTITY-weighted median price per brand — the inventory-
+    weighted central price an unweighted median misstates. Weighted
+    rank machinery on per-VALUE cells (the mann_whitney_u
+    discipline): weights aggregate map-side onto distinct price
+    values, ONE cumulative window per brand over the cell table, and
+    the median is the smallest value whose doubled cumulative weight
+    reaches the total (2·cumw >= totw — cross-multiplied, no
+    halving, no floats anywhere). Cell cardinality (distinct prices
+    per brand), not row count, bounds the window at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cell = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.expr(
+                "CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100"
+                " AS BIGINT)"
+            ).alias("v"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long"))
+            .cast("long")
+            .alias("w")
+        )
+    )
+    cw = Window.partitionBy("p_brand").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tw = Window.partitionBy("p_brand")
+    c2 = cell.withColumn(
+        "cumw", F.sum("w").over(cw).cast("long")
+    ).withColumn("totw", F.sum("w").over(tw).cast("long"))
+    return c2.groupBy("p_brand").agg(
+        F.min(
+            F.when(2 * F.col("cumw") >= F.col("totw"), F.col("v"))
+        )
+        .cast("long")
+        .alias("weighted_median_cents"),
+        F.max("totw").cast("long").alias("total_qty"),
+    )
+
+
+# =====================================================================
 # Driver-window ordering
 # =====================================================================
 # The grading driver verifies oracle parity for the FIRST 50 entries of

@@ -1733,3 +1733,83 @@ def test_cli_maintain_roundtrip(spark, tmp_path):
     assert m["version"] == 3 and len(m["files"]) == 1
     out = IO.read_published(spark, root)
     assert out.count() == 2000
+
+
+# ---------------------------------------------- r6 batch 10
+
+
+def test_price_tiers_partition_orders(spark):
+    """The half-open tiers tile the order table exactly, and stats
+    match a Python recompute."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    tiers = [
+        ("1-small", 0, 10000000),
+        ("2-medium", 10000000, 25000000),
+        ("3-large", 25000000, 40000000),
+        ("4-jumbo", 40000000, 1 << 62),
+    ]
+    agg = defaultdict(lambda: [0, 0, None, None])
+    n_orders = 0
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        n_orders += 1
+        c = int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01")) * 100
+        )
+        for t, lo, hi in tiers:
+            if lo <= c < hi:
+                a = agg[t]
+                a[0] += 1
+                a[1] += c
+                a[2] = c if a[2] is None else min(a[2], c)
+                a[3] = c if a[3] is None else max(a[3], c)
+    rows = _q(spark, "price_tier_stats").collect()
+    assert sum(r.n_orders for r in rows) == n_orders
+    for r in rows:
+        n, s, lo, hi = agg[r.tier]
+        assert (r.n_orders, r.tier_cents, r.min_cents, r.max_cents) == (
+            n, s, lo, hi,
+        )
+
+
+def test_weighted_median_python_recompute(spark):
+    """The weighted median equals the Python cumulative-weight rule,
+    and at least half the quantity mass sits on each side."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    brand = {
+        p.p_partkey: p.p_brand
+        for p in read_table(spark, SF_SMALL, "part").collect()
+    }
+    cells = defaultdict(lambda: defaultdict(int))
+    for li in read_table(spark, SF_SMALL, "lineitem").collect():
+        v = int(
+            Decimal(str(li.l_extendedprice)).quantize(Decimal("0.01"))
+            * 100
+        )
+        cells[brand[li.l_partkey]][v] += int(li.l_quantity)
+    got = {
+        r.p_brand: (r.weighted_median_cents, r.total_qty)
+        for r in _q(spark, "weighted_median_price").collect()
+    }
+    for b, m in cells.items():
+        tot = sum(m.values())
+        cum = 0
+        med = None
+        for v in sorted(m):
+            cum += m[v]
+            if 2 * cum >= tot:
+                med = v
+                break
+        assert got[b] == (med, tot)
+        below = sum(w for v, w in m.items() if v < med)
+        at_or_below = sum(w for v, w in m.items() if v <= med)
+        assert 2 * below <= tot <= 2 * at_or_below
