@@ -13105,6 +13105,80 @@ def q_weighted_median_price(spark, sf_dir):
     )
 
 
+@register(
+    "boilerplate_ngrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ts
+      FROM documents
+    ), idx AS (
+      SELECT doc_id, source, ts,
+             unnest(range(1, len(ts) - 5)) AS i
+      FROM toks
+    ), grams AS (
+      SELECT DISTINCT doc_id, source,
+             ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
+               || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5] || ' '
+               || ts[i+6] AS g
+      FROM idx
+    ), df AS (
+      SELECT source, g, CAST(COUNT(*) AS BIGINT) AS doc_freq
+      FROM grams GROUP BY 1, 2
+    ), r AS (
+      SELECT source, g, doc_freq,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY doc_freq DESC, g) AS rn
+      FROM df
+    )
+    SELECT source, CAST(rn AS BIGINT) AS rank, g AS gram, doc_freq
+    FROM r WHERE rn <= 5
+    """,
+)
+def q_boilerplate_ngrams(spark, sf_dir):
+    """Boilerplate detection by DOCUMENT frequency (the C4/RefinedWeb
+    line-dedup signal, token-window form): per source, the five
+    7-token grams appearing in the most DISTINCT documents — exactly
+    the repeated headers/footers/templates a curation pipeline
+    strips. Distinct-per-doc BEFORE counting (a gram repeated inside
+    one doc is repetition, doc_repetition's job — boilerplate is
+    CROSS-doc), tie-broken on the gram string for a deterministic
+    top-5. Gram explosion is linear in corpus tokens; the
+    doc-frequency shuffle keys on the gram itself and the top-5
+    window runs on the per-source distinct-gram cells."""
+    d = _t(spark, sf_dir, "documents")
+    grams = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(split(text, ' ')) >= 7 THEN"
+                    " transform(sequence(1, size(split(text, ' ')) - 6),"
+                    "   i -> concat_ws(' ', slice(split(text, ' '), i, 7)))"
+                    " ELSE array() END"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    df_ = grams.groupBy("source", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("doc_freq").desc(), F.col("g")
+    )
+    return (
+        df_.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select(
+            "source",
+            F.col("rn").cast("long").alias("rank"),
+            F.col("g").alias("gram"),
+            "doc_freq",
+        )
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================

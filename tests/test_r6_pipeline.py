@@ -1813,3 +1813,31 @@ def test_weighted_median_python_recompute(spark):
         below = sum(w for v, w in m.items() if v < med)
         at_or_below = sum(w for v, w in m.items() if v <= med)
         assert 2 * below <= tot <= 2 * at_or_below
+
+
+def test_boilerplate_ngrams_python_recompute(spark):
+    """Top-5 grams per source equal a Python doc-frequency recompute
+    with the (df desc, gram) tie-break, counting each doc once."""
+    from collections import defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    df = defaultdict(lambda: defaultdict(int))
+    for d in read_table(spark, SF_SMALL, "documents").collect():
+        ts = d.text.split(" ")
+        seen = {
+            " ".join(ts[i : i + 7]) for i in range(len(ts) - 6)
+        }
+        for g in seen:
+            df[d.source][g] += 1
+    got = defaultdict(list)
+    for r in _q(spark, "boilerplate_ngrams").collect():
+        got[r.source].append((r.rank, r.gram, r.doc_freq))
+    assert set(got) == set(df)
+    for src, m in df.items():
+        want = sorted(m.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        rows = sorted(got[src])
+        assert [(g, c) for _, g, c in rows] == want
+        # ranks are 1..5 in tie-broken order
+        assert [rk for rk, _, _ in rows] == list(range(1, len(rows) + 1))
