@@ -13179,6 +13179,92 @@ def q_boilerplate_ngrams(spark, sf_dir):
     )
 
 
+@register(
+    "yoy_growth",
+    oracle="""
+    WITH m AS (
+      SELECT n_name,
+             CAST(YEAR(CAST(o_orderdate AS DATE)) * 12
+                  + MONTH(CAST(o_orderdate AS DATE)) AS BIGINT) AS midx,
+             strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT a.n_name, a.ym, a.cents,
+           b.cents AS prev_year_cents,
+           CASE WHEN b.cents IS NOT NULL AND b.cents <> 0 THEN
+             CAST(a.cents - b.cents AS DOUBLE)
+               / CAST(b.cents AS DOUBLE) END AS yoy_growth
+    FROM m a LEFT JOIN m b
+      ON a.n_name = b.n_name AND a.midx = b.midx + 12
+    """,
+)
+def q_yoy_growth(spark, sf_dir):
+    """Year-over-year growth per nation-month via a CALENDAR-ALIGNED
+    self-join (midx = prev.midx + 12) — deliberately NOT lag(12):
+    positional lag silently compares against the wrong month the
+    moment any month is missing from a series, the classic YoY bug.
+    Month cells aggregate once (integer month index y*12+m), the
+    equi self-join runs on the calendar-bounded cell table, and the
+    growth ratio is one guarded division (NULL when no or zero
+    base). Contrast pattern to weekly_growth's dense-series lag;
+    both are driver-verified so the choice is documented by
+    example."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.expr(
+                "CAST(YEAR(CAST(o_orderdate AS DATE)) * 12"
+                " + MONTH(CAST(o_orderdate AS DATE)) AS BIGINT)"
+            ).alias("midx"),
+            F.date_format(
+                F.col("o_orderdate").cast("date"), "yyyy-MM"
+            ).alias("ym"),
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    a = m.alias("a")
+    b = m.select(
+        F.col("n_name").alias("b_n"),
+        F.col("midx").alias("b_midx"),
+        F.col("cents").alias("prev_year_cents"),
+    )
+    return a.join(
+        b,
+        (F.col("a.n_name") == F.col("b_n"))
+        & (F.col("a.midx") == F.col("b_midx") + 12),
+        "left",
+    ).select(
+        "n_name",
+        "ym",
+        "cents",
+        "prev_year_cents",
+        F.when(
+            F.col("prev_year_cents").isNotNull()
+            & (F.col("prev_year_cents") != 0),
+            (F.col("cents") - F.col("prev_year_cents")).cast("double")
+            / F.col("prev_year_cents").cast("double"),
+        ).alias("yoy_growth"),
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================

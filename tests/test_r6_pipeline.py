@@ -1841,3 +1841,45 @@ def test_boilerplate_ngrams_python_recompute(spark):
         assert [(g, c) for _, g, c in rows] == want
         # ranks are 1..5 in tie-broken order
         assert [rk for rk, _, _ in rows] == list(range(1, len(rows) + 1))
+
+
+def test_yoy_growth_python_recompute(spark):
+    """YoY cells equal a Python calendar-aligned replay — including
+    months whose prior-year month is MISSING (NULL base, the case
+    positional lag gets wrong)."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    cust = {
+        c.c_custkey: c.c_nationkey
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    nname = {
+        n.n_nationkey: n.n_name
+        for n in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    cells = defaultdict(int)
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        d = o.o_orderdate.date()
+        k = (nname[cust[o.o_custkey]], d.year * 12 + d.month)
+        cells[k] += int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01")) * 100
+        )
+    rows = _q(spark, "yoy_growth").collect()
+    assert len(rows) == len(cells)
+    for r in rows:
+        y, mth = map(int, r.ym.split("-"))
+        k = (r.n_name, y * 12 + mth)
+        prev = cells.get((r.n_name, y * 12 + mth - 12))
+        assert r.cents == cells[k]
+        assert r.prev_year_cents == prev
+        if prev:
+            assert r.yoy_growth == float(r.cents - prev) / float(prev)
+        else:
+            assert r.yoy_growth is None
+    # the fixture must exercise the missing-base branch (first year)
+    assert any(r.prev_year_cents is None for r in rows)
+    assert any(r.prev_year_cents is not None for r in rows)
