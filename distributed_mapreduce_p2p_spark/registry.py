@@ -13265,6 +13265,110 @@ def q_yoy_growth(spark, sf_dir):
     )
 
 
+@register(
+    "ab_test_ztest",
+    oracle="""
+    WITH conv AS (
+      SELECT r_name, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      LEFT JOIN (SELECT DISTINCT o_custkey AS k FROM orders
+                 WHERE o_orderstatus = 'F') f ON c_custkey = k
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      GROUP BY 1, 2
+    ), p AS (
+      SELECT a.r_name, a.n AS n1, a.x AS x1, b.n AS n2, b.x AS x2
+      FROM conv a JOIN conv b
+        ON a.r_name = b.r_name
+       AND a.c_mktsegment = 'BUILDING'
+       AND b.c_mktsegment = 'MACHINERY'
+    )
+    SELECT r_name, n1, x1, n2, x2,
+           CASE WHEN x1 + x2 > 0 AND x1 + x2 < n1 + n2 THEN
+             (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+             / sqrt((CAST(x1 + x2 AS DOUBLE)
+                     / CAST(n1 + n2 AS DOUBLE))
+                    * (1.0 - CAST(x1 + x2 AS DOUBLE)
+                             / CAST(n1 + n2 AS DOUBLE))
+                    * (1.0 / CAST(n1 AS DOUBLE)
+                       + 1.0 / CAST(n2 AS DOUBLE)))
+           END AS z_score
+    FROM p
+    """,
+)
+def q_ab_test_ztest(spark, sf_dir):
+    """Two-proportion z-test per region (BUILDING vs MACHINERY
+    conversion to a finalized order) — the A/B-experiment readout.
+    Counts and conversions are exact BIGINTs from one semi-join-
+    shaped pass (distinct converters LEFT-joined onto the cohort,
+    so never-ordering customers count in the denominator); the
+    z-score is the textbook pooled formula with every float op in a
+    FIXED mirrored order — portable because IEEE division/multiply
+    are deterministic given operand order and sqrt is correctly
+    rounded (the repo's one libm-adjacent function that IS
+    engine-exact). Degenerate pools (0% or 100% conversion) emit
+    NULL via a mirrored CASE, never a 0-divide. Joins the
+    mann_whitney_u / chi2 / ks shelf as the proportion-test
+    member."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    o = _t(spark, sf_dir, "orders")
+    conv_src = (
+        c.where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(
+            o.where(F.col("o_orderstatus") == "F")
+            .select(F.col("o_custkey").alias("k"))
+            .distinct(),
+            F.col("c_custkey") == F.col("k"),
+            "left",
+        )
+    )
+    conv = conv_src.groupBy("r_name", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+    )
+    a = conv.where(F.col("c_mktsegment") == "BUILDING").select(
+        "r_name", F.col("n").alias("n1"), F.col("x").alias("x1")
+    )
+    b = conv.where(F.col("c_mktsegment") == "MACHINERY").select(
+        F.col("r_name").alias("r2"),
+        F.col("n").alias("n2"),
+        F.col("x").alias("x2"),
+    )
+    p = a.join(b, F.col("r_name") == F.col("r2")).drop("r2")
+    d = lambda col: F.col(col).cast("double")
+    pp = (F.col("x1") + F.col("x2")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    ).cast("double")
+    z = (d("x1") / d("n1") - d("x2") / d("n2")) / F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / d("n1") + F.lit(1.0) / d("n2"))
+    )
+    return p.select(
+        "r_name",
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        F.when(
+            (F.col("x1") + F.col("x2") > 0)
+            & (F.col("x1") + F.col("x2") < F.col("n1") + F.col("n2")),
+            z,
+        ).alias("z_score"),
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================

@@ -61,6 +61,7 @@ QUERIES = [
     "weekday_seasonality",
     "discount_quantity_elasticity",
     "dau_mau_stickiness",
+    "ab_test_ztest",
 ]
 
 

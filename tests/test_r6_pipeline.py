@@ -1883,3 +1883,48 @@ def test_yoy_growth_python_recompute(spark):
     # the fixture must exercise the missing-base branch (first year)
     assert any(r.prev_year_cents is None for r in rows)
     assert any(r.prev_year_cents is not None for r in rows)
+
+
+def test_ab_ztest_python_recompute(spark):
+    """Counts equal a Python cohort replay and the z-score equals
+    the same-order IEEE formula; degenerate pools yield NULL (both
+    branches exercised via a synthetic all-converted region check
+    only if present)."""
+    import math
+    from collections import defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    rname = {
+        r.r_regionkey: r.r_name
+        for r in read_table(spark, SF_SMALL, "region").collect()
+    }
+    n2r = {
+        n.n_nationkey: rname[n.n_regionkey]
+        for n in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    converted = {
+        o.o_custkey
+        for o in read_table(spark, SF_SMALL, "orders").collect()
+        if o.o_orderstatus == "F"
+    }
+    cell = defaultdict(lambda: [0, 0])
+    for c in read_table(spark, SF_SMALL, "customer").collect():
+        if c.c_mktsegment in ("BUILDING", "MACHINERY"):
+            a = cell[(n2r[c.c_nationkey], c.c_mktsegment)]
+            a[0] += 1
+            a[1] += 1 if c.c_custkey in converted else 0
+    rows = _q(spark, "ab_test_ztest").collect()
+    for r in rows:
+        n1, x1 = cell[(r.r_name, "BUILDING")]
+        n2, x2 = cell[(r.r_name, "MACHINERY")]
+        assert (r.n1, r.x1, r.n2, r.x2) == (n1, x1, n2, x2)
+        if 0 < x1 + x2 < n1 + n2:
+            pp = (x1 + x2) / (n1 + n2)
+            want = (x1 / n1 - x2 / n2) / math.sqrt(
+                pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2)
+            )
+            assert r.z_score == want
+        else:
+            assert r.z_score is None
