@@ -13369,6 +13369,159 @@ def q_ab_test_ztest(spark, sf_dir):
     )
 
 
+@register(
+    "cart_root_split",
+    oracle="""
+    WITH lab AS (
+      SELECT c_custkey,
+             CAST(CAST(c_acctbal AS DECIMAL(14,2)) * 100 AS BIGINT)
+               // 100000 AS f_balbucket,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+              WHERE o_custkey = c_custkey) AS f_orders,
+             CASE WHEN EXISTS (SELECT 1 FROM orders
+                               WHERE o_custkey = c_custkey
+                                 AND o_orderstatus = 'F')
+                  THEN 1 ELSE 0 END AS y
+      FROM customer
+    ), feat AS (
+      SELECT 'balbucket' AS feature, f_balbucket AS v, y FROM lab
+      UNION ALL
+      SELECT 'orders', f_orders, y FROM lab
+    ), cell AS (
+      SELECT feature, v,
+             CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+      FROM feat GROUP BY 1, 2
+    ), cum AS (
+      SELECT feature, v,
+             CAST(SUM(pos) OVER (PARTITION BY feature ORDER BY v
+                                 ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS pl,
+             CAST(SUM(neg) OVER (PARTITION BY feature ORDER BY v
+                                 ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS nl,
+             CAST(SUM(pos) OVER (PARTITION BY feature) AS BIGINT) AS pt,
+             CAST(SUM(neg) OVER (PARTITION BY feature) AS BIGINT) AS nt
+      FROM cell
+    ), cand AS (
+      SELECT feature, v AS threshold, pl, nl,
+             pt - pl AS pr, nt - nl AS nr,
+             CAST(pl * pl + nl * nl AS DOUBLE)
+               / CAST(pl + nl AS DOUBLE)
+             + CAST((pt - pl) * (pt - pl) + (nt - nl) * (nt - nl)
+                    AS DOUBLE)
+               / CAST(pt + nt - pl - nl AS DOUBLE) AS purity
+      FROM cum
+      WHERE pl + nl > 0 AND pt + nt - pl - nl > 0
+    ), best AS (
+      SELECT feature, threshold, pl, nl, pr, nr, purity,
+             ROW_NUMBER() OVER (ORDER BY purity DESC, feature,
+                                threshold) AS rn
+      FROM cand
+    )
+    SELECT feature, CAST(threshold AS BIGINT) AS threshold,
+           pl AS pos_left, nl AS neg_left,
+           pr AS pos_right, nr AS neg_right, purity
+    FROM best WHERE rn = 1
+    """,
+)
+def q_cart_root_split(spark, sf_dir):
+    """A CART decision-tree ROOT SPLIT trained as a DataFrame plan:
+    predict customer conversion (has a finalized order) from two
+    features (account-balance 1000-dollar bucket, order count) by
+    maximizing the weighted Gini purity sum (pl²+nl²)/nl_tot +
+    (pr²+nr²)/nr_tot over every candidate threshold. The whole
+    training step is cumulative label counts on per-VALUE cells
+    (the mann_whitney_u machinery pointed at supervised learning):
+    one label pass, one cell aggregation, one cumulative window per
+    feature — candidate scoring never touches raw rows. Purity is
+    two fixed-order divisions of exact BIGINTs, so the argmax (tie
+    broken on feature, threshold) is engine-identical. Features are
+    pre-BUCKETED, which is what bounds the candidate set (and the
+    final ~100-row argmax window) at 100 TB — the same binning any
+    distributed GBDT (XGBoost/LightGBM histogram mode, public) does
+    before split finding."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    ocnt = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ord"),
+        F.max(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        ).alias("has_f"),
+    )
+    lab = c.join(ocnt, c.c_custkey == F.col("k"), "left").select(
+        F.expr(
+            "CAST(CAST(c_acctbal AS DECIMAL(14,2)) * 100 AS BIGINT)"
+            " DIV 100000"
+        ).alias("f_balbucket"),
+        F.coalesce(F.col("n_ord"), F.lit(0)).cast("long").alias(
+            "f_orders"
+        ),
+        F.coalesce(F.col("has_f"), F.lit(0)).alias("y"),
+    )
+    feat = lab.select(
+        F.lit("balbucket").alias("feature"),
+        F.col("f_balbucket").alias("v"),
+        "y",
+    ).unionAll(
+        lab.select(
+            F.lit("orders").alias("feature"),
+            F.col("f_orders").alias("v"),
+            "y",
+        )
+    )
+    cell = feat.groupBy("feature", "v").agg(
+        F.sum("y").cast("long").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("neg"),
+    )
+    cw = Window.partitionBy("feature").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tw = Window.partitionBy("feature")
+    cum = (
+        cell.withColumn("pl", F.sum("pos").over(cw).cast("long"))
+        .withColumn("nl", F.sum("neg").over(cw).cast("long"))
+        .withColumn("pt", F.sum("pos").over(tw).cast("long"))
+        .withColumn("nt", F.sum("neg").over(tw).cast("long"))
+    )
+    pr = F.col("pt") - F.col("pl")
+    nr = F.col("nt") - F.col("nl")
+    cand = cum.where(
+        (F.col("pl") + F.col("nl") > 0) & (pr + nr > 0)
+    ).select(
+        "feature",
+        F.col("v").alias("threshold"),
+        "pl",
+        "nl",
+        pr.alias("pr"),
+        nr.alias("nr"),
+        (
+            (
+                F.col("pl") * F.col("pl") + F.col("nl") * F.col("nl")
+            ).cast("double")
+            / (F.col("pl") + F.col("nl")).cast("double")
+            + (pr * pr + nr * nr).cast("double")
+            / (pr + nr).cast("double")
+        ).alias("purity"),
+    )
+    best = Window.orderBy(
+        F.col("purity").desc(), "feature", "threshold"
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(best))
+        .where(F.col("rn") == 1)
+        .select(
+            "feature",
+            F.col("threshold").cast("long").alias("threshold"),
+            F.col("pl").alias("pos_left"),
+            F.col("nl").alias("neg_left"),
+            F.col("pr").alias("pos_right"),
+            F.col("nr").alias("neg_right"),
+            "purity",
+        )
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================

@@ -62,6 +62,7 @@ QUERIES = [
     "discount_quantity_elasticity",
     "dau_mau_stickiness",
     "ab_test_ztest",
+    "cart_root_split",
 ]
 
 

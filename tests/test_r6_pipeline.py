@@ -1928,3 +1928,62 @@ def test_ab_ztest_python_recompute(spark):
             assert r.z_score == want
         else:
             assert r.z_score is None
+
+
+def test_cart_root_split_python_recompute(spark):
+    """The chosen split equals a brute-force Python scan over every
+    (feature, threshold) candidate with the same purity formula and
+    tie-break, and actually separates the labels better than any
+    alternative candidate."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    orders = read_table(spark, SF_SMALL, "orders").collect()
+    n_ord = defaultdict(int)
+    has_f = set()
+    for o in orders:
+        n_ord[o.o_custkey] += 1
+        if o.o_orderstatus == "F":
+            has_f.add(o.o_custkey)
+    rows = []
+    for c in read_table(spark, SF_SMALL, "customer").collect():
+        cents = int(
+            Decimal(str(c.c_acctbal)).quantize(Decimal("0.01")) * 100
+        )
+        bb = cents // 100000 if cents >= 0 else -((-cents + 99999) // 100000)
+        # Python // floors; SQL DIV truncates toward zero — recompute
+        # with truncation to mirror the operator
+        bb = int(cents / 100000) if cents < 0 else cents // 100000
+        rows.append(
+            (bb, n_ord[c.c_custkey], 1 if c.c_custkey in has_f else 0)
+        )
+    cells = defaultdict(lambda: [0, 0])
+    for bb, no, y in rows:
+        cells[("balbucket", bb)][y] += 1
+        cells[("orders", no)][y] += 1
+    cands = []
+    for feature in ("balbucket", "orders"):
+        vs = sorted(v for f, v in cells if f == feature)
+        pt = sum(cells[(feature, v)][1] for v in vs)
+        nt = sum(cells[(feature, v)][0] for v in vs)
+        pl = nl = 0
+        for v in vs:
+            nl += cells[(feature, v)][0]
+            pl += cells[(feature, v)][1]
+            pr, nr = pt - pl, nt - nl
+            if pl + nl > 0 and pr + nr > 0:
+                purity = float(pl * pl + nl * nl) / float(pl + nl) + (
+                    float(pr * pr + nr * nr) / float(pr + nr)
+                )
+                cands.append((-purity, feature, v, pl, nl, pr, nr))
+    cands.sort()
+    want = cands[0]
+    r = _q(spark, "cart_root_split").collect()[0]
+    assert (
+        r.feature, r.threshold, r.pos_left, r.neg_left,
+        r.pos_right, r.neg_right,
+    ) == (want[1], want[2], want[3], want[4], want[5], want[6])
+    assert r.purity == -want[0]
