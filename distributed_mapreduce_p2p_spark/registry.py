@@ -13522,6 +13522,143 @@ def q_cart_root_split(spark, sf_dir):
     )
 
 
+@register(
+    "kaplan_meier_survival",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             MIN(CASE WHEN o_orderstatus = 'F' THEN
+                 YEAR(CAST(o_orderdate AS DATE)) * 12
+                 + MONTH(CAST(o_orderdate AS DATE)) END) AS ev_m,
+             MAX(YEAR(CAST(o_orderdate AS DATE)) * 12
+                 + MONTH(CAST(o_orderdate AS DATE))) AS last_m
+      FROM orders GROUP BY 1
+    ), subj AS (
+      SELECT n_name,
+             CAST(COALESCE(ev_m, last_m) AS BIGINT) AS t,
+             CASE WHEN ev_m IS NOT NULL THEN 1 ELSE 0 END AS is_event
+      FROM per JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey
+    ), cell AS (
+      SELECT n_name, t,
+             CAST(SUM(is_event) AS BIGINT) AS d,
+             CAST(COUNT(*) - SUM(is_event) AS BIGINT) AS cns
+      FROM subj GROUP BY 1, 2
+    ), cum AS (
+      SELECT n_name, t, d, cns,
+             CAST(SUM(d + cns) OVER (PARTITION BY n_name ORDER BY t
+                                     ROWS UNBOUNDED PRECEDING)
+                  - (d + cns) AS BIGINT) AS gone_before,
+             CAST(SUM(d + cns) OVER (PARTITION BY n_name)
+                  AS BIGINT) AS total
+      FROM cell
+    ), ev AS (
+      SELECT n_name, t, d, total - gone_before AS n_risk,
+             CAST(total - gone_before - d AS DOUBLE)
+               / CAST(total - gone_before AS DOUBLE) AS factor
+      FROM cum WHERE d > 0
+    ), lists AS (
+      SELECT n_name,
+             list(factor ORDER BY t) AS fs,
+             list(t ORDER BY t) AS ts
+      FROM ev GROUP BY 1
+    )
+    SELECT e.n_name, e.t, e.n_risk, e.d,
+           list_reduce(l.fs[1:list_position(l.ts, e.t)],
+                       (acc, x) -> acc * x) AS survival
+    FROM ev e JOIN lists l ON e.n_name = l.n_name
+    """,
+)
+def q_kaplan_meier_survival(spark, sf_dir):
+    """Kaplan–Meier survival curve per nation — time-to-first-
+    finalized-order in months, RIGHT-CENSORED at the last observed
+    order month for customers who never finalize (the estimator is
+    degenerate without censoring: it would telescope to the
+    empirical survival). Risk sets and event counts are exact
+    BIGINTs from one cumulative window over per-month cells
+    (censored-at-t subjects stay at risk for events AT t — the
+    standard convention); each KM factor (n-d)/n is one exact
+    division, and the survival products FOLD the per-nation
+    time-ordered factor array identically on both engines (Spark
+    ``aggregate`` with init 1.0 vs DuckDB ``list_reduce`` — the
+    extra 1.0x is IEEE-exact), which is how an order-sensitive float
+    product becomes hash-portable. The fold runs on the
+    calendar-bounded event-month array, never on subjects."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    midx = (
+        "YEAR(CAST(o_orderdate AS DATE)) * 12"
+        " + MONTH(CAST(o_orderdate AS DATE))"
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.min(
+            F.expr(
+                f"CASE WHEN o_orderstatus = 'F' THEN {midx} END"
+            )
+        ).alias("ev_m"),
+        F.max(F.expr(midx)).alias("last_m"),
+    )
+    subj = (
+        per.join(c, per.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.coalesce("ev_m", "last_m").cast("long").alias("t"),
+            F.when(F.col("ev_m").isNotNull(), 1)
+            .otherwise(0)
+            .alias("is_event"),
+        )
+    )
+    cell = subj.groupBy("n_name", "t").agg(
+        F.sum("is_event").cast("long").alias("d"),
+        (F.count(F.lit(1)) - F.sum("is_event"))
+        .cast("long")
+        .alias("cns"),
+    )
+    cw = Window.partitionBy("n_name").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tw = Window.partitionBy("n_name")
+    cum = cell.withColumn(
+        "gone_before",
+        (
+            F.sum(F.col("d") + F.col("cns")).over(cw)
+            - (F.col("d") + F.col("cns"))
+        ).cast("long"),
+    ).withColumn(
+        "total", F.sum(F.col("d") + F.col("cns")).over(tw).cast("long")
+    )
+    ev = cum.where(F.col("d") > 0).select(
+        "n_name",
+        "t",
+        "d",
+        (F.col("total") - F.col("gone_before")).alias("n_risk"),
+        (
+            (F.col("total") - F.col("gone_before") - F.col("d")).cast(
+                "double"
+            )
+            / (F.col("total") - F.col("gone_before")).cast("double")
+        ).alias("factor"),
+    )
+    lists = ev.groupBy("n_name").agg(
+        F.expr(
+            "sort_array(collect_list(struct(t, factor)))"
+        ).alias("arr")
+    )
+    return ev.join(broadcast(lists), "n_name").select(
+        "n_name",
+        "t",
+        "n_risk",
+        "d",
+        F.expr(
+            "aggregate(transform(filter(arr, s -> s.t <= t),"
+            " s -> s.factor), CAST(1.0 AS DOUBLE),"
+            " (acc, x) -> acc * x)"
+        ).alias("survival"),
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================

@@ -63,6 +63,7 @@ QUERIES = [
     "dau_mau_stickiness",
     "ab_test_ztest",
     "cart_root_split",
+    "kaplan_meier_survival",
 ]
 
 

@@ -1987,3 +1987,59 @@ def test_cart_root_split_python_recompute(spark):
         r.pos_right, r.neg_right,
     ) == (want[1], want[2], want[3], want[4], want[5], want[6])
     assert r.purity == -want[0]
+
+
+def test_kaplan_meier_python_recompute(spark):
+    """Risk sets, event counts, and the bit-exact survival fold
+    equal a Python KM replay with the censored-at-risk convention,
+    and each curve is nonincreasing in (0, 1]."""
+    from collections import defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    cust = {
+        c.c_custkey: c.c_nationkey
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    nname = {
+        n.n_nationkey: n.n_name
+        for n in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    ev_m: dict[int, int] = {}
+    last_m: dict[int, int] = {}
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        d = o.o_orderdate.date()
+        m = d.year * 12 + d.month
+        last_m[o.o_custkey] = max(last_m.get(o.o_custkey, 0), m)
+        if o.o_orderstatus == "F":
+            ev_m[o.o_custkey] = min(ev_m.get(o.o_custkey, 10**9), m)
+    subj = defaultdict(list)
+    for ck, nk in cust.items():
+        if ck not in last_m:
+            continue
+        t = ev_m.get(ck, last_m[ck])
+        subj[nname[nk]].append((t, ck in ev_m))
+    got = defaultdict(dict)
+    for r in _q(spark, "kaplan_meier_survival").collect():
+        got[r.n_name][r.t] = (r.n_risk, r.d, r.survival)
+    for nn, ss in subj.items():
+        cells = defaultdict(lambda: [0, 0])
+        for t, is_ev in ss:
+            cells[t][0 if is_ev else 1] += 1
+        total = len(ss)
+        gone = 0
+        surv = 1.0
+        want_ts = []
+        for t in sorted(cells):
+            d, cns = cells[t]
+            n_risk = total - gone
+            if d > 0:
+                surv = surv * (float(n_risk - d) / float(n_risk))
+                assert got[nn][t] == (n_risk, d, surv)
+                want_ts.append(t)
+            gone += d + cns
+        assert sorted(got[nn]) == want_ts
+        curve = [got[nn][t][2] for t in want_ts]
+        assert all(0 <= s <= 1.0 for s in curve)
+        assert curve == sorted(curve, reverse=True)
