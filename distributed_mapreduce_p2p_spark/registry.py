@@ -13659,6 +13659,96 @@ def q_kaplan_meier_survival(spark, sf_dir):
     )
 
 
+@register(
+    "clustering_coefficient",
+    oracle="""
+    WITH trade AS MATERIALIZED (
+      SELECT c_nationkey AS cn, s_nationkey AS sn,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1 - l_discount AS DECIMAL(4,2))) AS vol
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2
+    ), und AS MATERIALIZED (
+      SELECT LEAST(cn, sn) AS a, GREATEST(cn, sn) AS b, SUM(vol) AS vol
+      FROM trade WHERE cn <> sn GROUP BY 1, 2
+    ), edges0 AS MATERIALIZED (
+      SELECT a, b FROM und
+      WHERE CAST(vol AS DOUBLE) * (SELECT COUNT(*) FROM und)
+            > (SELECT CAST(SUM(vol) AS DOUBLE) FROM und)
+    ), edges AS (
+      SELECT a AS src, b AS dst FROM edges0
+      UNION ALL SELECT b, a FROM edges0
+    ), deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM edges GROUP BY 1
+    ), tri AS (
+      SELECT e1.src AS node, CAST(COUNT(*) AS BIGINT) AS tri
+      FROM edges e1 JOIN edges e2
+        ON e1.src = e2.src AND e1.dst < e2.dst
+      JOIN edges0 e3 ON e3.a = e1.dst AND e3.b = e2.dst
+      GROUP BY 1
+    )
+    SELECT CAST(deg.node AS BIGINT) AS n_nationkey, d AS degree,
+           CAST(COALESCE(tri, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d >= 2 THEN
+             CAST(2 * COALESCE(tri, 0) AS DOUBLE)
+               / CAST(d * (d - 1) AS DOUBLE)
+           END AS clustering_coeff
+    FROM deg LEFT JOIN tri ON deg.node = tri.node
+    """,
+)
+def q_clustering_coefficient(spark, sf_dir):
+    """LOCAL clustering coefficient per node — how close each
+    nation's trade neighborhood is to a clique: 2·tri(v) /
+    (deg(v)·(deg(v)−1)), Watts–Strogatz 1998 (public). Per-node
+    triangles come from the wedge-close join (wedges (v,x),(v,y)
+    with x<y, closed against the canonical a<b edge list — each
+    triangle at v counted exactly once), the same enumeration
+    discipline as trade_graph_triangles but grouped by apex; all on
+    the shared _trade_edges memo, zero extra fact passes. Degree-1
+    nodes emit NULL (undefined denominator) via a mirrored CASE.
+    The wedge join is the |E|·d_max-bounded step; at web scale the
+    standard mitigation is the same hub cap supplier_cosine_topk
+    ships (degree-ordered wedge orientation)."""
+    und = _trade_edges(spark, sf_dir)
+    edges = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    e1 = edges.select(F.col("src").alias("n"), F.col("dst").alias("x"))
+    e2 = edges.select(F.col("src").alias("n2"), F.col("dst").alias("y"))
+    wedges = e1.join(
+        e2, (F.col("n") == F.col("n2")) & (F.col("x") < F.col("y"))
+    )
+    tri = (
+        wedges.join(
+            und.select(F.col("a").alias("ca"), F.col("b").alias("cb")),
+            (F.col("x") == F.col("ca")) & (F.col("y") == F.col("cb")),
+        )
+        .groupBy(F.col("n").alias("t_node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("tri"))
+    )
+    j = deg.join(tri, deg.node == tri.t_node, "left")
+    ntri = F.coalesce(F.col("tri"), F.lit(0)).cast("long")
+    return j.select(
+        F.col("node").cast("long").alias("n_nationkey"),
+        F.col("d").alias("degree"),
+        ntri.alias("n_triangles"),
+        F.when(
+            F.col("d") >= 2,
+            (2 * ntri).cast("double")
+            / (F.col("d") * (F.col("d") - 1)).cast("double"),
+        ).alias("clustering_coeff"),
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================

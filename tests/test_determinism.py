@@ -64,6 +64,7 @@ QUERIES = [
     "ab_test_ztest",
     "cart_root_split",
     "kaplan_meier_survival",
+    "clustering_coefficient",
 ]
 
 

@@ -2043,3 +2043,42 @@ def test_kaplan_meier_python_recompute(spark):
         curve = [got[nn][t][2] for t in want_ts]
         assert all(0 <= s <= 1.0 for s in curve)
         assert curve == sorted(curve, reverse=True)
+
+
+def test_clustering_coefficient_python_recompute(spark):
+    """Per-node degree/triangles/coefficient equal a Python adjacency
+    recompute on the same above-mean edge rule; coefficient within
+    [0,1]; triangle sum is 3x the global triangle count."""
+    from distributed_mapreduce_p2p_spark import registry
+    from tests.conftest import SF_SMALL
+
+    und = {
+        (r.a, r.b)
+        for r in registry._trade_edges(spark, SF_SMALL).collect()
+    }
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rows = _q(spark, "clustering_coefficient").collect()
+    assert {r.n_nationkey for r in rows} == set(adj)
+    tri_total = 0
+    for r in rows:
+        nbrs = adj[r.n_nationkey]
+        assert r.degree == len(nbrs)
+        tri = sum(
+            1
+            for x in nbrs
+            for y in nbrs
+            if x < y and (min(x, y), max(x, y)) in und
+        )
+        assert r.n_triangles == tri
+        tri_total += tri
+        if r.degree >= 2:
+            assert r.clustering_coeff == float(2 * tri) / float(
+                r.degree * (r.degree - 1)
+            )
+            assert 0.0 <= r.clustering_coeff <= 1.0
+        else:
+            assert r.clustering_coeff is None
+    assert tri_total % 3 == 0
