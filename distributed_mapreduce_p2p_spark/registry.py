@@ -13749,6 +13749,189 @@ def q_clustering_coefficient(spark, sf_dir):
     )
 
 
+@register(
+    "log_rank_test",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             MIN(CASE WHEN o_orderstatus = 'F' THEN
+                 YEAR(CAST(o_orderdate AS DATE)) * 12
+                 + MONTH(CAST(o_orderdate AS DATE)) END) AS ev_m,
+             MAX(YEAR(CAST(o_orderdate AS DATE)) * 12
+                 + MONTH(CAST(o_orderdate AS DATE))) AS last_m
+      FROM orders GROUP BY 1
+    ), subj AS (
+      SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+               AS g,
+             CAST(COALESCE(ev_m, last_m) AS BIGINT) AS t,
+             CASE WHEN ev_m IS NOT NULL THEN 1 ELSE 0 END AS is_event
+      FROM per JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ), cell AS (
+      SELECT t,
+             CAST(SUM(CASE WHEN g = 1 THEN is_event ELSE 0 END)
+                  AS BIGINT) AS d1,
+             CAST(SUM(is_event) AS BIGINT) AS d,
+             CAST(SUM(g) AS BIGINT) AS leave1,
+             CAST(COUNT(*) AS BIGINT) AS leave_all
+      FROM subj GROUP BY 1
+    ), cum AS (
+      SELECT t, d1, d,
+             CAST((SELECT SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END)
+                   FROM subj)
+                  - (SUM(leave1) OVER (ORDER BY t
+                                       ROWS UNBOUNDED PRECEDING)
+                     - leave1) AS BIGINT) AS n1,
+             CAST((SELECT COUNT(*) FROM subj)
+                  - (SUM(leave_all) OVER (ORDER BY t
+                                          ROWS UNBOUNDED PRECEDING)
+                     - leave_all) AS BIGINT) AS n
+      FROM cell
+    ), terms AS (
+      SELECT t, d1, d, n1, n,
+             CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE)
+               / CAST(n AS DOUBLE) AS e1,
+             CASE WHEN n > 1 THEN
+               CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+               * CAST(d AS DOUBLE) * CAST(n - d AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                  * CAST(n - 1 AS DOUBLE))
+             ELSE 0.0 END AS v
+      FROM cum WHERE d > 0
+    ), folded AS (
+      SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list(e1 ORDER BY t)),
+                         (acc, x) -> acc + x) AS e1_sum,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list(v ORDER BY t)),
+                         (acc, x) -> acc + x) AS v_sum
+      FROM terms
+    )
+    SELECT o1, e1_sum, v_sum,
+           CASE WHEN v_sum > 0.0 THEN
+             (CAST(o1 AS DOUBLE) - e1_sum) / sqrt(v_sum)
+           END AS z_log_rank
+    FROM folded
+    """,
+)
+def q_log_rank_test(spark, sf_dir):
+    """Log-rank test comparing two survival curves (BUILDING vs
+    MACHINERY time-to-first-finalized-order, the kaplan_meier
+    cohorts): observed group-1 events vs the hypergeometric
+    expectation d·n1/n accumulated over event times, z =
+    (O−E)/sqrt(V) (Mantel 1966, public). Everything until the last
+    two float arrays is exact — counts, risk sets, event tallies —
+    and the E and V term sums use the kaplan_meier ordered-fold
+    trick (time-sorted arrays folded from a 0.0 init on BOTH
+    engines), making the order-sensitive float accumulation
+    hash-portable. The global window runs on month CELLS (calendar-
+    bounded), never subjects; the two cohort totals are 1-row
+    broadcast attaches. Completes the survival shelf: KM estimates
+    the curves, log-rank decides whether they differ."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    midx = (
+        "YEAR(CAST(o_orderdate AS DATE)) * 12"
+        " + MONTH(CAST(o_orderdate AS DATE))"
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.min(
+            F.expr(f"CASE WHEN o_orderstatus = 'F' THEN {midx} END")
+        ).alias("ev_m"),
+        F.max(F.expr(midx)).alias("last_m"),
+    )
+    subj = (
+        per.join(c, per.o_custkey == c.c_custkey)
+        .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .alias("g"),
+            F.coalesce("ev_m", "last_m").cast("long").alias("t"),
+            F.when(F.col("ev_m").isNotNull(), 1)
+            .otherwise(0)
+            .alias("is_event"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = subj.agg(
+        F.sum("g").cast("long").alias("tot1"),
+        F.count(F.lit(1)).cast("long").alias("tot"),
+    )
+    cell = subj.groupBy("t").agg(
+        F.sum(F.when(F.col("g") == 1, F.col("is_event")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum("is_event").cast("long").alias("d"),
+        F.sum("g").cast("long").alias("leave1"),
+        F.count(F.lit(1)).cast("long").alias("leave_all"),
+    )
+    cw = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        cell.crossJoin(broadcast(tot))
+        .withColumn(
+            "n1",
+            (
+                F.col("tot1")
+                - (F.sum("leave1").over(cw) - F.col("leave1"))
+            ).cast("long"),
+        )
+        .withColumn(
+            "n",
+            (
+                F.col("tot")
+                - (F.sum("leave_all").over(cw) - F.col("leave_all"))
+            ).cast("long"),
+        )
+    )
+    d_ = lambda col: F.col(col).cast("double")
+    terms = cum.where(F.col("d") > 0).select(
+        "t",
+        "d1",
+        (d_("d") * d_("n1") / d_("n")).alias("e1"),
+        F.when(
+            F.col("n") > 1,
+            d_("n1")
+            * (F.col("n") - F.col("n1")).cast("double")
+            * d_("d")
+            * (F.col("n") - F.col("d")).cast("double")
+            / (
+                d_("n")
+                * d_("n")
+                * (F.col("n") - 1).cast("double")
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("v"),
+    )
+    folded = terms.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.expr(
+            "aggregate(transform(sort_array(collect_list("
+            "struct(t, e1))), s -> s.e1), CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + x)"
+        ).alias("e1_sum"),
+        F.expr(
+            "aggregate(transform(sort_array(collect_list("
+            "struct(t, v))), s -> s.v), CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + x)"
+        ).alias("v_sum"),
+    )
+    return folded.select(
+        "o1",
+        "e1_sum",
+        "v_sum",
+        F.when(
+            F.col("v_sum") > 0.0,
+            (F.col("o1").cast("double") - F.col("e1_sum"))
+            / F.sqrt(F.col("v_sum")),
+        ).alias("z_log_rank"),
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================

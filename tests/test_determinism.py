@@ -65,6 +65,7 @@ QUERIES = [
     "cart_root_split",
     "kaplan_meier_survival",
     "clustering_coefficient",
+    "log_rank_test",
 ]
 
 

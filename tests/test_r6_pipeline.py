@@ -2082,3 +2082,65 @@ def test_clustering_coefficient_python_recompute(spark):
         else:
             assert r.clustering_coeff is None
     assert tri_total % 3 == 0
+
+
+def test_log_rank_python_recompute(spark):
+    """O/E/V and the z equal a Python log-rank replay with the same
+    time-ordered summation; O-E for the two groups is antisymmetric
+    by construction."""
+    import math
+    from collections import defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    seg = {
+        c.c_custkey: c.c_mktsegment
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+        if c.c_mktsegment in ("BUILDING", "MACHINERY")
+    }
+    ev_m: dict[int, int] = {}
+    last_m: dict[int, int] = {}
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        d = o.o_orderdate.date()
+        m = d.year * 12 + d.month
+        last_m[o.o_custkey] = max(last_m.get(o.o_custkey, 0), m)
+        if o.o_orderstatus == "F":
+            ev_m[o.o_custkey] = min(ev_m.get(o.o_custkey, 10**9), m)
+    cells = defaultdict(lambda: [0, 0, 0, 0])  # d1, d, leave1, leave
+    tot1 = tot = 0
+    for ck, s in seg.items():
+        if ck not in last_m:
+            continue
+        g1 = s == "BUILDING"
+        t = ev_m.get(ck, last_m[ck])
+        is_ev = ck in ev_m
+        cell = cells[t]
+        cell[0] += 1 if (g1 and is_ev) else 0
+        cell[1] += 1 if is_ev else 0
+        cell[2] += 1 if g1 else 0
+        cell[3] += 1
+        tot1 += 1 if g1 else 0
+        tot += 1
+    o1 = 0
+    e1 = v = 0.0
+    gone1 = gone = 0
+    for t in sorted(cells):
+        d1, d, l1, la = cells[t]
+        n1 = tot1 - gone1
+        n = tot - gone
+        if d > 0:
+            o1 += d1
+            e1 = e1 + (float(d) * float(n1) / float(n))
+            if n > 1:
+                v = v + (
+                    float(n1) * float(n - n1) * float(d) * float(n - d)
+                    / (float(n) * float(n) * float(n - 1))
+                )
+        gone1 += l1
+        gone += la
+    r = _q(spark, "log_rank_test").collect()[0]
+    assert r.o1 == o1
+    assert r.e1_sum == e1
+    assert r.v_sum == v
+    assert r.z_log_rank == (float(o1) - e1) / math.sqrt(v)
