@@ -13932,6 +13932,126 @@ def q_log_rank_test(spark, sf_dir):
     )
 
 
+@register(
+    "anova_oneway",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS grp,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               // 100 AS x
+      FROM orders
+    ), g AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS ssq
+      FROM v GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(s) AS BIGINT) AS st,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM g
+    ), parts AS (
+      SELECT grp, n, s, ssq, nn, st, k,
+             CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+               / CAST(n AS DOUBLE) AS cg,
+             CAST(ssq AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                 / CAST(n AS DOUBLE) AS wg
+      FROM g CROSS JOIN tot
+    ), folded AS (
+      SELECT MAX(nn) AS nn, MAX(st) AS st, MAX(k) AS k,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list(cg ORDER BY grp)),
+                         (acc, x) -> acc + x) AS c_sum,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list(wg ORDER BY grp)),
+                         (acc, x) -> acc + x) AS ssw
+      FROM parts
+    )
+    SELECT CAST(k AS BIGINT) AS n_groups, CAST(nn AS BIGINT) AS n_rows,
+           c_sum - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                     / CAST(nn AS DOUBLE) AS ss_between,
+           ssw AS ss_within,
+           ((c_sum - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                       / CAST(nn AS DOUBLE))
+            / CAST(k - 1 AS DOUBLE))
+           / (ssw / CAST(nn - k AS DOUBLE)) AS f_stat
+    FROM folded
+    """,
+)
+def q_anova_oneway(spark, sf_dir):
+    """One-way ANOVA F-statistic (order value by priority): between/
+    within sums of squares from EXACT integer group moments — values
+    are whole dollars derived by integer DIV on exact cents (a
+    DECIMAL->BIGINT cast would round on DuckDB and truncate on
+    Spark; DIV agrees), Σx and Σx² accumulate in BIGINT (Σx² ≈ 4e15
+    at sf0.1 — int64 holds to ~sf20, lift to DECIMAL(38,0) beyond).
+    The five per-group float terms (s²/n correction, within-SS) fold
+    in GROUP-NAME order from a 0.0 init on both engines — the
+    kaplan_meier ordered-fold applied to a sum, so the handful of
+    unavoidable float adds happen in one defined order. The final
+    F is three mirrored divisions. Closes the classical-test shelf:
+    chi2 (categorical), MWU/KS (two-sample), runs (randomness),
+    z-test (proportions), log-rank (survival), ANOVA (k-sample
+    means)."""
+    o = _t(spark, sf_dir, "orders")
+    v = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)"
+            " DIV 100"
+        ).alias("x"),
+    )
+    g = v.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("ssq"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast("long").alias("st"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    d_ = lambda col: F.col(col).cast("double")
+    parts = g.crossJoin(broadcast(tot)).select(
+        "grp",
+        "nn",
+        "st",
+        "k",
+        (d_("s") * d_("s") / d_("n")).alias("cg"),
+        (d_("ssq") - d_("s") * d_("s") / d_("n")).alias("wg"),
+    )
+    folded = parts.agg(
+        F.max("nn").alias("nn"),
+        F.max("st").alias("st"),
+        F.max("k").alias("k"),
+        F.expr(
+            "aggregate(transform(sort_array(collect_list("
+            "struct(grp, cg))), s -> s.cg), CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + x)"
+        ).alias("c_sum"),
+        F.expr(
+            "aggregate(transform(sort_array(collect_list("
+            "struct(grp, wg))), s -> s.wg), CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + x)"
+        ).alias("ssw"),
+    )
+    ssb = F.col("c_sum") - d_("st") * d_("st") / d_("nn")
+    return folded.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("nn").cast("long").alias("n_rows"),
+        ssb.alias("ss_between"),
+        F.col("ssw").alias("ss_within"),
+        (
+            (ssb / (F.col("k") - 1).cast("double"))
+            / (
+                F.col("ssw")
+                / (F.col("nn") - F.col("k")).cast("double")
+            )
+        ).alias("f_stat"),
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================

@@ -66,6 +66,7 @@ QUERIES = [
     "kaplan_meier_survival",
     "clustering_coefficient",
     "log_rank_test",
+    "anova_oneway",
 ]
 
 

@@ -2144,3 +2144,41 @@ def test_log_rank_python_recompute(spark):
     assert r.e1_sum == e1
     assert r.v_sum == v
     assert r.z_log_rank == (float(o1) - e1) / math.sqrt(v)
+
+
+def test_anova_python_recompute(spark):
+    """Moments, SS decomposition, and F equal a Python replay with
+    the same group-ordered fold; SS_between + SS_within equals
+    SS_total within float identity of the same op order."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    g = defaultdict(lambda: [0, 0, 0])
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        cents = int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01")) * 100
+        )
+        x = cents // 100
+        a = g[o.o_orderpriority]
+        a[0] += 1
+        a[1] += x
+        a[2] += x * x
+    nn = sum(a[0] for a in g.values())
+    st = sum(a[1] for a in g.values())
+    k = len(g)
+    c_sum = 0.0
+    ssw = 0.0
+    for grp in sorted(g):
+        n, s, ssq = g[grp]
+        c_sum = c_sum + (float(s) * float(s) / float(n))
+        ssw = ssw + (float(ssq) - float(s) * float(s) / float(n))
+    ssb = c_sum - float(st) * float(st) / float(nn)
+    r = _q(spark, "anova_oneway").collect()[0]
+    assert (r.n_groups, r.n_rows) == (k, nn)
+    assert r.ss_between == ssb
+    assert r.ss_within == ssw
+    assert r.f_stat == (ssb / float(k - 1)) / (ssw / float(nn - k))
+    assert r.f_stat > 0
