@@ -14182,7 +14182,14 @@ _FRONT: list[str] = [
     # pii_redact_stats, video_frame_checksums,
     # containment_decontaminate, image_resize_checksum,
     # streaming_hdr_p95, stream_stream_full_outer.
-    # QUEUED for r7 (new in r6, no slot left): top_parts_per_supplier.
+    # QUEUED for r7 (new in r6 after the window filled with 50
+    # never-sampled entries; all parity-green at 3 SFs with pinned
+    # recompute tests — rotate these in FIRST next round):
+    # top_parts_per_supplier, event_sessions_batch, new_vs_returning,
+    # price_tier_stats, weighted_median_price, boilerplate_ngrams,
+    # yoy_growth, ab_test_ztest, cart_root_split,
+    # kaplan_meier_survival, clustering_coefficient, log_rank_test,
+    # anova_oneway.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,
