@@ -14052,6 +14052,192 @@ def q_anova_oneway(spark, sf_dir):
     )
 
 
+@register(
+    "jackknife_group_means",
+    oracle="""
+    WITH g AS (
+      SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS s
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(s) AS BIGINT) AS st,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM g
+    )
+    SELECT n_name, n, s,
+           CAST(st - s AS DOUBLE) / CAST(nn - n AS DOUBLE) / 100.0
+             AS loo_mean,
+           (CAST(k AS DOUBLE)
+              * (CAST(st AS DOUBLE) / CAST(nn AS DOUBLE))
+            - CAST(k - 1 AS DOUBLE)
+              * (CAST(st - s AS DOUBLE) / CAST(nn - n AS DOUBLE)))
+           / 100.0 AS pseudo_value
+    FROM g CROSS JOIN tot
+    """,
+)
+def q_jackknife_group_means(spark, sf_dir):
+    """Delete-one-GROUP jackknife over the global mean order value
+    (Quenouille/Tukey, public): leave-nation-i-out mean and the
+    jackknife pseudo-value k·θ − (k−1)·θ₋ᵢ, whose spread estimates
+    the estimator's variance — resampling WITHOUT randomness, which
+    is what makes it expressible in a deterministic engine (the
+    bootstrap's random replicates are not hash-reproducible; the
+    jackknife's leave-outs are). The algebra is the trick: θ₋ᵢ =
+    (S − sᵢ)/(N − nᵢ) needs only the per-group exact BIGINT moments
+    plus the 1-row grand total — k leave-out estimates from ONE
+    fact pass, not k passes. Two mirrored divisions per row."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast("long").alias("st"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    d_ = lambda col: F.col(col).cast("double")
+    loo = (F.col("st") - F.col("s")).cast("double") / (
+        F.col("nn") - F.col("n")
+    ).cast("double")
+    return g.crossJoin(broadcast(tot)).select(
+        "n_name",
+        "n",
+        "s",
+        (loo / F.lit(100.0)).alias("loo_mean"),
+        (
+            (
+                d_("k") * (d_("st") / d_("nn"))
+                - (F.col("k") - 1).cast("double") * loo
+            )
+            / F.lit(100.0)
+        ).alias("pseudo_value"),
+    )
+
+
+@register(
+    "conformal_interval_width",
+    oracle="""
+    WITH sxy AS (
+      SELECT p_brand,
+             CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)
+               AS x,
+             CAST(l_quantity AS BIGINT) AS y
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), mom AS (
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM sxy GROUP BY 1
+    ), fit AS (
+      SELECT p_brand, n,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+             CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE))
+                 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS icept
+      FROM mom WHERE n * sxx - sx * sx <> 0
+    ), res AS (
+      SELECT s.p_brand,
+             abs(CAST(y AS DOUBLE)
+                 - (slope * CAST(x AS DOUBLE) + icept)) AS ar
+      FROM sxy s JOIN fit f ON s.p_brand = f.p_brand
+    ), r AS (
+      SELECT p_brand, ar,
+             ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY ar)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY p_brand) AS n
+      FROM res
+    )
+    SELECT p_brand, CAST(n AS BIGINT) AS n_obs,
+           ar AS q90_abs_residual
+    FROM r WHERE rn = (9 * n + 9) // 10
+    """,
+)
+def q_conformal_interval_width(spark, sf_dir):
+    """Split-conformal prediction-interval width per brand: the q90
+    rank element of |y − ŷ| under the discount_quantity_elasticity
+    OLS fit — the distribution-free ±width that covers 90% of
+    observations (Vovk et al., public conformal prediction). The
+    fit comes from exact BIGINT moments (slope and intercept are
+    two mirrored float expressions); residuals are PER-ROW float
+    ops (no accumulation — each row's value is independently
+    bit-identical on both engines), and the quantile is a rank
+    ELEMENT pick at ceil(0.9n), so equal-residual tie order cannot
+    change the emitted width. One broadcast of the |brands|-row fit
+    table back onto the fact; per-brand sort bounded by brand
+    partitioning."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    sxy = li.join(p, li.l_partkey == p.p_partkey).select(
+        "p_brand",
+        F.expr(
+            "CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)"
+        ).alias("x"),
+        F.col("l_quantity").cast("long").alias("y"),
+    )
+    mom = sxy.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    d_ = lambda col: F.col(col).cast("double")
+    fit = mom.where(den != 0).select(
+        F.col("p_brand").alias("f_brand"),
+        (num.cast("double") / den.cast("double")).alias("slope"),
+        (
+            d_("sy") / d_("n")
+            - (num.cast("double") / den.cast("double"))
+            * (d_("sx") / d_("n"))
+        ).alias("icept"),
+    )
+    res = sxy.join(
+        broadcast(fit), F.col("p_brand") == F.col("f_brand")
+    ).select(
+        "p_brand",
+        F.abs(
+            d_("y") - (F.col("slope") * d_("x") + F.col("icept"))
+        ).alias("ar"),
+    )
+    win = Window.partitionBy("p_brand").orderBy("ar")
+    cw = Window.partitionBy("p_brand")
+    return (
+        res.withColumn("rn", F.row_number().over(win))
+        .withColumn("nn", F.count(F.lit(1)).over(cw))
+        .where(F.col("rn") == F.expr("(9 * nn + 9) DIV 10"))
+        .select(
+            "p_brand",
+            F.col("nn").cast("long").alias("n_obs"),
+            F.col("ar").alias("q90_abs_residual"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================

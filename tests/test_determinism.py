@@ -67,6 +67,8 @@ QUERIES = [
     "clustering_coefficient",
     "log_rank_test",
     "anova_oneway",
+    "jackknife_group_means",
+    "conformal_interval_width",
 ]
 
 

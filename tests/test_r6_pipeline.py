@@ -2182,3 +2182,98 @@ def test_anova_python_recompute(spark):
     assert r.ss_within == ssw
     assert r.f_stat == (ssb / float(k - 1)) / (ssw / float(nn - k))
     assert r.f_stat > 0
+
+
+def test_jackknife_python_recompute(spark):
+    """Leave-one-out means and pseudo-values equal the Python
+    formula; the mean of pseudo-values equals the global mean
+    (jackknife identity for the sample mean, within float sum
+    tolerance)."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    cust = {
+        c.c_custkey: c.c_nationkey
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    nname = {
+        n.n_nationkey: n.n_name
+        for n in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    g = defaultdict(lambda: [0, 0])
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        a = g[nname[cust[o.o_custkey]]]
+        a[0] += 1
+        a[1] += int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01")) * 100
+        )
+    nn = sum(a[0] for a in g.values())
+    st = sum(a[1] for a in g.values())
+    k = len(g)
+    rows = _q(spark, "jackknife_group_means").collect()
+    assert len(rows) == k
+    for r in rows:
+        n, s = g[r.n_name]
+        assert (r.n, r.s) == (n, s)
+        loo = float(st - s) / float(nn - n)
+        assert r.loo_mean == loo / 100.0
+        assert r.pseudo_value == (
+            float(k) * (float(st) / float(nn)) - float(k - 1) * loo
+        ) / 100.0
+    # directional property: deleting a below-average group raises
+    # the leave-out mean, and vice versa (exact, size-independent)
+    gmean = st / nn / 100.0
+    for r in rows:
+        grp_mean = r.s / r.n / 100.0
+        if grp_mean < gmean:
+            assert r.loo_mean > gmean
+        elif grp_mean > gmean:
+            assert r.loo_mean < gmean
+
+
+def test_conformal_q90_covers(spark):
+    """The q90 width equals the rank pick over Python residuals from
+    the same moment-derived fit, and covers 89-91% of observations
+    (the conformal guarantee on the calibration set)."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    brand = {
+        p.p_partkey: p.p_brand
+        for p in read_table(spark, SF_SMALL, "part").collect()
+    }
+    pts = defaultdict(list)
+    for li in read_table(spark, SF_SMALL, "lineitem").collect():
+        x = int(
+            Decimal(str(li.l_discount)).quantize(Decimal("0.01")) * 100
+        )
+        pts[brand[li.l_partkey]].append((x, int(li.l_quantity)))
+    got = {
+        r.p_brand: (r.n_obs, r.q90_abs_residual)
+        for r in _q(spark, "conformal_interval_width").collect()
+    }
+    for b, xy in pts.items():
+        n = len(xy)
+        sx = sum(x for x, _ in xy)
+        sy = sum(y for _, y in xy)
+        sxx = sum(x * x for x, _ in xy)
+        sxy_ = sum(x * y for x, y in xy)
+        den = n * sxx - sx * sx
+        if den == 0:
+            assert b not in got
+            continue
+        slope = float(n * sxy_ - sx * sy) / float(den)
+        icept = float(sy) / float(n) - slope * (float(sx) / float(n))
+        ars = sorted(
+            abs(float(y) - (slope * float(x) + icept)) for x, y in xy
+        )
+        want = ars[(9 * n + 9) // 10 - 1]
+        assert got[b] == (n, want)
+        covered = sum(1 for a in ars if a <= want)
+        assert 0.89 <= covered / n <= 0.92

@@ -61,6 +61,7 @@ WHITELIST = {
     "price_tier_stats": "4-row broadcast tier table joined on BETWEEN (bounded dim side, constant cost per fact row — the legitimate range-dim BNLJ)",
     "log_rank_test": "1-row cohort-totals aggregate broadcast onto the calendar-bounded month-cell table",
     "anova_oneway": "1-row grand-totals aggregate broadcast onto the |groups|-row moment table",
+    "jackknife_group_means": "1-row grand-total aggregate broadcast onto the |groups|-row moment table (the leave-out algebra)",
 }
 
 
