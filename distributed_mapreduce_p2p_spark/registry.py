@@ -14375,7 +14375,7 @@ _FRONT: list[str] = [
     # price_tier_stats, weighted_median_price, boilerplate_ngrams,
     # yoy_growth, ab_test_ztest, cart_root_split,
     # kaplan_meier_survival, clustering_coefficient, log_rank_test,
-    # anova_oneway.
+    # anova_oneway, jackknife_group_means, conformal_interval_width.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,
