@@ -13470,40 +13470,7 @@ def q_cart_root_split(spark, sf_dir):
             "y",
         )
     )
-    cell = feat.groupBy("feature", "v").agg(
-        F.sum("y").cast("long").alias("pos"),
-        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("neg"),
-    )
-    cw = Window.partitionBy("feature").orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    tw = Window.partitionBy("feature")
-    cum = (
-        cell.withColumn("pl", F.sum("pos").over(cw).cast("long"))
-        .withColumn("nl", F.sum("neg").over(cw).cast("long"))
-        .withColumn("pt", F.sum("pos").over(tw).cast("long"))
-        .withColumn("nt", F.sum("neg").over(tw).cast("long"))
-    )
-    pr = F.col("pt") - F.col("pl")
-    nr = F.col("nt") - F.col("nl")
-    cand = cum.where(
-        (F.col("pl") + F.col("nl") > 0) & (pr + nr > 0)
-    ).select(
-        "feature",
-        F.col("v").alias("threshold"),
-        "pl",
-        "nl",
-        pr.alias("pr"),
-        nr.alias("nr"),
-        (
-            (
-                F.col("pl") * F.col("pl") + F.col("nl") * F.col("nl")
-            ).cast("double")
-            / (F.col("pl") + F.col("nl")).cast("double")
-            + (pr * pr + nr * nr).cast("double")
-            / (pr + nr).cast("double")
-        ).alias("purity"),
-    )
+    cand = _gini_candidates(feat, [])
     best = Window.orderBy(
         F.col("purity").desc(), "feature", "threshold"
     )
@@ -14236,6 +14203,250 @@ def q_conformal_interval_width(spark, sf_dir):
             F.col("ar").alias("q90_abs_residual"),
         )
     )
+
+
+def _gini_candidates(feat, node_cols: list[str]):
+    """Score every (*, feature, threshold) split candidate of a
+    labeled long-form table ``feat`` (node_cols + feature, v, y) by
+    the weighted Gini purity sum — the shared core of
+    cart_root_split / cart_tree_depth2. All counts exact BIGINT;
+    purity is two fixed-order divisions."""
+    keys = [*node_cols, "feature"]
+    cell = feat.groupBy(*keys, "v").agg(
+        F.sum("y").cast("long").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("neg"),
+    )
+    cw = Window.partitionBy(*keys).orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tw = Window.partitionBy(*keys)
+    cum = (
+        cell.withColumn("pl", F.sum("pos").over(cw).cast("long"))
+        .withColumn("nl", F.sum("neg").over(cw).cast("long"))
+        .withColumn("pt", F.sum("pos").over(tw).cast("long"))
+        .withColumn("nt", F.sum("neg").over(tw).cast("long"))
+    )
+    pr = F.col("pt") - F.col("pl")
+    nr = F.col("nt") - F.col("nl")
+    return cum.where(
+        (F.col("pl") + F.col("nl") > 0) & (pr + nr > 0)
+    ).select(
+        *keys,
+        F.col("v").alias("threshold"),
+        "pl",
+        "nl",
+        pr.alias("pr"),
+        nr.alias("nr"),
+        (
+            (
+                F.col("pl") * F.col("pl") + F.col("nl") * F.col("nl")
+            ).cast("double")
+            / (F.col("pl") + F.col("nl")).cast("double")
+            + (pr * pr + nr * nr).cast("double")
+            / (pr + nr).cast("double")
+        ).alias("purity"),
+    )
+
+
+@register(
+    "cart_tree_depth2",
+    oracle="""
+    WITH lab AS (
+      SELECT c_custkey,
+             CAST(CAST(c_acctbal AS DECIMAL(14,2)) * 100 AS BIGINT)
+               // 100000 AS f_balbucket,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+              WHERE o_custkey = c_custkey) AS f_orders,
+             CASE WHEN EXISTS (SELECT 1 FROM orders
+                               WHERE o_custkey = c_custkey
+                                 AND o_orderstatus = 'F')
+                  THEN 1 ELSE 0 END AS y
+      FROM customer
+    ), feat0 AS (
+      SELECT 'balbucket' AS feature, f_balbucket AS v, y FROM lab
+      UNION ALL SELECT 'orders', f_orders, y FROM lab
+    ), cell0 AS (
+      SELECT feature, v, CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+      FROM feat0 GROUP BY 1, 2
+    ), cum0 AS (
+      SELECT feature, v,
+             CAST(SUM(pos) OVER (PARTITION BY feature ORDER BY v
+                                 ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS pl,
+             CAST(SUM(neg) OVER (PARTITION BY feature ORDER BY v
+                                 ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS nl,
+             CAST(SUM(pos) OVER (PARTITION BY feature) AS BIGINT)
+               AS pt,
+             CAST(SUM(neg) OVER (PARTITION BY feature) AS BIGINT)
+               AS nt
+      FROM cell0
+    ), cand0 AS (
+      SELECT feature, v AS threshold, pl, nl,
+             pt - pl AS pr, nt - nl AS nr,
+             CAST(pl * pl + nl * nl AS DOUBLE)
+               / CAST(pl + nl AS DOUBLE)
+             + CAST((pt-pl)*(pt-pl) + (nt-nl)*(nt-nl) AS DOUBLE)
+               / CAST(pt + nt - pl - nl AS DOUBLE) AS purity
+      FROM cum0 WHERE pl + nl > 0 AND pt + nt - pl - nl > 0
+    ), root AS (
+      SELECT * FROM (
+        SELECT c.*, ROW_NUMBER() OVER (ORDER BY purity DESC, feature,
+                                       threshold) AS rn
+        FROM cand0 c) WHERE rn = 1
+    ), tagged AS (
+      SELECT lab.*,
+             CASE WHEN (SELECT feature FROM root) = 'balbucket'
+                  THEN CASE WHEN f_balbucket
+                              <= (SELECT threshold FROM root)
+                            THEN 'left' ELSE 'right' END
+                  ELSE CASE WHEN f_orders
+                              <= (SELECT threshold FROM root)
+                            THEN 'left' ELSE 'right' END END AS node
+      FROM lab
+    ), feat1 AS (
+      SELECT node, 'balbucket' AS feature, f_balbucket AS v, y
+      FROM tagged
+      UNION ALL SELECT node, 'orders', f_orders, y FROM tagged
+    ), cell1 AS (
+      SELECT node, feature, v, CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+      FROM feat1 GROUP BY 1, 2, 3
+    ), cum1 AS (
+      SELECT node, feature, v,
+             CAST(SUM(pos) OVER (PARTITION BY node, feature
+                                 ORDER BY v
+                                 ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS pl,
+             CAST(SUM(neg) OVER (PARTITION BY node, feature
+                                 ORDER BY v
+                                 ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS nl,
+             CAST(SUM(pos) OVER (PARTITION BY node, feature)
+                  AS BIGINT) AS pt,
+             CAST(SUM(neg) OVER (PARTITION BY node, feature)
+                  AS BIGINT) AS nt
+      FROM cell1
+    ), cand1 AS (
+      SELECT node, feature, v AS threshold, pl, nl,
+             pt - pl AS pr, nt - nl AS nr,
+             CAST(pl * pl + nl * nl AS DOUBLE)
+               / CAST(pl + nl AS DOUBLE)
+             + CAST((pt-pl)*(pt-pl) + (nt-nl)*(nt-nl) AS DOUBLE)
+               / CAST(pt + nt - pl - nl AS DOUBLE) AS purity
+      FROM cum1 WHERE pl + nl > 0 AND pt + nt - pl - nl > 0
+    ), best1 AS (
+      SELECT * FROM (
+        SELECT c.*, ROW_NUMBER() OVER (PARTITION BY node
+                                       ORDER BY purity DESC, feature,
+                                       threshold) AS rn
+        FROM cand1 c) WHERE rn = 1
+    )
+    SELECT 'root' AS node, feature,
+           CAST(threshold AS BIGINT) AS threshold,
+           pl AS pos_left, nl AS neg_left,
+           pr AS pos_right, nr AS neg_right, purity
+    FROM root
+    UNION ALL
+    SELECT node, feature, CAST(threshold AS BIGINT), pl, nl, pr, nr,
+           purity
+    FROM best1
+    """,
+)
+def q_cart_tree_depth2(spark, sf_dir):
+    """RECURSIVE partitioning, one level deeper than
+    cart_root_split: the root's winning split re-tags every subject
+    left/right (1-row broadcast of the root decision), and each
+    child node independently runs the SAME histogram-Gini split
+    search (shared _gini_candidates core, now windowed per (node,
+    feature)) — the depth-2 decision tree, which is exactly how a
+    distributed tree trainer iterates: tag by the current tree,
+    re-score cells per leaf, pick argmax per leaf in ONE pass over
+    all leaves (not one job per node). Output: the root row plus the
+    best sub-split per child. Everything integer until the two
+    purity divisions; argmaxes tie-broken on (feature, threshold)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    ocnt = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ord"),
+        F.max(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        ).alias("has_f"),
+    )
+    lab = c.join(ocnt, c.c_custkey == F.col("k"), "left").select(
+        F.expr(
+            "CAST(CAST(c_acctbal AS DECIMAL(14,2)) * 100 AS BIGINT)"
+            " DIV 100000"
+        ).alias("f_balbucket"),
+        F.coalesce(F.col("n_ord"), F.lit(0)).cast("long").alias(
+            "f_orders"
+        ),
+        F.coalesce(F.col("has_f"), F.lit(0)).alias("y"),
+    ).localCheckpoint(eager=False)
+
+    def long_form(df, node_col: bool):
+        cols = (["node"] if node_col else [])
+        return df.select(
+            *cols,
+            F.lit("balbucket").alias("feature"),
+            F.col("f_balbucket").alias("v"),
+            "y",
+        ).unionAll(
+            df.select(
+                *cols,
+                F.lit("orders").alias("feature"),
+                F.col("f_orders").alias("v"),
+                "y",
+            )
+        )
+
+    cand0 = _gini_candidates(long_form(lab, False), [])
+    w0 = Window.orderBy(F.col("purity").desc(), "feature", "threshold")
+    root = (
+        cand0.withColumn("rn", F.row_number().over(w0))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    tagged = lab.crossJoin(
+        broadcast(
+            root.select(
+                F.col("feature").alias("r_feat"),
+                F.col("threshold").alias("r_thr"),
+            )
+        )
+    ).withColumn(
+        "node",
+        F.when(
+            F.when(
+                F.col("r_feat") == "balbucket",
+                F.col("f_balbucket") <= F.col("r_thr"),
+            ).otherwise(F.col("f_orders") <= F.col("r_thr")),
+            "left",
+        ).otherwise("right"),
+    )
+    cand1 = _gini_candidates(long_form(tagged, True), ["node"])
+    w1 = Window.partitionBy("node").orderBy(
+        F.col("purity").desc(), "feature", "threshold"
+    )
+    best1 = (
+        cand1.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    out_cols = [
+        "node",
+        "feature",
+        F.col("threshold").cast("long").alias("threshold"),
+        F.col("pl").alias("pos_left"),
+        F.col("nl").alias("neg_left"),
+        F.col("pr").alias("pos_right"),
+        F.col("nr").alias("neg_right"),
+        "purity",
+    ]
+    return root.withColumn("node", F.lit("root")).select(
+        *out_cols
+    ).unionAll(best1.select(*out_cols))
 
 
 # =====================================================================

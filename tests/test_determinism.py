@@ -69,6 +69,7 @@ QUERIES = [
     "anova_oneway",
     "jackknife_group_means",
     "conformal_interval_width",
+    "cart_tree_depth2",
 ]
 
 

@@ -2277,3 +2277,34 @@ def test_conformal_q90_covers(spark):
         assert got[b] == (n, want)
         covered = sum(1 for a in ars if a <= want)
         assert 0.89 <= covered / n <= 0.92
+
+
+def test_cart_depth2_consistency(spark):
+    """The depth-2 tree is internally consistent: the root row
+    matches cart_root_split, each child's population equals the
+    root's side counts, and each child split genuinely improves (or
+    matches) its node's base purity."""
+    rows = {r.node: r for r in _q(spark, "cart_tree_depth2").collect()}
+    assert set(rows) <= {"root", "left", "right"}
+    root = rows["root"]
+    single = _q(spark, "cart_root_split").collect()[0]
+    assert (
+        root.feature, root.threshold, root.pos_left, root.neg_left,
+        root.pos_right, root.neg_right, root.purity,
+    ) == (
+        single.feature, single.threshold, single.pos_left,
+        single.neg_left, single.pos_right, single.neg_right,
+        single.purity,
+    )
+    for node, (p_tot, n_tot) in (
+        ("left", (root.pos_left, root.neg_left)),
+        ("right", (root.pos_right, root.neg_right)),
+    ):
+        if node not in rows:
+            continue
+        r = rows[node]
+        assert r.pos_left + r.pos_right == p_tot
+        assert r.neg_left + r.neg_right == n_tot
+        tot = p_tot + n_tot
+        base = float(p_tot * p_tot + n_tot * n_tot) / float(tot)
+        assert r.purity >= base - 1e-9

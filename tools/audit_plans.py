@@ -62,6 +62,8 @@ WHITELIST = {
     "log_rank_test": "1-row cohort-totals aggregate broadcast onto the calendar-bounded month-cell table",
     "anova_oneway": "1-row grand-totals aggregate broadcast onto the |groups|-row moment table",
     "jackknife_group_means": "1-row grand-total aggregate broadcast onto the |groups|-row moment table (the leave-out algebra)",
+    "cart_tree_depth2": "1-row root-decision broadcast re-tags the cohort (the tree-iteration attach); cart_root_split's scalar threshold attach likewise",
+    "cart_root_split": "1-row aggregate attaches in the label derivation (bounded)",
 }
 
 
