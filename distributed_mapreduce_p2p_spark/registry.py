@@ -14449,6 +14449,385 @@ def q_cart_tree_depth2(spark, sf_dir):
     ).unionAll(best1.select(*out_cols))
 
 
+def _nation_month_cents(spark, sf_dir):
+    """Shared nation-month revenue cell table (exact integer cents).
+
+    One groupBy produces the ~25x80 cell table every time-series query
+    in this section consumes; at 100 TB the single shuffle reduces the
+    raw orders scan to a few-thousand-row series that every downstream
+    window/self-join runs on for free (broadcast-sized)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.expr(
+                "CAST(YEAR(CAST(o_orderdate AS DATE)) * 12"
+                " + MONTH(CAST(o_orderdate AS DATE)) AS BIGINT)"
+            ).alias("midx"),
+            F.date_format(
+                F.col("o_orderdate").cast("date"), "yyyy-MM"
+            ).alias("ym"),
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+
+
+@register(
+    "max_drawdown",
+    oracle="""
+    WITH m AS (
+      SELECT n_name,
+             CAST(YEAR(CAST(o_orderdate AS DATE)) * 12
+                  + MONTH(CAST(o_orderdate AS DATE)) AS BIGINT) AS midx,
+             strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2, 3
+    ), dd AS (
+      SELECT n_name, ym, cents,
+             CAST(MAX(cents) OVER (PARTITION BY n_name ORDER BY midx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS peak,
+             CAST(MAX(cents) OVER (PARTITION BY n_name ORDER BY midx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - cents AS BIGINT) AS drawdown
+      FROM m
+    )
+    SELECT n_name,
+           CAST(MAX(drawdown) AS BIGINT) AS max_drawdown_cents,
+           MIN(CASE WHEN drawdown = mx THEN ym END) AS trough_ym,
+           CAST(MIN(CASE WHEN drawdown = mx THEN peak END) AS BIGINT)
+             AS peak_cents
+    FROM (SELECT *, MAX(drawdown) OVER (PARTITION BY n_name) AS mx
+          FROM dd) t
+    GROUP BY n_name
+    """,
+)
+def q_max_drawdown(spark, sf_dir):
+    """Maximum peak-to-trough drawdown of each nation's monthly revenue
+    series (the classic finance risk metric, here over TPC-H month
+    cells). Running peak is one cumulative-max window over the
+    ~25x80-row cell table; the max drawdown and its (earliest) trough
+    month come from a second per-nation aggregate. Everything stays in
+    exact integer cents — no float compares — so the hash matches the
+    oracle bit-for-bit. Scale: both windows run on the aggregated cell
+    table (thousands of rows at any SF), never on raw orders."""
+    m = _nation_month_cents(spark, sf_dir)
+    wcum = (
+        Window.partitionBy("n_name")
+        .orderBy("midx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = m.select(
+        "n_name",
+        "ym",
+        "midx",
+        "cents",
+        F.max("cents").over(wcum).cast("long").alias("peak"),
+        (F.max("cents").over(wcum) - F.col("cents"))
+        .cast("long")
+        .alias("drawdown"),
+    )
+    wall = Window.partitionBy("n_name")
+    t = dd.withColumn("mx", F.max("drawdown").over(wall))
+    return t.groupBy("n_name").agg(
+        F.max("drawdown").cast("long").alias("max_drawdown_cents"),
+        F.min(
+            F.when(F.col("drawdown") == F.col("mx"), F.col("ym"))
+        ).alias("trough_ym"),
+        F.min(
+            F.when(F.col("drawdown") == F.col("mx"), F.col("peak"))
+        )
+        .cast("long")
+        .alias("peak_cents"),
+    )
+
+
+@register(
+    "bollinger_breakouts",
+    oracle="""
+    WITH m AS (
+      SELECT n_name,
+             CAST(YEAR(CAST(o_orderdate AS DATE)) * 12
+                  + MONTH(CAST(o_orderdate AS DATE)) AS BIGINT) AS midx,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), w AS (
+      SELECT n_name, midx, cents,
+             CAST(SUM(cents) OVER (PARTITION BY n_name ORDER BY midx
+                  ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+                  AS DECIMAL(38,0)) AS s6,
+             CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents)
+                  OVER (PARTITION BY n_name ORDER BY midx
+                  ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+                  AS DECIMAL(38,0)) AS q6,
+             COUNT(*) OVER (PARTITION BY n_name ORDER BY midx
+                  ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS cnt,
+             CAST(LAG(midx, 5) OVER (PARTITION BY n_name ORDER BY midx)
+                  AS BIGINT) AS midx5
+      FROM m
+    )
+    SELECT n_name,
+           CAST(COUNT(*) FILTER (WHERE cnt = 6 AND midx5 = midx - 5)
+                AS BIGINT) AS months_evaluated,
+           CAST(COUNT(*) FILTER (WHERE cnt = 6 AND midx5 = midx - 5
+                AND (6*CAST(cents AS DECIMAL(38,0)) - s6)
+                    * (6*CAST(cents AS DECIMAL(38,0)) - s6)
+                    > 4*(6*q6 - s6*s6)) AS BIGINT) AS breakout_months
+    FROM w GROUP BY n_name
+    """,
+)
+def q_bollinger_breakouts(spark, sf_dir):
+    """Bollinger-band breakout counter per nation: a month breaks out
+    when its revenue sits more than 2 population-sigma from the
+    trailing 6-month mean (window INCLUDES the current month, the
+    textbook Bollinger form). The band test is cross-multiplied into
+    exact integer arithmetic — (6x-S)^2 > 4(6Q-S^2) in DECIMAL(38,0)
+    — so no sqrt/float enters the comparison and the count is
+    bit-deterministic on both engines. A 3-month window would be
+    degenerate (with n points, max deviation is sqrt(n-1)*sigma, so
+    n=3 can never exceed 2 sigma); n=6 bounds deviation at
+    sqrt(5)*sigma > 2*sigma. Calendar contiguity is enforced with
+    lag(midx,5) = midx-5, not row counting, so missing months never
+    smear the window. Scale: windows run on the aggregated cell
+    table."""
+    m = _nation_month_cents(spark, sf_dir).drop("ym")
+    w6 = (
+        Window.partitionBy("n_name")
+        .orderBy("midx")
+        .rowsBetween(-5, Window.currentRow)
+    )
+    wlag = Window.partitionBy("n_name").orderBy("midx")
+    w = m.select(
+        "n_name",
+        "midx",
+        "cents",
+        F.sum("cents").over(w6).cast("decimal(38,0)").alias("s6"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * cents"))
+        .over(w6)
+        .cast("decimal(38,0)")
+        .alias("q6"),
+        F.count(F.lit(1)).over(w6).alias("cnt"),
+        F.lag("midx", 5).over(wlag).cast("long").alias("midx5"),
+    )
+    full = (F.col("cnt") == 6) & (
+        F.col("midx5") == F.col("midx") - 5
+    )
+    brk = full & F.expr(
+        "(6*CAST(cents AS DECIMAL(38,0)) - s6)"
+        " * (6*CAST(cents AS DECIMAL(38,0)) - s6)"
+        " > 4*(6*q6 - s6*s6)"
+    )
+    return w.groupBy("n_name").agg(
+        F.count(F.when(full, 1)).cast("long").alias("months_evaluated"),
+        F.count(F.when(brk, 1)).cast("long").alias("breakout_months"),
+    )
+
+
+@register(
+    "autocorr_lag1",
+    oracle="""
+    WITH m AS (
+      SELECT n_name,
+             CAST(YEAR(CAST(o_orderdate AS DATE)) * 12
+                  + MONTH(CAST(o_orderdate AS DATE)) AS BIGINT) AS midx,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                           AS BIGINT)) // 100 AS BIGINT) AS dollars
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), p AS (
+      SELECT a.n_name, a.dollars AS x, b.dollars AS y
+      FROM m a JOIN m b ON a.n_name = b.n_name AND b.midx = a.midx + 1
+    ), s AS (
+      SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(38,0)) * x)
+                  AS DECIMAL(38,0)) AS BIGINT) AS sxx,
+             CAST(CAST(SUM(CAST(y AS DECIMAL(38,0)) * y)
+                  AS DECIMAL(38,0)) AS BIGINT) AS syy,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(38,0)) * y)
+                  AS DECIMAL(38,0)) AS BIGINT) AS sxy
+      FROM p GROUP BY n_name
+    )
+    SELECT n_name, n,
+           CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0 THEN
+             CAST(n*sxy - sx*sy AS DOUBLE)
+               / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                  * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+           END AS acf1
+    FROM s
+    """,
+)
+def q_autocorr_lag1(spark, sf_dir):
+    """Lag-1 autocorrelation of each nation's monthly revenue series —
+    Pearson r over CALENDAR-ALIGNED (month, month+1) pairs via a
+    midx+1 self-join on the cell table (positional lag(1) would pair
+    across gaps; the join skips missing months, the statistically
+    honest choice). All five moments accumulate exactly: integer
+    dollars (cents DIV 100 — int DIV agrees across engines where
+    DECIMAL->BIGINT casts do not), products in DECIMAL(38,0), final
+    sums cast to BIGINT (they fit: max n*sxx is 0.29 * 2^63 at sf0.1;
+    switch units to thousands beyond sf1). Only the last expression
+    touches doubles — one division by a product of two sqrt's, written
+    in the identical order on both engines (sqrt is IEEE
+    correctly-rounded, hence portable). Guarded NULL for constant
+    series. Scale: self-join and moments run on the ~2k-row cell
+    table."""
+    m = _nation_month_cents(spark, sf_dir).select(
+        "n_name",
+        "midx",
+        F.expr("CAST(cents DIV 100 AS BIGINT)").alias("dollars"),
+    )
+    a = m.alias("a")
+    b = m.select(
+        F.col("n_name").alias("b_n"),
+        F.col("midx").alias("b_midx"),
+        F.col("dollars").alias("y"),
+    )
+    p = a.join(
+        b,
+        (F.col("a.n_name") == F.col("b_n"))
+        & (F.col("b_midx") == F.col("a.midx") + 1),
+    ).select("n_name", F.col("dollars").alias("x"), "y")
+    s = p.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(x AS DECIMAL(38,0)) * x)"
+            " AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("sxx"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(y AS DECIMAL(38,0)) * y)"
+            " AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("syy"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(x AS DECIMAL(38,0)) * y)"
+            " AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("sxy"),
+    )
+    return s.select(
+        "n_name",
+        "n",
+        F.expr(
+            "CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0 THEN"
+            " CAST(n*sxy - sx*sy AS DOUBLE)"
+            " / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))"
+            "    * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) END"
+        ).alias("acf1"),
+    )
+
+
+@register(
+    "chebyshev_outliers",
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment,
+             CAST(COALESCE(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                  * 100 AS BIGINT)), 0) AS BIGINT) AS cents
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, c_custkey
+    ), g AS (
+      SELECT c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS DECIMAL(38,0)) AS s,
+             SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS q
+      FROM c GROUP BY 1
+    )
+    SELECT c.c_mktsegment,
+           CAST(MAX(g.n) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (WHERE
+             (g.n * CAST(c.cents AS DECIMAL(38,0)) - g.s)
+             * (g.n * CAST(c.cents AS DECIMAL(38,0)) - g.s)
+             > 4 * (g.n * g.q - g.s * g.s)) AS BIGINT)
+             AS outliers_2sigma,
+           CAST(COUNT(*) FILTER (WHERE
+             (g.n * CAST(c.cents AS DECIMAL(38,0)) - g.s)
+             * (g.n * CAST(c.cents AS DECIMAL(38,0)) - g.s)
+             > 9 * (g.n * g.q - g.s * g.s)) AS BIGINT)
+             AS outliers_3sigma
+    FROM c JOIN g ON c.c_mktsegment = g.c_mktsegment
+    GROUP BY 1
+    """,
+)
+def q_chebyshev_outliers(spark, sf_dir):
+    """Distribution-free outlier counts per market segment: customers
+    whose lifetime spend deviates more than 2 (and 3) population-sigma
+    from their segment mean. The sigma test is cross-multiplied into
+    exact integer form — (n*x - S)^2 > k^2 * (n*Q - S^2) in
+    DECIMAL(38,0) — so neither sqrt nor any float division enters the
+    comparison: the counts are bit-deterministic, the pattern to reuse
+    whenever a threshold depends on a variance. Lifetime spend (not
+    o_totalprice, whose bounded-uniform shape can never exceed 2
+    sigma) carries a real tail from varying order counts; LEFT JOIN
+    keeps zero-spend customers in the population. Scale: one groupBy
+    to customer cells, a 5-row broadcast of segment moments back onto
+    the cells, one counting aggregate — no row-level shuffle beyond
+    the cell build."""
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    cells = (
+        cu.join(o, cu.c_custkey == o.o_custkey, "left")
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100"
+                        " AS BIGINT)"
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    g = cells.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("s"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * cents")).alias(
+            "q"
+        ),
+    )
+    j = cells.join(
+        broadcast(g.withColumnRenamed("c_mktsegment", "g_seg")),
+        F.col("c_mktsegment") == F.col("g_seg"),
+    )
+    dev2 = F.expr(
+        "(n * CAST(cents AS DECIMAL(38,0)) - s)"
+        " * (n * CAST(cents AS DECIMAL(38,0)) - s)"
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.max("n").cast("long").alias("n"),
+        F.count(F.when(dev2 > F.expr("4 * (n * q - s * s)"), 1))
+        .cast("long")
+        .alias("outliers_2sigma"),
+        F.count(F.when(dev2 > F.expr("9 * (n * q - s * s)"), 1))
+        .cast("long")
+        .alias("outliers_3sigma"),
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -14586,7 +14965,9 @@ _FRONT: list[str] = [
     # price_tier_stats, weighted_median_price, boilerplate_ngrams,
     # yoy_growth, ab_test_ztest, cart_root_split,
     # kaplan_meier_survival, clustering_coefficient, log_rank_test,
-    # anova_oneway, jackknife_group_means, conformal_interval_width.
+    # anova_oneway, jackknife_group_means, conformal_interval_width,
+    # max_drawdown, bollinger_breakouts, autocorr_lag1,
+    # chebyshev_outliers.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

@@ -70,6 +70,9 @@ QUERIES = [
     "jackknife_group_means",
     "conformal_interval_width",
     "cart_tree_depth2",
+    # r6 batch 9 (time-series shelf): acf1 is the only float output
+    # (drawdown/bollinger/chebyshev are exact-integer end to end)
+    "autocorr_lag1",
 ]
 
 

@@ -2308,3 +2308,149 @@ def test_cart_depth2_consistency(spark):
         tot = p_tot + n_tot
         base = float(p_tot * p_tot + n_tot * n_tot) / float(tot)
         assert r.purity >= base - 1e-9
+
+
+# ------------------------------------------------ time-series batch 9
+
+
+def _month_cells_py(spark):
+    """Nation-month integer-cent cells replayed in pure Python (the
+    shared fixture for the time-series recompute tests)."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    cust = {
+        c.c_custkey: c.c_nationkey
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    nname = {
+        n.n_nationkey: n.n_name
+        for n in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    cells = defaultdict(int)
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        d = o.o_orderdate.date()
+        cells[(nname[cust[o.o_custkey]], d.year * 12 + d.month)] += int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01")) * 100
+        )
+    return cells
+
+
+def test_max_drawdown_python_recompute(spark):
+    """Per-nation max drawdown equals a sequential running-peak replay
+    over the midx-sorted cell series (exact integers end to end)."""
+    cells = _month_cells_py(spark)
+    want = {}
+    by_nation = {}
+    for (nat, midx), cents in cells.items():
+        by_nation.setdefault(nat, []).append((midx, cents))
+    for nat, series in by_nation.items():
+        peak = None
+        best = (-1, None, None)  # (drawdown, trough_midx, peak_at)
+        for midx, cents in sorted(series):
+            peak = cents if peak is None else max(peak, cents)
+            dd = peak - cents
+            if dd > best[0]:
+                best = (dd, midx, peak)
+        want[nat] = best
+    rows = _q(spark, "max_drawdown").collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        dd, tmidx, peak = want[r.n_name]
+        assert r.max_drawdown_cents == dd
+        assert r.trough_ym == f"{(tmidx - 1) // 12:04d}-{(tmidx - 1) % 12 + 1:02d}"
+        assert r.peak_cents == peak
+
+
+def test_bollinger_python_recompute(spark):
+    """Breakout counts equal an integer-arithmetic replay of the
+    6-month trailing band test on calendar-contiguous windows only."""
+    cells = _month_cells_py(spark)
+    by_nation = {}
+    for (nat, midx), cents in cells.items():
+        by_nation.setdefault(nat, {})[midx] = cents
+    rows = _q(spark, "bollinger_breakouts").collect()
+    assert len(rows) == len(by_nation)
+    for r in rows:
+        series = by_nation[r.n_name]
+        ev = brk = 0
+        for midx, x in series.items():
+            win = [series.get(midx - i) for i in range(6)]
+            if any(v is None for v in win):
+                continue
+            ev += 1
+            s6, q6 = sum(win), sum(v * v for v in win)
+            if (6 * x - s6) ** 2 > 4 * (6 * q6 - s6 * s6):
+                brk += 1
+        assert (r.months_evaluated, r.breakout_months) == (ev, brk)
+
+
+def test_autocorr_python_recompute(spark):
+    """acf1 equals the same-order IEEE formula over calendar-aligned
+    pairs; a month with a missing successor contributes NO pair."""
+    import math
+
+    cells = _month_cells_py(spark)
+    by_nation = {}
+    for (nat, midx), cents in cells.items():
+        by_nation.setdefault(nat, {})[midx] = cents // 100
+    rows = _q(spark, "autocorr_lag1").collect()
+    assert len(rows) == len(by_nation)
+    gap_seen = False
+    for r in rows:
+        series = by_nation[r.n_name]
+        pairs = [
+            (x, series[m + 1])
+            for m, x in series.items()
+            if m + 1 in series
+        ]
+        gap_seen = gap_seen or len(pairs) < len(series) - 1
+        n = len(pairs)
+        assert r.n == n
+        sx = sum(p[0] for p in pairs)
+        sy = sum(p[1] for p in pairs)
+        sxx = sum(p[0] * p[0] for p in pairs)
+        syy = sum(p[1] * p[1] for p in pairs)
+        sxy = sum(p[0] * p[1] for p in pairs)
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        if vx > 0 and vy > 0:
+            want = float(n * sxy - sx * sy) / (
+                math.sqrt(float(vx)) * math.sqrt(float(vy))
+            )
+            assert r.acf1 == want
+        else:
+            assert r.acf1 is None
+
+
+def test_chebyshev_python_recompute(spark):
+    """Outlier counts equal the cross-multiplied integer replay; zero
+    -order customers stay in the population (LEFT JOIN semantics)."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    spend = defaultdict(int)
+    seg = {}
+    for c in read_table(spark, SF_SMALL, "customer").collect():
+        seg[c.c_custkey] = c.c_mktsegment
+        spend[c.c_custkey] += 0
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        spend[o.o_custkey] += int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01")) * 100
+        )
+    groups = defaultdict(list)
+    for k, v in spend.items():
+        groups[seg[k]].append(v)
+    rows = _q(spark, "chebyshev_outliers").collect()
+    assert len(rows) == len(groups)
+    for r in rows:
+        xs = groups[r.c_mktsegment]
+        n, s, q = len(xs), sum(xs), sum(x * x for x in xs)
+        o2 = sum(1 for x in xs if (n * x - s) ** 2 > 4 * (n * q - s * s))
+        o3 = sum(1 for x in xs if (n * x - s) ** 2 > 9 * (n * q - s * s))
+        assert (r.n, r.outliers_2sigma, r.outliers_3sigma) == (n, o2, o3)
