@@ -14828,6 +14828,436 @@ def q_chebyshev_outliers(spark, sf_dir):
     )
 
 
+@register(
+    "ams_f2_sketch",
+    oracle="""
+    WITH f AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM lineitem GROUP BY 1
+    ), z AS (
+      SELECT j.j,
+             CAST(SUM(CASE WHEN (('0x' || substr(md5(
+                      CAST(f.l_partkey AS VARCHAR) || '#'
+                      || CAST(j.j AS VARCHAR)), 1, 12))::BIGINT) % 2 = 1
+                       THEN -f.freq ELSE f.freq END) AS BIGINT) AS zj
+      FROM f CROSS JOIN (SELECT UNNEST(generate_series(0, 255)) AS j) j
+      GROUP BY 1
+    ), grp AS (
+      SELECT j // 16 AS g, CAST(SUM(zj * zj) AS BIGINT) AS gsum
+      FROM z GROUP BY 1
+    ), est AS (
+      SELECT CAST(list_sort(list(gsum))[8] // 16 AS BIGINT) AS f2_est
+      FROM grp
+    ), ex AS (
+      SELECT CAST(SUM(freq * freq) AS BIGINT) AS f2_exact FROM f
+    )
+    SELECT ex.f2_exact, est.f2_est,
+           CAST(ABS(est.f2_est - ex.f2_exact) * 1000000 // ex.f2_exact
+                AS BIGINT) AS abs_err_ppm
+    FROM ex, est
+    """,
+)
+def q_ams_f2_sketch(spark, sf_dir):
+    """AMS (Alon-Matias-Szegedy) second-frequency-moment sketch of
+    l_partkey — the classic +-1 sign-hash streaming estimator (STOC'96,
+    public literature), here with K=256 estimators as 16 groups of 16:
+    group means cut single-estimator variance (~sqrt(2)*F2) 4x, the
+    cross-group lower median rejects outlier groups. Everything is
+    exact integer arithmetic: sign = parity of a salted portable md5
+    hash (Spark conv(substr(md5)) == DuckDB '0x'||substr(md5), the
+    affine sketch-family recipe), Z_j and Z_j^2 in BIGINT, lower
+    median by sorted-array element so no averaging division ever
+    happens, and the single estimate division is integer DIV 16. The
+    error column is integer ppm. Scale: the frequency table is one
+    groupBy of lineitem; the 256-way explode runs on the ~|parts|
+    cell table, not raw lineitem, and Z sums shuffle 256 rows total.
+    Accuracy is the operator's inherent variance (~10-16% observed),
+    asserted loosely in tests; exact F2 rides along for the audit."""
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
+    z = (
+        f.select(
+            "l_partkey",
+            "freq",
+            F.explode(F.sequence(F.lit(0), F.lit(255))).alias("j"),
+        )
+        .select(
+            "j",
+            F.expr(
+                "CASE WHEN cast(conv(substring(md5(concat("
+                "cast(l_partkey as string), '#', cast(j as string)"
+                ")), 1, 12), 16, 10) as bigint) % 2 = 1"
+                " THEN -freq ELSE freq END"
+            ).alias("signed"),
+        )
+        .groupBy("j")
+        .agg(F.sum("signed").cast("long").alias("zj"))
+    )
+    grp = z.groupBy(F.expr("j DIV 16").alias("g")).agg(
+        F.expr("CAST(SUM(zj * zj) AS BIGINT)").alias("gsum")
+    )
+    est = grp.agg(
+        F.expr(
+            "CAST(element_at(sort_array(collect_list(gsum)), 8)"
+            " DIV 16 AS BIGINT)"
+        ).alias("f2_est")
+    )
+    ex = f.agg(
+        F.expr("CAST(SUM(freq * freq) AS BIGINT)").alias("f2_exact")
+    )
+    return ex.crossJoin(est).select(
+        "f2_exact",
+        "f2_est",
+        F.expr(
+            "CAST(ABS(f2_est - f2_exact) * 1000000 DIV f2_exact"
+            " AS BIGINT)"
+        ).alias("abs_err_ppm"),
+    )
+
+
+@register(
+    "spearman_rho",
+    oracle="""
+    WITH r AS (
+      SELECT n_name,
+             CAST(2 * RANK() OVER (PARTITION BY n_name
+                    ORDER BY l_quantity)
+                  + COUNT(*) OVER (PARTITION BY n_name, l_quantity)
+                  - 1 AS BIGINT) AS rx,
+             CAST(2 * RANK() OVER (PARTITION BY n_name ORDER BY cents)
+                  + COUNT(*) OVER (PARTITION BY n_name, cents)
+                  - 1 AS BIGINT) AS ry
+      FROM (
+        SELECT n_name,
+               CAST(l_quantity AS BIGINT) AS l_quantity,
+               CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                    AS BIGINT) AS cents
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+      )
+    ), s AS (
+      SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rx) AS BIGINT) AS sx,
+             CAST(SUM(ry) AS BIGINT) AS sy,
+             CAST(CAST(SUM(CAST(rx AS DECIMAL(38,0)) * rx)
+                  AS DECIMAL(38,0)) AS BIGINT) AS sxx,
+             CAST(CAST(SUM(CAST(ry AS DECIMAL(38,0)) * ry)
+                  AS DECIMAL(38,0)) AS BIGINT) AS syy,
+             CAST(CAST(SUM(CAST(rx AS DECIMAL(38,0)) * ry)
+                  AS DECIMAL(38,0)) AS BIGINT) AS sxy
+      FROM r GROUP BY n_name
+    )
+    SELECT n_name, n,
+           CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0 THEN
+             CAST(n*sxy - sx*sy AS DOUBLE)
+               / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                  * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+           END AS rho
+    FROM s
+    """,
+)
+def q_spearman_rho(spark, sf_dir):
+    """Spearman rank correlation between quantity and extended price
+    per supplier nation, with ties handled CORRECTLY: Pearson over
+    midranks (the textbook tie treatment), where 2*midrank =
+    2*rank() + |ties| - 1 keeps every rank an exact integer — the
+    same doubled-midrank trick mann_whitney_u uses, so no .5 ever
+    enters the moments. Five exact BIGINT moments (products in
+    DECIMAL(38,0)), one final mirrored division of sqrt products;
+    NULL for constant columns. Fits int64 through sf0.1 (n*sxx ~
+    4n^4/3 per nation); beyond that, pre-bucket values or sample per
+    the acf1 unit-switch note. Scale: two rank windows share the
+    nation partitioning; moments are one aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    base = (
+        li.join(broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(broadcast(na), su.s_nationkey == na.n_nationkey)
+        .select(
+            "n_name",
+            F.col("l_quantity").cast("long").alias("q"),
+            F.expr(
+                "CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100"
+                " AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    r = base.select(
+        "n_name",
+        (
+            2 * F.rank().over(Window.partitionBy("n_name").orderBy("q"))
+            + F.count(F.lit(1)).over(
+                Window.partitionBy("n_name", "q")
+            )
+            - 1
+        )
+        .cast("long")
+        .alias("rx"),
+        (
+            2
+            * F.rank().over(
+                Window.partitionBy("n_name").orderBy("cents")
+            )
+            + F.count(F.lit(1)).over(
+                Window.partitionBy("n_name", "cents")
+            )
+            - 1
+        )
+        .cast("long")
+        .alias("ry"),
+    )
+    s = r.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(rx AS DECIMAL(38,0)) * rx)"
+            " AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("sxx"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(ry AS DECIMAL(38,0)) * ry)"
+            " AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("syy"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(rx AS DECIMAL(38,0)) * ry)"
+            " AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("sxy"),
+    )
+    return s.select(
+        "n_name",
+        "n",
+        F.expr(
+            "CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0 THEN"
+            " CAST(n*sxy - sx*sy AS DOUBLE)"
+            " / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))"
+            "    * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) END"
+        ).alias("rho"),
+    )
+
+
+@register(
+    "welch_ttest",
+    oracle="""
+    WITH m AS (
+      SELECT n_name, l_returnflag AS flag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS s,
+             CAST(CAST(SUM(CAST(CAST(CAST(l_extendedprice
+                  AS DECIMAL(14,2)) * 100 AS BIGINT) AS DECIMAL(38,0))
+                  * CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                    AS BIGINT)) AS DECIMAL(38,0)) AS BIGINT) AS q
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE l_returnflag IN ('R', 'N')
+      GROUP BY 1, 2
+    ), p AS (
+      SELECT n_name,
+             MAX(CASE WHEN flag = 'R' THEN n END) AS n1,
+             MAX(CASE WHEN flag = 'R' THEN s END) AS s1,
+             MAX(CASE WHEN flag = 'R' THEN q END) AS q1,
+             MAX(CASE WHEN flag = 'N' THEN n END) AS n2,
+             MAX(CASE WHEN flag = 'N' THEN s END) AS s2,
+             MAX(CASE WHEN flag = 'N' THEN q END) AS q2
+      FROM m GROUP BY n_name
+    )
+    SELECT n_name,
+           CAST(n1 AS BIGINT) AS n_r, CAST(n2 AS BIGINT) AS n_n,
+           CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean_r,
+           CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mean_n,
+           CASE WHEN n1 > 1 AND n2 > 1
+                AND (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                     * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                    / CAST(n1 - 1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                     * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                    / CAST(n2 - 1 AS DOUBLE) / CAST(n2 AS DOUBLE) > 0
+           THEN
+             (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+             / sqrt((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                     * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                    / CAST(n1 - 1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                     * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                    / CAST(n2 - 1 AS DOUBLE) / CAST(n2 AS DOUBLE))
+           END AS t_welch
+    FROM p
+    """,
+)
+def q_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t-test comparing mean line value
+    between returned ('R') and non-returned ('N') items per supplier
+    nation — the A/B readout to reach for when variances differ
+    (pooled Student-t assumes they don't). Moments are exact: cent
+    sums in BIGINT, squared sums via DECIMAL(38,0) cast to BIGINT
+    (fits through sf0.1 at ~1e18; switch to dollar units beyond).
+    Every float op thereafter is written in the IDENTICAL order on
+    both engines — two mean divisions, two variance expressions, one
+    sqrt — the ab_test_ztest discipline that measured bit-exact.
+    Degenerate groups (n<2 or zero variance) yield NULL via a
+    mirrored CASE. Scale: one groupBy to 50 cells, a 25-row pivot."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    m = (
+        li.join(broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(broadcast(na), su.s_nationkey == na.n_nationkey)
+        .where(F.col("l_returnflag").isin("R", "N"))
+        .groupBy("n_name", F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.expr(
+                    "CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("s"),
+            F.expr(
+                "CAST(CAST(SUM(CAST(CAST(CAST(l_extendedprice"
+                " AS DECIMAL(14,2)) * 100 AS BIGINT) AS DECIMAL(38,0))"
+                " * CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100"
+                "   AS BIGINT)) AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("q"),
+        )
+    )
+    p = m.groupBy("n_name").agg(
+        F.max(F.when(F.col("flag") == "R", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("flag") == "R", F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("flag") == "R", F.col("q"))).alias("q1"),
+        F.max(F.when(F.col("flag") == "N", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("flag") == "N", F.col("s"))).alias("s2"),
+        F.max(F.when(F.col("flag") == "N", F.col("q"))).alias("q2"),
+    )
+    v1 = (
+        "(CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)"
+        " * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+        " / CAST(n1 - 1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    )
+    v2 = (
+        "(CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)"
+        " * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+        " / CAST(n2 - 1 AS DOUBLE) / CAST(n2 AS DOUBLE)"
+    )
+    return p.select(
+        "n_name",
+        F.col("n1").cast("long").alias("n_r"),
+        F.col("n2").cast("long").alias("n_n"),
+        F.expr("CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)").alias(
+            "mean_r"
+        ),
+        F.expr("CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)").alias(
+            "mean_n"
+        ),
+        F.expr(
+            f"CASE WHEN n1 > 1 AND n2 > 1 AND {v1} + {v2} > 0 THEN"
+            " (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+            "  - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+            f" / sqrt({v1} + {v2}) END"
+        ).alias("t_welch"),
+    )
+
+
+@register(
+    "wilson_ci",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, n, x,
+           CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p_hat,
+           ((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+             + (CAST(196 AS DOUBLE) / CAST(100 AS DOUBLE))
+               * (CAST(196 AS DOUBLE) / CAST(100 AS DOUBLE))
+               / (CAST(2 AS DOUBLE) * CAST(n AS DOUBLE)))
+            - (CAST(196 AS DOUBLE) / CAST(100 AS DOUBLE))
+              * sqrt((CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(1 AS DOUBLE)
+                        - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                     / CAST(n AS DOUBLE)
+                   + (CAST(196 AS DOUBLE) / CAST(100 AS DOUBLE))
+                     * (CAST(196 AS DOUBLE) / CAST(100 AS DOUBLE))
+                     / (CAST(4 AS DOUBLE) * CAST(n AS DOUBLE)
+                        * CAST(n AS DOUBLE))))
+           / (CAST(1 AS DOUBLE)
+              + (CAST(196 AS DOUBLE) / CAST(100 AS DOUBLE))
+                * (CAST(196 AS DOUBLE) / CAST(100 AS DOUBLE))
+                / CAST(n AS DOUBLE)) AS ci_lo,
+           ((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+             + (CAST(196 AS DOUBLE) / CAST(100 AS DOUBLE))
+               * (CAST(196 AS DOUBLE) / CAST(100 AS DOUBLE))
+               / (CAST(2 AS DOUBLE) * CAST(n AS DOUBLE)))
+            + (CAST(196 AS DOUBLE) / CAST(100 AS DOUBLE))
+              * sqrt((CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(1 AS DOUBLE)
+                        - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                     / CAST(n AS DOUBLE)
+                   + (CAST(196 AS DOUBLE) / CAST(100 AS DOUBLE))
+                     * (CAST(196 AS DOUBLE) / CAST(100 AS DOUBLE))
+                     / (CAST(4 AS DOUBLE) * CAST(n AS DOUBLE)
+                        * CAST(n AS DOUBLE))))
+           / (CAST(1 AS DOUBLE)
+              + (CAST(196 AS DOUBLE) / CAST(100 AS DOUBLE))
+                * (CAST(196 AS DOUBLE) / CAST(100 AS DOUBLE))
+                / CAST(n AS DOUBLE)) AS ci_hi
+    FROM c
+    """,
+)
+def q_wilson_ci(spark, sf_dir):
+    """Wilson score 95% confidence interval for the fulfilled-order
+    rate per priority class — the binomial CI that behaves at extreme
+    p and small n where the naive Wald interval collapses (the
+    interval every rate dashboard should use). z=1.96 enters as
+    CAST(196 AS DOUBLE)/CAST(100 AS DOUBLE), never the literal 1.96
+    (DuckDB parses float literals as DECIMAL and the arithmetic
+    diverges — the kmv lesson); every term of the center/half-width
+    formula is written in the identical order on both engines, with
+    sqrt the only libm call (IEEE correctly-rounded, portable).
+    Counts are exact BIGINTs. Scale: one aggregate to 5 cells; the
+    formula runs per-cell."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("x"),
+    )
+    z = "(CAST(196 AS DOUBLE) / CAST(100 AS DOUBLE))"
+    p = "(CAST(x AS DOUBLE) / CAST(n AS DOUBLE))"
+    center = (
+        f"(CAST(x AS DOUBLE) / CAST(n AS DOUBLE)"
+        f" + {z} * {z} / (CAST(2 AS DOUBLE) * CAST(n AS DOUBLE)))"
+    )
+    half = (
+        f"{z} * sqrt({p} * (CAST(1 AS DOUBLE) - {p})"
+        f" / CAST(n AS DOUBLE)"
+        f" + {z} * {z} / (CAST(4 AS DOUBLE) * CAST(n AS DOUBLE)"
+        f" * CAST(n AS DOUBLE)))"
+    )
+    denom = f"(CAST(1 AS DOUBLE) + {z} * {z} / CAST(n AS DOUBLE))"
+    return c.select(
+        "o_orderpriority",
+        "n",
+        "x",
+        F.expr(p).alias("p_hat"),
+        F.expr(f"({center} - {half}) / {denom}").alias("ci_lo"),
+        F.expr(f"({center} + {half}) / {denom}").alias("ci_hi"),
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -14967,7 +15397,8 @@ _FRONT: list[str] = [
     # kaplan_meier_survival, clustering_coefficient, log_rank_test,
     # anova_oneway, jackknife_group_means, conformal_interval_width,
     # max_drawdown, bollinger_breakouts, autocorr_lag1,
-    # chebyshev_outliers.
+    # chebyshev_outliers, ams_f2_sketch, spearman_rho, welch_ttest,
+    # wilson_ci.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

@@ -73,6 +73,10 @@ QUERIES = [
     # r6 batch 9 (time-series shelf): acf1 is the only float output
     # (drawdown/bollinger/chebyshev are exact-integer end to end)
     "autocorr_lag1",
+    # r6 batch 10 (inference shelf; ams_f2_sketch is exact-integer)
+    "spearman_rho",
+    "welch_ttest",
+    "wilson_ci",
 ]
 
 

@@ -2454,3 +2454,174 @@ def test_chebyshev_python_recompute(spark):
         o2 = sum(1 for x in xs if (n * x - s) ** 2 > 4 * (n * q - s * s))
         o3 = sum(1 for x in xs if (n * x - s) ** 2 > 9 * (n * q - s * s))
         assert (r.n, r.outliers_2sigma, r.outliers_3sigma) == (n, o2, o3)
+
+
+# ------------------------------------------- sketch/inference batch 10
+
+
+def test_ams_f2_sketch_identity_and_bound(spark):
+    """f2_exact equals the Python frequency replay; the sketch
+    estimate is within 60% of exact (loose — AMS variance is
+    inherent, the bound catches sign-hash/median plumbing bugs)."""
+    from collections import Counter
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    freqs = Counter(
+        r.l_partkey
+        for r in read_table(spark, SF_SMALL, "lineitem").collect()
+    )
+    f2 = sum(v * v for v in freqs.values())
+    r = _q(spark, "ams_f2_sketch").collect()[0]
+    assert r.f2_exact == f2
+    assert abs(r.f2_est - f2) <= 0.6 * f2
+    assert r.abs_err_ppm == abs(r.f2_est - f2) * 1_000_000 // f2
+
+
+def test_spearman_python_recompute(spark):
+    """rho equals Pearson over doubled midranks computed by a pure
+    Python rank replay (ties -> midranks, the textbook treatment)."""
+    import math
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    nat = {
+        n.n_nationkey: n.n_name
+        for n in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    sup = {
+        s.s_suppkey: nat[s.s_nationkey]
+        for s in read_table(spark, SF_SMALL, "supplier").collect()
+    }
+    rows_by_n = defaultdict(list)
+    for li in read_table(spark, SF_SMALL, "lineitem").collect():
+        cents = int(
+            Decimal(str(li.l_extendedprice)).quantize(Decimal("0.01"))
+            * 100
+        )
+        rows_by_n[sup[li.l_suppkey]].append((int(li.l_quantity), cents))
+
+    def dbl_midranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        out = [0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            # 2*midrank = (first rank) + (last rank) with 1-based ranks
+            dm = (i + 1) + j
+            for k in range(i, j):
+                out[order[k]] = dm
+            i = j
+        return out
+
+    got = {r.n_name: r for r in _q(spark, "spearman_rho").collect()}
+    assert set(got) == set(rows_by_n)
+    for name, pairs in rows_by_n.items():
+        rx = dbl_midranks([p[0] for p in pairs])
+        ry = dbl_midranks([p[1] for p in pairs])
+        n = len(pairs)
+        sx, sy = sum(rx), sum(ry)
+        sxx = sum(v * v for v in rx)
+        syy = sum(v * v for v in ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        r = got[name]
+        assert r.n == n
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        if vx > 0 and vy > 0:
+            want = float(n * sxy - sx * sy) / (
+                math.sqrt(float(vx)) * math.sqrt(float(vy))
+            )
+            assert r.rho == want
+        else:
+            assert r.rho is None
+
+
+def test_welch_python_recompute(spark):
+    """t equals the same-order IEEE Welch formula over exact cent
+    moments replayed in Python."""
+    import math
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    nat = {
+        n.n_nationkey: n.n_name
+        for n in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    sup = {
+        s.s_suppkey: nat[s.s_nationkey]
+        for s in read_table(spark, SF_SMALL, "supplier").collect()
+    }
+    cell = defaultdict(lambda: [0, 0, 0])  # n, s, q
+    for li in read_table(spark, SF_SMALL, "lineitem").collect():
+        if li.l_returnflag not in ("R", "N"):
+            continue
+        cents = int(
+            Decimal(str(li.l_extendedprice)).quantize(Decimal("0.01"))
+            * 100
+        )
+        a = cell[(sup[li.l_suppkey], li.l_returnflag)]
+        a[0] += 1
+        a[1] += cents
+        a[2] += cents * cents
+    for r in _q(spark, "welch_ttest").collect():
+        n1, s1, q1 = cell[(r.n_name, "R")]
+        n2, s2, q2 = cell[(r.n_name, "N")]
+        assert (r.n_r, r.n_n) == (n1, n2)
+        assert r.mean_r == float(s1) / float(n1)
+        assert r.mean_n == float(s2) / float(n2)
+        if n1 > 1 and n2 > 1:
+            v1 = (
+                (float(q1) - float(s1) * float(s1) / float(n1))
+                / float(n1 - 1)
+                / float(n1)
+            )
+            v2 = (
+                (float(q2) - float(s2) * float(s2) / float(n2))
+                / float(n2 - 1)
+                / float(n2)
+            )
+            if v1 + v2 > 0:
+                want = (
+                    float(s1) / float(n1) - float(s2) / float(n2)
+                ) / math.sqrt(v1 + v2)
+                assert r.t_welch == want
+
+
+def test_wilson_ci_python_recompute(spark):
+    """Interval endpoints equal the same-order IEEE Wilson formula;
+    the interval brackets p_hat and stays inside [0, 1]."""
+    import math
+    from collections import defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    cell = defaultdict(lambda: [0, 0])
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        a = cell[o.o_orderpriority]
+        a[0] += 1
+        a[1] += 1 if o.o_orderstatus == "F" else 0
+    for r in _q(spark, "wilson_ci").collect():
+        n, x = cell[r.o_orderpriority]
+        assert (r.n, r.x) == (n, x)
+        z = 196.0 / 100.0
+        p = float(x) / float(n)
+        center = float(x) / float(n) + z * z / (2.0 * float(n))
+        half = z * math.sqrt(
+            p * (1.0 - p) / float(n)
+            + z * z / (4.0 * float(n) * float(n))
+        )
+        denom = 1.0 + z * z / float(n)
+        assert r.p_hat == p
+        assert r.ci_lo == (center - half) / denom
+        assert r.ci_hi == (center + half) / denom
+        assert 0.0 <= r.ci_lo <= p <= r.ci_hi <= 1.0
