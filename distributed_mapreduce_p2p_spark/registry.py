@@ -15258,6 +15258,374 @@ def q_wilson_ci(spark, sf_dir):
     )
 
 
+@register(
+    "jaccard_link_prediction",
+    oracle="""
+    WITH trade AS MATERIALIZED (
+      SELECT c_nationkey AS cn, s_nationkey AS sn,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1 - l_discount AS DECIMAL(4,2))) AS vol
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2
+    ), und AS MATERIALIZED (
+      SELECT LEAST(cn, sn) AS a, GREATEST(cn, sn) AS b, SUM(vol) AS vol
+      FROM trade WHERE cn <> sn GROUP BY 1, 2
+    ), edges AS MATERIALIZED (
+      SELECT a, b FROM und
+      WHERE CAST(vol AS DOUBLE) * (SELECT COUNT(*) FROM und)
+            > (SELECT CAST(SUM(vol) AS DOUBLE) FROM und)
+    ), dir AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM edges
+      UNION ALL SELECT b, a FROM edges
+    ), deg AS MATERIALIZED (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM dir GROUP BY 1
+    ), cn AS (
+      SELECT d1.src AS a, d2.src AS b, CAST(COUNT(*) AS BIGINT) AS common
+      FROM dir d1 JOIN dir d2 ON d1.dst = d2.dst AND d1.src < d2.src
+      GROUP BY 1, 2
+    ), ne AS (
+      SELECT cn.a, cn.b, cn.common FROM cn
+      LEFT JOIN edges e ON cn.a = e.a AND cn.b = e.b
+      WHERE e.a IS NULL
+    )
+    SELECT na.n_name AS nation_a, nb.n_name AS nation_b, ne.common,
+           da.d + db.d - ne.common AS union_size,
+           CAST(ne.common AS DOUBLE)
+             / CAST(da.d + db.d - ne.common AS DOUBLE) AS jaccard
+    FROM ne JOIN deg da ON ne.a = da.node
+            JOIN deg db ON ne.b = db.node
+            JOIN nation na ON ne.a = na.n_nationkey
+            JOIN nation nb ON ne.b = nb.n_nationkey
+    """,
+)
+def q_jaccard_link_prediction(spark, sf_dir):
+    """Link prediction by neighborhood Jaccard: for every NON-adjacent
+    nation pair sharing at least one trade partner, score = |N(a) ∩
+    N(b)| / |N(a) ∪ N(b)| — the classic common-neighbors predictor
+    (Liben-Nowell & Kleinberg '03; Jaccard avoids Adamic-Adar's log,
+    keeping the repo libm-free). Candidate pairs come from a
+    wedge-close self-join on the directed edge list (each shared
+    neighbor contributes one wedge), NEVER all-pairs — at scale the
+    join is bounded by sum-of-squared-degrees, the same budget as
+    triangle counting. Existing edges are anti-joined out; counts and
+    degrees exact BIGINT; jaccard is ONE mirrored division. Edge set
+    is the shared memoized _trade_edges derivation."""
+    edges = _trade_edges(spark, sf_dir)
+    na = _t(spark, sf_dir, "nation")
+    dirs = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(edges.select(F.col("b"), F.col("a")))
+    deg = dirs.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    d1 = dirs.alias("d1")
+    d2 = dirs.select(
+        F.col("src").alias("src2"), F.col("dst").alias("dst2")
+    )
+    cn = (
+        d1.join(
+            d2,
+            (F.col("d1.dst") == F.col("dst2"))
+            & (F.col("d1.src") < F.col("src2")),
+        )
+        .groupBy(F.col("d1.src").alias("a"), F.col("src2").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    ne = cn.join(edges, ["a", "b"], "left_anti")
+    da = deg.select(
+        F.col("node").alias("na_k"), F.col("d").alias("da")
+    )
+    db = deg.select(
+        F.col("node").alias("nb_k"), F.col("d").alias("db")
+    )
+    nn1 = na.select(
+        F.col("n_nationkey").alias("k1"),
+        F.col("n_name").alias("nation_a"),
+    )
+    nn2 = na.select(
+        F.col("n_nationkey").alias("k2"),
+        F.col("n_name").alias("nation_b"),
+    )
+    return (
+        ne.join(broadcast(da), ne.a == F.col("na_k"))
+        .join(broadcast(db), ne.b == F.col("nb_k"))
+        .join(broadcast(nn1), ne.a == F.col("k1"))
+        .join(broadcast(nn2), ne.b == F.col("k2"))
+        .select(
+            "nation_a",
+            "nation_b",
+            "common",
+            (F.col("da") + F.col("db") - F.col("common"))
+            .cast("long")
+            .alias("union_size"),
+            F.expr(
+                "CAST(common AS DOUBLE)"
+                " / CAST(da + db - common AS DOUBLE)"
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _kcore_expected_oracle(sf_dir: str) -> str | None:
+    """Expected coreness per nation as a VALUES literal: DuckDB runs
+    the IDENTICAL edge derivation the graph family shares, then a
+    pure-Python peel (remove degree<k until stable, k ascending)
+    computes the textbook coreness the h-index fixpoint must agree
+    with. Nations outside the edge set get coreness 0."""
+    try:
+        import duckdb as _dk
+
+        con = _dk.connect()
+        edges = con.execute(
+            f"""
+            WITH lineitem AS (SELECT * FROM
+                   read_parquet('{sf_dir}/lineitem.parquet')),
+                 orders AS (SELECT * FROM
+                   read_parquet('{sf_dir}/orders.parquet')),
+                 customer AS (SELECT * FROM
+                   read_parquet('{sf_dir}/customer.parquet')),
+                 supplier AS (SELECT * FROM
+                   read_parquet('{sf_dir}/supplier.parquet')),
+            trade AS MATERIALIZED (
+              SELECT c_nationkey AS cn, s_nationkey AS sn,
+                     SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * CAST(1 - l_discount AS DECIMAL(4,2))) AS vol
+              FROM lineitem
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              GROUP BY 1, 2
+            ), und AS MATERIALIZED (
+              SELECT LEAST(cn, sn) AS a, GREATEST(cn, sn) AS b,
+                     SUM(vol) AS vol
+              FROM trade WHERE cn <> sn GROUP BY 1, 2
+            )
+            SELECT a, b FROM und
+            WHERE CAST(vol AS DOUBLE) * (SELECT COUNT(*) FROM und)
+                  > (SELECT CAST(SUM(vol) AS DOUBLE) FROM und)
+            """
+        ).fetchall()
+        nations = con.execute(
+            f"SELECT n_nationkey, n_name FROM"
+            f" read_parquet('{sf_dir}/nation.parquet')"
+        ).fetchall()
+    except Exception:
+        return None
+    alive: dict = {}
+    for a, b in edges:
+        alive.setdefault(a, set()).add(b)
+        alive.setdefault(b, set()).add(a)
+    core: dict = {}
+    k = 1
+    while alive:
+        changed = True
+        while changed:
+            low = [v for v, ns in alive.items() if len(ns) < k]
+            changed = bool(low)
+            for v in low:
+                core[v] = k - 1
+                for u in alive[v]:
+                    alive[u].discard(v)
+                del alive[v]
+        k += 1
+    rows = ", ".join(
+        f"('{_sql_str(name)}', {core.get(key, 0)})"
+        for key, name in nations
+    )
+    return (
+        "SELECT c0 AS n_name, CAST(c1 AS BIGINT) AS coreness"
+        f" FROM (VALUES {rows}) t(c0, c1)"
+    )
+
+
+@register("kcore_decomposition")
+def q_kcore_decomposition(spark, sf_dir):
+    """Coreness of every nation in the trade graph via the H-INDEX
+    FIXPOINT (Lü et al., Nature Communications 2016): start each node
+    at its degree, then repeatedly set label(v) = H(labels of
+    neighbors) — the largest h with >= h neighbors labeled >= h —
+    until no label changes; the fixpoint IS the k-core number. This
+    is the distributed coreness algorithm of choice: unlike
+    sequential peeling (inherently ordered, driver-bound), every
+    iteration is one edge-label join + one per-node window, converges
+    in O(graph diameter)-ish rounds, and each round's shuffle is
+    bounded by |E|. H is computed exactly: rank neighbors' labels
+    descending, h = max(min(rank, label)) — no floats anywhere.
+    Convergence is checked with a changed-count action per round
+    (labels are localCheckpointed so lineage stays flat); a 100-round
+    guard raises rather than spinning. Oracle: dynamic expected-value
+    literal from a pure-Python peel over the identical DuckDB-derived
+    edge set (peeling and h-index fixpoint provably agree). Nations
+    with no above-mean edges report coreness 0."""
+    edges = _trade_edges(spark, sf_dir)
+    na = _t(spark, sf_dir, "nation")
+    dirs = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(edges.select(F.col("b"), F.col("a")))
+        .localCheckpoint(eager=True)
+    )
+    labels = dirs.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("lbl")
+    ).localCheckpoint(eager=True)
+    for _ in range(100):
+        nbr = dirs.join(
+            labels.select(
+                F.col("node").alias("dst"), F.col("lbl").alias("nl")
+            ),
+            "dst",
+        ).select("src", "nl")
+        wr = Window.partitionBy("src").orderBy(F.col("nl").desc())
+        new = (
+            nbr.select(
+                "src",
+                F.least(
+                    F.row_number().over(wr).cast("long"), F.col("nl")
+                ).alias("cand"),
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.max("cand").cast("long").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            labels.select("node", F.col("lbl").alias("old"))
+            .join(new, "node")
+            .where(F.col("old") != F.col("lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("kcore h-index fixpoint did not converge")
+    return na.join(
+        labels, na.n_nationkey == labels.node, "left"
+    ).select(
+        "n_name",
+        F.coalesce(F.col("lbl"), F.lit(0))
+        .cast("long")
+        .alias("coreness"),
+    )
+
+
+DYNAMIC_ORACLES["kcore_decomposition"] = _kcore_expected_oracle
+
+
+@register(
+    "naive_bayes_predict",
+    oracle="""
+    WITH base AS MATERIALIZED (
+      SELECT o_orderstatus AS st, c_mktsegment AS seg,
+             o_orderpriority AS pri
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+    cls AS (SELECT st, CAST(COUNT(*) AS BIGINT) AS nc
+            FROM base GROUP BY 1),
+    nseg AS (SELECT CAST(COUNT(DISTINCT seg) AS BIGINT) AS k FROM base),
+    npri AS (SELECT CAST(COUNT(DISTINCT pri) AS BIGINT) AS k FROM base),
+    segc AS (SELECT st, seg, CAST(COUNT(*) AS BIGINT) AS nsc
+             FROM base GROUP BY 1, 2),
+    pric AS (SELECT st, pri, CAST(COUNT(*) AS BIGINT) AS npc
+             FROM base GROUP BY 1, 2),
+    grid AS (SELECT s.seg, p.pri
+             FROM (SELECT DISTINCT seg FROM base) s,
+                  (SELECT DISTINCT pri FROM base) p),
+    score AS (
+      SELECT g.seg, g.pri, c.st,
+             CAST((c.nc * 1000000 // t.n)
+                  * ((COALESCE(sc.nsc, 0) + 1) * 1000000
+                     // (c.nc + ns.k))
+                  * ((COALESCE(pc.npc, 0) + 1) * 1000000
+                     // (c.nc + np.k)) AS BIGINT) AS s
+      FROM grid g CROSS JOIN cls c CROSS JOIN tot t
+           CROSS JOIN nseg ns CROSS JOIN npri np
+      LEFT JOIN segc sc ON sc.st = c.st AND sc.seg = g.seg
+      LEFT JOIN pric pc ON pc.st = c.st AND pc.pri = g.pri
+    )
+    SELECT seg AS c_mktsegment, pri AS o_orderpriority,
+           MIN(CASE WHEN s = mx THEN st END) AS predicted_status,
+           CAST(MAX(mx) AS BIGINT) AS score
+    FROM (SELECT *, MAX(s) OVER (PARTITION BY seg, pri) AS mx
+          FROM score) t
+    GROUP BY 1, 2
+    """,
+)
+def q_naive_bayes_predict(spark, sf_dir):
+    """Two-feature naive Bayes classifier, trained AND applied in one
+    plan: predict order status from (market segment, priority) via
+    argmax over classes of prior * P(seg|class) * P(pri|class), each
+    factor a Laplace-smoothed FIXED-POINT ppm integer (count+1)*1e6
+    DIV (class_count + |values|) — the libm-free surrogate for
+    log-likelihood sums: products of three ppm factors stay < 1e18,
+    exact in BIGINT, and argmax over exact integers needs no float
+    ever (ties break to the lexicographically smallest class, pinned
+    via MIN CASE). Smoothing constants |seg| and |pri| are derived
+    from the data, not hard-coded. Scale: training is two
+    (class,value) aggregates off one fact pass; scoring joins the
+    tiny model cells onto the |seg|x|pri| grid — broadcast-sized at
+    any fact scale."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("o_orderstatus").alias("st"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_orderpriority").alias("pri"),
+    )
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cls = base.groupBy("st").agg(
+        F.count(F.lit(1)).cast("long").alias("nc")
+    )
+    nseg = base.agg(
+        F.countDistinct("seg").cast("long").alias("kseg")
+    )
+    npri = base.agg(
+        F.countDistinct("pri").cast("long").alias("kpri")
+    )
+    segc = base.groupBy("st", "seg").agg(
+        F.count(F.lit(1)).cast("long").alias("nsc")
+    )
+    pric = base.groupBy("st", "pri").agg(
+        F.count(F.lit(1)).cast("long").alias("npc")
+    )
+    grid = base.select("seg").distinct().crossJoin(
+        base.select("pri").distinct()
+    )
+    score = (
+        grid.crossJoin(broadcast(cls))
+        .crossJoin(broadcast(tot))
+        .crossJoin(broadcast(nseg))
+        .crossJoin(broadcast(npri))
+        .join(broadcast(segc), ["st", "seg"], "left")
+        .join(broadcast(pric), ["st", "pri"], "left")
+        .select(
+            "seg",
+            "pri",
+            "st",
+            F.expr(
+                "CAST((nc * 1000000 DIV n)"
+                " * ((COALESCE(nsc, 0) + 1) * 1000000 DIV (nc + kseg))"
+                " * ((COALESCE(npc, 0) + 1) * 1000000 DIV (nc + kpri))"
+                " AS BIGINT)"
+            ).alias("s"),
+        )
+    )
+    wmx = Window.partitionBy("seg", "pri")
+    t = score.withColumn("mx", F.max("s").over(wmx))
+    return t.groupBy(
+        F.col("seg").alias("c_mktsegment"),
+        F.col("pri").alias("o_orderpriority"),
+    ).agg(
+        F.min(
+            F.when(F.col("s") == F.col("mx"), F.col("st"))
+        ).alias("predicted_status"),
+        F.max("mx").cast("long").alias("score"),
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -15398,7 +15766,8 @@ _FRONT: list[str] = [
     # anova_oneway, jackknife_group_means, conformal_interval_width,
     # max_drawdown, bollinger_breakouts, autocorr_lag1,
     # chebyshev_outliers, ams_f2_sketch, spearman_rho, welch_ttest,
-    # wilson_ci.
+    # wilson_ci, jaccard_link_prediction, kcore_decomposition,
+    # naive_bayes_predict.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

@@ -77,6 +77,8 @@ QUERIES = [
     "spearman_rho",
     "welch_ttest",
     "wilson_ci",
+    # r6 batch 11 (graph/ML; kcore + naive_bayes are exact-integer)
+    "jaccard_link_prediction",
 ]
 
 

@@ -2625,3 +2625,126 @@ def test_wilson_ci_python_recompute(spark):
         assert r.ci_lo == (center - half) / denom
         assert r.ci_hi == (center + half) / denom
         assert 0.0 <= r.ci_lo <= p <= r.ci_hi <= 1.0
+
+
+# ----------------------------------------------- graph/ML batch 11
+
+
+def _spark_edge_set(spark):
+    from distributed_mapreduce_p2p_spark import registry
+    from tests.conftest import SF_SMALL
+
+    return {
+        (r.a, r.b)
+        for r in registry._trade_edges(spark, SF_SMALL).collect()
+    }
+
+
+def test_kcore_equals_python_peel(spark):
+    """The h-index fixpoint agrees with textbook sequential peeling on
+    the SAME Spark-derived edge set (the algorithmic identity the
+    Lü et al. fixpoint theorem guarantees), and coreness <= degree."""
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    edges = _spark_edge_set(spark)
+    alive, core = {}, {}
+    for a, b in edges:
+        alive.setdefault(a, set()).add(b)
+        alive.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in alive.items()}
+    k = 1
+    while alive:
+        changed = True
+        while changed:
+            low = [v for v, ns in alive.items() if len(ns) < k]
+            changed = bool(low)
+            for v in low:
+                core[v] = k - 1
+                for u in alive[v]:
+                    alive[u].discard(v)
+                del alive[v]
+        k += 1
+    name2key = {
+        n.n_name: n.n_nationkey
+        for n in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    rows = _q(spark, "kcore_decomposition").collect()
+    assert len(rows) == len(name2key)
+    for r in rows:
+        key = name2key[r.n_name]
+        assert r.coreness == core.get(key, 0)
+        assert r.coreness <= deg.get(key, 0)
+
+
+def test_jaccard_link_prediction_recompute(spark):
+    """Scores equal the adjacency-set replay; no predicted pair is an
+    existing edge; every score is in (0, 1]."""
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    edges = _spark_edge_set(spark)
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    key = {
+        n.n_name: n.n_nationkey
+        for n in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    rows = _q(spark, "jaccard_link_prediction").collect()
+    want = set()
+    for a in adj:
+        for b in adj:
+            if a < b and (a, b) not in edges and adj[a] & adj[b]:
+                want.add((a, b))
+    got = set()
+    for r in rows:
+        a, b = key[r.nation_a], key[r.nation_b]
+        got.add((a, b))
+        assert (a, b) not in edges
+        common = len(adj[a] & adj[b])
+        union = len(adj[a] | adj[b])
+        assert (r.common, r.union_size) == (common, union)
+        assert r.jaccard == float(common) / float(union)
+        assert 0.0 < r.jaccard <= 1.0
+    assert got == want
+
+
+def test_naive_bayes_python_recompute(spark):
+    """Predicted class equals a pure-Python integer-ppm argmax with
+    the identical Laplace smoothing and tie-break."""
+    from collections import Counter
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    seg_of = {
+        c.c_custkey: c.c_mktsegment
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    obs = [
+        (o.o_orderstatus, seg_of[o.o_custkey], o.o_orderpriority)
+        for o in read_table(spark, SF_SMALL, "orders").collect()
+    ]
+    n = len(obs)
+    nc = Counter(st for st, _, _ in obs)
+    nsc = Counter((st, sg) for st, sg, _ in obs)
+    npc = Counter((st, pr) for st, _, pr in obs)
+    segs = sorted({sg for _, sg, _ in obs})
+    pris = sorted({pr for _, _, pr in obs})
+    rows = _q(spark, "naive_bayes_predict").collect()
+    assert len(rows) == len(segs) * len(pris)
+    for r in rows:
+        best = None
+        for st in sorted(nc):
+            s = (
+                (nc[st] * 1_000_000 // n)
+                * ((nsc[(st, r.c_mktsegment)] + 1) * 1_000_000
+                   // (nc[st] + len(segs)))
+                * ((npc[(st, r.o_orderpriority)] + 1) * 1_000_000
+                   // (nc[st] + len(pris)))
+            )
+            if best is None or s > best[1]:
+                best = (st, s)
+        assert (r.predicted_status, r.score) == best

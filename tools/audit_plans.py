@@ -55,6 +55,7 @@ WHITELIST = {
     "ks_statistic_sources": "<=|sources|^2-row pair list from a post-agg per-source self-join (inherent to pairwise stats; each pair's ECDF work is equi-joined)",
     "chi2_priority_status": "1-row grand-total aggregate broadcast onto the tiny contingency cell table",
     "zorder_layout_stats": "1-row global max-z aggregate broadcast for the bucket width",
+    "naive_bayes_predict": "tiny model-cell broadcasts (3-class, 1-row totals, |seg|x|pri| grid) cross-joined for scoring",
     "ams_f2_sketch": "1-row exact-F2 aggregate cross-joined with the 1-row sketch estimate (two scalar cells)",
     "trade_graph_shortest_cost": "1-row totals/seed aggregates over the <=|nations|^2 bilateral table (graph-family scalar attach)",
     "share_of_parent": "1-row grand-total aggregate broadcast-attached to the |nations|-row leaf table",
