@@ -15626,6 +15626,302 @@ def q_naive_bayes_predict(spark, sf_dir):
     )
 
 
+@register(
+    "grid_neighbor_join",
+    oracle="""
+    WITH cpt AS (
+      SELECT c_custkey AS k, c_nationkey AS nk,
+             CAST(('0x' || substr(md5('gx:' || CAST(c_custkey AS VARCHAR)),
+                  1, 12))::BIGINT % 1024 AS BIGINT) AS x,
+             CAST(('0x' || substr(md5('gy:' || CAST(c_custkey AS VARCHAR)),
+                  1, 12))::BIGINT % 1024 AS BIGINT) AS y
+      FROM customer
+    ), spt AS (
+      SELECT s_suppkey AS k,
+             CAST(('0x' || substr(md5('gx:s' || CAST(s_suppkey AS VARCHAR)),
+                  1, 12))::BIGINT % 1024 AS BIGINT) AS x,
+             CAST(('0x' || substr(md5('gy:s' || CAST(s_suppkey AS VARCHAR)),
+                  1, 12))::BIGINT % 1024 AS BIGINT) AS y
+      FROM supplier
+    ), sgrid AS (
+      SELECT k, x, y, (x // 8) + dx.d AS cx, (y // 8) + dy.d AS cy
+      FROM spt, (VALUES (-1),(0),(1)) dx(d), (VALUES (-1),(0),(1)) dy(d)
+    ), cand AS (
+      SELECT c.nk, c.x AS cxp, c.y AS cyp, s.x AS sxp, s.y AS syp
+      FROM cpt c JOIN sgrid s
+        ON (c.x // 8) = s.cx AND (c.y // 8) = s.cy
+    )
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS candidate_pairs,
+           CAST(COUNT(*) FILTER (WHERE
+                GREATEST(ABS(cxp - sxp), ABS(cyp - syp)) <= 8)
+                AS BIGINT) AS matched_pairs
+    FROM cand JOIN nation ON nk = n_nationkey
+    GROUP BY 1
+    """,
+)
+def q_grid_neighbor_join(spark, sf_dir):
+    """Fixed-grid SPATIAL JOIN: customers and suppliers get synthetic
+    integer coordinates (portable md5 hashes mod 1024 — the testdata
+    has no geo columns, so the geometry is derived, but the join
+    pattern is the real one), and we count supplier matches within
+    L-infinity distance 8 of each customer. The scale pattern is the
+    textbook grid-file join: bucket both sides into 128x128 cells of
+    the query radius, replicate the SMALLER side into its 3x3 cell
+    neighborhood (bounded 9x blowup on the dim side only), equi-join
+    on cell, then apply the exact distance predicate — candidate cost
+    is O(|cells touched|), never the all-pairs product, and the
+    equi-join shuffles by cell key so co-located points land in one
+    partition. Chebyshev (L-inf) distance keeps the predicate in
+    exact integer arithmetic (Euclidean would need no sqrt either —
+    compare squared — but L-inf matches the cell geometry exactly:
+    the 3x3 neighborhood is complete for r <= cell width, asserted
+    in tests). Both candidate and matched counts are emitted so the
+    filter selectivity is auditable."""
+    cu = _t(spark, sf_dir, "customer")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    cpt = cu.select(
+        F.col("c_nationkey").alias("nk"),
+        F.expr(
+            "CAST(cast(conv(substring(md5(concat('gx:',"
+            " cast(c_custkey as string))), 1, 12), 16, 10) as bigint)"
+            " % 1024 AS BIGINT)"
+        ).alias("x"),
+        F.expr(
+            "CAST(cast(conv(substring(md5(concat('gy:',"
+            " cast(c_custkey as string))), 1, 12), 16, 10) as bigint)"
+            " % 1024 AS BIGINT)"
+        ).alias("y"),
+    )
+    spt = su.select(
+        F.expr(
+            "CAST(cast(conv(substring(md5(concat('gx:s',"
+            " cast(s_suppkey as string))), 1, 12), 16, 10) as bigint)"
+            " % 1024 AS BIGINT)"
+        ).alias("sx"),
+        F.expr(
+            "CAST(cast(conv(substring(md5(concat('gy:s',"
+            " cast(s_suppkey as string))), 1, 12), 16, 10) as bigint)"
+            " % 1024 AS BIGINT)"
+        ).alias("sy"),
+    )
+    sgrid = (
+        spt.withColumn(
+            "dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+        )
+        .withColumn(
+            "dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+        )
+        .select(
+            "sx",
+            "sy",
+            (F.expr("sx DIV 8") + F.col("dx")).alias("cx"),
+            (F.expr("sy DIV 8") + F.col("dy")).alias("cy"),
+        )
+    )
+    cand = cpt.join(
+        sgrid,
+        (F.expr("x DIV 8") == F.col("cx"))
+        & (F.expr("y DIV 8") == F.col("cy")),
+    )
+    return (
+        cand.join(broadcast(na), cand.nk == na.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("candidate_pairs"),
+            F.count(
+                F.when(
+                    F.greatest(
+                        F.abs(F.col("x") - F.col("sx")),
+                        F.abs(F.col("y") - F.col("sy")),
+                    )
+                    <= 8,
+                    1,
+                )
+            )
+            .cast("long")
+            .alias("matched_pairs"),
+        )
+    )
+
+
+@register(
+    "tv_distance_drift",
+    oracle="""
+    WITH base AS (
+      SELECT n_name, o_orderpriority AS pri,
+             CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+                  THEN 0 ELSE 1 END AS late
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    ), tot AS (
+      SELECT n_name,
+             CAST(SUM(CASE WHEN late = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ne,
+             CAST(SUM(CASE WHEN late = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nl
+      FROM base GROUP BY 1
+    ), cell AS (
+      SELECT n_name, pri,
+             CAST(SUM(CASE WHEN late = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ce,
+             CAST(SUM(CASE WHEN late = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cl
+      FROM base GROUP BY 1, 2
+    )
+    SELECT c.n_name, MAX(t.ne) AS n_early, MAX(t.nl) AS n_late,
+           CASE WHEN MAX(t.ne) > 0 AND MAX(t.nl) > 0 THEN
+             CAST(SUM(ABS(c.ce * 1000000 // t.ne
+                          - c.cl * 1000000 // t.nl)) // 2 AS BIGINT)
+           END AS tv_ppm
+    FROM cell c JOIN tot t ON c.n_name = t.n_name
+    GROUP BY 1
+    """,
+)
+def q_tv_distance_drift(spark, sf_dir):
+    """Distribution drift per nation as TOTAL-VARIATION distance
+    between the early (<1998) and late (>=1998) order-priority mix —
+    the drift metric to reach for when PSI/KL are off the table
+    (both need log; TV = half the L1 gap needs only subtraction) and
+    it has the clean guarantee |P(A)-Q(A)| <= TV for EVERY event A.
+    Shares are fixed-point ppm integers (count*1e6 DIV total), the
+    L1 fold is exact BIGINT, halved with integer DIV — the entire
+    statistic is float-free. Nations missing a period yield NULL via
+    a mirrored CASE. Scale: one fact pass to (nation, priority,
+    period) cells; the TV fold runs on <=125 cells."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    base = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.col("o_orderpriority").alias("pri"),
+            F.expr(
+                "CASE WHEN CAST(o_orderdate AS DATE)"
+                " < DATE '1998-01-01' THEN 0 ELSE 1 END"
+            ).alias("late"),
+        )
+    )
+    cell = base.groupBy("n_name", "pri").agg(
+        F.sum(F.when(F.col("late") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("ce"),
+        F.sum(F.when(F.col("late") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("cl"),
+    )
+    tot = cell.groupBy("n_name").agg(
+        F.sum("ce").cast("long").alias("ne"),
+        F.sum("cl").cast("long").alias("nl"),
+    )
+    j = cell.join(broadcast(tot), "n_name")
+    return j.groupBy("n_name").agg(
+        F.max("ne").cast("long").alias("n_early"),
+        F.max("nl").cast("long").alias("n_late"),
+        F.expr(
+            "CASE WHEN MAX(ne) > 0 AND MAX(nl) > 0 THEN"
+            " CAST(SUM(ABS(ce * 1000000 DIV ne"
+            " - cl * 1000000 DIV nl)) DIV 2 AS BIGINT) END"
+        ).alias("tv_ppm"),
+    )
+
+
+@register(
+    "lexical_complexity",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             replace(regexp_replace(replace(text, '#', ''),
+                     '[^\\s]+', '#', 'g'), ' ', '') AS wmark,
+             regexp_replace(replace(lower(text), '#', ''),
+                     '[aeiouy]+', '#', 'g') AS vmark,
+             length(regexp_replace(text, '[\\s]+', '', 'g')) AS wchars
+      FROM documents
+    ), c AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(length(wmark) - length(replace(wmark, '#', '')))
+                  AS BIGINT) AS words,
+             CAST(SUM(wchars) AS BIGINT) AS word_chars,
+             CAST(SUM(length(vmark) - length(replace(vmark, '#', '')))
+                  AS BIGINT) AS syllables
+      FROM d GROUP BY 1
+    )
+    SELECT source, n_docs, words, word_chars, syllables,
+           CASE WHEN words > 0 THEN
+             CAST(word_chars * 1000000 // words AS BIGINT)
+           END AS chars_per_word_ppm,
+           CASE WHEN words > 0 THEN
+             CAST(syllables * 1000000 // words AS BIGINT)
+           END AS syllables_per_word_ppm
+    FROM c
+    """,
+)
+def q_lexical_complexity(spark, sf_dir):
+    """Readability/lexical-complexity profile per source — the
+    Flesch-style word-length and syllable-rate inputs (the corpus has
+    no sentence punctuation, so the sentence term is deliberately
+    absent; syllables are approximated as vowel-GROUP runs, the
+    standard heuristic). Counting trick shared by all three counters:
+    collapse the target runs to a sentinel char with one
+    regexp_replace (after stripping pre-existing sentinels), then
+    count sentinels by length difference — run-counting that is
+    bit-identical across engines where split() edge semantics are
+    not (DuckDB regexp_replace takes the 'g' flag to match Spark's
+    replace-all). Ratios are fixed-point ppm via integer DIV,
+    guarded by mirrored CASE. Scale: one mapInPandas-free projection
+    pass, one groupBy on |sources| cells."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.expr(
+            "replace(regexp_replace(replace(text, '#', ''),"
+            " '[^\\\\s]+', '#'), ' ', '')"
+        ).alias("wmark"),
+        F.expr(
+            "regexp_replace(replace(lower(text), '#', ''),"
+            " '[aeiouy]+', '#')"
+        ).alias("vmark"),
+        F.expr(
+            "length(regexp_replace(text, '[\\\\s]+', ''))"
+        ).alias("wchars"),
+    )
+    c = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.expr(
+                "length(wmark) - length(replace(wmark, '#', ''))"
+            )
+        )
+        .cast("long")
+        .alias("words"),
+        F.sum("wchars").cast("long").alias("word_chars"),
+        F.sum(
+            F.expr(
+                "length(vmark) - length(replace(vmark, '#', ''))"
+            )
+        )
+        .cast("long")
+        .alias("syllables"),
+    )
+    return c.select(
+        "source",
+        "n_docs",
+        "words",
+        "word_chars",
+        "syllables",
+        F.expr(
+            "CASE WHEN words > 0 THEN"
+            " CAST(word_chars * 1000000 DIV words AS BIGINT) END"
+        ).alias("chars_per_word_ppm"),
+        F.expr(
+            "CASE WHEN words > 0 THEN"
+            " CAST(syllables * 1000000 DIV words AS BIGINT) END"
+        ).alias("syllables_per_word_ppm"),
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -15767,7 +16063,8 @@ _FRONT: list[str] = [
     # max_drawdown, bollinger_breakouts, autocorr_lag1,
     # chebyshev_outliers, ams_f2_sketch, spearman_rho, welch_ttest,
     # wilson_ci, jaccard_link_prediction, kcore_decomposition,
-    # naive_bayes_predict.
+    # naive_bayes_predict, grid_neighbor_join, tv_distance_drift,
+    # lexical_complexity.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

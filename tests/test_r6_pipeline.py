@@ -2748,3 +2748,113 @@ def test_naive_bayes_python_recompute(spark):
             if best is None or s > best[1]:
                 best = (st, s)
         assert (r.predicted_status, r.score) == best
+
+
+# ------------------------------------------ spatial/drift/text batch 12
+
+
+def test_grid_neighbor_join_complete_vs_bruteforce(spark):
+    """The 3x3 grid candidate set loses NO true match (completeness
+    for r <= cell width): matched counts equal a brute-force
+    all-pairs Python scan, and matched <= candidates per nation."""
+    import hashlib
+    from collections import Counter
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    cust = [
+        (c.c_nationkey, h(f"gx:{c.c_custkey}") % 1024,
+         h(f"gy:{c.c_custkey}") % 1024)
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    ]
+    sup = [
+        (h(f"gx:s{s.s_suppkey}") % 1024, h(f"gy:s{s.s_suppkey}") % 1024)
+        for s in read_table(spark, SF_SMALL, "supplier").collect()
+    ]
+    nname = {
+        n.n_nationkey: n.n_name
+        for n in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    brute = Counter()
+    for nk, cx, cy in cust:
+        for sx, sy in sup:
+            if max(abs(cx - sx), abs(cy - sy)) <= 8:
+                brute[nname[nk]] += 1
+    rows = _q(spark, "grid_neighbor_join").collect()
+    got = {r.n_name: (r.candidate_pairs, r.matched_pairs) for r in rows}
+    for name, (cand, match) in got.items():
+        assert match <= cand
+        assert match == brute.get(name, 0)
+    # nations absent from the result had no candidates -> no matches
+    for name, m in brute.items():
+        if name not in got:
+            assert m == 0
+
+
+def test_tv_distance_python_recompute(spark):
+    """tv_ppm equals the integer-ppm L1 replay and sits in [0, 1e6]."""
+    from collections import Counter, defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    nat = {
+        n.n_nationkey: n.n_name
+        for n in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    cseg = {
+        c.c_custkey: nat[c.c_nationkey]
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    early, late = defaultdict(Counter), defaultdict(Counter)
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        tgt = early if str(o.o_orderdate) < "1998-01-01" else late
+        tgt[cseg[o.o_custkey]][o.o_orderpriority] += 1
+    for r in _q(spark, "tv_distance_drift").collect():
+        ne = sum(early[r.n_name].values())
+        nl = sum(late[r.n_name].values())
+        assert (r.n_early, r.n_late) == (ne, nl)
+        if ne > 0 and nl > 0:
+            pris = set(early[r.n_name]) | set(late[r.n_name])
+            tv = sum(
+                abs(early[r.n_name][p] * 1_000_000 // ne
+                    - late[r.n_name][p] * 1_000_000 // nl)
+                for p in pris
+            ) // 2
+            assert r.tv_ppm == tv
+            assert 0 <= r.tv_ppm <= 1_000_000
+        else:
+            assert r.tv_ppm is None
+
+
+def test_lexical_complexity_python_recompute(spark):
+    """Counters equal a Python regex replay of the run-counting
+    rules (non-space runs, vowel-group runs, non-space chars)."""
+    import re
+    from collections import defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # docs, words, chars, syl
+    for d in read_table(spark, SF_SMALL, "documents").collect():
+        t = d.text
+        a = agg[d.source]
+        a[0] += 1
+        a[1] += len(re.findall(r"[^\s]+", t.replace("#", "")))
+        a[2] += len(re.sub(r"\s+", "", t))
+        a[3] += len(re.findall(r"[aeiouy]+", t.lower().replace("#", "")))
+    rows = _q(spark, "lexical_complexity").collect()
+    assert len(rows) == len(agg)
+    for r in rows:
+        docs, words, chars, syl = agg[r.source]
+        assert (r.n_docs, r.words, r.word_chars, r.syllables) == (
+            docs, words, chars, syl,
+        )
+        if words:
+            assert r.chars_per_word_ppm == chars * 1_000_000 // words
+            assert r.syllables_per_word_ppm == syl * 1_000_000 // words
