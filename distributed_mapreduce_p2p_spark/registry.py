@@ -15922,6 +15922,417 @@ def q_lexical_complexity(spark, sf_dir):
     )
 
 
+_PERM_EXTREME = (
+    "p.n1b > 0 AND p.n2b > 0 AND"
+    " ABS(CAST(p.s1b AS DECIMAL(38,0)) * p.n2b"
+    "     - CAST(p.s2b AS DECIMAL(38,0)) * p.n1b)"
+    "   * (CAST(o.n1 AS DECIMAL(38,0)) * o.n2)"
+    " >= ABS(CAST(o.s1 AS DECIMAL(38,0)) * o.n2"
+    "     - CAST(o.s2 AS DECIMAL(38,0)) * o.n1)"
+    "   * (CAST(p.n1b AS DECIMAL(38,0)) * p.n2b)"
+)
+
+
+@register(
+    "permutation_test_means",
+    oracle=f"""
+    WITH cell AS MATERIALIZED (
+      SELECT c_custkey AS k, c_mktsegment AS seg,
+             CAST(COALESCE(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                  * 100 AS BIGINT)), 0) AS BIGINT) AS cents
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      GROUP BY 1, 2
+    ), obs AS MATERIALIZED (
+      SELECT CAST(SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN seg = 'BUILDING' THEN cents ELSE 0 END)
+                  AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN seg = 'MACHINERY' THEN cents ELSE 0 END)
+                  AS BIGINT) AS s2
+      FROM cell
+    ), lab AS (
+      SELECT b.b, c.cents,
+             (('0x' || substr(md5('perm:' || CAST(c.k AS VARCHAR) || ':'
+                || CAST(b.b AS VARCHAR)), 1, 12))::BIGINT
+              % (o.n1 + o.n2)) < o.n1 AS g
+      FROM cell c
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 63)) AS b) b
+      CROSS JOIN obs o
+    ), perm AS (
+      SELECT b,
+             CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n1b,
+             CAST(SUM(CASE WHEN g THEN cents ELSE 0 END) AS BIGINT)
+               AS s1b,
+             CAST(SUM(CASE WHEN NOT g THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2b,
+             CAST(SUM(CASE WHEN NOT g THEN cents ELSE 0 END) AS BIGINT)
+               AS s2b
+      FROM lab GROUP BY 1
+    )
+    SELECT o.n1, o.n2,
+           CAST(o.s1 AS DOUBLE) / CAST(o.n1 AS DOUBLE)
+             - CAST(o.s2 AS DOUBLE) / CAST(o.n2 AS DOUBLE) AS d_obs,
+           CAST(COUNT(*) AS BIGINT) AS b_total,
+           CAST(SUM(CASE WHEN {_PERM_EXTREME} THEN 1 ELSE 0 END)
+                AS BIGINT) AS b_extreme,
+           CAST((1 + SUM(CASE WHEN {_PERM_EXTREME} THEN 1 ELSE 0 END))
+                * 1000000 // (1 + COUNT(*)) AS BIGINT) AS p_ppm
+    FROM perm p CROSS JOIN obs o
+    GROUP BY o.n1, o.n2, o.s1, o.s2
+    """,
+)
+def q_permutation_test_means(spark, sf_dir):
+    """Randomization test for the difference in mean customer
+    lifetime spend between two segments, with the p-value computed
+    ENTIRELY in exact integer arithmetic. The classic blocker for
+    distributed permutation tests is nondeterministic RNG; here the
+    64 pseudo-relabelings are salted portable hashes (label b assigns
+    group by h(key,b) mod (n1+n2) < n1, preserving expected group
+    proportions — the standard random-relabeling approximation). The
+    extremeness comparison |d_b| >= |d_obs| never touches floats:
+    d = s1/n1 - s2/n2 is compared CROSS-MULTIPLIED as
+    |s1b*n2b - s2b*n1b| * (n1o*n2o) >= |s1o*n2o - s2o*n1o| * (n1b*n2b)
+    in DECIMAL(38,0) — exact at ~1e24. p uses the add-one rule
+    (1+extreme)/(1+B) in ppm. d_obs is exported as one mirrored
+    float expression for display only. Scale: one fact pass to
+    customer cells, a 64x explode over cells (not facts), 64
+    shuffle rows."""
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    cell = (
+        cu.where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .join(o, cu.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100"
+                        " AS BIGINT)"
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    obs = cell.agg(
+        F.sum(
+            F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n1"),
+        F.sum(
+            F.when(
+                F.col("c_mktsegment") == "BUILDING", F.col("cents")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("s1"),
+        F.sum(
+            F.when(F.col("c_mktsegment") == "MACHINERY", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n2"),
+        F.sum(
+            F.when(
+                F.col("c_mktsegment") == "MACHINERY", F.col("cents")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("s2"),
+    )
+    lab = (
+        cell.crossJoin(broadcast(obs))
+        .select(
+            "c_custkey",
+            "cents",
+            "n1",
+            "n2",
+            "s1",
+            "s2",
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+        )
+        .select(
+            "b",
+            "cents",
+            F.expr(
+                "cast(conv(substring(md5(concat('perm:',"
+                " cast(c_custkey as string), ':', cast(b as string)"
+                ")), 1, 12), 16, 10) as bigint) % (n1 + n2) < n1"
+            ).alias("g"),
+        )
+    )
+    perm = lab.groupBy("b").agg(
+        F.sum(F.when(F.col("g"), 1).otherwise(0))
+        .cast("long")
+        .alias("n1b"),
+        F.sum(F.when(F.col("g"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s1b"),
+        F.sum(F.when(~F.col("g"), 1).otherwise(0))
+        .cast("long")
+        .alias("n2b"),
+        F.sum(F.when(~F.col("g"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s2b"),
+    )
+    p = perm.alias("p").crossJoin(broadcast(obs).alias("o"))
+    return p.groupBy("o.n1", "o.n2", "o.s1", "o.s2").agg(
+        F.count(F.lit(1)).cast("long").alias("b_total"),
+        F.sum(F.when(F.expr(_PERM_EXTREME), 1).otherwise(0))
+        .cast("long")
+        .alias("b_extreme"),
+        F.expr(
+            f"CAST((1 + SUM(CASE WHEN {_PERM_EXTREME} THEN 1 ELSE 0"
+            " END)) * 1000000 DIV (1 + COUNT(*)) AS BIGINT)"
+        ).alias("p_ppm"),
+    ).select(
+        "n1",
+        "n2",
+        F.expr(
+            "CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+            " - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)"
+        ).alias("d_obs"),
+        "b_total",
+        "b_extreme",
+        "p_ppm",
+    )
+
+
+@register(
+    "mann_kendall_trend",
+    oracle="""
+    WITH m AS (
+      SELECT n_name,
+             CAST(YEAR(CAST(o_orderdate AS DATE)) * 12
+                  + MONTH(CAST(o_orderdate AS DATE)) AS BIGINT) AS midx,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.n_name,
+             CASE WHEN b.cents > a.cents THEN 1
+                  WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sgn,
+             CASE WHEN b.cents = a.cents THEN 1 ELSE 0 END AS tie
+      FROM m a JOIN m b ON a.n_name = b.n_name AND b.midx > a.midx
+    ), s AS (
+      SELECT n_name, CAST(SUM(sgn) AS BIGINT) AS s_stat,
+             CAST(COUNT(*) AS BIGINT) AS n0,
+             CAST(SUM(tie) AS BIGINT) AS n_tied_pairs
+      FROM pairs GROUP BY 1
+    ), nn AS (
+      SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n FROM m GROUP BY 1
+    )
+    SELECT s.n_name, nn.n, s.s_stat, s.n_tied_pairs,
+           CASE WHEN s.n0 > 0 AND (s.n0 - s.n_tied_pairs) > 0 THEN
+             CAST(s.s_stat AS DOUBLE)
+               / (sqrt(CAST(s.n0 AS DOUBLE))
+                  * sqrt(CAST(s.n0 - s.n_tied_pairs AS DOUBLE)))
+           END AS tau_b
+    FROM s JOIN nn ON s.n_name = nn.n_name
+    """,
+)
+def q_mann_kendall_trend(spark, sf_dir):
+    """Mann-Kendall monotone-trend test on each nation's monthly
+    revenue series: S = sum of sign(y_j - y_i) over all i<j month
+    pairs — the nonparametric trend detector used on environmental
+    and SLO time series because it needs no distribution or linearity
+    assumption (Theil-Sen gives the slope; Mann-Kendall gives the
+    significance direction). The pair join is month-cell x month-cell
+    WITHIN a nation (bounded ~80x80/2 cells — never raw rows); S and
+    tie counts are exact BIGINTs. tau-b divides S by sqrt((n0-Tx)
+    (n0-Ty)); the time axis never ties (Tx=0), value ties are counted
+    exactly, and the final expression is one mirrored division of two
+    sqrt's. Degenerate all-equal series yield NULL via mirrored
+    CASE."""
+    m = _nation_month_cents(spark, sf_dir).drop("ym")
+    a = m.alias("a")
+    b = m.select(
+        F.col("n_name").alias("b_n"),
+        F.col("midx").alias("b_midx"),
+        F.col("cents").alias("b_cents"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.n_name") == F.col("b_n"))
+        & (F.col("b_midx") > F.col("a.midx")),
+    ).select(
+        "n_name",
+        F.when(F.col("b_cents") > F.col("a.cents"), 1)
+        .when(F.col("b_cents") < F.col("a.cents"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+        F.when(F.col("b_cents") == F.col("a.cents"), 1)
+        .otherwise(0)
+        .alias("tie"),
+    )
+    s = pairs.groupBy("n_name").agg(
+        F.sum("sgn").cast("long").alias("s_stat"),
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum("tie").cast("long").alias("n_tied_pairs"),
+    )
+    nn = m.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return s.join(nn, "n_name").select(
+        "n_name",
+        "n",
+        "s_stat",
+        "n_tied_pairs",
+        F.expr(
+            "CASE WHEN n0 > 0 AND (n0 - n_tied_pairs) > 0 THEN"
+            " CAST(s_stat AS DOUBLE)"
+            " / (sqrt(CAST(n0 AS DOUBLE))"
+            "    * sqrt(CAST(n0 - n_tied_pairs AS DOUBLE))) END"
+        ).alias("tau_b"),
+    )
+
+
+def _ols2_dets() -> dict[str, str]:
+    """Cramer's-rule determinant expressions for the 2-feature+
+    intercept normal equations, shared VERBATIM by the Spark plan and
+    the DuckDB oracle so every IEEE multiply/subtract happens in the
+    identical order. Moments enter as exact BIGINTs; each det is a
+    fixed double expression tree (BIGINT->double casts are portable
+    at any magnitude; the DECIMAL->double hazard never applies)."""
+    d = {k: f"CAST({k} AS DOUBLE)" for k in
+         ("n", "sx1", "sx2", "sy", "s11", "s12", "s22", "s1y", "s2y")}
+    det = (
+        f"({d['n']} * ({d['s11']} * {d['s22']} - {d['s12']} * {d['s12']})"
+        f" - {d['sx1']} * ({d['sx1']} * {d['s22']} - {d['s12']} * {d['sx2']})"
+        f" + {d['sx2']} * ({d['sx1']} * {d['s12']} - {d['s11']} * {d['sx2']}))"
+    )
+    det0 = (
+        f"({d['sy']} * ({d['s11']} * {d['s22']} - {d['s12']} * {d['s12']})"
+        f" - {d['sx1']} * ({d['s1y']} * {d['s22']} - {d['s12']} * {d['s2y']})"
+        f" + {d['sx2']} * ({d['s1y']} * {d['s12']} - {d['s11']} * {d['s2y']}))"
+    )
+    det1 = (
+        f"({d['n']} * ({d['s1y']} * {d['s22']} - {d['s2y']} * {d['s12']})"
+        f" - {d['sy']} * ({d['sx1']} * {d['s22']} - {d['s12']} * {d['sx2']})"
+        f" + {d['sx2']} * ({d['sx1']} * {d['s2y']} - {d['s1y']} * {d['sx2']}))"
+    )
+    det2 = (
+        f"({d['n']} * ({d['s11']} * {d['s2y']} - {d['s12']} * {d['s1y']})"
+        f" - {d['sx1']} * ({d['sx1']} * {d['s2y']} - {d['s1y']} * {d['sx2']})"
+        f" + {d['sy']} * ({d['sx1']} * {d['s12']} - {d['s11']} * {d['sx2']}))"
+    )
+    return {"det": det, "det0": det0, "det1": det1, "det2": det2}
+
+
+_OLS2 = _ols2_dets()
+
+_OLS2_MOMENTS = """
+      SELECT n_name,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x1) AS BIGINT) AS sx1,
+             CAST(SUM(x2) AS BIGINT) AS sx2,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+             CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+             CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+             CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+             CAST(SUM(x2 * y) AS BIGINT) AS s2y
+"""
+
+
+@register(
+    "ols_two_feature",
+    oracle=f"""
+    WITH base AS (
+      SELECT n_name,
+             CAST(l_quantity AS BIGINT) AS x1,
+             CAST(CAST(l_discount AS DECIMAL(3,2)) * 100 AS BIGINT)
+               AS x2,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(1 - l_discount AS DECIMAL(4,2)) * 10000
+                  AS BIGINT) // 1000000 AS y
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+    ), s AS (
+      {_OLS2_MOMENTS}
+      FROM base GROUP BY n_name
+    )
+    SELECT n_name, n,
+           CASE WHEN {_OLS2['det']} <> CAST(0 AS DOUBLE)
+                THEN {_OLS2['det0']} / {_OLS2['det']} END AS beta0,
+           CASE WHEN {_OLS2['det']} <> CAST(0 AS DOUBLE)
+                THEN {_OLS2['det1']} / {_OLS2['det']} END AS beta1,
+           CASE WHEN {_OLS2['det']} <> CAST(0 AS DOUBLE)
+                THEN {_OLS2['det2']} / {_OLS2['det']} END AS beta2
+    FROM s
+    """,
+)
+def q_ols_two_feature(spark, sf_dir):
+    """Two-feature linear regression (quantity, discount-points ->
+    whole-dollar net revenue) per supplier nation, solved in closed
+    form by Cramer's rule on the 3x3 normal equations — multivariate
+    OLS as ONE aggregation pass + a per-group scalar solve, the shape
+    a distributed trainer uses when features are few (XtX fits in a
+    cell) and rows are billions. The nine moments are exact BIGINTs
+    (net revenue derived as an exact scale-4 decimal cast to BIGINT
+    then integer-DIV'd to dollars — never a rounding DECIMAL->BIGINT
+    cast); the four determinants are fixed double expression trees
+    generated ONCE (_ols2_dets) and pasted verbatim into both
+    engines, so every multiply/subtract rounds identically.
+    Singular systems yield NULL betas via a mirrored det<>0 guard."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    base = (
+        li.join(broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(broadcast(na), su.s_nationkey == na.n_nationkey)
+        .select(
+            "n_name",
+            F.col("l_quantity").cast("long").alias("x1"),
+            F.expr(
+                "CAST(CAST(l_discount AS DECIMAL(3,2)) * 100 AS BIGINT)"
+            ).alias("x2"),
+            F.expr(
+                "CAST(CAST(l_extendedprice AS DECIMAL(12,2))"
+                " * CAST(1 - l_discount AS DECIMAL(4,2)) * 10000"
+                " AS BIGINT) DIV 1000000"
+            ).alias("y"),
+        )
+    )
+    s = base.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("sx1"),
+        F.sum("x2").cast("long").alias("sx2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("x1 * x1")).cast("long").alias("s11"),
+        F.sum(F.expr("x1 * x2")).cast("long").alias("s12"),
+        F.sum(F.expr("x2 * x2")).cast("long").alias("s22"),
+        F.sum(F.expr("x1 * y")).cast("long").alias("s1y"),
+        F.sum(F.expr("x2 * y")).cast("long").alias("s2y"),
+    )
+    guard = f"{_OLS2['det']} <> CAST(0 AS DOUBLE)"
+    return s.select(
+        "n_name",
+        "n",
+        F.expr(
+            f"CASE WHEN {guard} THEN"
+            f" {_OLS2['det0']} / {_OLS2['det']} END"
+        ).alias("beta0"),
+        F.expr(
+            f"CASE WHEN {guard} THEN"
+            f" {_OLS2['det1']} / {_OLS2['det']} END"
+        ).alias("beta1"),
+        F.expr(
+            f"CASE WHEN {guard} THEN"
+            f" {_OLS2['det2']} / {_OLS2['det']} END"
+        ).alias("beta2"),
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -16064,7 +16475,8 @@ _FRONT: list[str] = [
     # chebyshev_outliers, ams_f2_sketch, spearman_rho, welch_ttest,
     # wilson_ci, jaccard_link_prediction, kcore_decomposition,
     # naive_bayes_predict, grid_neighbor_join, tv_distance_drift,
-    # lexical_complexity.
+    # lexical_complexity, permutation_test_means, mann_kendall_trend,
+    # ols_two_feature.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

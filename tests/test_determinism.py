@@ -79,6 +79,11 @@ QUERIES = [
     "wilson_ci",
     # r6 batch 11 (graph/ML; kcore + naive_bayes are exact-integer)
     "jaccard_link_prediction",
+    # r6 batch 13 (permutation p is exact-integer; d_obs/tau/betas
+    # are mirrored expression trees)
+    "permutation_test_means",
+    "mann_kendall_trend",
+    "ols_two_feature",
 ]
 
 

@@ -2858,3 +2858,167 @@ def test_lexical_complexity_python_recompute(spark):
         if words:
             assert r.chars_per_word_ppm == chars * 1_000_000 // words
             assert r.syllables_per_word_ppm == syl * 1_000_000 // words
+
+
+# --------------------------------------- resampling/trend/OLS batch 13
+
+
+def test_permutation_test_python_recompute(spark):
+    """All 64 hash relabelings replayed exactly in Python: group
+    sums, cross-multiplied extremeness and the add-one ppm p-value
+    all match; p is in (0, 1e6]."""
+    import hashlib
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    spend = defaultdict(int)
+    seg = {}
+    for c in read_table(spark, SF_SMALL, "customer").collect():
+        if c.c_mktsegment in ("BUILDING", "MACHINERY"):
+            seg[c.c_custkey] = c.c_mktsegment
+            spend[c.c_custkey] += 0
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        if o.o_custkey in seg:
+            spend[o.o_custkey] += int(
+                Decimal(str(o.o_totalprice)).quantize(Decimal("0.01"))
+                * 100
+            )
+    n1 = sum(1 for k in seg if seg[k] == "BUILDING")
+    s1 = sum(v for k, v in spend.items() if seg[k] == "BUILDING")
+    n2 = sum(1 for k in seg if seg[k] == "MACHINERY")
+    s2 = sum(v for k, v in spend.items() if seg[k] == "MACHINERY")
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    extreme = 0
+    obs_num = abs(s1 * n2 - s2 * n1)
+    for b in range(64):
+        n1b = s1b = n2b = s2b = 0
+        for k, v in spend.items():
+            if h(f"perm:{k}:{b}") % (n1 + n2) < n1:
+                n1b += 1
+                s1b += v
+            else:
+                n2b += 1
+                s2b += v
+        if (
+            n1b > 0
+            and n2b > 0
+            and abs(s1b * n2b - s2b * n1b) * (n1 * n2)
+            >= obs_num * (n1b * n2b)
+        ):
+            extreme += 1
+    r = _q(spark, "permutation_test_means").collect()[0]
+    assert (r.n1, r.n2, r.b_total, r.b_extreme) == (n1, n2, 64, extreme)
+    assert r.d_obs == float(s1) / float(n1) - float(s2) / float(n2)
+    assert r.p_ppm == (1 + extreme) * 1_000_000 // 65
+    assert 0 < r.p_ppm <= 1_000_000
+
+
+def test_mann_kendall_python_recompute(spark):
+    """S and tau-b equal a brute-force pair scan over the month-cell
+    series; tau-b is within [-1, 1]."""
+    import math
+
+    cells = _month_cells_py(spark)
+    by_nation = {}
+    for (nat, midx), cents in cells.items():
+        by_nation.setdefault(nat, []).append((midx, cents))
+    for r in _q(spark, "mann_kendall_trend").collect():
+        series = sorted(by_nation[r.n_name])
+        n = len(series)
+        s_stat = ties = n0 = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                n0 += 1
+                d = series[j][1] - series[i][1]
+                s_stat += (d > 0) - (d < 0)
+                ties += d == 0
+        assert (r.n, r.s_stat, r.n_tied_pairs) == (n, s_stat, ties)
+        if n0 > 0 and n0 - ties > 0:
+            want = float(s_stat) / (
+                math.sqrt(float(n0)) * math.sqrt(float(n0 - ties))
+            )
+            assert r.tau_b == want
+            assert -1.0 <= r.tau_b <= 1.0
+
+
+def test_ols_two_feature_vs_numpy(spark):
+    """Betas agree with numpy lstsq to 1e-9 relative (proves the
+    Cramer algebra, not just engine mirroring) and exactly equal the
+    same-order Python det replay."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    import numpy as np
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    nat = {
+        n.n_nationkey: n.n_name
+        for n in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    sup = {
+        s.s_suppkey: nat[s.s_nationkey]
+        for s in read_table(spark, SF_SMALL, "supplier").collect()
+    }
+    rows_by_n = defaultdict(list)
+    for li in read_table(spark, SF_SMALL, "lineitem").collect():
+        x1 = int(li.l_quantity)
+        x2 = int(Decimal(str(li.l_discount)).quantize(Decimal("0.01")) * 100)
+        cents = int(
+            Decimal(str(li.l_extendedprice)).quantize(Decimal("0.01"))
+            * 100
+        )
+        # ep*(1-disc)*10000 = cents*(100 - disc_points); DIV 1e6 -> $
+        y = cents * (100 - x2) // 1000000
+        rows_by_n[sup[li.l_suppkey]].append((x1, x2, y))
+    for r in _q(spark, "ols_two_feature").collect():
+        data = rows_by_n[r.n_name]
+        n = len(data)
+        sx1 = sum(a for a, _, _ in data)
+        sx2 = sum(b for _, b, _ in data)
+        sy = sum(c for _, _, c in data)
+        s11 = sum(a * a for a, _, _ in data)
+        s12 = sum(a * b for a, b, _ in data)
+        s22 = sum(b * b for _, b, _ in data)
+        s1y = sum(a * c for a, _, c in data)
+        s2y = sum(b * c for _, b, c in data)
+        fn, f1, f2, fy = float(n), float(sx1), float(sx2), float(sy)
+        f11, f12, f22 = float(s11), float(s12), float(s22)
+        f1y, f2y = float(s1y), float(s2y)
+        det = (
+            fn * (f11 * f22 - f12 * f12)
+            - f1 * (f1 * f22 - f12 * f2)
+            + f2 * (f1 * f12 - f11 * f2)
+        )
+        det0 = (
+            fy * (f11 * f22 - f12 * f12)
+            - f1 * (f1y * f22 - f12 * f2y)
+            + f2 * (f1y * f12 - f11 * f2y)
+        )
+        det1 = (
+            fn * (f1y * f22 - f2y * f12)
+            - fy * (f1 * f22 - f12 * f2)
+            + f2 * (f1 * f2y - f1y * f2)
+        )
+        det2 = (
+            fn * (f11 * f2y - f12 * f1y)
+            - f1 * (f1 * f2y - f1y * f2)
+            + fy * (f1 * f12 - f11 * f2)
+        )
+        assert r.n == n
+        if det != 0.0:
+            assert (r.beta0, r.beta1, r.beta2) == (
+                det0 / det, det1 / det, det2 / det,
+            )
+            X = np.array([[1.0, a, b] for a, b, _ in data])
+            yv = np.array([float(c) for _, _, c in data])
+            ref = np.linalg.lstsq(X, yv, rcond=None)[0]
+            for got, want in zip((r.beta0, r.beta1, r.beta2), ref):
+                assert abs(got - want) <= 1e-9 * max(1.0, abs(want))
