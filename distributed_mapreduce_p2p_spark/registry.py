@@ -16333,6 +16333,211 @@ def q_ols_two_feature(spark, sf_dir):
     )
 
 
+@register(
+    "holt_linear_forecast",
+    oracle="""
+    WITH RECURSIVE m AS (
+      SELECT n_name,
+             CAST(YEAR(CAST(o_orderdate AS DATE)) * 12
+                  + MONTH(CAST(o_orderdate AS DATE)) AS BIGINT) AS midx,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), seq AS (
+      SELECT n_name, CAST(cents AS DOUBLE) AS x,
+             CAST(ROW_NUMBER() OVER (PARTITION BY n_name
+                  ORDER BY midx) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY n_name) AS BIGINT) AS n
+      FROM m
+    ), rec AS (
+      SELECT n_name, rn, n, x AS l, CAST(0 AS DOUBLE) AS b
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.n_name, s.rn, s.n,
+             (CAST(1 AS DOUBLE)/CAST(2 AS DOUBLE)) * s.x
+               + (CAST(1 AS DOUBLE)/CAST(2 AS DOUBLE)) * (r.l + r.b),
+             (CAST(1 AS DOUBLE)/CAST(2 AS DOUBLE))
+               * (((CAST(1 AS DOUBLE)/CAST(2 AS DOUBLE)) * s.x
+                   + (CAST(1 AS DOUBLE)/CAST(2 AS DOUBLE))
+                     * (r.l + r.b)) - r.l)
+               + (CAST(1 AS DOUBLE)/CAST(2 AS DOUBLE)) * r.b
+      FROM rec r JOIN seq s
+        ON s.n_name = r.n_name AND s.rn = r.rn + 1
+    )
+    SELECT n_name, n, l AS level_out, b AS trend_out,
+           l + b AS forecast_next
+    FROM rec WHERE rn = n
+    """,
+)
+def q_holt_linear_forecast(spark, sf_dir):
+    """Holt's linear-trend exponential smoothing (level + trend state,
+    alpha = beta = 1/2) over each nation's month-cell series, with a
+    one-step-ahead forecast — double exponential smoothing as a FOLD,
+    the canonical sequential-state time-series operator. The fold is
+    order-sensitive float accumulation, made hash-portable by
+    mirroring the update expression per step: Spark folds the
+    midx-sorted cell array with aggregate() over a named_struct
+    (l, b) accumulator (init = element 1, fold over slice 2..n);
+    the DuckDB oracle steps the IDENTICAL recurrence through a
+    RECURSIVE CTE keyed on row_number — NOT list_reduce, whose
+    struct-accumulator evaluation is broken in DuckDB 1.0.0 for
+    >= 3 elements (probed in test_r6_pipeline: a field that merely
+    copies acc.l returns the FINAL l; scalar-accumulator folds like
+    kruskal_wallis' ssum are unaffected and keep the list_reduce
+    recipe). 1/2 enters as CAST(1)/CAST(2), exact in binary.
+    Scale: the fold runs on <=~80 cells per nation, never raw rows;
+    alpha=1/2 halves the weight of history each step so the state is
+    effectively windowed."""
+    m = _nation_month_cents(spark, sf_dir).drop("ym")
+    arr = m.groupBy("n_name").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(midx, cents)))"
+            ", s -> named_struct('l', CAST(s.cents AS DOUBLE),"
+            " 'b', CAST(0 AS DOUBLE)))"
+        ).alias("xs"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    half = "(CAST(1 AS DOUBLE)/CAST(2 AS DOUBLE))"
+    newl = f"{half} * e.l + {half} * (acc.l + acc.b)"
+    st = (
+        f"aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1),"
+        f" (acc, e) -> named_struct("
+        f"'l', {newl},"
+        f" 'b', {half} * (({newl}) - acc.l) + {half} * acc.b))"
+    )
+    return arr.select(
+        "n_name",
+        "n",
+        F.expr(f"{st}.l").alias("level_out"),
+        F.expr(f"{st}.b").alias("trend_out"),
+        F.expr(f"{st}.l + {st}.b").alias("forecast_next"),
+    )
+
+
+@register(
+    "kruskal_wallis",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS val,
+             o_orderpriority AS pri
+      FROM orders
+    ), cells AS (
+      SELECT val, CAST(COUNT(*) AS BIGINT) AS t FROM v GROUP BY 1
+    ), ranked AS (
+      SELECT val, t,
+             CAST(2 * (SUM(t) OVER (ORDER BY val
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - t) + t + 1 AS BIGINT) AS dmr
+      FROM cells
+    ), gcell AS (
+      SELECT pri, val, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY 1, 2
+    ), grp AS (
+      SELECT g.pri, CAST(SUM(g.c) AS BIGINT) AS nj,
+             CAST(SUM(g.c * r.dmr) AS BIGINT) AS r2j
+      FROM gcell g JOIN ranked r ON g.val = r.val
+      GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(nj) AS BIGINT) AS n FROM grp
+    ), ties AS (
+      SELECT CAST(SUM(t*t*t - t) AS BIGINT) AS tsum FROM cells
+    ), ssum AS (
+      SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(CAST(r2j AS DOUBLE) * CAST(r2j AS DOUBLE)
+                    / CAST(4 AS DOUBLE) / CAST(nj AS DOUBLE)
+                    ORDER BY pri)),
+               (acc, x) -> acc + x) AS s
+      FROM grp
+    )
+    SELECT g.pri AS o_orderpriority, g.nj, g.r2j,
+           (CAST(12 AS DOUBLE) * s.s
+              / (CAST(t.n AS DOUBLE) * CAST(t.n + 1 AS DOUBLE))
+            - CAST(3 AS DOUBLE) * CAST(t.n + 1 AS DOUBLE))
+           / (CAST(1 AS DOUBLE)
+              - CAST(ti.tsum AS DOUBLE)
+                / CAST(CAST(CAST(t.n AS DECIMAL(38,0)) * t.n * t.n
+                       - t.n AS DECIMAL(38,0)) AS BIGINT)) AS h_stat
+    FROM grp g CROSS JOIN tot t CROSS JOIN ties ti CROSS JOIN ssum s
+    """,
+)
+def q_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis k-group rank test (does order value differ
+    across the 5 priority classes?) — the k-sample extension of
+    mann_whitney_u, sharing its exact-midrank discipline: global
+    DOUBLED midranks (2*midrank is always an integer) assigned on
+    VALUE CELLS via the two-phase global_cumsum operator, so the
+    global rank order needs no single-partition window; per-group
+    rank sums r2j are exact BIGINTs. H's cross-group sum of
+    r2j^2/(4*nj) is order-sensitive float accumulation -> folded over
+    the priority-sorted group array on both engines (the r6
+    ordered-fold recipe); the tie correction T = sum(t^3 - t) is
+    exact (N^3 via DECIMAL, fits BIGINT through sf0.1 — keep the
+    denominator DECIMAL beyond). H appears on every group row
+    alongside the per-group evidence. Scale: ranking shuffles value
+    CELLS (distinct prices), the fold runs on 5 group rows."""
+    o = _t(spark, sf_dir, "orders")
+    v = o.select(
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)"
+        ).alias("val"),
+        F.col("o_orderpriority").alias("pri"),
+    )
+    cells = v.groupBy("val").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    ranked = R.global_cumsum(cells, "t", ["val"]).select(
+        "val",
+        F.expr(
+            "CAST(2 * (_cum - t) + t + 1 AS BIGINT)"
+        ).alias("dmr"),
+    )
+    gcell = v.groupBy("pri", "val").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    grp = (
+        gcell.join(ranked, "val")
+        .groupBy("pri")
+        .agg(
+            F.sum("c").cast("long").alias("nj"),
+            F.sum(F.expr("c * dmr")).cast("long").alias("r2j"),
+        )
+    )
+    tot = grp.agg(F.sum("nj").cast("long").alias("n"))
+    ties = cells.agg(
+        F.sum(F.expr("t*t*t - t")).cast("long").alias("tsum")
+    )
+    ssum = grp.agg(
+        F.expr(
+            "aggregate(transform(sort_array(collect_list("
+            "struct(pri, r2j, nj))),"
+            " s -> CAST(s.r2j AS DOUBLE) * CAST(s.r2j AS DOUBLE)"
+            " / CAST(4 AS DOUBLE) / CAST(s.nj AS DOUBLE)),"
+            " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        ).alias("s")
+    )
+    return (
+        grp.crossJoin(broadcast(tot))
+        .crossJoin(broadcast(ties))
+        .crossJoin(broadcast(ssum))
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            "nj",
+            "r2j",
+            F.expr(
+                "(CAST(12 AS DOUBLE) * s"
+                " / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))"
+                " - CAST(3 AS DOUBLE) * CAST(n + 1 AS DOUBLE))"
+                " / (CAST(1 AS DOUBLE)"
+                " - CAST(tsum AS DOUBLE)"
+                " / CAST(CAST(CAST(n AS DECIMAL(38,0)) * n * n - n"
+                " AS DECIMAL(38,0)) AS BIGINT))"
+            ).alias("h_stat"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -16476,7 +16681,7 @@ _FRONT: list[str] = [
     # wilson_ci, jaccard_link_prediction, kcore_decomposition,
     # naive_bayes_predict, grid_neighbor_join, tv_distance_drift,
     # lexical_complexity, permutation_test_means, mann_kendall_trend,
-    # ols_two_feature.
+    # ols_two_feature, holt_linear_forecast, kruskal_wallis.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

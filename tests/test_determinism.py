@@ -84,6 +84,9 @@ QUERIES = [
     "permutation_test_means",
     "mann_kendall_trend",
     "ols_two_feature",
+    # r6 batch 14 (sequential-state folds)
+    "holt_linear_forecast",
+    "kruskal_wallis",
 ]
 
 

@@ -3022,3 +3022,92 @@ def test_ols_two_feature_vs_numpy(spark):
             ref = np.linalg.lstsq(X, yv, rcond=None)[0]
             for got, want in zip((r.beta0, r.beta1, r.beta2), ref):
                 assert abs(got - want) <= 1e-9 * max(1.0, abs(want))
+
+
+# -------------------------------------------- sequential-state batch 14
+
+
+def test_duckdb_list_reduce_struct_quirk_pinned():
+    """Pin the DuckDB 1.0.0 bug that forced holt's oracle onto a
+    recursive CTE: in list_reduce with a STRUCT accumulator, a field
+    that copies acc.l observes the FINAL l (not the previous step's)
+    once the list has >= 3 elements. If this starts passing with the
+    correct value (15.0), the workaround can be retired."""
+    import duckdb
+
+    got = duckdb.connect().execute(
+        """
+        SELECT list_reduce(
+          [{'l': CAST(10 AS DOUBLE), 'b': CAST(0 AS DOUBLE)},
+           {'l': CAST(20 AS DOUBLE), 'b': CAST(0 AS DOUBLE)},
+           {'l': CAST(40 AS DOUBLE), 'b': CAST(0 AS DOUBLE)}],
+          (acc, e) -> {'l': 0.5 * e.l + 0.5 * (acc.l + acc.b),
+                       'b': acc.l})
+        """
+    ).fetchone()[0]
+    assert got["l"] == 32.5
+    assert got["b"] != 15.0  # the bug: correct left-fold would be 15
+
+
+def test_holt_python_recompute(spark):
+    """Level/trend/forecast equal a sequential Python replay of the
+    identical IEEE recurrence over the midx-sorted series."""
+    cells = _month_cells_py(spark)
+    by_nation = {}
+    for (nat, midx), cents in cells.items():
+        by_nation.setdefault(nat, []).append((midx, cents))
+    for r in _q(spark, "holt_linear_forecast").collect():
+        series = [float(c) for _, c in sorted(by_nation[r.n_name])]
+        l, b = series[0], 0.0
+        for x in series[1:]:
+            nl = 0.5 * x + 0.5 * (l + b)
+            nb = 0.5 * (nl - l) + 0.5 * b
+            l, b = nl, nb
+        assert r.n == len(series)
+        assert (r.level_out, r.trend_out) == (l, b)
+        assert r.forecast_next == l + b
+
+
+def test_kruskal_wallis_python_recompute(spark):
+    """Group rank sums equal an exact midrank replay; H equals the
+    same-order fold formula and is >= 0 up to the tie correction."""
+    from collections import Counter, defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    vals = []
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        cents = int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01")) * 100
+        )
+        vals.append((cents, o.o_orderpriority))
+    cnt = Counter(v for v, _ in vals)
+    cum, s = {}, 0
+    for v in sorted(cnt):
+        cum[v] = s
+        s += cnt[v]
+    dmr = {v: 2 * cum[v] + cnt[v] + 1 for v in cnt}
+    grp = defaultdict(lambda: [0, 0])
+    for v, p in vals:
+        g = grp[p]
+        g[0] += 1
+        g[1] += dmr[v]
+    n = len(vals)
+    ssum = 0.0
+    for p in sorted(grp):
+        nj, r2j = grp[p]
+        ssum = ssum + float(r2j) * float(r2j) / 4.0 / float(nj)
+    tsum = sum(t * t * t - t for t in cnt.values())
+    h = (
+        12.0 * ssum / (float(n) * float(n + 1)) - 3.0 * float(n + 1)
+    ) / (1.0 - float(tsum) / float(n**3 - n))
+    rows = _q(spark, "kruskal_wallis").collect()
+    assert len(rows) == len(grp)
+    for r in rows:
+        nj, r2j = grp[r.o_orderpriority]
+        assert (r.nj, r.r2j) == (nj, r2j)
+        assert r.h_stat == h
+    # doubled midranks over all rows must sum to N(N+1)
+    assert sum(v[1] for v in grp.values()) == n * (n + 1)
