@@ -16538,6 +16538,117 @@ def q_kruskal_wallis(spark, sf_dir):
     )
 
 
+def _haar_oracle_sql() -> str:
+    """Unrolled 7-level Haar cascade for the oracle — generated by the
+    same loop shape the Spark plan executes, so the pairing rule
+    (idx DIV 2 groups, even-minus-odd details, missing slots = 0) is
+    structurally identical."""
+    head = """
+    WITH m AS (
+      SELECT n_name,
+             CAST(YEAR(CAST(o_orderdate AS DATE)) * 12
+                  + MONTH(CAST(o_orderdate AS DATE)) AS BIGINT) AS midx,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                  AS BIGINT)) // 100 AS BIGINT) AS dollars
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), base AS (
+      SELECT n_name,
+             midx - (SELECT MIN(midx) FROM m) AS idx,
+             dollars AS v
+      FROM m
+    )"""
+    parts, ens, prev = [head], [], "base"
+    for lvl in range(1, 8):
+        parts.append(f""",
+    lvl{lvl} AS (
+      SELECT n_name, idx // 2 AS idx,
+             CAST(SUM(CASE WHEN idx % 2 = 0 THEN v ELSE 0 END)
+                  + SUM(CASE WHEN idx % 2 = 1 THEN v ELSE 0 END)
+                  AS BIGINT) AS v,
+             CAST(SUM(CASE WHEN idx % 2 = 0 THEN v ELSE 0 END)
+                  - SUM(CASE WHEN idx % 2 = 1 THEN v ELSE 0 END)
+                  AS BIGINT) AS d
+      FROM {prev} GROUP BY 1, 2
+    )""")
+        ens.append(f"""
+    SELECT n_name, CAST({lvl} AS BIGINT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+           CAST(SUM((d * d) // 1000000) AS BIGINT) AS energy_mdollars2
+    FROM lvl{lvl} GROUP BY 1""")
+        prev = f"lvl{lvl}"
+    return "".join(parts) + " " + " UNION ALL ".join(ens)
+
+
+@register("haar_wavelet_energy", oracle=_haar_oracle_sql())
+def q_haar_wavelet_energy(spark, sf_dir):
+    """Haar wavelet decomposition of each nation's monthly revenue
+    series with per-level detail energies — the multi-resolution
+    screen for WHERE a series' variance lives (level 1 = month-to-
+    month noise, level 7 = multi-year regime shifts); the classic
+    wavelet synopsis from the stream-summarization literature
+    (Gilbert et al., "Surfing Wavelets on Streams", VLDB'01). The
+    cascade uses UNNORMALIZED integer coefficients (approx = a + b,
+    detail = a - b — no sqrt(2) factors, so every coefficient is an
+    exact BIGINT in whole dollars); missing months are implicit
+    zeros: a pair cell with no surviving rows contributes no
+    coefficient and zero energy on both engines identically. Energy
+    is reported per-coefficient-truncated (d*d DIV 1e6, exact BIGINT
+    division — summing DECIMALs then dividing would route through
+    DuckDB's float path above 2^53) in millions-of-dollars^2 units;
+    d^2 fits int64 through sf0.1 (6.7e18 < 2^63 — switch to
+    thousands-of-dollars units beyond). Spark runs the cascade as 7
+    chained groupBys on the cell table (each level halves the rows);
+    the oracle unrolls the identical loop into CTEs. The global
+    min-month origin is one broadcast scalar."""
+    m = _nation_month_cents(spark, sf_dir).drop("ym").select(
+        "n_name",
+        "midx",
+        F.expr("CAST(cents DIV 100 AS BIGINT)").alias("dollars"),
+    )
+    origin = m.agg(F.min("midx").alias("min_midx"))
+    cur = m.crossJoin(broadcast(origin)).select(
+        "n_name",
+        (F.col("midx") - F.col("min_midx")).alias("idx"),
+        F.col("dollars").alias("v"),
+    )
+    energies = []
+    for lvl in range(1, 8):
+        nxt = cur.groupBy(
+            "n_name", F.expr("idx DIV 2").alias("idx2")
+        ).agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN idx % 2 = 0 THEN v ELSE 0 END)"
+                " + SUM(CASE WHEN idx % 2 = 1 THEN v ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("v"),
+            F.expr(
+                "CAST(SUM(CASE WHEN idx % 2 = 0 THEN v ELSE 0 END)"
+                " - SUM(CASE WHEN idx % 2 = 1 THEN v ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("d"),
+        ).withColumnRenamed("idx2", "idx")
+        energies.append(
+            nxt.groupBy("n_name").agg(
+                F.count(F.lit(1)).cast("long").alias("n_coeffs"),
+                F.sum(F.expr("(d * d) DIV 1000000"))
+                .cast("long")
+                .alias("energy_mdollars2"),
+            ).select(
+                "n_name",
+                F.lit(lvl).cast("long").alias("level"),
+                "n_coeffs",
+                "energy_mdollars2",
+            )
+        )
+        cur = nxt.drop("d")
+    out = energies[0]
+    for e in energies[1:]:
+        out = out.unionAll(e)
+    return out
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -16681,7 +16792,8 @@ _FRONT: list[str] = [
     # wilson_ci, jaccard_link_prediction, kcore_decomposition,
     # naive_bayes_predict, grid_neighbor_join, tv_distance_drift,
     # lexical_complexity, permutation_test_means, mann_kendall_trend,
-    # ols_two_feature, holt_linear_forecast, kruskal_wallis.
+    # ols_two_feature, holt_linear_forecast, kruskal_wallis,
+    # haar_wavelet_energy.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

@@ -3111,3 +3111,39 @@ def test_kruskal_wallis_python_recompute(spark):
         assert r.h_stat == h
     # doubled midranks over all rows must sum to N(N+1)
     assert sum(v[1] for v in grp.values()) == n * (n + 1)
+
+
+# ------------------------------------------------- wavelet batch 15
+
+
+def test_haar_energy_python_recompute(spark):
+    """Per-level coefficient counts and truncated energies equal a
+    pure-Python Haar cascade over the zero-padded dense index (and
+    the cascade conserves the series total in its final approx)."""
+    from collections import defaultdict
+
+    cells = _month_cells_py(spark)
+    origin = min(m for _, m in cells)
+    series = defaultdict(dict)
+    for (nat, midx), cents in cells.items():
+        series[nat][midx - origin] = cents // 100
+    want = {}
+    for nat, s in series.items():
+        cur = dict(s)
+        for lvl in range(1, 8):
+            nxt, det = {}, {}
+            for i, v in cur.items():
+                g = i // 2
+                nxt[g] = nxt.get(g, 0) + v
+                det[g] = det.get(g, 0) + (v if i % 2 == 0 else -v)
+            want[(nat, lvl)] = (
+                len(det),
+                sum((d * d) // 1_000_000 for d in det.values()),
+            )
+            cur = nxt
+        # conservation: final approx = series total
+        assert sum(cur.values()) == sum(s.values())
+    rows = _q(spark, "haar_wavelet_energy").collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        assert (r.n_coeffs, r.energy_mdollars2) == want[(r.n_name, r.level)]
