@@ -16649,6 +16649,224 @@ def q_haar_wavelet_energy(spark, sf_dir):
     return out
 
 
+_WINNOW_FP_CTE = """
+    toks AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, source, g.i - 1 AS pos,
+             ('0x' || substr(md5(array_to_string(ws[g.i:g.i+4], ' ')),
+              1, 12))::BIGINT % 1099511627776 AS h
+      FROM toks, (SELECT UNNEST(generate_series(1, 100000)) AS i) g
+      WHERE g.i <= len(ws) - 4
+    ), keyed AS (
+      SELECT doc_id, source, pos,
+             h * 1048576 + (1048575 - pos) AS ck
+      FROM grams
+    ), sel AS (
+      SELECT doc_id, source,
+             MIN(ck) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mck,
+             pos
+      FROM keyed
+    ), fp AS (
+      SELECT DISTINCT doc_id, source, mck // 1048576 AS h
+      FROM sel WHERE pos >= 3
+    )
+"""
+
+
+@register(
+    "winnow_fingerprints",
+    oracle="WITH" + _WINNOW_FP_CTE + """
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS fingerprints,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS distinct_hashes
+    FROM fp GROUP BY 1
+    """,
+)
+def q_winnow_fingerprints(spark, sf_dir):
+    """Document fingerprinting by WINNOWING (Schleimer-Wilkerson-Aiken,
+    SIGMOD'03 — the MOSS plagiarism-detector algorithm): hash every
+    5-token k-gram, slide a w=4 window over positions, keep each
+    window's minimum hash with RIGHTMOST tie-break. Winnowing's
+    guarantee (any shared run of >= w+k-1 tokens yields a shared
+    fingerprint, expected density 2/(w+1)) is what minhash can't
+    give: LOCALIZED matches, not whole-doc similarity. The rightmost
+    -min rule is encoded branch-free as one integer key:
+    ck = h * 2^20 + (2^20-1-pos), so MIN(ck) over the window selects
+    min hash then max position — a single window-min instead of a
+    two-pass argmin (hash capped at 40 bits so ck fits int64 with
+    1M-token docs). DISTINCT (doc, hash) collapses runs where
+    consecutive windows pick the same gram, exactly per the paper.
+    Scale: everything partitions by doc_id; the window is w-bounded;
+    no shuffle exceeds the gram count."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.expr("split(trim(text), '\\\\s+')").alias("ws"),
+    )
+    grams = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr(
+                "CASE WHEN size(ws) >= 5 THEN"
+                " transform(sequence(1, size(ws) - 4), i ->"
+                " cast(conv(substring(md5(array_join(slice(ws, i, 5),"
+                " ' ')), 1, 12), 16, 10) as bigint) % 1099511627776)"
+                " ELSE array_repeat(CAST(NULL AS BIGINT), 0) END"
+            )
+        ).alias("pos", "h"),
+    )
+    keyed = grams.select(
+        "doc_id",
+        "source",
+        "pos",
+        F.expr("h * 1048576 + (1048575 - pos)").alias("ck"),
+    )
+    wmin = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    fp = (
+        keyed.select(
+            "doc_id",
+            "source",
+            "pos",
+            F.min("ck").over(wmin).alias("mck"),
+        )
+        .where(F.col("pos") >= 3)
+        .select(
+            "doc_id", "source", F.expr("mck DIV 1048576").alias("h")
+        )
+        .distinct()
+    )
+    return fp.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("fingerprints"),
+        F.countDistinct("h").cast("long").alias("distinct_hashes"),
+    )
+
+
+@register(
+    "winnow_plagiarism_pairs",
+    oracle="WITH" + _WINNOW_FP_CTE + """
+    , hf AS (
+      SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM fp GROUP BY 1
+    ), fpk AS (
+      SELECT fp.doc_id, fp.h FROM fp JOIN hf ON fp.h = hf.h
+      WHERE hf.df <= 50
+    ), fcnt AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nfp
+      FROM fpk GROUP BY 1
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS shared
+      FROM fpk a JOIN fpk b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.shared,
+           CAST(p.shared * 1000000
+                // LEAST(fa.nfp, fb.nfp) AS BIGINT) AS overlap_ppm
+    FROM pairs p JOIN fcnt fa ON p.doc_a = fa.doc_id
+                 JOIN fcnt fb ON p.doc_b = fb.doc_id
+    WHERE p.shared >= 2
+    """,
+)
+def q_winnow_plagiarism_pairs(spark, sf_dir):
+    """Cross-document plagiarism candidates from the winnowing index:
+    doc pairs sharing >= 2 selected fingerprints, scored by overlap
+    ppm against the smaller doc's fingerprint count (the MOSS report
+    ranking). The pair generation is a fingerprint-bucket equi-join —
+    the same sum-of-squared-bucket-sizes budget as LSH banding, never
+    all-pairs — and hub fingerprints (boilerplate shared by > 50
+    docs) are dropped BEFORE the join, the PPJoin-style frequency
+    guard that keeps the hot bucket bounded at any corpus size.
+    Exact integer counts; the overlap score is fixed-point ppm via
+    integer DIV. Shares the fingerprint CTE with
+    winnow_fingerprints verbatim."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("split(trim(text), '\\\\s+')").alias("ws"),
+    )
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "CASE WHEN size(ws) >= 5 THEN"
+                " transform(sequence(1, size(ws) - 4), i ->"
+                " cast(conv(substring(md5(array_join(slice(ws, i, 5),"
+                " ' ')), 1, 12), 16, 10) as bigint) % 1099511627776)"
+                " ELSE array_repeat(CAST(NULL AS BIGINT), 0) END"
+            )
+        ).alias("pos", "h"),
+    )
+    keyed = grams.select(
+        "doc_id",
+        "pos",
+        F.expr("h * 1048576 + (1048575 - pos)").alias("ck"),
+    )
+    wmin = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    fp = (
+        keyed.select(
+            "doc_id", "pos", F.min("ck").over(wmin).alias("mck")
+        )
+        .where(F.col("pos") >= 3)
+        .select("doc_id", F.expr("mck DIV 1048576").alias("h"))
+        .distinct()
+    )
+    hf = fp.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    fpk = fp.join(hf.where(F.col("df") <= 50), "h").select(
+        "doc_id", "h"
+    )
+    fcnt = fpk.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("nfp")
+    )
+    b = fpk.select(
+        F.col("doc_id").alias("doc_b_id"), F.col("h").alias("h2")
+    )
+    pairs = (
+        fpk.join(
+            b,
+            (F.col("h") == F.col("h2"))
+            & (F.col("doc_id") < F.col("doc_b_id")),
+        )
+        .groupBy(
+            F.col("doc_id").alias("doc_a"),
+            F.col("doc_b_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .where(F.col("shared") >= 2)
+    )
+    fa = fcnt.select(
+        F.col("doc_id").alias("fa_id"), F.col("nfp").alias("nfa")
+    )
+    fb = fcnt.select(
+        F.col("doc_id").alias("fb_id"), F.col("nfp").alias("nfb")
+    )
+    return (
+        pairs.join(fa, pairs.doc_a == F.col("fa_id"))
+        .join(fb, pairs.doc_b == F.col("fb_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            F.expr(
+                "CAST(shared * 1000000 DIV least(nfa, nfb) AS BIGINT)"
+            ).alias("overlap_ppm"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -16793,7 +17011,8 @@ _FRONT: list[str] = [
     # naive_bayes_predict, grid_neighbor_join, tv_distance_drift,
     # lexical_complexity, permutation_test_means, mann_kendall_trend,
     # ols_two_feature, holt_linear_forecast, kruskal_wallis,
-    # haar_wavelet_energy.
+    # haar_wavelet_energy, winnow_fingerprints,
+    # winnow_plagiarism_pairs.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

@@ -3147,3 +3147,94 @@ def test_haar_energy_python_recompute(spark):
     assert len(rows) == len(want)
     for r in rows:
         assert (r.n_coeffs, r.energy_mdollars2) == want[(r.n_name, r.level)]
+
+
+# ------------------------------------------------ winnowing batch 16
+
+
+def _winnow_py(text, k=5, w=4):
+    import hashlib
+
+    ws = text.strip().split()
+    if len(ws) < k:
+        return set(), 0
+    hs = [
+        int(
+            hashlib.md5(" ".join(ws[i:i + k]).encode()).hexdigest()[:12],
+            16,
+        ) % (1 << 40)
+        for i in range(len(ws) - k + 1)
+    ]
+    sel = set()
+    for s in range(w - 1, len(hs)):
+        win = hs[s - w + 1:s + 1]
+        mn = min(win)
+        # rightmost occurrence of the window minimum
+        off = max(i for i, v in enumerate(win) if v == mn)
+        sel.add(hs[s - w + 1 + off])
+    return sel, len(hs)
+
+
+def test_winnow_fingerprints_python_recompute(spark):
+    """Per-source fingerprint counts equal a faithful Python winnow
+    (windowed min, rightmost tie-break) and respect the density
+    bound: at most one fingerprint per window."""
+    from collections import defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    per_source = defaultdict(lambda: [0, 0, set()])
+    fps_by_doc = {}
+    for d in read_table(spark, SF_SMALL, "documents").collect():
+        sel, n_grams = _winnow_py(d.text)
+        fps_by_doc[d.doc_id] = sel
+        a = per_source[d.source]
+        a[0] += 1
+        a[1] += len(sel)
+        a[2] |= sel
+        assert len(sel) <= max(n_grams - 3, 0)  # <= #windows
+    rows = _q(spark, "winnow_fingerprints").collect()
+    assert len(rows) == len(per_source)
+    for r in rows:
+        docs, fps, uniq = per_source[r.source]
+        assert (r.n_docs, r.fingerprints, r.distinct_hashes) == (
+            docs, fps, len(uniq),
+        )
+
+
+def test_winnow_pairs_python_recompute_and_guarantee(spark):
+    """Pairs equal the Python fingerprint-set join (with the df<=50
+    hub guard); and the winnowing GUARANTEE holds: two docs sharing
+    a run of >= w+k-1 = 8 identical tokens share a fingerprint."""
+    from collections import Counter
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    docs = {
+        d.doc_id: d.text
+        for d in read_table(spark, SF_SMALL, "documents").collect()
+    }
+    fps = {k: _winnow_py(t)[0] for k, t in docs.items()}
+    df = Counter(h for s in fps.values() for h in s)
+    kept = {k: {h for h in s if df[h] <= 50} for k, s in fps.items()}
+    want = {}
+    ids = sorted(kept)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            shared = len(kept[a] & kept[b])
+            if shared >= 2:
+                want[(a, b)] = (
+                    shared,
+                    shared * 1_000_000
+                    // min(len(kept[a]), len(kept[b])),
+                )
+    rows = _q(spark, "winnow_plagiarism_pairs").collect()
+    got = {(r.doc_a, r.doc_b): (r.shared, r.overlap_ppm) for r in rows}
+    assert got == want
+    # guarantee on a synthetic pair: common 8-token run -> shared fp
+    run = "alpha beta gamma delta epsilon zeta eta theta"
+    s1, _ = _winnow_py("x y z q " + run + " u v w")
+    s2, _ = _winnow_py(run + " completely different tail words here")
+    assert s1 & s2
