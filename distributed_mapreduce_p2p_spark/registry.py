@@ -16821,6 +16821,10 @@ def q_winnow_plagiarism_pairs(spark, sf_dir):
         .where(F.col("pos") >= 3)
         .select("doc_id", F.expr("mck DIV 1048576").alias("h"))
         .distinct()
+        # three consumers recompute this subtree; measured: an eager
+        # localCheckpoint here is SLOWER (3.5s vs 2.4s at sf0.1) —
+        # the fingerprint derivation is cheaper than materializing
+        # it, unlike supplier_cosine_topk's fact-scale incidence
     )
     hf = fp.groupBy("h").agg(
         F.count(F.lit(1)).cast("long").alias("df")
