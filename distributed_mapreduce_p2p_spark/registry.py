@@ -16871,6 +16871,226 @@ def q_winnow_plagiarism_pairs(spark, sf_dir):
     )
 
 
+@register(
+    "dbscan_core_points",
+    oracle="""
+    WITH cpt AS MATERIALIZED (
+      SELECT c_custkey AS k, c_nationkey AS nk,
+             CAST(('0x' || substr(md5('gx:' || CAST(c_custkey AS
+                  VARCHAR)), 1, 12))::BIGINT % 1024 AS BIGINT) AS x,
+             CAST(('0x' || substr(md5('gy:' || CAST(c_custkey AS
+                  VARCHAR)), 1, 12))::BIGINT % 1024 AS BIGINT) AS y
+      FROM customer
+    ), ngrid AS (
+      SELECT k, x, y, (x // 8) + dx.d AS cx, (y // 8) + dy.d AS cy
+      FROM cpt, (VALUES (-1),(0),(1)) dx(d), (VALUES (-1),(0),(1)) dy(d)
+    ), nbr AS MATERIALIZED (
+      SELECT a.k AS ka, b.k AS kb
+      FROM cpt a JOIN ngrid b ON (a.x // 8) = b.cx AND (a.y // 8) = b.cy
+      WHERE a.k <> b.k
+        AND GREATEST(ABS(a.x - b.x), ABS(a.y - b.y)) <= 8
+    ), deg AS MATERIALIZED (
+      SELECT ka AS k, CAST(COUNT(*) AS BIGINT) AS nn FROM nbr GROUP BY 1
+    ), pts AS MATERIALIZED (
+      SELECT c.k, c.nk, COALESCE(d.nn, 0) >= 3 AS core
+      FROM cpt c LEFT JOIN deg d ON c.k = d.k
+    ), border AS (
+      SELECT DISTINCT n.ka AS k
+      FROM nbr n JOIN pts pb ON n.kb = pb.k
+      WHERE pb.core
+    )
+    SELECT n_name,
+           CAST(SUM(CASE WHEN p.core THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_core,
+           CAST(SUM(CASE WHEN NOT p.core AND b.k IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_border,
+           CAST(SUM(CASE WHEN NOT p.core AND b.k IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_noise
+    FROM pts p LEFT JOIN border b ON p.k = b.k
+    JOIN nation ON p.nk = n_nationkey
+    GROUP BY 1
+    """,
+)
+def q_dbscan_core_points(spark, sf_dir):
+    """DBSCAN point classification (eps = 8 in L-infinity, minPts = 4
+    counting the point itself) over the hash-derived customer grid:
+    CORE points have >= 3 neighbors within eps, BORDER points are
+    non-core within eps of a core, the rest is NOISE — phase 1 of
+    density clustering, and the phase that dominates cost at scale.
+    The neighbor search is the grid_neighbor_join pattern turned
+    self-join: bucket to eps-sized cells, replicate one side into the
+    3x3 neighborhood, exact integer distance on candidates — the
+    standard distributed-DBSCAN partitioning (MR-DBSCAN family),
+    cost bounded by points-per-cell-neighborhood, never all-pairs.
+    The neighbor list feeds both the degree count and the
+    border-reachability semi-join; all counts exact. (Full cluster
+    ids would be one connected-components pass over core-core edges
+    — the dedup_clusters operator; classification is the per-point
+    deliverable here.)"""
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    cpt = cu.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("nk"),
+        F.expr(
+            "CAST(cast(conv(substring(md5(concat('gx:',"
+            " cast(c_custkey as string))), 1, 12), 16, 10) as bigint)"
+            " % 1024 AS BIGINT)"
+        ).alias("x"),
+        F.expr(
+            "CAST(cast(conv(substring(md5(concat('gy:',"
+            " cast(c_custkey as string))), 1, 12), 16, 10) as bigint)"
+            " % 1024 AS BIGINT)"
+        ).alias("y"),
+    )
+    ngrid = (
+        cpt.select("k", "x", "y")
+        .withColumn(
+            "dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+        )
+        .withColumn(
+            "dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+        )
+        .select(
+            F.col("k").alias("kb"),
+            F.col("x").alias("bx"),
+            F.col("y").alias("by"),
+            (F.expr("x DIV 8") + F.col("dx")).alias("cx"),
+            (F.expr("y DIV 8") + F.col("dy")).alias("cy"),
+        )
+    )
+    nbr = cpt.join(
+        ngrid,
+        (F.expr("x DIV 8") == F.col("cx"))
+        & (F.expr("y DIV 8") == F.col("cy"))
+        & (F.col("k") != F.col("kb"))
+        & (
+            F.greatest(
+                F.abs(F.col("x") - F.col("bx")),
+                F.abs(F.col("y") - F.col("by")),
+            )
+            <= 8
+        ),
+    ).select(F.col("k").alias("ka"), "kb")
+    deg = nbr.groupBy(F.col("ka").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("nn")
+    )
+    pts = cpt.join(deg, "k", "left").select(
+        "k",
+        "nk",
+        (F.coalesce(F.col("nn"), F.lit(0)) >= 3).alias("core"),
+    )
+    core_keys = pts.where("core").select(
+        F.col("k").alias("kb")
+    )
+    border = (
+        nbr.join(core_keys, "kb")
+        .select(F.col("ka").alias("k"))
+        .distinct()
+        .withColumn("is_border", F.lit(1))
+    )
+    return (
+        pts.join(border, "k", "left")
+        .join(broadcast(na), pts.nk == na.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.when(F.col("core"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_core"),
+            F.sum(
+                F.when(
+                    ~F.col("core") & F.col("is_border").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_border"),
+            F.sum(
+                F.when(
+                    ~F.col("core") & F.col("is_border").isNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_noise"),
+        )
+    )
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events GROUP BY user_id
+    ), lat AS (
+      SELECT CAST(date_diff('microsecond', t_view, t_buy) AS BIGINT)
+               AS us
+      FROM firsts WHERE t_buy > t_view
+    ), cells AS (
+      SELECT us, CAST(COUNT(*) AS BIGINT) AS c FROM lat GROUP BY 1
+    ), cum AS (
+      SELECT us, SUM(c) OVER (ORDER BY us ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS cw,
+             SUM(c) OVER () AS tot
+      FROM cells
+    )
+    SELECT CAST(MAX(tot) AS BIGINT) AS n_converted,
+           CAST(MIN(CASE WHEN 2 * cw >= tot THEN us END) AS BIGINT)
+             AS p50_latency_us,
+           CAST(MIN(CASE WHEN 10 * cw >= 9 * tot THEN us END)
+                AS BIGINT) AS p90_latency_us
+    FROM cum
+    """,
+)
+def q_funnel_time_to_convert(spark, sf_dir):
+    """Time-to-convert for the view->purchase funnel: exact p50/p90 of
+    (first purchase - first view) across converted users — the
+    product-analytics partner of funnel_conversion (which counts;
+    this times). Latencies are exact epoch-microsecond BIGINTs
+    (timestampdiff on TIMESTAMP_NTZ, timezone-free); quantiles are
+    RANK-ELEMENT exact, not interpolated: aggregate to latency value
+    cells, run the two-phase global_cumsum (no single-partition
+    window), and take min us with 2*cw >= tot (p50) / 10*cw >= 9*tot
+    (p90) — cross-multiplied, float-free, the weighted_median_price
+    rule. Scale: one user-key aggregate, then cells."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).alias("t_view"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_buy"),
+    )
+    lat = firsts.where(F.col("t_buy") > F.col("t_view")).select(
+        F.expr(
+            "CAST(timestampdiff(MICROSECOND, t_view, t_buy) AS BIGINT)"
+        ).alias("us")
+    )
+    cells = lat.groupBy("us").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cum = R.global_cumsum(cells, "c", ["us"])
+    return cum.agg(
+        F.max("_total").cast("long").alias("n_converted"),
+        F.min(
+            F.when(
+                F.expr("2 * _cum >= _total"), F.col("us")
+            )
+        )
+        .cast("long")
+        .alias("p50_latency_us"),
+        F.min(
+            F.when(
+                F.expr("10 * _cum >= 9 * _total"), F.col("us")
+            )
+        )
+        .cast("long")
+        .alias("p90_latency_us"),
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -17016,7 +17236,8 @@ _FRONT: list[str] = [
     # lexical_complexity, permutation_test_means, mann_kendall_trend,
     # ols_two_feature, holt_linear_forecast, kruskal_wallis,
     # haar_wavelet_energy, winnow_fingerprints,
-    # winnow_plagiarism_pairs.
+    # winnow_plagiarism_pairs, dbscan_core_points,
+    # funnel_time_to_convert.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

@@ -3238,3 +3238,94 @@ def test_winnow_pairs_python_recompute_and_guarantee(spark):
     s1, _ = _winnow_py("x y z q " + run + " u v w")
     s2, _ = _winnow_py(run + " completely different tail words here")
     assert s1 & s2
+
+
+# ------------------------------------------- density/funnel batch 17
+
+
+def test_dbscan_core_points_bruteforce(spark):
+    """Core/border/noise classification equals a brute-force all-pairs
+    Python scan (grid completeness for eps <= cell width), and the
+    three classes tile each nation's customer count."""
+    import hashlib
+    from collections import defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    pts = []
+    for c in read_table(spark, SF_SMALL, "customer").collect():
+        pts.append(
+            (c.c_custkey, c.c_nationkey,
+             h(f"gx:{c.c_custkey}") % 1024, h(f"gy:{c.c_custkey}") % 1024)
+        )
+    nn = {k: 0 for k, *_ in pts}
+    nbrs = defaultdict(set)
+    for i, (k1, _, x1, y1) in enumerate(pts):
+        for k2, _, x2, y2 in pts[i + 1:]:
+            if max(abs(x1 - x2), abs(y1 - y2)) <= 8:
+                nn[k1] += 1
+                nn[k2] += 1
+                nbrs[k1].add(k2)
+                nbrs[k2].add(k1)
+    core = {k for k, c in nn.items() if c >= 3}
+    want = defaultdict(lambda: [0, 0, 0])
+    nname = {
+        n.n_nationkey: n.n_name
+        for n in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    per_nation = defaultdict(int)
+    for k, nk, _, _ in pts:
+        per_nation[nname[nk]] += 1
+        w = want[nname[nk]]
+        if k in core:
+            w[0] += 1
+        elif nbrs[k] & core:
+            w[1] += 1
+        else:
+            w[2] += 1
+    rows = _q(spark, "dbscan_core_points").collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        assert (r.n_core, r.n_border, r.n_noise) == tuple(want[r.n_name])
+        assert r.n_core + r.n_border + r.n_noise == per_nation[r.n_name]
+
+
+def test_funnel_time_to_convert_recompute(spark):
+    """Quantiles equal the exact rank-element picks over a Python
+    replay of first-view/first-purchase latencies."""
+    from collections import defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    firsts = defaultdict(lambda: [None, None])
+    for e in read_table(spark, SF_SMALL, "events").collect():
+        f = firsts[e.user_id]
+        if e.event_type == "view" and (f[0] is None or e.ts < f[0]):
+            f[0] = e.ts
+        if e.event_type == "purchase" and (f[1] is None or e.ts < f[1]):
+            f[1] = e.ts
+    lats = sorted(
+        int((b - v).total_seconds() * 1_000_000)
+        for v, b in firsts.values()
+        if v is not None and b is not None and b > v
+    )
+    n = len(lats)
+    cum = 0
+    p50 = p90 = None
+    seen = 0
+    for us in lats:
+        seen += 1
+        if p50 is None and 2 * seen >= n:
+            p50 = us
+        if p90 is None and 10 * seen >= 9 * n:
+            p90 = us
+    r = _q(spark, "funnel_time_to_convert").collect()[0]
+    assert (r.n_converted, r.p50_latency_us, r.p90_latency_us) == (
+        n, p50, p90,
+    )
+    assert p50 <= p90
