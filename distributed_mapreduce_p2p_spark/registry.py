@@ -17091,6 +17091,125 @@ def q_funnel_time_to_convert(spark, sf_dir):
     )
 
 
+_PCA_ITERS = 12
+
+
+def _pca_oracle_sql(iters: int = _PCA_ITERS) -> str:
+    """Unrolled fixed-point power iteration for the oracle (generated
+    by the same loop the Spark plan executes)."""
+    head = """
+    WITH ex AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), mm AS (
+      SELECT vec_id, MAX(ABS(v)) AS m FROM ex GROUP BY 1
+    ), q AS MATERIALIZED (
+      SELECT ex.vec_id, pos,
+             CASE WHEN mm.m = 0 THEN 0
+                  ELSE CAST(trunc(127.0 * v / mm.m) AS BIGINT) END AS qv
+      FROM ex JOIN mm USING (vec_id)
+    ), v0 AS (
+      SELECT pos, CAST(1000000 AS BIGINT) AS w
+      FROM (SELECT DISTINCT pos FROM q) t
+    )"""
+    prev, parts = "v0", [head]
+    for it in range(1, iters + 1):
+        # MATERIALIZED everywhere: u{it} is referenced twice (mx and
+        # v), so without it DuckDB re-inlines the whole prefix chain
+        # per reference — 2^iters blowup (measured: >5 min at 12
+        # iterations vs sub-second materialized).
+        parts.append(f""",
+    r{it} AS MATERIALIZED (
+      SELECT q.vec_id, CAST(SUM(q.qv * v.w) AS BIGINT) AS r
+      FROM q JOIN {prev} v ON q.pos = v.pos GROUP BY 1
+    ), u{it} AS MATERIALIZED (
+      SELECT q.pos, CAST(SUM(q.qv * r.r) AS BIGINT) AS u
+      FROM q JOIN r{it} r ON q.vec_id = r.vec_id GROUP BY 1
+    ), mx{it} AS MATERIALIZED (SELECT MAX(ABS(u)) AS mx FROM u{it}),
+    v{it} AS MATERIALIZED (
+      SELECT pos,
+             CAST(CASE WHEN u < 0 THEN -1 ELSE 1 END
+                  * (ABS(u) * 1000000 // mx.mx) AS BIGINT) AS w
+      FROM u{it} CROSS JOIN mx{it} mx
+    )""")
+        prev = f"v{it}"
+    return "".join(parts) + f" SELECT pos, w FROM {prev}"
+
+
+@register("pca_power_iteration", oracle=_pca_oracle_sql())
+def q_pca_power_iteration(spark, sf_dir):
+    """Leading principal component of the int8-quantized embedding
+    matrix by MATRIX-FREE power iteration — the distributed-PCA
+    shape: never materialize X^T X (d x d is fine here, but the
+    pattern scales to d where it isn't); each of the 12 iterations is
+    two broadcast-joins + two partial aggregates computing
+    r = X v (per-row dot against the broadcast 64-row v) and
+    u = X^T r (per-dimension sum), exactly the two passes a
+    billion-row PCA runs. Determinism is the point: the iterate
+    stays a FIXED-POINT integer vector — codes are the
+    int8_quantized_topk trunc codes, dots are exact int64 sums, and
+    the normalization is L-infinity with the sign-safe split
+    sign(u) * (|u| * 1e6 DIV max|u|) (integer DIV is floor on DuckDB
+    but trunc on Spark for NEGATIVES — splitting sign keeps every
+    division positive, where they agree). 12 iterations because the
+    synthetic spectrum is flat (eigengap 1.04): cosine to numpy's
+    top eigenvector reaches ~0.92, monotone per iteration
+    (property-tested); u magnitudes peak ~5e15 < 2^63 through sf0.1
+    (re-scale v to 1e4 units beyond). Iterates are
+    localCheckpointed so 12 rounds don't stack lineage."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "vf")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("vf").cast("double").alias("v"),
+    )
+    mm = ex.groupBy("vec_id").agg(F.max(F.abs("v")).alias("m"))
+    q = (
+        ex.join(mm, "vec_id")
+        .select(
+            "vec_id",
+            "pos",
+            F.when(F.col("m") == 0, F.lit(0).cast("long"))
+            .otherwise(F.expr("cast(127.0 * v / m as bigint)"))
+            .alias("qv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    v = (
+        q.select("pos")
+        .distinct()
+        .select("pos", F.lit(1000000).cast("long").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_PCA_ITERS):
+        r = (
+            q.join(broadcast(v), "pos")
+            .groupBy("vec_id")
+            .agg(F.sum(F.expr("qv * w")).cast("long").alias("r"))
+        )
+        u = (
+            q.join(r, "vec_id")
+            .groupBy("pos")
+            .agg(F.sum(F.expr("qv * r")).cast("long").alias("u"))
+        )
+        mx = u.agg(F.max(F.abs("u")).alias("mx"))
+        v = (
+            u.crossJoin(broadcast(mx))
+            .select(
+                "pos",
+                F.expr(
+                    "CAST(CASE WHEN u < 0 THEN -1 ELSE 1 END"
+                    " * (ABS(u) * 1000000 DIV mx) AS BIGINT)"
+                ).alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return v.select("pos", "w")
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -17237,7 +17356,7 @@ _FRONT: list[str] = [
     # ols_two_feature, holt_linear_forecast, kruskal_wallis,
     # haar_wavelet_energy, winnow_fingerprints,
     # winnow_plagiarism_pairs, dbscan_core_points,
-    # funnel_time_to_convert.
+    # funnel_time_to_convert, pca_power_iteration.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

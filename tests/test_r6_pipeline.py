@@ -3329,3 +3329,54 @@ def test_funnel_time_to_convert_recompute(spark):
         n, p50, p90,
     )
     assert p50 <= p90
+
+
+# ---------------------------------------------- linear-algebra batch 18
+
+
+def test_pca_power_iteration_recompute_and_convergence(spark):
+    """The iterate equals an exact big-int Python replay of all 12
+    fixed-point iterations, stays L-inf normalized, and its cosine to
+    numpy's true top eigenvector improves monotonically enough to
+    beat the first iterate (the power-iteration property)."""
+    import numpy as np
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    X = []
+    for e in sorted(
+        read_table(spark, SF_SMALL, "embeddings").collect(),
+        key=lambda r: r.vec_id,
+    ):
+        vs = [float(x) for x in e.embedding]
+        m = max(abs(v) for v in vs)
+        X.append([int(127.0 * v / m) if m else 0 for v in vs])
+    d = len(X[0])
+    v = [1_000_000] * d
+
+    def iterate(v):
+        r = [sum(row[j] * v[j] for j in range(d)) for row in X]
+        u = [sum(X[i][j] * r[i] for i in range(len(X))) for j in range(d)]
+        mx = max(abs(x) for x in u)
+        return [
+            (1 if x >= 0 else -1) * ((abs(x) * 1_000_000) // mx)
+            for x in u
+        ]
+
+    v1 = iterate(v)
+    vfinal = v1
+    for _ in range(11):
+        vfinal = iterate(vfinal)
+    got = {r.pos: r.w for r in _q(spark, "pca_power_iteration").collect()}
+    assert got == {j + 1: vfinal[j] for j in range(d)}
+    assert max(abs(w) for w in got.values()) == 1_000_000
+    Xf = np.array(X, dtype=float)
+    _, V = np.linalg.eigh(Xf.T @ Xf)
+    top = V[:, -1]
+
+    def cos(vec):
+        a = np.array(vec, dtype=float)
+        return abs(a @ top) / (np.linalg.norm(a) * np.linalg.norm(top))
+
+    assert cos(vfinal) > cos(v1)

@@ -96,6 +96,20 @@ QUERIES = [
     "kmv_distinct_estimate",
     "last_touch_attribution",
     "ship_latency_quantiles",
+    # r6 continuation: this session's heavy/novel shapes — winnowing
+    # fingerprint index + hub-guarded pair join, grid spatial
+    # self-join (DBSCAN), 64x permutation explode, 7-level wavelet
+    # cascade, cell-ranked Kruskal-Wallis, doubled-midrank Spearman
+    "winnow_fingerprints",
+    "winnow_plagiarism_pairs",
+    "dbscan_core_points",
+    "grid_neighbor_join",
+    "permutation_test_means",
+    "haar_wavelet_energy",
+    "kruskal_wallis",
+    "spearman_rho",
+    "chebyshev_outliers",
+    "funnel_time_to_convert",
 ]
 
 
