@@ -17210,6 +17210,271 @@ def q_pca_power_iteration(spark, sf_dir):
     return v.select("pos", "w")
 
 
+@register(
+    "sax_symbols",
+    oracle="""
+    WITH m AS (
+      SELECT n_name,
+             CAST(YEAR(CAST(o_orderdate AS DATE)) * 12
+                  + MONTH(CAST(o_orderdate AS DATE)) AS BIGINT) AS midx,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                  AS BIGINT)) // 100 AS BIGINT) AS dollars
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), seg AS (
+      SELECT n_name, (midx - (SELECT MIN(midx) FROM m)) // 10 AS seg,
+             CAST(SUM(dollars) AS BIGINT) AS sv
+      FROM m GROUP BY 1, 2
+    ), cells AS (
+      SELECT sv, CAST(COUNT(*) AS BIGINT) AS c FROM seg GROUP BY 1
+    ), cum AS (
+      SELECT sv, SUM(c) OVER (ORDER BY sv ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS cw,
+             SUM(c) OVER () AS tot
+      FROM cells
+    ), qs AS (
+      SELECT CAST(MIN(CASE WHEN 4 * cw >= tot THEN sv END) AS BIGINT)
+               AS q1,
+             CAST(MIN(CASE WHEN 2 * cw >= tot THEN sv END) AS BIGINT)
+               AS q2,
+             CAST(MIN(CASE WHEN 4 * cw >= 3 * tot THEN sv END)
+                  AS BIGINT) AS q3
+      FROM cum
+    )
+    SELECT n_name,
+           string_agg(CASE WHEN sv <= qs.q1 THEN 'a'
+                           WHEN sv <= qs.q2 THEN 'b'
+                           WHEN sv <= qs.q3 THEN 'c' ELSE 'd' END,
+                      '' ORDER BY seg) AS sax,
+           CAST(COUNT(*) AS BIGINT) AS n_segments
+    FROM seg CROSS JOIN qs
+    GROUP BY n_name
+    """,
+)
+def q_sax_symbols(spark, sf_dir):
+    """SAX symbolic approximation (Lin/Keogh et al., DMKD'03) of each
+    nation's revenue series: PAA-aggregate 10-month segments, then
+    quantize each segment into a 4-letter alphabet — the time-series
+    representation that turns similarity search into string matching
+    (and feeds suffix/grammar methods). Two departures from the paper
+    keep it engine-exact: segment values stay integer SUMS (PAA's
+    mean divides by a constant — rank-equivalent, so quantization is
+    unchanged), and breakpoints are DATA-DERIVED exact-rank quartiles
+    of the segment distribution (the Gaussian breakpoints require
+    erf; equi-depth is the standard discrete alternative) picked
+    float-free by the cross-multiplied rank rule on value cells via
+    global_cumsum. The symbol string is assembled with an
+    order-pinned fold (sorted struct collect), never agg order.
+    Scale: segments are cells; the quartile pick is the
+    weighted-median pattern; output is 25 strings."""
+    m = _nation_month_cents(spark, sf_dir).drop("ym").select(
+        "n_name",
+        "midx",
+        F.expr("CAST(cents DIV 100 AS BIGINT)").alias("dollars"),
+    )
+    origin = m.agg(F.min("midx").alias("min_midx"))
+    seg = (
+        m.crossJoin(broadcast(origin))
+        .groupBy(
+            "n_name",
+            F.expr("(midx - min_midx) DIV 10").alias("seg"),
+        )
+        .agg(F.sum("dollars").cast("long").alias("sv"))
+    )
+    cells = seg.groupBy("sv").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cum = R.global_cumsum(cells, "c", ["sv"])
+    qs = cum.agg(
+        F.min(F.when(F.expr("4 * _cum >= _total"), F.col("sv")))
+        .cast("long")
+        .alias("q1"),
+        F.min(F.when(F.expr("2 * _cum >= _total"), F.col("sv")))
+        .cast("long")
+        .alias("q2"),
+        F.min(F.when(F.expr("4 * _cum >= 3 * _total"), F.col("sv")))
+        .cast("long")
+        .alias("q3"),
+    )
+    sym = seg.crossJoin(broadcast(qs)).select(
+        "n_name",
+        "seg",
+        F.expr(
+            "CASE WHEN sv <= q1 THEN 'a' WHEN sv <= q2 THEN 'b'"
+            " WHEN sv <= q3 THEN 'c' ELSE 'd' END"
+        ).alias("sym"),
+    )
+    return sym.groupBy("n_name").agg(
+        F.expr(
+            "array_join(transform(sort_array(collect_list("
+            "struct(seg, sym))), s -> s.sym), '')"
+        ).alias("sax"),
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+    )
+
+
+@register(
+    "quantile_normalize",
+    oracle="""
+    WITH r AS (
+      SELECT source, doc_id, n_chars,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY n_chars, doc_id) AS BIGINT) AS rk
+      FROM documents
+    ), mu AS (
+      SELECT rk AS mrk,
+             CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS qmean,
+             CAST(COUNT(*) AS BIGINT) AS n_sources
+      FROM r GROUP BY 1
+    )
+    SELECT r.source, r.doc_id, r.rk, r.n_chars,
+           mu.qmean AS normalized, mu.n_sources
+    FROM r JOIN mu ON r.rk = mu.mrk
+    """,
+)
+def q_quantile_normalize(spark, sf_dir):
+    """Quantile normalization of document lengths across sources —
+    the cross-cohort feature-prep transform (canonical in genomics,
+    equally the fix for per-source length skew in a training-data
+    mix): rank docs WITHIN each source, then replace each value by
+    the cross-source truncated mean at its rank, forcing every
+    source onto one common distribution. Ranks are row_number with a
+    doc_id tie-break (total order -> engine-identical), partitioned
+    by source so the window scales; the rank-mean is one exact
+    integer aggregate (SUM DIV COUNT); the value join is rank ->
+    21-row-per-rank equi-join. Emits n_sources per rank so ragged
+    sources (short tails get fewer contributors) are auditable
+    rather than silent."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w).cast("long").alias("rk"),
+    )
+    mu = r.groupBy(F.col("rk").alias("mrk")).agg(
+        F.expr(
+            "CAST(SUM(n_chars) DIV COUNT(*) AS BIGINT)"
+        ).alias("qmean"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    return r.join(mu, r.rk == F.col("mrk")).select(
+        "source", "doc_id", "rk", "n_chars",
+        F.col("qmean").alias("normalized"),
+        "n_sources",
+    )
+
+
+@register(
+    "knn_classify",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), mm AS (
+      SELECT vec_id, MAX(ABS(v)) AS m FROM ex GROUP BY 1
+    ), q AS MATERIALIZED (
+      SELECT ex.vec_id, pos,
+             CASE WHEN mm.m = 0 THEN 0
+                  ELSE CAST(trunc(127.0 * v / mm.m) AS BIGINT) END AS qv
+      FROM ex JOIN mm USING (vec_id)
+    ), lab AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+    ), qs AS (
+      SELECT vec_id AS query_id, pos, qv FROM q WHERE vec_id < 8
+    ), dots AS (
+      SELECT qs.query_id, q.vec_id,
+             CAST(SUM(qs.qv * q.qv) AS BIGINT) AS qdot
+      FROM qs JOIN q ON q.pos = qs.pos AND q.vec_id <> qs.query_id
+      GROUP BY 1, 2
+    ), top AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY qdot DESC, vec_id) AS rk
+        FROM dots) WHERE rk <= 5
+    ), votes AS (
+      SELECT t.query_id, l.label, CAST(COUNT(*) AS BIGINT) AS votes
+      FROM top t JOIN lab l ON t.vec_id = l.vec_id GROUP BY 1, 2
+    )
+    SELECT query_id,
+           CAST(MIN(CASE WHEN votes = mx THEN label END) AS BIGINT)
+             AS predicted_label,
+           CAST(MAX(mx) AS BIGINT) AS votes
+    FROM (SELECT *, MAX(votes) OVER (PARTITION BY query_id) AS mx
+          FROM votes) t
+    GROUP BY 1
+    """,
+)
+def q_knn_classify(spark, sf_dir):
+    """k-NN classification (k=5) over int8-quantized embeddings:
+    rank neighbors by the EXACT integer dot product (the
+    int8_quantized_topk retrieval core — bit-deterministic ranking
+    where float cosine can flip on 1-ulp summation), majority-vote
+    the neighbor labels, break vote ties toward the smallest label
+    (pinned MIN CASE). The retrieval-to-prediction composition is
+    the semantic-dedup/labeling loop a training pipeline runs at
+    scale: probes broadcast onto the position-keyed code table,
+    partial-agg dots, per-probe top-k window, then a tiny vote
+    aggregate. All counts and ranks exact integers end to end."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "vf")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("vf").cast("double").alias("v"),
+    )
+    mm = ex.groupBy("vec_id").agg(F.max(F.abs("v")).alias("m"))
+    q = ex.join(mm, "vec_id").select(
+        "vec_id",
+        "pos",
+        F.when(F.col("m") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("cast(127.0 * v / m as bigint)"))
+        .alias("qv"),
+    )
+    lab = emb.select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    qs = q.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        "pos",
+        F.col("qv").alias("pqv"),
+    )
+    dots = (
+        q.join(broadcast(qs), "pos")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum(F.expr("pqv * qv")).cast("long").alias("qdot")
+        )
+    )
+    wtop = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("vec_id")
+    )
+    top = (
+        dots.withColumn("rk", F.row_number().over(wtop))
+        .where(F.col("rk") <= 5)
+        .select("query_id", "vec_id")
+    )
+    votes = top.join(broadcast(lab), "vec_id").groupBy(
+        "query_id", "label"
+    ).agg(F.count(F.lit(1)).cast("long").alias("votes"))
+    wmx = Window.partitionBy("query_id")
+    t = votes.withColumn("mx", F.max("votes").over(wmx))
+    return t.groupBy("query_id").agg(
+        F.min(
+            F.when(F.col("votes") == F.col("mx"), F.col("label"))
+        )
+        .cast("long")
+        .alias("predicted_label"),
+        F.max("mx").cast("long").alias("votes"),
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -17356,7 +17621,8 @@ _FRONT: list[str] = [
     # ols_two_feature, holt_linear_forecast, kruskal_wallis,
     # haar_wavelet_energy, winnow_fingerprints,
     # winnow_plagiarism_pairs, dbscan_core_points,
-    # funnel_time_to_convert, pca_power_iteration.
+    # funnel_time_to_convert, pca_power_iteration, sax_symbols,
+    # quantile_normalize, knn_classify.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

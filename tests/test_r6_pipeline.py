@@ -3380,3 +3380,114 @@ def test_pca_power_iteration_recompute_and_convergence(spark):
         return abs(a @ top) / (np.linalg.norm(a) * np.linalg.norm(top))
 
     assert cos(vfinal) > cos(v1)
+
+
+# ------------------------------------- symbolic/prep/classify batch 19
+
+
+def test_sax_symbols_python_recompute(spark):
+    """SAX strings equal a Python replay: 10-month segment sums,
+    exact-rank quartile breakpoints, alphabet assignment in segment
+    order; symbols use the full alphabet across nations."""
+    cells = _month_cells_py(spark)
+    origin = min(m for _, m in cells)
+    segs = {}
+    for (nat, midx), cents in cells.items():
+        k = (nat, (midx - origin) // 10)
+        segs[k] = segs.get(k, 0) + cents // 100
+    vals = sorted(segs.values())
+    n = len(vals)
+
+    def pick(mult_num, mult_den):
+        seen = 0
+        # min v with mult_den*cum >= mult_num*tot over value cells
+        from collections import Counter
+
+        cnt = Counter(vals)
+        cum = 0
+        for v in sorted(cnt):
+            cum += cnt[v]
+            if mult_den * cum >= mult_num * n:
+                return v
+
+    q1, q2, q3 = pick(1, 4), pick(1, 2), pick(3, 4)
+
+    def sym(v):
+        return "a" if v <= q1 else "b" if v <= q2 else "c" if v <= q3 else "d"
+
+    want = {}
+    for (nat, s), v in segs.items():
+        want.setdefault(nat, []).append((s, sym(v)))
+    rows = _q(spark, "sax_symbols").collect()
+    assert len(rows) == len(want)
+    alphabet = set()
+    for r in rows:
+        expect = "".join(c for _, c in sorted(want[r.n_name]))
+        assert r.sax == expect
+        assert r.n_segments == len(want[r.n_name])
+        alphabet |= set(r.sax)
+    assert alphabet == {"a", "b", "c", "d"}
+
+
+def test_quantile_normalize_recompute(spark):
+    """Normalized values equal the rank-mean replay; after the
+    transform, every source's value multiset at shared ranks is
+    identical (the defining property of quantile normalization)."""
+    from collections import defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    by_source = defaultdict(list)
+    for d in read_table(spark, SF_SMALL, "documents").collect():
+        by_source[d.source].append((d.n_chars, d.doc_id))
+    ranks = defaultdict(list)
+    for src, docs in by_source.items():
+        for i, (nc, did) in enumerate(sorted(docs)):
+            ranks[i + 1].append(nc)
+    mu = {rk: sum(v) // len(v) for rk, v in ranks.items()}
+    rows = _q(spark, "quantile_normalize").collect()
+    assert len(rows) == sum(len(v) for v in by_source.values())
+    per_source_norm = defaultdict(set)
+    for r in rows:
+        assert r.normalized == mu[r.rk]
+        assert r.n_sources == len(ranks[r.rk])
+        per_source_norm[r.source].add((r.rk, r.normalized))
+    # common-distribution property at fully-populated ranks
+    full = {rk for rk, v in ranks.items() if len(v) == len(by_source)}
+    base = None
+    for src, pairs in per_source_norm.items():
+        got = {p for p in pairs if p[0] in full}
+        base = got if base is None else base
+        assert got == base
+
+
+def test_knn_classify_recompute(spark):
+    """Predictions equal a brute-force Python k-NN over the identical
+    quantized codes with the same rank and vote tie-breaks."""
+    from collections import Counter
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    vecs, labels = {}, {}
+    for e in read_table(spark, SF_SMALL, "embeddings").collect():
+        vs = [float(x) for x in e.embedding]
+        m = max(abs(v) for v in vs)
+        vecs[e.vec_id] = [int(127.0 * v / m) if m else 0 for v in vs]
+        labels[e.vec_id] = e.label
+    rows = _q(spark, "knn_classify").collect()
+    assert len(rows) == 8
+    for r in rows:
+        qv = vecs[r.query_id]
+        dots = sorted(
+            (
+                (-sum(a * b for a, b in zip(qv, vecs[k])), k)
+                for k in vecs
+                if k != r.query_id
+            )
+        )[:5]
+        votes = Counter(labels[k] for _, k in dots)
+        mx = max(votes.values())
+        best = min(l for l, v in votes.items() if v == mx)
+        assert (r.predicted_label, r.votes) == (best, mx)

@@ -60,6 +60,7 @@ WHITELIST = {
     "kruskal_wallis": "three 1-row scalar attaches (N, tie sum, ordered ssum fold) onto the 5 group rows",
     "haar_wavelet_energy": "1-row global min-month origin broadcast onto the cell table",
     "pca_power_iteration": "per-iteration 1-row max-abs normalizer broadcast onto the 64-dim iterate",
+    "sax_symbols": "1-row origin + 1-row quartile-breakpoint broadcasts onto the segment cells",
     "ams_f2_sketch": "1-row exact-F2 aggregate cross-joined with the 1-row sketch estimate (two scalar cells)",
     "trade_graph_shortest_cost": "1-row totals/seed aggregates over the <=|nations|^2 bilateral table (graph-family scalar attach)",
     "share_of_parent": "1-row grand-total aggregate broadcast-attached to the |nations|-row leaf table",
