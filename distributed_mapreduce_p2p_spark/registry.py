@@ -17184,7 +17184,7 @@ def q_pca_power_iteration(spark, sf_dir):
         .select("pos", F.lit(1000000).cast("long").alias("w"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(_PCA_ITERS):
+    for it in range(_PCA_ITERS):
         r = (
             q.join(broadcast(v), "pos")
             .groupBy("vec_id")
@@ -17196,6 +17196,12 @@ def q_pca_power_iteration(spark, sf_dir):
             .agg(F.sum(F.expr("qv * r")).cast("long").alias("u"))
         )
         mx = u.agg(F.max(F.abs("u")).alias("mx"))
+        # checkpoint EVERY iterate — measured best of three forms at
+        # sf0.1: 2.8s here vs 9.7s checkpointing every 4th (u is
+        # referenced twice, so un-checkpointed subplans double per
+        # round) vs 3.7s for a window-normalizer variant. Iterative
+        # DataFrame algorithms on tiny state pay per-round scheduling
+        # either way; flat lineage wins.
         v = (
             u.crossJoin(broadcast(mx))
             .select(
