@@ -17481,6 +17481,348 @@ def q_knn_classify(spark, sf_dir):
     )
 
 
+@register(
+    "mcnemar_test",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS val
+      FROM orders
+    ), cells AS (
+      SELECT val, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY 1
+    ), cum AS (
+      SELECT val, SUM(c) OVER (ORDER BY val ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS cw,
+             SUM(c) OVER () AS tot
+      FROM cells
+    ), med AS (
+      SELECT CAST(MIN(CASE WHEN 2 * cw >= tot THEN val END) AS BIGINT)
+               AS m
+      FROM cum
+    ), base AS (
+      SELECT n_name,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS a,
+             CASE WHEN CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                  AS BIGINT) > med.m THEN 1 ELSE 0 END AS b
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      CROSS JOIN med
+    )
+    SELECT n_name,
+           CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS b_discordant,
+           CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS c_discordant,
+           CASE WHEN SUM(CASE WHEN a <> b THEN 1 ELSE 0 END) > 0 THEN
+             CAST((SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                   - SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END))
+                  * (SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                   - SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END))
+                  AS DOUBLE)
+             / CAST(SUM(CASE WHEN a <> b THEN 1 ELSE 0 END) AS DOUBLE)
+           END AS mcnemar_chi2
+    FROM base GROUP BY 1
+    """,
+)
+def q_mcnemar_test(spark, sf_dir):
+    """McNemar's test for PAIRED binary outcomes per nation: does
+    "order is fulfilled" disagree with "order is above the global
+    median value" asymmetrically? The paired test is what chi2
+    contingency (chi2_priority_status) cannot do — it conditions on
+    the same items carrying both labels and looks only at the
+    DISCORDANT cells: chi2 = (b-c)^2 / (b+c). Counts are exact; the
+    statistic is one mirrored division of exact integers; the global
+    median threshold is an exact rank pick on value cells via
+    global_cumsum (broadcast scalar). Degenerate all-concordant
+    groups yield NULL via mirrored CASE."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    v = o.select(
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)"
+        ).alias("val")
+    )
+    cells = v.groupBy("val").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    med = R.global_cumsum(cells, "c", ["val"]).agg(
+        F.min(F.when(F.expr("2 * _cum >= _total"), F.col("val")))
+        .cast("long")
+        .alias("m")
+    )
+    base = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .crossJoin(broadcast(med))
+        .select(
+            "n_name",
+            F.expr(
+                "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END"
+            ).alias("a"),
+            F.expr(
+                "CASE WHEN CAST(CAST(o_totalprice AS DECIMAL(14,2))"
+                " * 100 AS BIGINT) > m THEN 1 ELSE 0 END"
+            ).alias("b"),
+        )
+    )
+    return base.groupBy("n_name").agg(
+        F.sum(F.expr("CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("b_discordant"),
+        F.sum(F.expr("CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("c_discordant"),
+        F.expr(
+            "CASE WHEN SUM(CASE WHEN a <> b THEN 1 ELSE 0 END) > 0"
+            " THEN CAST((SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0"
+            " END) - SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END))"
+            " * (SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)"
+            " - SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END))"
+            " AS DOUBLE)"
+            " / CAST(SUM(CASE WHEN a <> b THEN 1 ELSE 0 END)"
+            " AS DOUBLE) END"
+        ).alias("mcnemar_chi2"),
+    )
+
+
+@register(
+    "cohen_kappa",
+    oracle="""
+    WITH cust AS MATERIALIZED (
+      SELECT c_custkey AS k, c_nationkey AS nk,
+             CAST(COALESCE(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                  * 100 AS BIGINT)), 0) AS BIGINT) AS cents,
+             CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ), sc AS (
+      SELECT cents AS val, CAST(COUNT(*) AS BIGINT) AS c
+      FROM cust GROUP BY 1
+    ), scum AS (
+      SELECT val, SUM(c) OVER (ORDER BY val ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS cw, SUM(c) OVER () AS tot
+      FROM sc
+    ), smed AS (
+      SELECT CAST(MIN(CASE WHEN 2 * cw >= tot THEN val END) AS BIGINT)
+               AS m FROM scum
+    ), oc AS (
+      SELECT n_orders AS val, CAST(COUNT(*) AS BIGINT) AS c
+      FROM cust GROUP BY 1
+    ), ocum AS (
+      SELECT val, SUM(c) OVER (ORDER BY val ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS cw, SUM(c) OVER () AS tot
+      FROM oc
+    ), omed AS (
+      SELECT CAST(MIN(CASE WHEN 2 * cw >= tot THEN val END) AS BIGINT)
+               AS m FROM ocum
+    ), lab AS (
+      SELECT r_name,
+             CASE WHEN cents > smed.m THEN 1 ELSE 0 END AS a,
+             CASE WHEN n_orders > omed.m THEN 1 ELSE 0 END AS b
+      FROM cust JOIN nation ON nk = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+      CROSS JOIN smed CROSS JOIN omed
+    ), g AS (
+      SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+               AS agree,
+             CAST(SUM(a) AS BIGINT) AS r1, CAST(SUM(b) AS BIGINT) AS c1
+      FROM lab GROUP BY 1
+    )
+    SELECT r_name, n, agree, r1, c1,
+           CASE WHEN n * n - (r1 * c1 + (n - r1) * (n - c1)) <> 0 THEN
+             CAST(n * agree - (r1 * c1 + (n - r1) * (n - c1))
+                  AS DOUBLE)
+             / CAST(n * n - (r1 * c1 + (n - r1) * (n - c1)) AS DOUBLE)
+           END AS kappa
+    FROM g
+    """,
+)
+def q_cohen_kappa(spark, sf_dir):
+    """Cohen's kappa per region between two derived binary "raters" —
+    high-spender (lifetime cents above the global median) vs
+    frequent-buyer (order count above the global median): agreement
+    corrected for chance, the metric label-quality audits use where
+    raw accuracy lies. The whole statistic is RATIONAL: kappa =
+    (n*agree - (r1*c1 + r0*c0)) / (n^2 - (r1*c1 + r0*c0)) with exact
+    BIGINT marginals, one mirrored division at the end; both median
+    thresholds are exact rank picks via global_cumsum, broadcast
+    once. LEFT JOIN keeps zero-order customers (they're rater-0 on
+    both scales — real agreement, not missing data)."""
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region")
+    cust = (
+        cu.join(o, cu.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100"
+                        " AS BIGINT)"
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("cents"),
+            F.count("o_orderkey").cast("long").alias("n_orders"),
+        )
+    )
+    def _median_of(col):
+        cells = cust.groupBy(F.col(col).alias("val")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        return R.global_cumsum(cells, "c", ["val"]).agg(
+            F.min(
+                F.when(F.expr("2 * _cum >= _total"), F.col("val"))
+            )
+            .cast("long")
+            .alias(f"m_{col}")
+        )
+    lab = (
+        cust.crossJoin(broadcast(_median_of("cents")))
+        .crossJoin(broadcast(_median_of("n_orders")))
+        .join(broadcast(na), cust.c_nationkey == na.n_nationkey)
+        .join(broadcast(re), na.n_regionkey == re.r_regionkey)
+        .select(
+            "r_name",
+            F.expr(
+                "CASE WHEN cents > m_cents THEN 1 ELSE 0 END"
+            ).alias("a"),
+            F.expr(
+                "CASE WHEN n_orders > m_n_orders THEN 1 ELSE 0 END"
+            ).alias("b"),
+        )
+    )
+    g = lab.groupBy("r_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("CASE WHEN a = b THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("agree"),
+        F.sum("a").cast("long").alias("r1"),
+        F.sum("b").cast("long").alias("c1"),
+    )
+    return g.select(
+        "r_name",
+        "n",
+        "agree",
+        "r1",
+        "c1",
+        F.expr(
+            "CASE WHEN n * n - (r1 * c1 + (n - r1) * (n - c1)) <> 0"
+            " THEN CAST(n * agree - (r1 * c1 + (n - r1) * (n - c1))"
+            " AS DOUBLE)"
+            " / CAST(n * n - (r1 * c1 + (n - r1) * (n - c1))"
+            " AS DOUBLE) END"
+        ).alias("kappa"),
+    )
+
+
+_MARKOV_ITERS = 16
+
+
+def _markov_oracle_sql(iters: int = _MARKOV_ITERS) -> str:
+    head = """
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), trans AS MATERIALIZED (
+      SELECT event_type AS src, nxt AS dst, CAST(COUNT(*) AS BIGINT)
+               AS c
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), p AS MATERIALIZED (
+      SELECT src, dst,
+             CAST(c * 1000000 // SUM(c) OVER (PARTITION BY src)
+                  AS BIGINT) AS p_ppm
+      FROM trans
+    ), types AS MATERIALIZED (SELECT DISTINCT src AS t FROM trans),
+    ntypes AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k FROM types
+    ), pi0 AS MATERIALIZED (
+      SELECT t, CAST(1000000 // ntypes.k AS BIGINT) AS mass
+      FROM types CROSS JOIN ntypes
+    )"""
+    prev, parts = "pi0", [head]
+    for it in range(1, iters + 1):
+        parts.append(f""",
+    pi{it} AS MATERIALIZED (
+      SELECT p.dst AS t,
+             CAST(SUM(pi.mass * p.p_ppm) // 1000000 AS BIGINT) AS mass
+      FROM {prev} pi JOIN p ON pi.t = p.src GROUP BY 1
+    )""")
+        prev = f"pi{it}"
+    return "".join(parts) + (
+        f" SELECT t AS event_type, mass AS stationary_ppm FROM {prev}"
+    )
+
+
+@register("markov_stationary", oracle=_markov_oracle_sql())
+def q_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the user event-type Markov chain:
+    estimate the transition matrix from consecutive event pairs (the
+    event_transition_matrix derivation: LEAD over (ts, event_id) per
+    user), then power-iterate pi' = pi P 16 times from uniform — the
+    steady-state the chain converges to regardless of start, i.e.
+    the long-run attention share per event type. Everything is
+    fixed-point ppm integer: transition probabilities are
+    c*1e6 DIV row_total, each step is an exact integer
+    multiply-sum DIV 1e6 (truncation bleeds <100 ppm of mass over 16
+    steps — deterministic on both engines, and the bleed itself is
+    an auditable quantity rather than hidden float drift). Spark
+    iterates a 5-row state DataFrame (localCheckpointed); the oracle
+    unrolls the same loop into MATERIALIZED CTEs (the PCA lesson:
+    non-materialized chains re-inline exponentially)."""
+    ev = _t(spark, sf_dir, "events")
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(wl).alias("nxt"),
+    )
+    trans = (
+        seq.where(F.col("nxt").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("src"),
+            F.col("nxt").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    p = trans.select(
+        "src",
+        "dst",
+        F.expr(
+            "CAST(c * 1000000 DIV SUM(c) OVER (PARTITION BY src)"
+            " AS BIGINT)"
+        ).alias("p_ppm"),
+    ).localCheckpoint(eager=True)
+    types = p.select(F.col("src").alias("t")).distinct()
+    k = types.count()
+    pi = types.select(
+        "t", F.lit(1000000 // k).cast("long").alias("mass")
+    ).localCheckpoint(eager=True)
+    for _ in range(_MARKOV_ITERS):
+        pi = (
+            broadcast(pi)
+            .join(p, pi.t == p.src)
+            .groupBy(F.col("dst").alias("t"))
+            .agg(
+                F.expr(
+                    "CAST(SUM(mass * p_ppm) DIV 1000000 AS BIGINT)"
+                ).alias("mass")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pi.select(
+        F.col("t").alias("event_type"),
+        F.col("mass").alias("stationary_ppm"),
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -17628,7 +17970,8 @@ _FRONT: list[str] = [
     # haar_wavelet_energy, winnow_fingerprints,
     # winnow_plagiarism_pairs, dbscan_core_points,
     # funnel_time_to_convert, pca_power_iteration, sax_symbols,
-    # quantile_normalize, knn_classify.
+    # quantile_normalize, knn_classify, mcnemar_test, cohen_kappa,
+    # markov_stationary.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

@@ -87,6 +87,10 @@ QUERIES = [
     # r6 batch 14 (sequential-state folds)
     "holt_linear_forecast",
     "kruskal_wallis",
+    # r6 batches 17-20 float outputs (mirrored single divisions)
+    "funnel_time_to_convert",
+    "mcnemar_test",
+    "cohen_kappa",
 ]
 
 

@@ -3491,3 +3491,150 @@ def test_knn_classify_recompute(spark):
         mx = max(votes.values())
         best = min(l for l, v in votes.items() if v == mx)
         assert (r.predicted_label, r.votes) == (best, mx)
+
+
+# ------------------------------------------ paired/chain batch 20
+
+
+def test_mcnemar_python_recompute(spark):
+    """Discordant counts and chi2 equal the paired-label replay with
+    the exact-rank global median threshold."""
+    from collections import Counter, defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    nat = {
+        n.n_nationkey: n.n_name
+        for n in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    cn = {
+        c.c_custkey: nat[c.c_nationkey]
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    orders = read_table(spark, SF_SMALL, "orders").collect()
+    vals = sorted(
+        int(Decimal(str(o.o_totalprice)).quantize(Decimal("0.01")) * 100)
+        for o in orders
+    )
+    n = len(vals)
+    cum, med = 0, None
+    cnt = Counter(vals)
+    for v in sorted(cnt):
+        cum += cnt[v]
+        if med is None and 2 * cum >= n:
+            med = v
+    bc = defaultdict(lambda: [0, 0])
+    for o in orders:
+        cents = int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01")) * 100
+        )
+        a = 1 if o.o_orderstatus == "F" else 0
+        b = 1 if cents > med else 0
+        if a == 1 and b == 0:
+            bc[cn[o.o_custkey]][0] += 1
+        if a == 0 and b == 1:
+            bc[cn[o.o_custkey]][1] += 1
+    for r in _q(spark, "mcnemar_test").collect():
+        b, c = bc[r.n_name]
+        assert (r.b_discordant, r.c_discordant) == (b, c)
+        if b + c > 0:
+            assert r.mcnemar_chi2 == float((b - c) * (b - c)) / float(b + c)
+        else:
+            assert r.mcnemar_chi2 is None
+
+
+def test_cohen_kappa_recompute_and_bounds(spark):
+    """Marginals and kappa equal the rational-replay; kappa is within
+    [-1, 1] and positive here (spend and order count correlate)."""
+    from collections import Counter, defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    nat = {
+        n.n_nationkey: n.n_regionkey
+        for n in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    reg = {
+        r.r_regionkey: r.r_name
+        for r in read_table(spark, SF_SMALL, "region").collect()
+    }
+    spend = defaultdict(int)
+    cnt = defaultdict(int)
+    region_of = {}
+    for c in read_table(spark, SF_SMALL, "customer").collect():
+        spend[c.c_custkey] += 0
+        region_of[c.c_custkey] = reg[nat[c.c_nationkey]]
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        spend[o.o_custkey] += int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01")) * 100
+        )
+        cnt[o.o_custkey] += 1
+
+    def med(values):
+        n = len(values)
+        c = Counter(values)
+        cum = 0
+        for v in sorted(c):
+            cum += c[v]
+            if 2 * cum >= n:
+                return v
+
+    smed = med(list(spend.values()))
+    omed = med([cnt[k] for k in spend])
+    g = defaultdict(lambda: [0, 0, 0, 0])  # n, agree, r1, c1
+    for k in spend:
+        a = 1 if spend[k] > smed else 0
+        b = 1 if cnt[k] > omed else 0
+        w = g[region_of[k]]
+        w[0] += 1
+        w[1] += a == b
+        w[2] += a
+        w[3] += b
+    for r in _q(spark, "cohen_kappa").collect():
+        n, agree, r1, c1 = g[r.r_name]
+        assert (r.n, r.agree, r.r1, r.c1) == (n, agree, r1, c1)
+        pe = r1 * c1 + (n - r1) * (n - c1)
+        if n * n - pe != 0:
+            want = float(n * agree - pe) / float(n * n - pe)
+            assert r.kappa == want
+            assert -1.0 <= r.kappa <= 1.0
+
+
+def test_markov_stationary_recompute(spark):
+    """The 16-step fixed-point iteration equals an exact integer
+    Python replay; total mass stays within 100 ppm of 1e6 (the
+    truncation bleed the docstring promises)."""
+    from collections import defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    by_user = defaultdict(list)
+    for e in read_table(spark, SF_SMALL, "events").collect():
+        by_user[e.user_id].append((e.ts, e.event_id, e.event_type))
+    trans = defaultdict(int)
+    for evs in by_user.values():
+        evs.sort()
+        for (a, b) in zip(evs, evs[1:]):
+            trans[(a[2], b[2])] += 1
+    row = defaultdict(int)
+    for (s, d), c in trans.items():
+        row[s] += c
+    p = {(s, d): c * 1_000_000 // row[s] for (s, d), c in trans.items()}
+    types = sorted(row)
+    pi = {t: 1_000_000 // len(types) for t in types}
+    for _ in range(16):
+        nxt = defaultdict(int)
+        for (s, d), ppm in p.items():
+            nxt[d] += pi[s] * ppm
+        pi = {t: v // 1_000_000 for t, v in nxt.items()}
+    got = {
+        r.event_type: r.stationary_ppm
+        for r in _q(spark, "markov_stationary").collect()
+    }
+    assert got == pi
+    assert 1_000_000 - sum(got.values()) <= 100

@@ -61,6 +61,9 @@ WHITELIST = {
     "haar_wavelet_energy": "1-row global min-month origin broadcast onto the cell table",
     "pca_power_iteration": "per-iteration 1-row max-abs normalizer broadcast onto the 64-dim iterate",
     "sax_symbols": "1-row origin + 1-row quartile-breakpoint broadcasts onto the segment cells",
+    "mcnemar_test": "1-row global-median rank pick broadcast onto the fact rows",
+    "cohen_kappa": "two 1-row median rank picks broadcast onto customer cells",
+    "markov_stationary": "5-row iterate broadcast-joined to the transition cells per step",
     "ams_f2_sketch": "1-row exact-F2 aggregate cross-joined with the 1-row sketch estimate (two scalar cells)",
     "trade_graph_shortest_cost": "1-row totals/seed aggregates over the <=|nations|^2 bilateral table (graph-family scalar attach)",
     "share_of_parent": "1-row grand-total aggregate broadcast-attached to the |nations|-row leaf table",
