@@ -17823,6 +17823,242 @@ def q_markov_stationary(spark, sf_dir):
     )
 
 
+@register(
+    "token_cooccurrence_lift",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, g.i - 1 AS pos, ws[g.i] AS w
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+            FROM documents),
+           (SELECT UNNEST(generate_series(1, 100000)) AS i) g
+      WHERE g.i <= len(ws)
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM toks),
+    uni AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM toks GROUP BY 1
+    ), pairs AS (
+      SELECT LEAST(a.w, b.w) AS w1, GREATEST(a.w, b.w) AS w2,
+             CAST(COUNT(*) AS BIGINT) AS joint
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos + 1 AND a.pos + 3
+      WHERE a.w <> b.w
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT p.w1, p.w2, p.joint,
+             CAST(p.joint * tot.t * 1000000 // (u1.f * u2.f) AS BIGINT)
+               AS lift_ppm
+      FROM pairs p JOIN uni u1 ON p.w1 = u1.w
+                   JOIN uni u2 ON p.w2 = u2.w
+      CROSS JOIN tot
+      WHERE p.joint >= 10
+    )
+    SELECT w1, w2, joint, lift_ppm FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY lift_ppm DESC, w1, w2)
+               AS rk
+      FROM scored
+    ) WHERE rk <= 20
+    """,
+)
+def q_token_cooccurrence_lift(spark, sf_dir):
+    """Collocation detection: top-20 token pairs by co-occurrence LIFT
+    within a +-3-position skip-gram window — the PMI screen with the
+    log dropped (lift = P(w1,w2)/(P(w1)P(w2)) ranks identically to
+    PMI, so the statistic stays a fixed-point ppm integer:
+    joint*T*1e6 DIV (f1*f2)). The windowed pair join is NOT a range
+    join (Spark would BNLJ it): the right side explodes into offsets
+    d in {1,2,3} and the join is pure equi on (doc_id, pos + d) —
+    the ewma_dyadic banding lesson applied to text. Support floor
+    joint >= 10 bounds the scored set; the top-20 window orders by
+    (lift, w1, w2), fully deterministic. Scale: pair cardinality is
+    3 * corpus tokens before grouping — linear, partitioned by
+    doc."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("split(trim(text), '\\\\s+')").alias("ws")
+    )
+    toks = d.select(
+        "doc_id", F.posexplode("ws").alias("pos", "w")
+    )
+    tot = toks.agg(F.count(F.lit(1)).cast("long").alias("t"))
+    uni = toks.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    b = toks.select(
+        F.col("doc_id").alias("doc2"),
+        F.col("pos").alias("pos2"),
+        F.col("w").alias("w2r"),
+    ).withColumn(
+        "dd", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))
+    )
+    pairs = (
+        toks.join(
+            b,
+            (F.col("doc_id") == F.col("doc2"))
+            & (F.col("pos") == F.col("pos2") - F.col("dd"))
+            & (F.col("w") != F.col("w2r")),
+        )
+        .groupBy(
+            F.least("w", "w2r").alias("w1"),
+            F.greatest("w", "w2r").alias("w2"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("joint"))
+        .where(F.col("joint") >= 10)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("f").alias("f1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("f").alias("f2"))
+    scored = (
+        pairs.join(broadcast(u1), "w1")
+        .join(broadcast(u2), "w2")
+        .crossJoin(broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "joint",
+            F.expr(
+                "CAST(joint * t * 1000000 DIV (f1 * f2) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("lift_ppm"), "w1", "w2")
+        .limit(20)
+        .select("w1", "w2", "joint", "lift_ppm")
+    )
+
+
+@register(
+    "seasonal_naive_anomaly",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), dw AS (
+      SELECT event_type, day, cnt,
+             CAST((day - DATE '1995-01-01') % 7 AS BIGINT) AS dow
+      FROM d
+    ), cells AS (
+      SELECT event_type, dow, cnt AS val, CAST(COUNT(*) AS BIGINT) AS c
+      FROM dw GROUP BY 1, 2, 3
+    ), cum AS (
+      SELECT event_type, dow, val,
+             SUM(c) OVER (PARTITION BY event_type, dow ORDER BY val
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cw,
+             SUM(c) OVER (PARTITION BY event_type, dow) AS tot
+      FROM cells
+    ), med AS (
+      SELECT event_type, dow,
+             CAST(MIN(CASE WHEN 2 * cw >= tot THEN val END) AS BIGINT)
+               AS med
+      FROM cum GROUP BY 1, 2
+    ), dev AS (
+      SELECT dw.event_type, dw.dow, ABS(dw.cnt - med.med) AS adev
+      FROM dw JOIN med ON dw.event_type = med.event_type
+                      AND dw.dow = med.dow
+    ), dcells AS (
+      SELECT event_type, dow, adev AS val, CAST(COUNT(*) AS BIGINT)
+               AS c
+      FROM dev GROUP BY 1, 2, 3
+    ), dcum AS (
+      SELECT event_type, dow, val,
+             SUM(c) OVER (PARTITION BY event_type, dow ORDER BY val
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cw,
+             SUM(c) OVER (PARTITION BY event_type, dow) AS tot
+      FROM dcells
+    ), mad AS (
+      SELECT event_type, dow,
+             CAST(MIN(CASE WHEN 2 * cw >= tot THEN val END) AS BIGINT)
+               AS mad
+      FROM dcum GROUP BY 1, 2
+    )
+    SELECT dw.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN ABS(dw.cnt - med.med) > 2 * mad.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS anomalous_days
+    FROM dw JOIN med ON dw.event_type = med.event_type
+                    AND dw.dow = med.dow
+            JOIN mad ON dw.event_type = mad.event_type
+                    AND dw.dow = mad.dow
+    GROUP BY 1
+    """,
+)
+def q_seasonal_naive_anomaly(spark, sf_dir):
+    """Seasonal-robust anomaly flags on daily event volumes: a day is
+    anomalous when its count deviates from the SAME-WEEKDAY median by
+    more than 2 MAD — the robust seasonal-naive detector (median/MAD
+    shrug off the very outliers a mean/sigma rule would absorb, and
+    weekday conditioning removes the dominant seasonality before
+    thresholding). Everything is exact integer: weekday via epoch-day
+    arithmetic ((day - 1995-01-01) % 7, engine-convention-free — the
+    weekday_seasonality recipe), both the median and the MAD are
+    exact rank picks on (type, dow)-partitioned value cells, and the
+    2-MAD test is an integer comparison — no sigma, no floats
+    anywhere. Scale: daily cells are tiny; every window partitions
+    by (type, dow)."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.expr("CAST(ts AS DATE)").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    dw = d.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.expr(
+            "CAST(datediff(day, DATE '1995-01-01') % 7 AS BIGINT)"
+        ).alias("dow"),
+    )
+
+    def _rank_median(df, valcol, out):
+        cells = df.groupBy(
+            "event_type", "dow", F.col(valcol).alias("val")
+        ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        wcum = (
+            Window.partitionBy("event_type", "dow")
+            .orderBy("val")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wall = Window.partitionBy("event_type", "dow")
+        cum = cells.select(
+            "event_type",
+            "dow",
+            "val",
+            F.sum("c").over(wcum).alias("cw"),
+            F.sum("c").over(wall).alias("tot"),
+        )
+        return cum.groupBy("event_type", "dow").agg(
+            F.min(
+                F.when(F.expr("2 * cw >= tot"), F.col("val"))
+            )
+            .cast("long")
+            .alias(out)
+        )
+
+    med = _rank_median(dw, "cnt", "med")
+    dev = dw.join(med, ["event_type", "dow"]).select(
+        "event_type",
+        "dow",
+        F.abs(F.col("cnt") - F.col("med")).alias("adev"),
+    )
+    mad = _rank_median(dev, "adev", "mad")
+    return (
+        dw.join(med, ["event_type", "dow"])
+        .join(mad, ["event_type", "dow"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("cnt") - F.col("med"))
+                    > 2 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("anomalous_days"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -17971,7 +18207,8 @@ _FRONT: list[str] = [
     # winnow_plagiarism_pairs, dbscan_core_points,
     # funnel_time_to_convert, pca_power_iteration, sax_symbols,
     # quantile_normalize, knn_classify, mcnemar_test, cohen_kappa,
-    # markov_stationary.
+    # markov_stationary, token_cooccurrence_lift,
+    # seasonal_naive_anomaly.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

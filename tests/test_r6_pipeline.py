@@ -3638,3 +3638,90 @@ def test_markov_stationary_recompute(spark):
     }
     assert got == pi
     assert 1_000_000 - sum(got.values()) <= 100
+
+
+def test_token_cooccurrence_lift_recompute(spark):
+    """Top-20 collocations equal a pure-Python replay: whitespace
+    tokenize, count skip-gram pairs within +1..+3, support floor 10,
+    integer lift_ppm = joint*T*1e6 // (f1*f2), order by (lift desc,
+    w1, w2)."""
+    import re
+    from collections import Counter
+
+    toks_by_doc = {}
+    for d in _docs(spark).collect():
+        toks_by_doc[d.doc_id] = re.split(r"\s+", d.text.strip())
+    uni = Counter()
+    pairs = Counter()
+    total = 0
+    for ws in toks_by_doc.values():
+        total += len(ws)
+        uni.update(ws)
+        for i, a in enumerate(ws):
+            for b in ws[i + 1 : i + 4]:
+                if a != b:
+                    pairs[(min(a, b), max(a, b))] += 1
+    scored = [
+        (
+            joint * total * 1_000_000 // (uni[w1] * uni[w2]),
+            w1,
+            w2,
+            joint,
+        )
+        for (w1, w2), joint in pairs.items()
+        if joint >= 10
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = [(w1, w2, joint, lift) for lift, w1, w2, joint in scored[:20]]
+    got = [
+        (r.w1, r.w2, r.joint, r.lift_ppm)
+        for r in _q(spark, "token_cooccurrence_lift")
+        .orderBy(F.desc("lift_ppm"), "w1", "w2")
+        .collect()
+    ]
+    assert got == want
+
+
+def test_seasonal_naive_anomaly_recompute(spark):
+    """Anomalous-day counts equal a pure-Python replay of the
+    same-weekday median/MAD rule (exact rank-pick medians, integer
+    2-MAD threshold)."""
+    import datetime
+    from collections import Counter, defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    anchor = datetime.date(1995, 1, 1)
+    daily = Counter()
+    for e in read_table(spark, SF_SMALL, "events").collect():
+        daily[(e.event_type, e.ts.date())] += 1
+
+    def med(values):
+        n = len(values)
+        c = Counter(values)
+        cum = 0
+        for v in sorted(c):
+            cum += c[v]
+            if 2 * cum >= n:
+                return v
+
+    cells = defaultdict(list)
+    for (et, day), cnt in daily.items():
+        cells[(et, (day - anchor).days % 7)].append(cnt)
+    m = {k: med(v) for k, v in cells.items()}
+    mad = {
+        k: med([abs(x - m[k]) for x in v]) for k, v in cells.items()
+    }
+    n_days = Counter()
+    anom = Counter()
+    for (et, day), cnt in daily.items():
+        k = (et, (day - anchor).days % 7)
+        n_days[et] += 1
+        if abs(cnt - m[k]) > 2 * mad[k]:
+            anom[et] += 1
+    for r in _q(spark, "seasonal_naive_anomaly").collect():
+        assert (r.n_days, r.anomalous_days) == (
+            n_days[r.event_type],
+            anom[r.event_type],
+        )
