@@ -18059,6 +18059,390 @@ def q_seasonal_naive_anomaly(spark, sf_dir):
     )
 
 
+_HITS_ITERS = 8
+
+
+def _hits_oracle_sql(iters: int = _HITS_ITERS) -> str:
+    head = """
+    WITH trade AS MATERIALIZED (
+      SELECT s_nationkey AS src, c_nationkey AS dst,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1 - l_discount AS DECIMAL(4,2))) AS vol
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      WHERE s_nationkey <> c_nationkey
+      GROUP BY 1, 2
+    ), edges AS MATERIALIZED (
+      SELECT src, dst FROM trade
+      WHERE CAST(vol AS DOUBLE) * (SELECT COUNT(*) FROM trade)
+            > (SELECT CAST(SUM(vol) AS DOUBLE) FROM trade)
+    ), nodes AS MATERIALIZED (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges
+        UNION ALL SELECT dst FROM edges)
+    ), a0 AS MATERIALIZED (
+      SELECT node, CAST(1000000 AS BIGINT) AS mass FROM nodes
+    )"""
+    prev_a, parts = "a0", [head]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    hraw{i} AS MATERIALIZED (
+      SELECT n.node,
+             CAST(COALESCE(SUM(a.mass), 0) AS BIGINT) AS raw
+      FROM nodes n
+      LEFT JOIN edges e ON e.src = n.node
+      LEFT JOIN {prev_a} a ON a.node = e.dst
+      GROUP BY 1
+    ), h{i} AS MATERIALIZED (
+      SELECT node, CAST(raw * 1000000
+                 // (SELECT MAX(raw) FROM hraw{i}) AS BIGINT) AS mass
+      FROM hraw{i}
+    ), araw{i} AS MATERIALIZED (
+      SELECT n.node,
+             CAST(COALESCE(SUM(h.mass), 0) AS BIGINT) AS raw
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.node
+      LEFT JOIN h{i} h ON h.node = e.src
+      GROUP BY 1
+    ), a{i} AS MATERIALIZED (
+      SELECT node, CAST(raw * 1000000
+                 // (SELECT MAX(raw) FROM araw{i}) AS BIGINT) AS mass
+      FROM araw{i}
+    )""")
+        prev_a = f"a{i}"
+    return "".join(parts) + f"""
+    SELECT n_name, h.mass AS hub_ppm, a.mass AS auth_ppm
+    FROM nation
+    JOIN h{iters} h ON h.node = n_nationkey
+    JOIN a{iters} a ON a.node = n_nationkey
+    """
+
+
+@register("hits_hubs_authorities", oracle=_hits_oracle_sql())
+def q_hits_hubs_authorities(spark, sf_dir):
+    """HITS hubs/authorities (Kleinberg JACM'99) on the DIRECTED
+    trade graph (supplier nation -> customer nation, above-mean
+    volume edges via the cross-multiplied mean test — no division):
+    8 mutual-reinforcement rounds h=A.a, a=A^T.h, each renormalized
+    by its max into fixed-point ppm integers (the max element lands
+    on exactly 1e6, so the next round's sums are never all-zero —
+    division by zero is structurally impossible on a nonempty edge
+    set). The directed complement to pagerank_parts (endorsement
+    flow) and markov_stationary (occupancy): hubs = diversified
+    buyers-from-good-exporters, authorities = exporters favored by
+    good hubs. State is a <=|nations|-row DataFrame
+    localCheckpointed per half-round (the pca_power_iteration
+    lesson: twice-referenced un-checkpointed iterates double the
+    recursive subplan); the oracle unrolls the identical recurrence
+    into MATERIALIZED CTEs. Scale: the only fact-scale work is the
+    one trade aggregation; 16 tiny normalizer attaches ride on
+    25-row states."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    trade = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount")).cast(
+                    "decimal(4,2)"
+                )
+            ).alias("vol")
+        )
+        .localCheckpoint(eager=True)
+    )
+    stats = trade.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.expr("CAST(SUM(vol) AS DOUBLE)").alias("tot"),
+    )
+    edges = (
+        trade.crossJoin(broadcast(stats))
+        .where(F.expr("CAST(vol AS DOUBLE) * cnt > tot"))
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a = nodes.select(
+        "node", F.lit(1000000).cast("long").alias("mass")
+    ).localCheckpoint(eager=True)
+
+    def _step(state, out_key, in_key):
+        contrib = (
+            edges.join(
+                broadcast(state), state.node == edges[in_key]
+            )
+            .groupBy(F.col(out_key).alias("cn"))
+            .agg(F.sum("mass").cast("long").alias("raw"))
+        )
+        raw = (
+            nodes.join(contrib, nodes.node == contrib.cn, "left")
+            .select(
+                "node",
+                F.coalesce(F.col("raw"), F.lit(0))
+                .cast("long")
+                .alias("raw"),
+            )
+        )
+        mx = raw.agg(F.max("raw").alias("mxraw"))
+        return (
+            raw.crossJoin(broadcast(mx))
+            .select(
+                "node",
+                F.expr(
+                    "CAST(raw * 1000000 DIV mxraw AS BIGINT)"
+                ).alias("mass"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    for _ in range(_HITS_ITERS):
+        h = _step(a, "src", "dst")
+        a = _step(h, "dst", "src")
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        broadcast(nat)
+        .join(
+            h.select(
+                F.col("node").alias("hn"),
+                F.col("mass").alias("hub_ppm"),
+            ),
+            F.col("hn") == F.col("n_nationkey"),
+        )
+        .join(
+            a.select(
+                F.col("node").alias("an"),
+                F.col("mass").alias("auth_ppm"),
+            ),
+            F.col("an") == F.col("n_nationkey"),
+        )
+        .select("n_name", "hub_ppm", "auth_ppm")
+    )
+
+
+@register(
+    "lead_lag_crosscorr",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS xc
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ), y AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS yc
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), lags AS (SELECT UNNEST(generate_series(0, 7)) AS lag),
+    pairs AS (
+      SELECT l.lag, x.xc, y.yc
+      FROM lags l JOIN x ON TRUE
+      JOIN y ON y.day = x.day + CAST(l.lag AS INTEGER)
+    ), mom AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xc) AS BIGINT) AS sx,
+             CAST(SUM(yc) AS BIGINT) AS sy,
+             CAST(SUM(xc*xc) AS BIGINT) AS sxx,
+             CAST(SUM(yc*yc) AS BIGINT) AS syy,
+             CAST(SUM(xc*yc) AS BIGINT) AS sxy
+      FROM pairs GROUP BY 1
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n,
+           CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+                THEN CAST(n*sxy - sx*sy AS DOUBLE)
+                     / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                        * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+                END AS corr
+    FROM mom
+    """,
+)
+def q_lead_lag_crosscorr(spark, sf_dir):
+    """Lead-lag cross-correlation between the daily view and
+    purchase volumes at lags 0..7 days — does browsing predict
+    buying, and with what delay? (The cross-series partner of
+    autocorr_lag1.) Pairs align by CALENDAR shift (y.day = x.day +
+    lag via an 8-way lag explode on the ~30-row daily cell table,
+    then an equi-join — never a range join, and missing days drop
+    out identically on both engines rather than silently pairing
+    adjacent rows as lag() over a gapped series would). Pearson r
+    per lag from exact BIGINT moments with the one mirrored
+    division at the end (sqrt is IEEE-portable); degenerate
+    variance yields NULL via the mirrored CASE. Scale: everything
+    after the first groupBy is calendar-bounded (days x 8 rows)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("CAST(ts AS DATE)").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    x = daily.where(F.col("event_type") == "view").select(
+        "day", F.col("c").alias("xc")
+    )
+    y = daily.where(F.col("event_type") == "purchase").select(
+        F.col("day").alias("yday"), F.col("c").alias("yc")
+    )
+    xl = x.withColumn(
+        "lag", F.explode(F.sequence(F.lit(0), F.lit(7)))
+    ).withColumn("jday", F.expr("date_add(day, lag)"))
+    mom = (
+        xl.join(y, xl.jday == y.yday)
+        .groupBy(F.col("lag").cast("long").alias("lag"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("xc").cast("long").alias("sx"),
+            F.sum("yc").cast("long").alias("sy"),
+            F.sum(F.col("xc") * F.col("xc")).cast("long").alias("sxx"),
+            F.sum(F.col("yc") * F.col("yc")).cast("long").alias("syy"),
+            F.sum(F.col("xc") * F.col("yc")).cast("long").alias("sxy"),
+        )
+    )
+    return mom.select(
+        "lag",
+        "n",
+        F.expr(
+            "CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0"
+            " THEN CAST(n*sxy - sx*sy AS DOUBLE)"
+            " / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))"
+            " * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) END"
+        ).alias("corr"),
+    )
+
+
+@register(
+    "label_centroid_cosine",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), m AS (
+      SELECT vec_id, MAX(ABS(v)) AS m FROM ex GROUP BY 1
+    ), q AS (
+      SELECT ex.vec_id, ex.label, pos,
+             CASE WHEN m.m = 0 THEN 0
+                  ELSE CAST(trunc(127.0 * v / m.m) AS BIGINT)
+                  END AS qv
+      FROM ex JOIN m USING (vec_id)
+    ), cent AS MATERIALIZED (
+      SELECT label, pos,
+             CAST(SUM(qv) * 1000000 // COUNT(*) AS BIGINT) AS c
+      FROM q GROUP BY 1, 2
+    ), dots AS (
+      SELECT a.label AS l1, b.label AS l2,
+             CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+      FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY 1, 2
+    ), norms AS (
+      SELECT label, CAST(SUM(c * c) AS BIGINT) AS nn
+      FROM cent GROUP BY 1
+    )
+    SELECT CAST(l1 AS BIGINT) AS l1, CAST(l2 AS BIGINT) AS l2,
+           CASE WHEN n1.nn > 0 AND n2.nn > 0
+                THEN CAST(dot AS DOUBLE)
+                     / (sqrt(CAST(n1.nn AS DOUBLE))
+                        * sqrt(CAST(n2.nn AS DOUBLE)))
+                END AS cos_sim
+    FROM dots
+    JOIN norms n1 ON n1.label = l1
+    JOIN norms n2 ON n2.label = l2
+    """,
+)
+def q_label_centroid_cosine(spark, sf_dir):
+    """Inter-cluster centroid geometry: cosine similarity between
+    the per-label centroids of the int8-quantized embeddings — the
+    embedding-drift / class-separability readout (labels whose
+    centroids cos>~0.9 are candidates for merging; near-orthogonal
+    ones are well separated). Centroids are FIXED-POINT ppm vectors
+    (SUM(qv)*1e6 DIV n — exact BIGINT; Spark DIV and DuckDB //
+    both truncate toward zero, probed, so negative sums agree),
+    dots and norms are exact int64 sums (|c|<=127e6, c^2*64 ~ 1e18
+    < 2^63), and the only float op is the one mirrored
+    division-by-sqrt-product at the end. Plan: one posexplode ->
+    per-vector max-abs (the int8_quantized_topk code path) ->
+    (label,pos) centroid agg (labels x dims rows) -> tiny self-join
+    on pos. Scale: everything after the centroid agg is
+    O(labels^2 x dims); the fact-scale work is one pass."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "vf"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("vf").cast("double").alias("v"),
+    )
+    m = ex.groupBy("vec_id").agg(F.max(F.abs("v")).alias("m"))
+    q = ex.join(m, "vec_id").select(
+        "label",
+        "pos",
+        F.when(F.col("m") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("cast(127.0 * v / m as bigint)"))
+        .alias("qv"),
+    )
+    cent = q.groupBy("label", "pos").agg(
+        F.expr(
+            "CAST(SUM(qv) * 1000000 DIV COUNT(1) AS BIGINT)"
+        ).alias("c")
+    )
+    ca = cent.select(
+        F.col("label").alias("l1"), "pos", F.col("c").alias("c1")
+    )
+    cb = cent.select(
+        F.col("label").alias("l2"),
+        F.col("pos").alias("pos2"),
+        F.col("c").alias("c2"),
+    )
+    dots = (
+        ca.join(
+            cb,
+            (F.col("pos") == F.col("pos2"))
+            & (F.col("l1") < F.col("l2")),
+        )
+        .groupBy("l1", "l2")
+        .agg(
+            F.sum(F.col("c1") * F.col("c2")).cast("long").alias("dot")
+        )
+    )
+    norms = cent.groupBy("label").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("nn")
+    )
+    n1 = norms.select(F.col("label").alias("l1"), F.col("nn").alias("nn1"))
+    n2 = norms.select(F.col("label").alias("l2"), F.col("nn").alias("nn2"))
+    return (
+        dots.join(broadcast(n1), "l1")
+        .join(broadcast(n2), "l2")
+        .select(
+            F.col("l1").cast("long").alias("l1"),
+            F.col("l2").cast("long").alias("l2"),
+            F.expr(
+                "CASE WHEN nn1 > 0 AND nn2 > 0"
+                " THEN CAST(dot AS DOUBLE)"
+                " / (sqrt(CAST(nn1 AS DOUBLE))"
+                " * sqrt(CAST(nn2 AS DOUBLE))) END"
+            ).alias("cos_sim"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -18208,7 +18592,8 @@ _FRONT: list[str] = [
     # funnel_time_to_convert, pca_power_iteration, sax_symbols,
     # quantile_normalize, knn_classify, mcnemar_test, cohen_kappa,
     # markov_stationary, token_cooccurrence_lift,
-    # seasonal_naive_anomaly.
+    # seasonal_naive_anomaly, hits_hubs_authorities,
+    # lead_lag_crosscorr, label_centroid_cosine.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

@@ -3725,3 +3725,161 @@ def test_seasonal_naive_anomaly_recompute(spark):
             n_days[r.event_type],
             anom[r.event_type],
         )
+
+
+def test_hits_hubs_authorities_recompute(spark):
+    """The 8-round fixed-point HITS iteration equals an exact
+    integer Python replay on the same above-mean directed edge set;
+    each score vector's max is exactly 1e6 (the normalization
+    invariant that makes zero-division impossible)."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    cn = {
+        c.c_custkey: c.c_nationkey
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    sn = {
+        s.s_suppkey: s.s_nationkey
+        for s in read_table(spark, SF_SMALL, "supplier").collect()
+    }
+    cust_of = {
+        o.o_orderkey: o.o_custkey
+        for o in read_table(spark, SF_SMALL, "orders").collect()
+    }
+    vol = defaultdict(Decimal)
+    for li in read_table(spark, SF_SMALL, "lineitem").collect():
+        src = sn[li.l_suppkey]
+        dst = cn[cust_of[li.l_orderkey]]
+        if src != dst:
+            vol[(src, dst)] += Decimal(str(li.l_extendedprice)).quantize(
+                Decimal("0.01")
+            ) * (Decimal(1) - Decimal(str(li.l_discount)).quantize(
+                Decimal("0.01")
+            ))
+    cnt = len(vol)
+    tot = float(sum(vol.values()))
+    edges = [k for k, v in vol.items() if float(v) * cnt > tot]
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    a = {n: 1_000_000 for n in nodes}
+
+    def step(state, out_idx, in_idx):
+        raw = {n: 0 for n in nodes}
+        for e in edges:
+            raw[e[out_idx]] += state[e[in_idx]]
+        mx = max(raw.values())
+        return {n: r * 1_000_000 // mx for n, r in raw.items()}
+
+    for _ in range(8):
+        h = step(a, 0, 1)
+        a = step(h, 1, 0)
+    nname = {
+        n.n_nationkey: n.n_name
+        for n in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    got = {
+        r.n_name: (r.hub_ppm, r.auth_ppm)
+        for r in _q(spark, "hits_hubs_authorities").collect()
+    }
+    assert got == {nname[n]: (h[n], a[n]) for n in nodes}
+    assert max(v[0] for v in got.values()) == 1_000_000
+    assert max(v[1] for v in got.values()) == 1_000_000
+
+
+def test_lead_lag_crosscorr_recompute(spark):
+    """Per-lag Pearson r equals the exact-moment Python replay with
+    the identical mirrored IEEE division; pair counts shrink as the
+    lag window slides off the calendar."""
+    import math
+    from collections import Counter
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    daily = Counter()
+    for e in read_table(spark, SF_SMALL, "events").collect():
+        daily[(e.event_type, e.ts.date())] += 1
+    x = {d: c for (t, d), c in daily.items() if t == "view"}
+    y = {d: c for (t, d), c in daily.items() if t == "purchase"}
+    import datetime
+
+    want = {}
+    for lag in range(8):
+        pts = [
+            (xc, y[d + datetime.timedelta(days=lag)])
+            for d, xc in x.items()
+            if d + datetime.timedelta(days=lag) in y
+        ]
+        n = len(pts)
+        sx = sum(p[0] for p in pts)
+        sy = sum(p[1] for p in pts)
+        sxx = sum(p[0] * p[0] for p in pts)
+        syy = sum(p[1] * p[1] for p in pts)
+        sxy = sum(p[0] * p[1] for p in pts)
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        corr = (
+            float(n * sxy - sx * sy)
+            / (math.sqrt(float(vx)) * math.sqrt(float(vy)))
+            if vx > 0 and vy > 0
+            else None
+        )
+        want[lag] = (n, corr)
+    got = {
+        r.lag: (r.n, r.corr)
+        for r in _q(spark, "lead_lag_crosscorr").collect()
+    }
+    assert got == want
+
+
+def test_label_centroid_cosine_recompute(spark):
+    """Centroid cosines equal the Python replay: trunc-int8 codes,
+    trunc-division ppm centroids, exact integer dots/norms, one
+    mirrored float division; all 45 label pairs present and within
+    [-1, 1]."""
+    import math
+    from collections import defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    def tdiv(a, b):
+        return -((-a) // b) if a < 0 else a // b
+
+    sums = defaultdict(int)
+    cnts = defaultdict(int)
+    for r in read_table(spark, SF_SMALL, "embeddings").collect():
+        vs = [float(v) for v in r.embedding]
+        m = max(abs(v) for v in vs)
+        for pos, v in enumerate(vs):
+            qv = 0 if m == 0 else int(127.0 * v / m)
+            sums[(r.label, pos)] += qv
+            cnts[(r.label, pos)] += 1
+    cent = defaultdict(dict)
+    for (lbl, pos), s in sums.items():
+        cent[lbl][pos] = tdiv(s * 1_000_000, cnts[(lbl, pos)])
+    labels = sorted(cent)
+    nn = {
+        l: sum(c * c for c in cent[l].values()) for l in labels
+    }
+    want = {}
+    for i, l1 in enumerate(labels):
+        for l2 in labels[i + 1 :]:
+            dot = sum(
+                cent[l1][p] * cent[l2][p] for p in cent[l1]
+            )
+            want[(l1, l2)] = (
+                float(dot)
+                / (math.sqrt(float(nn[l1])) * math.sqrt(float(nn[l2])))
+                if nn[l1] > 0 and nn[l2] > 0
+                else None
+            )
+    got = {
+        (r.l1, r.l2): r.cos_sim
+        for r in _q(spark, "label_centroid_cosine").collect()
+    }
+    assert got == want
+    assert len(got) == len(labels) * (len(labels) - 1) // 2
+    assert all(v is None or -1.0 <= v <= 1.0 for v in got.values())
