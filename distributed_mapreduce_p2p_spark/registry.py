@@ -18443,6 +18443,768 @@ def q_label_centroid_cosine(spark, sf_dir):
     )
 
 
+_LPA_ITERS = 8
+
+
+def _lpa_oracle_sql(iters: int = _LPA_ITERS) -> str:
+    head = """
+    WITH trade AS MATERIALIZED (
+      SELECT c_nationkey AS cn, s_nationkey AS sn,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1 - l_discount AS DECIMAL(4,2))) AS vol
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2
+    ), und AS MATERIALIZED (
+      SELECT LEAST(cn, sn) AS a, GREATEST(cn, sn) AS b,
+             SUM(vol) AS vol
+      FROM trade WHERE cn <> sn GROUP BY 1, 2
+    ), edges0 AS MATERIALIZED (
+      SELECT a, b FROM und
+      WHERE CAST(vol AS DOUBLE) * (SELECT COUNT(*) FROM und)
+            > (SELECT CAST(SUM(vol) AS DOUBLE) FROM und)
+    ), edges AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM edges0
+      UNION ALL SELECT b, a FROM edges0
+    ), lab0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node, src AS lab FROM edges
+    )"""
+    prev, parts = "lab0", [head]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    vote{i} AS MATERIALIZED (
+      SELECT e.src AS node, l.lab, CAST(COUNT(*) AS BIGINT) AS c
+      FROM edges e JOIN {prev} l ON l.node = e.dst
+      GROUP BY 1, 2
+    ), lab{i} AS MATERIALIZED (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               ROW_NUMBER() OVER (PARTITION BY node
+                    ORDER BY c DESC, lab) AS rk
+        FROM vote{i}
+      ) WHERE rk = 1
+    )""")
+        prev = f"lab{i}"
+    return "".join(parts) + f"""
+    SELECT CAST(lab AS BIGINT) AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           STRING_AGG(n_name, '|' ORDER BY n_name) AS members
+    FROM {prev} JOIN nation ON n_nationkey = node
+    GROUP BY 1
+    """
+
+
+@register("label_propagation_communities", oracle=_lpa_oracle_sql())
+def q_label_propagation_communities(spark, sf_dir):
+    """Community detection by SYNCHRONOUS label propagation
+    (Raghavan et al. PRE'07) on the above-mean undirected trade
+    graph (the memoized _trade_edges list shared with
+    triangles/components/BFS): 8 rounds of new-label = most-frequent
+    neighbor label with DETERMINISTIC ties (count desc, label asc via
+    one row_number — async LPA's randomness is exactly what an
+    oracle-checked engine can't ship). Communities are denser than
+    connected components (trade_graph_components finds 1 blob where
+    LPA splits the core from the periphery). All-integer state, one
+    small groupBy + window per round on a <=2|edges| table,
+    localCheckpointed per round; oracle unrolls the identical
+    recurrence into MATERIALIZED CTEs. Members emitted as an
+    order-pinned string_agg (arrays would kill the driver
+    canonicalizer)."""
+    e0 = _trade_edges(spark, sf_dir)
+    edges = (
+        e0.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(
+            e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    lab = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lab"))
+        .localCheckpoint(eager=True)
+    )
+    wv = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("lab")
+    )
+    for _ in range(_LPA_ITERS):
+        votes = (
+            edges.join(
+                broadcast(lab.withColumnRenamed("node", "nbr")),
+                F.col("nbr") == F.col("dst"),
+            )
+            .groupBy(F.col("src").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        lab = (
+            votes.withColumn("rk", F.row_number().over(wv))
+            .where(F.col("rk") == 1)
+            .select("node", "lab")
+            .localCheckpoint(eager=True)
+        )
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        lab.join(broadcast(nat), lab.node == nat.n_nationkey)
+        .groupBy(F.col("lab").cast("long").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nations"),
+            F.array_join(
+                F.array_sort(F.collect_list("n_name")), "|"
+            ).alias("members"),
+        )
+    )
+
+
+@register(
+    "silhouette_by_label",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), m AS (
+      SELECT vec_id, MAX(ABS(v)) AS m FROM ex GROUP BY 1
+    ), q AS MATERIALIZED (
+      SELECT ex.vec_id, ex.label, pos,
+             CASE WHEN m.m = 0 THEN 0
+                  ELSE CAST(trunc(127.0 * v / m.m) AS BIGINT)
+                  END AS qv
+      FROM ex JOIN m USING (vec_id)
+    ), cent AS MATERIALIZED (
+      SELECT label, pos,
+             CAST(SUM(qv) * 1000000 // COUNT(*) AS BIGINT) AS c
+      FROM q GROUP BY 1, 2
+    ), d2 AS MATERIALIZED (
+      SELECT q.vec_id, q.label AS own, cent.label AS cl,
+             CAST(SUM((q.qv * 1000000 - cent.c)
+                      * (q.qv * 1000000 - cent.c)
+                      // 1000000) AS BIGINT) AS dist2
+      FROM q JOIN cent ON cent.pos = q.pos
+      GROUP BY 1, 2, 3
+    ), ab AS (
+      SELECT vec_id, own,
+             MAX(CASE WHEN cl = own THEN dist2 END) AS a2,
+             MIN(CASE WHEN cl <> own THEN dist2 END) AS b2
+      FROM d2 GROUP BY 1, 2
+    ), s AS (
+      SELECT vec_id, own,
+             CASE WHEN GREATEST(a2, b2) = 0 THEN 0
+                  ELSE CAST((b2 - a2) * 1000000
+                            // GREATEST(a2, b2) AS BIGINT)
+                  END AS s_ppm
+      FROM ab
+    )
+    SELECT CAST(own AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(s_ppm) // COUNT(*) AS BIGINT) AS mean_s_ppm
+    FROM s GROUP BY 1
+    """,
+)
+def q_silhouette_by_label(spark, sf_dir):
+    """Simplified silhouette per label (centroid-based — the O(n.k.d)
+    scalable form; the classic O(n^2) pairwise silhouette cannot ship
+    at 100 TB): a(i) = squared distance to the OWN ppm centroid,
+    b(i) = min squared distance to any other centroid, s =
+    (b-a)/max(a,b). Completes the clustering-quality loop around
+    kmeans_assign_iter/label_centroid_cosine. Everything fixed-point:
+    int8 codes scaled to the centroid's 1e6 grid, per-dim squared
+    diffs pre-shrunk by DIV 1e6 (keeps the 64-dim sum ~4e12, far from
+    overflow), per-point s as integer ppm (negative numerators agree:
+    Spark DIV and DuckDB // both truncate toward zero, probed), and
+    the label mean as one exact SUM DIV n — so the per-label mean
+    never depends on float summation order. Plan: one fact-scale
+    posexplode + quantize pass; the d2 join replicates each code row
+    k=|labels| times (the simplified-silhouette cost, documented);
+    everything after is per-point cells."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "vf"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("vf").cast("double").alias("v"),
+    )
+    m = ex.groupBy("vec_id").agg(F.max(F.abs("v")).alias("m"))
+    q = ex.join(m, "vec_id").select(
+        "vec_id",
+        F.col("label").alias("own"),
+        "pos",
+        F.when(F.col("m") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("cast(127.0 * v / m as bigint)"))
+        .alias("qv"),
+    )
+    cent = q.groupBy(F.col("own").alias("cl"), "pos").agg(
+        F.expr(
+            "CAST(SUM(qv) * 1000000 DIV COUNT(1) AS BIGINT)"
+        ).alias("c")
+    )
+    d2 = (
+        q.join(broadcast(cent), "pos")
+        .groupBy("vec_id", "own", "cl")
+        .agg(
+            F.expr(
+                "CAST(SUM((qv * 1000000 - c) * (qv * 1000000 - c)"
+                " DIV 1000000) AS BIGINT)"
+            ).alias("dist2")
+        )
+    )
+    ab = d2.groupBy("vec_id", "own").agg(
+        F.max(
+            F.when(F.col("cl") == F.col("own"), F.col("dist2"))
+        ).alias("a2"),
+        F.min(
+            F.when(F.col("cl") != F.col("own"), F.col("dist2"))
+        ).alias("b2"),
+    )
+    s = ab.select(
+        "own",
+        F.expr(
+            "CASE WHEN GREATEST(a2, b2) = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST((b2 - a2) * 1000000"
+            " DIV GREATEST(a2, b2) AS BIGINT) END"
+        ).alias("s_ppm"),
+    )
+    return s.groupBy(F.col("own").cast("long").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("CAST(SUM(s_ppm) DIV COUNT(1) AS BIGINT)").alias(
+            "mean_s_ppm"
+        ),
+    )
+
+
+@register(
+    "position_multitouch_attribution",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS rn
+      FROM events
+    ), conv AS (
+      SELECT user_id, event_type, rn,
+             MIN(CASE WHEN event_type = 'purchase' THEN rn END)
+               OVER (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN CURRENT ROW
+                     AND UNBOUNDED FOLLOWING) AS conv_rn
+      FROM seq
+    ), touches AS (
+      SELECT user_id, event_type, rn, conv_rn
+      FROM conv
+      WHERE event_type IN ('view', 'click')
+        AND conv_rn IS NOT NULL AND conv_rn > rn
+    ), ranked AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, conv_rn
+                  ORDER BY rn) AS pos,
+             COUNT(*) OVER (PARTITION BY user_id, conv_rn) AS k
+      FROM touches
+    ), credited AS (
+      SELECT event_type,
+             CASE WHEN k = 1 THEN 1000000
+                  WHEN k = 2 THEN 500000
+                  WHEN pos = 1 OR pos = k THEN 400000
+                  ELSE CAST(200000 // (k - 2) AS BIGINT)
+                  END AS w_ppm
+      FROM ranked
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(w_ppm) AS BIGINT) AS credit_ppm
+    FROM credited GROUP BY 1
+    """,
+)
+def q_position_multitouch_attribution(spark, sf_dir):
+    """U-shaped (position-based 40/20/40) multi-touch attribution —
+    the marketing counterpart of last_touch_attribution: every
+    view/click touch is credited to the user's NEXT purchase (the
+    carry-BACKWARD running min over the per-user sequence), then the
+    conversion's 1e6 ppm budget splits 40% to the first touch, 40%
+    to the last, 20% evenly (integer DIV) across the middle; k=1
+    takes all, k=2 splits 50/50. Credit is exact integer ppm end to
+    end — no float shares to drift — and the truncation remainder of
+    the middle split is an auditable quantity. Plan: three windows
+    all partitioned by user (then (user, conv_rn)) — no global
+    ordering anywhere, the sequence family's scale shape. Final agg
+    is a 2-row rollup by touch channel."""
+    ev = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wu).alias("rn"),
+    )
+    wfwd = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    conv = seq.select(
+        "user_id",
+        "event_type",
+        "rn",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("rn"))
+        )
+        .over(wfwd)
+        .alias("conv_rn"),
+    )
+    touches = conv.where(
+        F.col("event_type").isin("view", "click")
+        & F.col("conv_rn").isNotNull()
+        & (F.col("conv_rn") > F.col("rn"))
+    )
+    wg = Window.partitionBy("user_id", "conv_rn").orderBy("rn")
+    wk = Window.partitionBy("user_id", "conv_rn")
+    ranked = touches.select(
+        "event_type",
+        F.row_number().over(wg).alias("pos"),
+        F.count(F.lit(1)).over(wk).alias("k"),
+    )
+    credited = ranked.select(
+        "event_type",
+        F.expr(
+            "CASE WHEN k = 1 THEN CAST(1000000 AS BIGINT)"
+            " WHEN k = 2 THEN CAST(500000 AS BIGINT)"
+            " WHEN pos = 1 OR pos = k THEN CAST(400000 AS BIGINT)"
+            " ELSE CAST(200000 DIV (k - 2) AS BIGINT) END"
+        ).alias("w_ppm"),
+    )
+    return credited.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.sum("w_ppm").cast("long").alias("credit_ppm"),
+    )
+
+
+@register(
+    "association_rules",
+    oracle="""
+    WITH items AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      FROM lineitem
+    ), supp AS MATERIALIZED (
+      SELECT pk, CAST(COUNT(*) AS BIGINT) AS s FROM items GROUP BY 1
+    ), pair AS (
+      SELECT a.pk AS ante, b.pk AS cons,
+             CAST(COUNT(*) AS BIGINT) AS sab
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk <> b.pk
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3
+    ), scored AS (
+      SELECT p.ante, p.cons, p.sab,
+             CAST(p.sab * 1000000 // sa.s AS BIGINT) AS conf_ppm
+      FROM pair p JOIN supp sa ON sa.pk = p.ante
+    )
+    SELECT ante, cons, sab, conf_ppm FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY conf_ppm DESC, ante,
+                                   cons) AS rk
+      FROM scored
+    ) WHERE rk <= 20
+    """,
+)
+def q_association_rules(spark, sf_dir):
+    """DIRECTED association rules ante=>cons from order baskets —
+    the rule-mining step past basket_pairs_lift's symmetric screen:
+    confidence = supp(a,b)/supp(a) as fixed-point ppm (sab*1e6 DIV
+    sa — no floats, rank-exact), support floor sab>=3, top-20 by
+    (confidence, ante, cons) via TakeOrderedAndProject (never a
+    single-partition window). Direction matters: conf(a=>b) !=
+    conf(b=>a) whenever supports differ, which is the actionable
+    half Apriori keeps and a lift screen throws away. Plan: distinct
+    (order, part) pass, basket self-join bounded by basket width
+    (~7 items => <=49 candidate rows per order), broadcast
+    item-support join. Scale: pair cardinality is SUM(w^2) over
+    baskets — linear in orders for bounded baskets."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    supp = li.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("long").alias("s")
+    )
+    b = li.select(F.col("ok").alias("ok2"), F.col("pk").alias("cons"))
+    pair = (
+        li.join(b, (F.col("ok") == F.col("ok2")) & (F.col("pk") != F.col("cons")))
+        .groupBy(F.col("pk").alias("ante"), "cons")
+        .agg(F.count(F.lit(1)).cast("long").alias("sab"))
+        .where(F.col("sab") >= 3)
+    )
+    sa = supp.select(F.col("pk").alias("ante"), F.col("s").alias("sa"))
+    scored = pair.join(broadcast(sa), "ante").select(
+        "ante",
+        "cons",
+        "sab",
+        F.expr("CAST(sab * 1000000 DIV sa AS BIGINT)").alias(
+            "conf_ppm"
+        ),
+    )
+    return (
+        scored.orderBy(F.desc("conf_ppm"), "ante", "cons")
+        .limit(20)
+        .select("ante", "cons", "sab", "conf_ppm")
+    )
+
+
+@register(
+    "cochran_armitage_trend",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+             CAST(COUNT(*) AS BIGINT) AS n_i,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0
+                      END) AS BIGINT) AS r_i
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+             CAST(SUM(r_i) AS BIGINT) AS r,
+             CAST(SUM(w * r_i) AS BIGINT) AS swr,
+             CAST(SUM(w * n_i) AS BIGINT) AS swn,
+             CAST(SUM(w * w * n_i) AS BIGINT) AS sw2n
+      FROM g
+    )
+    SELECT g.w, g.n_i, g.r_i,
+           CASE WHEN r > 0 AND r < n AND (n * sw2n - swn * swn) > 0
+                THEN CAST(n * swr - r * swn AS DOUBLE)
+                     * sqrt(CAST(n AS DOUBLE))
+                     / sqrt(CAST(r * (n - r) AS DOUBLE)
+                            * CAST(n * sw2n - swn * swn AS DOUBLE))
+                END AS z_trend
+    FROM g CROSS JOIN tot
+    """,
+)
+def q_cochran_armitage_trend(spark, sf_dir):
+    """Cochran-Armitage trend test: is the fulfilled-rate
+    P(status='F') MONOTONICALLY drifting across the ordered priority
+    scores 1..5? The ordered-alternative complement of
+    chi2_priority_status (chi2 spends power on every deviation
+    pattern; CA concentrates it on the linear trend, the question a
+    priority knob actually poses). Fully exact until the last step:
+    scores parsed from the priority prefix digit, all five moments
+    are BIGINT sums, the statistic is z = (N*Swr - R*Swn) * sqrt(N)
+    / sqrt(R(N-R) * (N*Sw2n - Swn^2)) with every operand an exact
+    integer and the two sqrt/one division mirrored verbatim;
+    degenerate margins (all/none fulfilled, single score) yield NULL
+    via the mirrored CASE. Per-score evidence rows carry the shared
+    z (the anova_oneway output shape: 1-row scalar attach,
+    whitelisted). Scale: one fact-scale groupBy to 5 rows."""
+    o = _t(spark, sf_dir, "orders")
+    g = o.groupBy(
+        F.expr(
+            "CAST(substr(o_orderpriority, 1, 1) AS BIGINT)"
+        ).alias("w")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_i"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("r_i"),
+    )
+    tot = g.agg(
+        F.sum("n_i").cast("long").alias("n"),
+        F.sum("r_i").cast("long").alias("r"),
+        F.sum(F.col("w") * F.col("r_i")).cast("long").alias("swr"),
+        F.sum(F.col("w") * F.col("n_i")).cast("long").alias("swn"),
+        F.sum(F.col("w") * F.col("w") * F.col("n_i"))
+        .cast("long")
+        .alias("sw2n"),
+    )
+    return g.crossJoin(broadcast(tot)).select(
+        "w",
+        "n_i",
+        "r_i",
+        F.expr(
+            "CASE WHEN r > 0 AND r < n AND (n * sw2n - swn * swn) > 0"
+            " THEN CAST(n * swr - r * swn AS DOUBLE)"
+            " * sqrt(CAST(n AS DOUBLE))"
+            " / sqrt(CAST(r * (n - r) AS DOUBLE)"
+            " * CAST(n * sw2n - swn * swn AS DOUBLE)) END"
+        ).alias("z_trend"),
+    )
+
+
+_IPF_ROUNDS = 6
+
+
+def _ipf_oracle_sql(rounds: int = _IPF_ROUNDS) -> str:
+    head = """
+    WITH cells AS MATERIALIZED (
+      SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ), tot AS MATERIALIZED (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cells
+    ), rt AS MATERIALIZED (
+      SELECT seg, CAST(SUM(cnt) * 1000000 // (SELECT n FROM tot)
+             AS BIGINT) AS r FROM cells GROUP BY 1
+    ), ct AS MATERIALIZED (
+      SELECT pri, CAST(SUM(cnt) * 1000000 // (SELECT n FROM tot)
+             AS BIGINT) AS c FROM cells GROUP BY 1
+    ), grid AS MATERIALIZED (
+      SELECT r.seg, c.pri FROM rt r CROSS JOIN ct c
+    ), x0 AS MATERIALIZED (
+      SELECT seg, pri,
+             CAST(1000000 // (SELECT COUNT(*) FROM grid) AS BIGINT)
+               AS x
+      FROM grid
+    )"""
+    prev, parts = "x0", [head]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    xr{i} AS MATERIALIZED (
+      SELECT x.seg, x.pri,
+             CAST(x.x * rt.r // SUM(x.x) OVER (PARTITION BY x.seg)
+                  AS BIGINT) AS x
+      FROM {prev} x JOIN rt ON rt.seg = x.seg
+    ), xc{i} AS MATERIALIZED (
+      SELECT x.seg, x.pri,
+             CAST(x.x * ct.c // SUM(x.x) OVER (PARTITION BY x.pri)
+                  AS BIGINT) AS x
+      FROM xr{i} x JOIN ct ON ct.pri = x.pri
+    )""")
+        prev = f"xc{i}"
+    return "".join(parts) + f"""
+    SELECT seg, pri, x AS share_ppm FROM {prev}
+    """
+
+
+@register("ipf_raking", oracle=_ipf_oracle_sql())
+def q_ipf_raking(spark, sf_dir):
+    """Iterative proportional fitting (raking / Sinkhorn matrix
+    balancing) of the (market segment x order priority) table: from
+    a UNIFORM seed, 6 alternating row/column scalings pull the grid
+    onto the observed ppm margins — converging to the
+    margin-consistent INDEPENDENCE table (the survey-calibration /
+    optimal-transport primitive; the gap to the true joint is
+    exactly the association chi2_priority_status measures). Fully
+    fixed-point: margins and cells are ppm integers, each scaling is
+    x*target DIV current-margin-sum (products <=1e12, far from
+    overflow), truncation bleed is bounded by |cells| ppm per
+    half-round and auditable. Spark iterates the 25-cell state with
+    a window-sum per step, localCheckpointed per half-round; the
+    oracle unrolls the identical recurrence into MATERIALIZED CTEs.
+    Scale: one fact-scale groupBy; the iteration runs on
+    |segments|x|priorities| cells regardless of input size."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cells = (
+        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    tot = cells.agg(F.sum("cnt").cast("long").alias("n"))
+    rt = (
+        cells.groupBy("seg")
+        .agg(F.sum("cnt").cast("long").alias("rs"))
+        .crossJoin(broadcast(tot))
+        .select(
+            "seg",
+            F.expr("CAST(rs * 1000000 DIV n AS BIGINT)").alias("r"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ct = (
+        cells.groupBy("pri")
+        .agg(F.sum("cnt").cast("long").alias("cs"))
+        .crossJoin(broadcast(tot))
+        .select(
+            "pri",
+            F.expr("CAST(cs * 1000000 DIV n AS BIGINT)").alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    grid = rt.select("seg").crossJoin(ct.select("pri"))
+    ncells = F.lit(25)
+    x = grid.crossJoin(
+        broadcast(grid.agg(F.count(F.lit(1)).alias("ncell")))
+    ).select(
+        "seg",
+        "pri",
+        F.expr("CAST(1000000 DIV ncell AS BIGINT)").alias("x"),
+    ).localCheckpoint(eager=True)
+    wseg = Window.partitionBy("seg")
+    wpri = Window.partitionBy("pri")
+    for _ in range(_IPF_ROUNDS):
+        x = (
+            x.join(broadcast(rt), "seg")
+            .select(
+                "seg",
+                "pri",
+                F.expr(
+                    "CAST(x * r DIV (SUM(x) OVER"
+                    " (PARTITION BY seg)) AS BIGINT)"
+                ).alias("x"),
+            )
+            .join(broadcast(ct), "pri")
+            .select(
+                "seg",
+                "pri",
+                F.expr(
+                    "CAST(x * c DIV (SUM(x) OVER"
+                    " (PARTITION BY pri)) AS BIGINT)"
+                ).alias("x"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return x.select("seg", "pri", F.col("x").alias("share_ppm"))
+
+
+_HUBER_ROUNDS = 4
+
+
+def _huber_oracle_sql(rounds: int = _HUBER_ROUNDS) -> str:
+    head = """
+    WITH v AS MATERIALIZED (
+      SELECT n_name,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                  AS BIGINT) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    ), cellsm AS (
+      SELECT n_name, cents AS val, CAST(COUNT(*) AS BIGINT) AS c
+      FROM v GROUP BY 1, 2
+    ), cumm AS (
+      SELECT n_name, val,
+             SUM(c) OVER (PARTITION BY n_name ORDER BY val
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cw,
+             SUM(c) OVER (PARTITION BY n_name) AS tot
+      FROM cellsm
+    ), med AS MATERIALIZED (
+      SELECT n_name, CAST(MIN(CASE WHEN 2*cw >= tot THEN val END)
+                          AS BIGINT) AS med
+      FROM cumm GROUP BY 1
+    ), dev AS (
+      SELECT v.n_name, ABS(v.cents - med.med) AS adev
+      FROM v JOIN med USING (n_name)
+    ), cellsd AS (
+      SELECT n_name, adev AS val, CAST(COUNT(*) AS BIGINT) AS c
+      FROM dev GROUP BY 1, 2
+    ), cumd AS (
+      SELECT n_name, val,
+             SUM(c) OVER (PARTITION BY n_name ORDER BY val
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cw,
+             SUM(c) OVER (PARTITION BY n_name) AS tot
+      FROM cellsd
+    ), mad AS MATERIALIZED (
+      SELECT n_name, CAST(MIN(CASE WHEN 2*cw >= tot THEN val END)
+                          AS BIGINT) AS mad
+      FROM cumd GROUP BY 1
+    ), m0 AS MATERIALIZED (
+      SELECT n_name, med AS m FROM med
+    )"""
+    prev, parts = "m0", [head]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    m{i} AS MATERIALIZED (
+      SELECT v.n_name,
+             CAST(SUM(LEAST(GREATEST(v.cents, p.m - 2*mad.mad),
+                            p.m + 2*mad.mad))
+                  // COUNT(*) AS BIGINT) AS m
+      FROM v JOIN {prev} p USING (n_name) JOIN mad USING (n_name)
+      GROUP BY 1
+    )""")
+        prev = f"m{i}"
+    return "".join(parts) + f"""
+    SELECT n_name, m AS huber_mean_cents FROM {prev}
+    """
+
+
+@register("huber_mean_cents", oracle=_huber_oracle_sql())
+def q_huber_mean_cents(spark, sf_dir):
+    """Huber-style robust location per nation on order totals: start
+    at the exact rank-pick median, then 4 rounds of the clipped mean
+    (winsorize at m +/- 2*MAD, re-average) — the iterative
+    M-estimator that follows the data like a mean but shrugs off
+    tails like a median (trimmed_mean_group drops a FIXED fraction;
+    Huber adapts the clip to the scale the data itself exhibits).
+    Everything exact integer cents: median and MAD are rank picks on
+    value cells, clipping is LEAST/GREATEST, each round's mean is
+    one SUM DIV n — the float-free iteration. Clip bounds stay FIXED
+    at the initial 2*MAD scale across rounds (the W-estimator
+    variant — re-deriving MAD per round would double the oracle
+    unroll for no statistical gain at 4 rounds). Spark iterates a
+    25-row state joined back to the fact cells, localCheckpointed
+    per round; unrolled MATERIALIZED-CTE oracle. Scale: per-round
+    cost is one broadcast join + groupBy on the fact table —
+    bounded rounds, no growing state."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    v = (
+        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100"
+                " AS BIGINT)"
+            ).alias("cents"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def _rank_pick(df, valcol, out):
+        cells = df.groupBy(
+            "n_name", F.col(valcol).alias("val")
+        ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        wcum = (
+            Window.partitionBy("n_name")
+            .orderBy("val")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wall = Window.partitionBy("n_name")
+        cum = cells.select(
+            "n_name",
+            "val",
+            F.sum("c").over(wcum).alias("cw"),
+            F.sum("c").over(wall).alias("tot"),
+        )
+        return cum.groupBy("n_name").agg(
+            F.min(F.when(F.expr("2 * cw >= tot"), F.col("val")))
+            .cast("long")
+            .alias(out)
+        )
+
+    med = _rank_pick(v, "cents", "med").localCheckpoint(eager=True)
+    dev = v.join(broadcast(med), "n_name").select(
+        "n_name", F.abs(F.col("cents") - F.col("med")).alias("adev")
+    )
+    mad = _rank_pick(dev, "adev", "mad").localCheckpoint(eager=True)
+    m = med.select("n_name", F.col("med").alias("m"))
+    for _ in range(_HUBER_ROUNDS):
+        m = (
+            v.join(broadcast(m), "n_name")
+            .join(broadcast(mad), "n_name")
+            .groupBy("n_name")
+            .agg(
+                F.expr(
+                    "CAST(SUM(LEAST(GREATEST(cents, m - 2*mad),"
+                    " m + 2*mad)) DIV COUNT(1) AS BIGINT)"
+                ).alias("m")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return m.select("n_name", F.col("m").alias("huber_mean_cents"))
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -18593,7 +19355,9 @@ _FRONT: list[str] = [
     # quantile_normalize, knn_classify, mcnemar_test, cohen_kappa,
     # markov_stationary, token_cooccurrence_lift,
     # seasonal_naive_anomaly, hits_hubs_authorities,
-    # lead_lag_crosscorr, label_centroid_cosine.
+    # lead_lag_crosscorr, label_centroid_cosine,
+    # label_propagation_communities, silhouette_by_label,
+    # position_multitouch_attribution, association_rules.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

@@ -3883,3 +3883,201 @@ def test_label_centroid_cosine_recompute(spark):
     assert got == want
     assert len(got) == len(labels) * (len(labels) - 1) // 2
     assert all(v is None or -1.0 <= v <= 1.0 for v in got.values())
+
+
+def test_label_propagation_recompute(spark):
+    """The 8 synchronous min-tiebreak LPA rounds equal a pure-Python
+    replay on the same above-mean edge set; communities partition
+    the node set."""
+    from collections import Counter, defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    cn = {
+        c.c_custkey: c.c_nationkey
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    sn = {
+        s.s_suppkey: s.s_nationkey
+        for s in read_table(spark, SF_SMALL, "supplier").collect()
+    }
+    cust_of = {
+        o.o_orderkey: o.o_custkey
+        for o in read_table(spark, SF_SMALL, "orders").collect()
+    }
+    vol = defaultdict(Decimal)
+    for li in read_table(spark, SF_SMALL, "lineitem").collect():
+        a, b = sn[li.l_suppkey], cn[cust_of[li.l_orderkey]]
+        if a != b:
+            vol[(min(a, b), max(a, b))] += Decimal(
+                str(li.l_extendedprice)
+            ).quantize(Decimal("0.01")) * (
+                Decimal(1)
+                - Decimal(str(li.l_discount)).quantize(Decimal("0.01"))
+            )
+    cnt = len(vol)
+    tot = float(sum(vol.values()))
+    e0 = [k for k, v in vol.items() if float(v) * cnt > tot]
+    adj = defaultdict(list)
+    for a, b in e0:
+        adj[a].append(b)
+        adj[b].append(a)
+    lab = {n: n for n in adj}
+    for _ in range(8):
+        new = {}
+        for n in adj:
+            votes = Counter(lab[x] for x in adj[n])
+            new[n] = min(
+                votes, key=lambda l: (-votes[l], l)
+            )
+        lab = new
+    nname = {
+        n.n_nationkey: n.n_name
+        for n in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    want = defaultdict(list)
+    for n, l in lab.items():
+        want[l].append(nname[n])
+    got = {
+        r.community: (r.n_nations, r.members)
+        for r in _q(spark, "label_propagation_communities").collect()
+    }
+    assert got == {
+        l: (len(ms), "|".join(sorted(ms))) for l, ms in want.items()
+    }
+    assert sum(v[0] for v in got.values()) == len(adj)
+
+
+def test_silhouette_by_label_recompute(spark):
+    """Per-label mean silhouette equals the all-integer Python
+    replay (trunc divisions throughout); scores live in
+    [-1e6, 1e6]."""
+    from collections import defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    def tdiv(a, b):
+        return -((-a) // b) if a < 0 else a // b
+
+    codes, own = {}, {}
+    sums = defaultdict(int)
+    cnts = defaultdict(int)
+    for r in read_table(spark, SF_SMALL, "embeddings").collect():
+        vs = [float(v) for v in r.embedding]
+        m = max(abs(v) for v in vs)
+        qv = [0 if m == 0 else int(127.0 * v / m) for v in vs]
+        codes[r.vec_id] = qv
+        own[r.vec_id] = r.label
+        for pos, q in enumerate(qv):
+            sums[(r.label, pos)] += q
+            cnts[(r.label, pos)] += 1
+    cent = defaultdict(dict)
+    for (lbl, pos), s in sums.items():
+        cent[lbl][pos] = tdiv(s * 1_000_000, cnts[(lbl, pos)])
+    agg = defaultdict(lambda: [0, 0])
+    for vid, qv in codes.items():
+        d2 = {
+            lbl: sum(
+                (q * 1_000_000 - cent[lbl][p]) ** 2 // 1_000_000
+                for p, q in enumerate(qv)
+            )
+            for lbl in cent
+        }
+        a2 = d2[own[vid]]
+        b2 = min(v for l, v in d2.items() if l != own[vid])
+        mx = max(a2, b2)
+        s_ppm = 0 if mx == 0 else tdiv((b2 - a2) * 1_000_000, mx)
+        agg[own[vid]][0] += 1
+        agg[own[vid]][1] += s_ppm
+    for r in _q(spark, "silhouette_by_label").collect():
+        n, ssum = agg[r.label]
+        assert r.n == n
+        assert r.mean_s_ppm == tdiv(ssum, n)
+        assert -1_000_000 <= r.mean_s_ppm <= 1_000_000
+
+
+def test_position_multitouch_attribution_recompute(spark):
+    """Channel credits equal the Python replay of the U-shaped
+    40/20/40 rule; total credit is within the truncation remainder
+    of 1e6 per converted window."""
+    from collections import defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    by_user = defaultdict(list)
+    for e in read_table(spark, SF_SMALL, "events").collect():
+        by_user[e.user_id].append((e.ts, e.event_id, e.event_type))
+    credit = defaultdict(lambda: [0, 0])
+    n_windows = 0
+    for evs in by_user.values():
+        evs.sort()
+        types = [t for _, _, t in evs]
+        # walk conversions left to right, crediting prior touches
+        touches = []
+        for t in types:
+            if t == "purchase":
+                k = len(touches)
+                if k:
+                    n_windows += 1
+                for i, ch in enumerate(touches):
+                    if k == 1:
+                        w = 1_000_000
+                    elif k == 2:
+                        w = 500_000
+                    elif i == 0 or i == k - 1:
+                        w = 400_000
+                    else:
+                        w = 200_000 // (k - 2)
+                    credit[ch][0] += 1
+                    credit[ch][1] += w
+                touches = []
+            elif t in ("view", "click"):
+                touches.append(t)
+    got = {
+        r.event_type: (r.n_touches, r.credit_ppm)
+        for r in _q(spark, "position_multitouch_attribution").collect()
+    }
+    assert got == {ch: tuple(v) for ch, v in credit.items()}
+    total = sum(v[1] for v in got.values())
+    assert 0 <= n_windows * 1_000_000 - total < n_windows * 1_000_000
+
+
+def test_association_rules_recompute(spark):
+    """Top-20 rules equal the Python basket replay; confidence is
+    the exact truncated ppm ratio and every rule meets the support
+    floor."""
+    from collections import Counter, defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    baskets = defaultdict(set)
+    for li in read_table(spark, SF_SMALL, "lineitem").collect():
+        baskets[li.l_orderkey].add(li.l_partkey)
+    supp = Counter()
+    sab = Counter()
+    for items in baskets.values():
+        supp.update(items)
+        for a in items:
+            for b in items:
+                if a != b:
+                    sab[(a, b)] += 1
+    scored = [
+        (c * 1_000_000 // supp[a], a, b, c)
+        for (a, b), c in sab.items()
+        if c >= 3
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = [(a, b, c, conf) for conf, a, b, c in scored[:20]]
+    got = [
+        (r.ante, r.cons, r.sab, r.conf_ppm)
+        for r in _q(spark, "association_rules")
+        .orderBy(F.desc("conf_ppm"), "ante", "cons")
+        .collect()
+    ]
+    assert got == want
+    assert all(c >= 3 for _, _, c, _ in got)

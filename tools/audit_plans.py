@@ -66,6 +66,7 @@ WHITELIST = {
     "markov_stationary": "5-row iterate broadcast-joined to the transition cells per step",
     "token_cooccurrence_lift": "1-row corpus-total aggregate broadcast-attached to the filtered pair table",
     "hits_hubs_authorities": "per-half-round 1-row max normalizer + 1-row edge-mean stats broadcast onto <=|nations|-row states",
+    "label_propagation_communities": "1-row edge-mean stats attach inside the shared _trade_edges derivation (graph-family scalar attach)",
     "ams_f2_sketch": "1-row exact-F2 aggregate cross-joined with the 1-row sketch estimate (two scalar cells)",
     "trade_graph_shortest_cost": "1-row totals/seed aggregates over the <=|nations|^2 bilateral table (graph-family scalar attach)",
     "share_of_parent": "1-row grand-total aggregate broadcast-attached to the |nations|-row leaf table",
