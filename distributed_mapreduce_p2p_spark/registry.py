@@ -19357,7 +19357,8 @@ _FRONT: list[str] = [
     # seasonal_naive_anomaly, hits_hubs_authorities,
     # lead_lag_crosscorr, label_centroid_cosine,
     # label_propagation_communities, silhouette_by_label,
-    # position_multitouch_attribution, association_rules.
+    # position_multitouch_attribution, association_rules,
+    # cochran_armitage_trend, ipf_raking, huber_mean_cents.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

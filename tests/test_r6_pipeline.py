@@ -4081,3 +4081,135 @@ def test_association_rules_recompute(spark):
     ]
     assert got == want
     assert all(c >= 3 for _, _, c, _ in got)
+
+
+def test_cochran_armitage_recompute(spark):
+    """z_trend equals the mirrored-IEEE Python replay from exact
+    integer moments; per-score evidence rows match raw counts."""
+    import math
+    from collections import defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    g = defaultdict(lambda: [0, 0])
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        w = int(o.o_orderpriority[0])
+        g[w][0] += 1
+        g[w][1] += o.o_orderstatus == "F"
+    n = sum(v[0] for v in g.values())
+    r = sum(v[1] for v in g.values())
+    swr = sum(w * v[1] for w, v in g.items())
+    swn = sum(w * v[0] for w, v in g.items())
+    sw2n = sum(w * w * v[0] for w, v in g.items())
+    z = (
+        float(n * swr - r * swn)
+        * math.sqrt(float(n))
+        / math.sqrt(float(r * (n - r)) * float(n * sw2n - swn * swn))
+        if 0 < r < n and n * sw2n - swn * swn > 0
+        else None
+    )
+    rows = _q(spark, "cochran_armitage_trend").collect()
+    assert {x.w: (x.n_i, x.r_i) for x in rows} == {
+        w: tuple(v) for w, v in g.items()
+    }
+    assert all(x.z_trend == z for x in rows)
+
+
+def test_ipf_raking_recompute(spark):
+    """The 6 alternating integer scalings equal a pure-Python
+    replay; total mass stays within |cells| ppm of 1e6 per
+    half-round's truncation budget."""
+    from collections import defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    seg_of = {
+        c.c_custkey: c.c_mktsegment
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    cnt = defaultdict(int)
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        cnt[(seg_of[o.o_custkey], o.o_orderpriority)] += 1
+    n = sum(cnt.values())
+    segs = sorted({s for s, _ in cnt})
+    pris = sorted({p for _, p in cnt})
+    rt = {
+        s: sum(c for (s2, _), c in cnt.items() if s2 == s)
+        * 1_000_000
+        // n
+        for s in segs
+    }
+    ct = {
+        p: sum(c for (_, p2), c in cnt.items() if p2 == p)
+        * 1_000_000
+        // n
+        for p in pris
+    }
+    ncell = len(segs) * len(pris)
+    x = {(s, p): 1_000_000 // ncell for s in segs for p in pris}
+    for _ in range(6):
+        for s in segs:
+            rs = sum(x[(s, p)] for p in pris)
+            for p in pris:
+                x[(s, p)] = x[(s, p)] * rt[s] // rs
+        for p in pris:
+            cs = sum(x[(s, p)] for s in segs)
+            for s in segs:
+                x[(s, p)] = x[(s, p)] * ct[p] // cs
+    got = {
+        (r.seg, r.pri): r.share_ppm
+        for r in _q(spark, "ipf_raking").collect()
+    }
+    assert got == x
+    assert abs(sum(got.values()) - 1_000_000) <= 12 * ncell
+
+
+def test_huber_mean_recompute(spark):
+    """The 4 clipped-mean rounds equal the integer Python replay
+    from the same rank-pick median/MAD; the estimate stays inside
+    the clip interval."""
+    from collections import Counter, defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    nat = {
+        x.n_nationkey: x.n_name
+        for x in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    nation_of = {
+        c.c_custkey: nat[c.c_nationkey]
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    vals = defaultdict(list)
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        cents = int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01"))
+            * 100
+        )
+        vals[nation_of[o.o_custkey]].append(cents)
+
+    def med(values):
+        nn = len(values)
+        c = Counter(values)
+        cum = 0
+        for v in sorted(c):
+            cum += c[v]
+            if 2 * cum >= nn:
+                return v
+
+    want = {}
+    for name, xs in vals.items():
+        m = med(xs)
+        mad = med([abs(v - m) for v in xs])
+        for _ in range(4):
+            m = sum(
+                min(max(v, m - 2 * mad), m + 2 * mad) for v in xs
+            ) // len(xs)
+        want[name] = (m, mad)
+    for r in _q(spark, "huber_mean_cents").collect():
+        m, mad = want[r.n_name]
+        assert r.huber_mean_cents == m
