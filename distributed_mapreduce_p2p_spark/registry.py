@@ -19205,6 +19205,314 @@ def q_huber_mean_cents(spark, sf_dir):
     return m.select("n_name", F.col("m").alias("huber_mean_cents"))
 
 
+@register(
+    "cliffs_delta",
+    oracle="""
+    WITH v AS (
+      SELECT n_name,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2
+                  END AS grp,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                  AS BIGINT) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), cells AS (
+      SELECT n_name, cents, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1
+      FROM v GROUP BY 1, 2
+    ), rk AS (
+      SELECT n_name, cents, c, c1,
+             SUM(c) OVER (PARTITION BY n_name ORDER BY cents
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM cells
+    ), agg AS (
+      SELECT n_name,
+             CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c - c1) AS BIGINT) AS n2,
+             CAST(SUM(c1 * (2 * cum - c + 1)) AS BIGINT) AS dr1
+      FROM rk GROUP BY 1
+    )
+    SELECT n_name, n1, n2,
+           CASE WHEN n1 > 0 AND n2 > 0
+                THEN CAST((dr1 - n1 * (n1 + 1) - n1 * n2) * 1000000
+                          // (n1 * n2) AS BIGINT)
+                END AS cliffs_delta_ppm
+    FROM agg
+    """,
+)
+def q_cliffs_delta(spark, sf_dir):
+    """Cliff's delta effect size per nation (URGENT vs LOW order
+    values): the nonparametric magnitude partner of mann_whitney_u's
+    significance — delta = P(x>y) - P(x<y). Computed WITHOUT the
+    O(n1*n2) pairwise join via the doubled-midrank identity
+    delta = (2U - n1*n2)/(n1*n2) with 2U = 2*R1 - n1(n1+1), where
+    2*R1 is the exact integer doubled-midrank sum over value CELLS
+    (per-cell doubled midrank = 2*cum - c + 1, the mann_whitney
+    recipe). Fully fixed-point: the ppm delta is one trunc-division
+    of exact BIGINTs (negative numerators agree across engines,
+    probed); mirrored-NULL when either group is empty. Scale: value
+    cells per nation, one cumulative window partitioned by
+    nation."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    ).where(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    v = (
+        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(2)
+            .alias("grp"),
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100"
+                " AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    cells = v.groupBy("n_name", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+    )
+    wcum = (
+        Window.partitionBy("n_name")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rk = cells.select(
+        "n_name", "c", "c1", F.sum("c").over(wcum).alias("cum")
+    )
+    agg = rk.groupBy("n_name").agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).cast("long").alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("cum") - F.col("c") + 1))
+        .cast("long")
+        .alias("dr1"),
+    )
+    return agg.select(
+        "n_name",
+        "n1",
+        "n2",
+        F.expr(
+            "CASE WHEN n1 > 0 AND n2 > 0"
+            " THEN CAST((dr1 - n1 * (n1 + 1) - n1 * n2) * 1000000"
+            " DIV (n1 * n2) AS BIGINT) END"
+        ).alias("cliffs_delta_ppm"),
+    )
+
+
+@register(
+    "odds_ratio_by_nation",
+    oracle="""
+    WITH t AS (
+      SELECT n_name,
+             CAST(SUM(CASE WHEN o_orderpriority IN
+                    ('1-URGENT','2-HIGH') AND o_orderstatus = 'F'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN o_orderpriority IN
+                    ('1-URGENT','2-HIGH') AND o_orderstatus <> 'F'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                    ('1-URGENT','2-HIGH') AND o_orderstatus = 'F'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                    ('1-URGENT','2-HIGH') AND o_orderstatus <> 'F'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1
+    )
+    SELECT n_name, a, b, c, d,
+           CASE WHEN b * c > 0
+                THEN CAST(a * d * 1000000 // (b * c) AS BIGINT)
+                END AS odds_ratio_ppm
+    FROM t
+    """,
+)
+def q_odds_ratio_by_nation(spark, sf_dir):
+    """Per-nation odds ratio of the 2x2 (high-priority exposure x
+    fulfilled outcome) table — the epidemiology-style association
+    readout beside chi2 (direction + magnitude where chi2 only
+    says "dependent"): OR = ad/bc as fixed-point ppm (a*d*1e6 DIV
+    b*c, exact BIGINT cross products), mirrored-NULL on a zero
+    cell in the denominator (the Haldane correction is a modeling
+    choice this engine refuses to make silently). The 2x2 evidence
+    cells ship beside the statistic. Scale: one fact-scale groupBy
+    to |nations| rows."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderstatus"
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    exp = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    out = F.col("o_orderstatus") == "F"
+    t = (
+        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.when(exp & out, 1).otherwise(0))
+            .cast("long")
+            .alias("a"),
+            F.sum(F.when(exp & ~out, 1).otherwise(0))
+            .cast("long")
+            .alias("b"),
+            F.sum(F.when(~exp & out, 1).otherwise(0))
+            .cast("long")
+            .alias("c"),
+            F.sum(F.when(~exp & ~out, 1).otherwise(0))
+            .cast("long")
+            .alias("d"),
+        )
+    )
+    return t.select(
+        "n_name",
+        "a",
+        "b",
+        "c",
+        "d",
+        F.expr(
+            "CASE WHEN b * c > 0"
+            " THEN CAST(a * d * 1000000 DIV (b * c) AS BIGINT) END"
+        ).alias("odds_ratio_ppm"),
+    )
+
+
+_APSP_DOUBLINGS = 5
+
+
+def _closeness_oracle_sql(doublings: int = _APSP_DOUBLINGS) -> str:
+    head = """
+    WITH trade AS MATERIALIZED (
+      SELECT c_nationkey AS cn, s_nationkey AS sn,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1 - l_discount AS DECIMAL(4,2))) AS vol
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2
+    ), und AS MATERIALIZED (
+      SELECT LEAST(cn, sn) AS a, GREATEST(cn, sn) AS b,
+             SUM(vol) AS vol
+      FROM trade WHERE cn <> sn GROUP BY 1, 2
+    ), edges0 AS MATERIALIZED (
+      SELECT a, b FROM und
+      WHERE CAST(vol AS DOUBLE) * (SELECT COUNT(*) FROM und)
+            > (SELECT CAST(SUM(vol) AS DOUBLE) FROM und)
+    ), d0 AS MATERIALIZED (
+      SELECT a AS i, b AS j, CAST(1 AS BIGINT) AS d FROM edges0
+      UNION ALL SELECT b, a, 1 FROM edges0
+      UNION ALL
+      SELECT node, node, 0 FROM (
+        SELECT DISTINCT a AS node FROM edges0
+        UNION SELECT DISTINCT b FROM edges0)
+    )"""
+    prev, parts = "d0", [head]
+    for i in range(1, doublings + 1):
+        parts.append(f""",
+    d{i} AS MATERIALIZED (
+      SELECT x.i, y.j, CAST(MIN(x.d + y.d) AS BIGINT) AS d
+      FROM {prev} x JOIN {prev} y ON x.j = y.i
+      GROUP BY 1, 2
+    )""")
+        prev = f"d{i}"
+    return "".join(parts) + f"""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_reachable,
+           CAST(SUM(1000000 // d) AS BIGINT) AS harmonic_ppm
+    FROM d{doublings} JOIN nation ON n_nationkey = i
+    WHERE d > 0 GROUP BY 1
+    """
+
+
+@register(
+    "closeness_centrality", oracle=_closeness_oracle_sql()
+)
+def q_closeness_centrality(spark, sf_dir):
+    """Harmonic closeness centrality per nation on the above-mean
+    trade graph via MIN-PLUS DOUBLING all-pairs shortest paths:
+    5 rounds of d_2k(i,j) = min_m(d_k(i,m) + d_k(m,j)) cover every
+    path up to length 32 in log rounds — the distributed APSP that
+    replaces |V| sequential BFS sweeps with 5 self-joins (the
+    repeated-squaring trick on the tropical semiring). Harmonic
+    (sum of 1/d, unreachable = 0) rather than classic closeness
+    because it is defined on disconnected graphs and is a sum of
+    exact 1e6 DIV d integer terms — no float, no division-by-
+    diameter. The distance state (<=|V|^2 rows) localCheckpoints
+    per doubling; the oracle unrolls the identical recurrence.
+    Completes the centrality shelf: degree (assortativity), flow
+    (pagerank), endorsement (HITS), distance (this). Scale: state
+    is |V|^2-bounded — the nation graph form; on a billion-node
+    graph this operator is the wrong tool and BFS-levels per seed
+    (trade_graph_bfs_levels) is the scalable sibling, documented."""
+    e0 = _trade_edges(spark, sf_dir)
+    nodes = (
+        e0.select(F.col("a").alias("node"))
+        .unionAll(e0.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    d = (
+        e0.select(
+            F.col("a").alias("i"),
+            F.col("b").alias("j"),
+            F.lit(1).cast("long").alias("d"),
+        )
+        .unionAll(
+            e0.select(
+                F.col("b").alias("i"),
+                F.col("a").alias("j"),
+                F.lit(1).cast("long").alias("d"),
+            )
+        )
+        .unionAll(
+            nodes.select(
+                F.col("node").alias("i"),
+                F.col("node").alias("j"),
+                F.lit(0).cast("long").alias("d"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_APSP_DOUBLINGS):
+        y = d.select(
+            F.col("i").alias("m"),
+            F.col("j").alias("j2"),
+            F.col("d").alias("d2"),
+        )
+        d = (
+            d.join(broadcast(y), d.j == y.m)
+            .groupBy("i", F.col("j2").alias("j"))
+            .agg(F.min(F.col("d") + F.col("d2")).cast("long").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        d.where(F.col("d") > 0)
+        .join(broadcast(nat), d.i == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reachable"),
+            F.sum(F.expr("1000000 DIV d")).cast("long").alias(
+                "harmonic_ppm"
+            ),
+        )
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -19358,7 +19666,8 @@ _FRONT: list[str] = [
     # lead_lag_crosscorr, label_centroid_cosine,
     # label_propagation_communities, silhouette_by_label,
     # position_multitouch_attribution, association_rules,
-    # cochran_armitage_trend, ipf_raking, huber_mean_cents.
+    # cochran_armitage_trend, ipf_raking, huber_mean_cents,
+    # cliffs_delta, odds_ratio_by_nation, closeness_centrality.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

@@ -4213,3 +4213,144 @@ def test_huber_mean_recompute(spark):
     for r in _q(spark, "huber_mean_cents").collect():
         m, mad = want[r.n_name]
         assert r.huber_mean_cents == m
+
+
+def test_cliffs_delta_recompute_brute(spark):
+    """The doubled-midrank identity equals the O(n1*n2) brute-force
+    pairwise count for every nation; |delta| <= 1e6."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    nat = {
+        x.n_nationkey: x.n_name
+        for x in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    nation_of = {
+        c.c_custkey: nat[c.c_nationkey]
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    g = defaultdict(lambda: ([], []))
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        if o.o_orderpriority not in ("1-URGENT", "5-LOW"):
+            continue
+        cents = int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01"))
+            * 100
+        )
+        g[nation_of[o.o_custkey]][
+            0 if o.o_orderpriority == "1-URGENT" else 1
+        ].append(cents)
+
+    def tdiv(a, b):
+        return -((-a) // b) if a < 0 else a // b
+
+    for r in _q(spark, "cliffs_delta").collect():
+        g1, g2 = g[r.n_name]
+        assert (r.n1, r.n2) == (len(g1), len(g2))
+        if g1 and g2:
+            gt = sum(1 for x in g1 for y in g2 if x > y)
+            lt = sum(1 for x in g1 for y in g2 if x < y)
+            want = tdiv((gt - lt) * 1_000_000, len(g1) * len(g2))
+            assert r.cliffs_delta_ppm == want
+            assert -1_000_000 <= r.cliffs_delta_ppm <= 1_000_000
+        else:
+            assert r.cliffs_delta_ppm is None
+
+
+def test_odds_ratio_recompute(spark):
+    """2x2 cells and the ppm odds ratio equal the Python replay;
+    cells tile the nation's orders."""
+    from collections import defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    nat = {
+        x.n_nationkey: x.n_name
+        for x in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    nation_of = {
+        c.c_custkey: nat[c.c_nationkey]
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    t = defaultdict(lambda: [0, 0, 0, 0])
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        e = o.o_orderpriority in ("1-URGENT", "2-HIGH")
+        f = o.o_orderstatus == "F"
+        idx = (0 if f else 1) if e else (2 if f else 3)
+        t[nation_of[o.o_custkey]][idx] += 1
+    for r in _q(spark, "odds_ratio_by_nation").collect():
+        a, b, c, d = t[r.n_name]
+        assert (r.a, r.b, r.c, r.d) == (a, b, c, d)
+        if b * c > 0:
+            assert r.odds_ratio_ppm == a * d * 1_000_000 // (b * c)
+        else:
+            assert r.odds_ratio_ppm is None
+
+
+def test_closeness_centrality_recompute(spark):
+    """Min-plus doubling equals a Python BFS APSP on the same edge
+    set (5 doublings cover any path <= 32 on a <=25-node graph);
+    harmonic sums match exactly."""
+    from collections import defaultdict, deque
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    cn = {
+        c.c_custkey: c.c_nationkey
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    sn = {
+        s.s_suppkey: s.s_nationkey
+        for s in read_table(spark, SF_SMALL, "supplier").collect()
+    }
+    cust_of = {
+        o.o_orderkey: o.o_custkey
+        for o in read_table(spark, SF_SMALL, "orders").collect()
+    }
+    vol = defaultdict(Decimal)
+    for li in read_table(spark, SF_SMALL, "lineitem").collect():
+        a, b = sn[li.l_suppkey], cn[cust_of[li.l_orderkey]]
+        if a != b:
+            vol[(min(a, b), max(a, b))] += Decimal(
+                str(li.l_extendedprice)
+            ).quantize(Decimal("0.01")) * (
+                Decimal(1)
+                - Decimal(str(li.l_discount)).quantize(Decimal("0.01"))
+            )
+    cnt = len(vol)
+    tot = float(sum(vol.values()))
+    adj = defaultdict(list)
+    for (a, b), v in vol.items():
+        if float(v) * cnt > tot:
+            adj[a].append(b)
+            adj[b].append(a)
+    nname = {
+        n.n_nationkey: n.n_name
+        for n in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    want = {}
+    for src in adj:
+        dist = {src: 0}
+        dq = deque([src])
+        while dq:
+            u = dq.popleft()
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    dq.append(w)
+        reach = [d for n2, d in dist.items() if d > 0]
+        want[nname[src]] = (
+            len(reach),
+            sum(1_000_000 // d for d in reach),
+        )
+    got = {
+        r.n_name: (r.n_reachable, r.harmonic_ppm)
+        for r in _q(spark, "closeness_centrality").collect()
+    }
+    assert got == want

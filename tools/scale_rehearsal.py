@@ -110,6 +110,16 @@ QUERIES = [
     "spearman_rho",
     "chebyshev_outliers",
     "funnel_time_to_convert",
+    # r6 final session: skip-gram pair join (the heaviest new text
+    # shape), O(n.k.d) silhouette explode, basket self-join rules,
+    # carry-backward attribution windows, 4-round clipped-mean
+    # iteration, doubled-midrank Cliff's delta
+    "token_cooccurrence_lift",
+    "silhouette_by_label",
+    "association_rules",
+    "position_multitouch_attribution",
+    "huber_mean_cents",
+    "cliffs_delta",
 ]
 
 
@@ -136,6 +146,15 @@ def build_scaled(spark, out_dir: str) -> None:
             *[c for c in docs.columns if c != "doc_id"],
         )
         .write.parquet(f"{out_dir}/documents.parquet")
+    )
+    emb = read_table(spark, SF, "embeddings")
+    (
+        emb.crossJoin(reps)
+        .select(
+            (F.col("vec_id") * REPLICAS + F.col("rep")).alias("vec_id"),
+            *[c for c in emb.columns if c != "vec_id"],
+        )
+        .write.parquet(f"{out_dir}/embeddings.parquet")
     )
     # Star schema, re-keyed per replica so intra-replica joins stay
     # consistent; nation keys stay UNCHANGED — the derived nation
