@@ -19513,6 +19513,664 @@ def q_closeness_centrality(spark, sf_dir):
     )
 
 
+@register(
+    "friedman_test",
+    oracle="""
+    WITH v AS (
+      SELECT r_name,
+             CAST(strftime(o_orderdate, '%Y%m') AS BIGINT) AS mon,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2
+    ), full_blocks AS (
+      SELECT mon FROM v GROUP BY 1
+      HAVING COUNT(*) = (SELECT COUNT(DISTINCT r_name) FROM v)
+    ), rk AS (
+      SELECT r_name,
+             CAST(2 * RANK() OVER (PARTITION BY v.mon
+                    ORDER BY cents)
+                  + COUNT(*) OVER (PARTITION BY v.mon, cents) - 1
+                  AS BIGINT) AS drank
+      FROM v JOIN full_blocks fb ON v.mon = fb.mon
+    ), agg AS (
+      SELECT r_name, CAST(SUM(drank) AS BIGINT) AS dr
+      FROM rk GROUP BY 1
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM full_blocks) AS b
+      FROM agg
+    ), num AS (
+      SELECT CAST(SUM((agg.dr - tot.b * (tot.k + 1))
+                   * (agg.dr - tot.b * (tot.k + 1))) AS BIGINT)
+               AS ss,
+             MAX(tot.b) AS b, MAX(tot.k) AS k
+      FROM agg CROSS JOIN tot
+    )
+    SELECT agg.r_name, agg.dr,
+           CASE WHEN num.b > 0 AND num.k > 1
+                THEN CAST(3 * num.ss AS DOUBLE)
+                     / CAST(num.b * num.k * (num.k + 1) AS DOUBLE)
+                END AS friedman_chi2
+    FROM agg CROSS JOIN num
+    """,
+)
+def q_friedman_test(spark, sf_dir):
+    """Friedman rank test for repeated measures: do the five regions
+    rank consistently across monthly-revenue blocks, or is the
+    month-to-month ordering noise? (The k-related-samples partner of
+    kruskal_wallis — KW treats groups as independent; Friedman
+    blocks out the shared month effect first, which is exactly what
+    seasonal revenue needs.) Only COMPLETE blocks enter (months
+    where every region has revenue — mirrored HAVING), ranks within
+    each block are DOUBLED midranks (2*rank + ties - 1, exact
+    integers), and with doubled rank sums the statistic is
+    chi2 = 3 * SUM((dR_j - b(k+1))^2) / (b k (k+1)) — one mirrored
+    division of exact BIGINTs at the end. Per-region rank-sum
+    evidence rows carry the shared chi2 (anova output shape; 1-row
+    attach whitelisted). Scale: month x region cells."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    v = (
+        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            "r_name",
+            F.expr(
+                "CAST(date_format(o_orderdate, 'yyyyMM') AS BIGINT)"
+            ).alias("mon"),
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=True)
+    )
+    kreg = v.agg(
+        F.countDistinct("r_name").cast("long").alias("nreg")
+    )
+    fb = (
+        v.groupBy("mon")
+        .agg(F.count(F.lit(1)).alias("nm"))
+        .crossJoin(broadcast(kreg))
+        .where(F.col("nm") == F.col("nreg"))
+        .select("mon")
+    )
+    wrk = Window.partitionBy("mon").orderBy("cents")
+    wtie = Window.partitionBy("mon", "cents")
+    rk = v.join(broadcast(fb), "mon").select(
+        "r_name",
+        (
+            2 * F.rank().over(wrk)
+            + F.count(F.lit(1)).over(wtie)
+            - 1
+        )
+        .cast("long")
+        .alias("drank"),
+    )
+    agg = rk.groupBy("r_name").agg(
+        F.sum("drank").cast("long").alias("dr")
+    )
+    tot = agg.agg(F.count(F.lit(1)).cast("long").alias("k")).crossJoin(
+        broadcast(
+            fb.agg(F.count(F.lit(1)).cast("long").alias("b"))
+        )
+    )
+    num = (
+        agg.crossJoin(broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("dr") - F.col("b") * (F.col("k") + 1))
+                * (F.col("dr") - F.col("b") * (F.col("k") + 1))
+            )
+            .cast("long")
+            .alias("ss"),
+            F.max("b").alias("b"),
+            F.max("k").alias("k"),
+        )
+    )
+    return agg.crossJoin(broadcast(num)).select(
+        "r_name",
+        "dr",
+        F.expr(
+            "CASE WHEN b > 0 AND k > 1"
+            " THEN CAST(3 * ss AS DOUBLE)"
+            " / CAST(b * k * (k + 1) AS DOUBLE) END"
+        ).alias("friedman_chi2"),
+    )
+
+
+@register(
+    "rapid_repeat_events",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, ts FROM events
+    )
+    SELECT a.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id AND a.event_type = b.event_type
+     AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 60 MINUTE
+     AND (b.ts > a.ts OR b.event_id > a.event_id)
+     AND a.event_id <> b.event_id
+    GROUP BY 1
+    """,
+)
+def q_rapid_repeat_events(spark, sf_dir):
+    """Rapid-repeat screen (duplicate-submission / double-charge
+    shape): pairs of SAME-user SAME-type events within 60 minutes,
+    counted per type with the distinct users involved. The join is
+    NOT a range join (Spark would BNLJ it): the left side explodes
+    into 2 adjacent 64-minute buckets (epoch-minutes DIV 64; width
+    64 >= the 60-minute window guarantees completeness — the
+    ewma_dyadic banding recipe on timestamps) and the join is pure
+    equi on (user, type, bucket), with the exact time predicate and
+    the (ts, event_id) tie-break applied after. Each qualifying
+    pair matches exactly one bucket choice, so no distinct is
+    needed. Scale: banded candidates are bounded by per-(user,
+    bucket) activity — the hub-user skew rehearsal's shape, wall-
+    flat at 10x."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            " DIV 60000000"
+        ).alias("mins"),
+    )
+    a = ev.withColumn(
+        "jb",
+        F.explode(
+            F.array(
+                F.expr("mins DIV 64"), F.expr("mins DIV 64 + 1")
+            )
+        ),
+    )
+    b = ev.select(
+        F.col("event_id").alias("eid2"),
+        F.col("user_id").alias("uid2"),
+        F.col("event_type").alias("et2"),
+        F.col("ts").alias("ts2"),
+        F.expr("mins DIV 64").alias("jb2"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("user_id") == F.col("uid2"))
+        & (F.col("event_type") == F.col("et2"))
+        & (F.col("jb") == F.col("jb2")),
+    ).where(
+        F.expr(
+            "ts2 >= ts AND ts2 <= ts + INTERVAL 60 MINUTE"
+            " AND (ts2 > ts OR eid2 > event_id)"
+            " AND event_id <> eid2"
+        )
+    )
+    return pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+@register(
+    "forecastability_ratio",
+    oracle="""
+    WITH m AS (
+      SELECT n_name,
+             CAST((EXTRACT(year FROM o_orderdate) - 1990) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT)
+               AS midx,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), d1 AS (
+      SELECT a.n_name, CAST(COUNT(*) AS BIGINT) AS n1,
+             CAST(SUM(ABS(a.cents - p.cents)) AS BIGINT) AS s1
+      FROM m a JOIN m p ON a.n_name = p.n_name
+                       AND a.midx = p.midx + 1
+      GROUP BY 1
+    ), d12 AS (
+      SELECT a.n_name, CAST(COUNT(*) AS BIGINT) AS n12,
+             CAST(SUM(ABS(a.cents - p.cents)) AS BIGINT) AS s12
+      FROM m a JOIN m p ON a.n_name = p.n_name
+                       AND a.midx = p.midx + 12
+      GROUP BY 1
+    )
+    SELECT d1.n_name, n1, n12,
+           CASE WHEN s1 > 0 AND n12 > 0
+                THEN CAST(s12 * n1 * 1000000 // (s1 * n12)
+                          AS BIGINT)
+                END AS seasonal_ratio_ppm
+    FROM d1 JOIN d12 ON d1.n_name = d12.n_name
+    """,
+)
+def q_forecastability_ratio(spark, sf_dir):
+    """Seasonal forecastability per nation — the MASE-style model
+    selector BEFORE fitting any model: mean |v_m - v_(m-12)| vs mean
+    |v_m - v_(m-1)| on monthly revenue cells; ratio < 1e6 ppm says
+    the seasonal-naive forecaster beats the naive one (season
+    signal), > 1e6 says momentum dominates (fit Holt, not a
+    seasonal model). Lags align by CALENDAR month-index equi-joins
+    (midx = p.midx + k — the yoy_growth lesson: lag(k) over a gapped
+    series silently pairs wrong months), each lag keeps its own
+    pair count, and the ratio is the mean-normalized cross-multiply
+    s12*n1*1e6 DIV (s1*n12) — exact BIGINT, no division until the
+    one trunc at the end; mirrored-NULL when either side is
+    degenerate. Scale: month cells per nation."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    m = (
+        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.expr(
+                "CAST((year(o_orderdate) - 1990) * 12"
+                " + month(o_orderdate) - 1 AS BIGINT)"
+            ).alias("midx"),
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def _lag_sum(k, ncol, scol):
+        p = m.select(
+            F.col("n_name").alias("pn"),
+            (F.col("midx") + k).alias("pm"),
+            F.col("cents").alias("pc"),
+        )
+        return (
+            m.join(
+                p,
+                (m.n_name == p.pn) & (m.midx == p.pm),
+            )
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(ncol),
+                F.sum(F.abs(F.col("cents") - F.col("pc")))
+                .cast("long")
+                .alias(scol),
+            )
+        )
+
+    d1 = _lag_sum(1, "n1", "s1")
+    d12 = _lag_sum(12, "n12", "s12")
+    return d1.join(d12, "n_name").select(
+        "n_name",
+        "n1",
+        "n12",
+        F.expr(
+            "CASE WHEN s1 > 0 AND n12 > 0"
+            " THEN CAST(s12 * n1 * 1000000 DIV (s1 * n12)"
+            " AS BIGINT) END"
+        ).alias("seasonal_ratio_ppm"),
+    )
+
+
+@register(
+    "revenue_bridge_pvm",
+    oracle="""
+    WITH y AS (
+      SELECT n_name, EXTRACT(year FROM o_orderdate) AS yr,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+                  * 100 AS BIGINT)) AS BIGINT) AS rev,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997)
+      GROUP BY 1, 2
+    ), w AS (
+      SELECT a.n_name, a.rev AS r1, a.qty AS q1,
+             b.rev AS r2, b.qty AS q2
+      FROM y a JOIN y b ON a.n_name = b.n_name
+                       AND a.yr = 1996 AND b.yr = 1997
+    )
+    SELECT n_name, r2 - r1 AS delta_cents,
+           CASE WHEN q1 > 0
+                THEN CAST((q2 - q1) * r1 // q1 AS BIGINT)
+                END AS volume_effect_cents,
+           CASE WHEN q1 > 0
+                THEN CAST(r2 - r1 - ((q2 - q1) * r1 // q1)
+                          AS BIGINT)
+                END AS price_mix_effect_cents
+    FROM w
+    """,
+)
+def q_revenue_bridge_pvm(spark, sf_dir):
+    """Price-volume-mix revenue bridge per nation (1996 -> 1997) —
+    the FP&A waterfall: volume effect = quantity growth priced at
+    LAST year's realized rate ((q2-q1)*r1 DIV q1, one trunc of exact
+    BIGINTs; negative deltas agree across engines, probed), and the
+    price/mix effect is the RESIDUAL delta - volume (exact by
+    construction — the bridge always reconciles to the total, the
+    property accountants actually require and a two-division
+    decomposition loses to truncation). Only exact cents and
+    quantities until the single trunc; nations missing either year
+    drop via the inner self-join identically on both engines.
+    Scale: one fact-scale year-filtered aggregation to
+    |nations|x2 cells."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_quantity"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    ).where(F.expr("year(o_orderdate) IN (1996, 1997)"))
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    y = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.expr("year(o_orderdate)").alias("yr"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(l_extendedprice AS DECIMAL(14,2))"
+                    " * 100 AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("rev"),
+            F.sum(F.expr("CAST(l_quantity AS BIGINT)"))
+            .cast("long")
+            .alias("qty"),
+        )
+    )
+    a = y.where(F.col("yr") == 1996).select(
+        "n_name", F.col("rev").alias("r1"), F.col("qty").alias("q1")
+    )
+    b = y.where(F.col("yr") == 1997).select(
+        "n_name", F.col("rev").alias("r2"), F.col("qty").alias("q2")
+    )
+    return a.join(b, "n_name").select(
+        "n_name",
+        (F.col("r2") - F.col("r1")).alias("delta_cents"),
+        F.expr(
+            "CASE WHEN q1 > 0"
+            " THEN CAST((q2 - q1) * r1 DIV q1 AS BIGINT) END"
+        ).alias("volume_effect_cents"),
+        F.expr(
+            "CASE WHEN q1 > 0"
+            " THEN CAST(r2 - r1 - ((q2 - q1) * r1 DIV q1)"
+            " AS BIGINT) END"
+        ).alias("price_mix_effect_cents"),
+    )
+
+
+@register(
+    "shapley_channel_attribution",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, rn,
+             MIN(CASE WHEN event_type = 'purchase' THEN rn END)
+               OVER (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN CURRENT ROW
+                     AND UNBOUNDED FOLLOWING) AS conv_rn
+      FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS rn
+        FROM events
+      )
+    ), win AS (
+      SELECT user_id, COALESCE(conv_rn, -1) AS w,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS has_v,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS has_c,
+             MAX(CASE WHEN conv_rn IS NOT NULL THEN 1 ELSE 0 END)
+               AS converted
+      FROM seq
+      WHERE event_type IN ('view', 'click')
+      GROUP BY 1, 2
+    ), rates AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN has_v = 1 AND has_c = 0
+                   THEN converted END) * 1000000
+                 // SUM(CASE WHEN has_v = 1 AND has_c = 0
+                   THEN 1 END), 0) AS BIGINT) AS v_only,
+             CAST(COALESCE(SUM(CASE WHEN has_v = 0 AND has_c = 1
+                   THEN converted END) * 1000000
+                 // SUM(CASE WHEN has_v = 0 AND has_c = 1
+                   THEN 1 END), 0) AS BIGINT) AS c_only,
+             CAST(COALESCE(SUM(CASE WHEN has_v = 1 AND has_c = 1
+                   THEN converted END) * 1000000
+                 // SUM(CASE WHEN has_v = 1 AND has_c = 1
+                   THEN 1 END), 0) AS BIGINT) AS vc,
+             CAST(COUNT(*) AS BIGINT) AS n_windows
+      FROM win
+    )
+    SELECT channel, phi_x2_ppm, n_windows FROM (
+      SELECT 'view' AS channel,
+             CAST(v_only + vc - c_only AS BIGINT) AS phi_x2_ppm,
+             n_windows
+      FROM rates
+      UNION ALL
+      SELECT 'click', CAST(c_only + vc - v_only AS BIGINT),
+             n_windows
+      FROM rates
+    )
+    """,
+)
+def q_shapley_channel_attribution(spark, sf_dir):
+    """Exact 2-player Shapley value for the view/click channels —
+    the game-theoretic attribution position_multitouch's heuristic
+    weights approximate: conversion windows (per-user sequences cut
+    at each purchase, the multitouch derivation) are bucketed by
+    exposure set {v}, {c}, {v,c}; with the v(empty)=0 convention,
+    phi_view = [v({v}) + v({v,c}) - v({c})] / 2. Rates are exact
+    ppm integers (conv*1e6 DIV n per cell, empty cells -> 0 via the
+    mirrored COALESCE), and DOUBLED phis are emitted so the /2
+    never leaves the integers; efficiency (phi_v + phi_c =
+    v({v,c})) holds exactly on the doubled scale and is pinned in
+    the test. Scale: user-partitioned windows then a 4-cell global
+    aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wu).alias("rn"),
+    )
+    wfwd = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    conv = seq.select(
+        "user_id",
+        "event_type",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("rn"))
+        )
+        .over(wfwd)
+        .alias("conv_rn"),
+    )
+    win = (
+        conv.where(F.col("event_type").isin("view", "click"))
+        .groupBy(
+            "user_id",
+            F.coalesce(F.col("conv_rn"), F.lit(-1)).alias("w"),
+        )
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("has_v"),
+            F.max(
+                F.when(F.col("event_type") == "click", 1).otherwise(
+                    0
+                )
+            ).alias("has_c"),
+            F.max(
+                F.when(F.col("conv_rn").isNotNull(), 1).otherwise(0)
+            ).alias("converted"),
+        )
+    )
+    rates = win.agg(
+        F.expr(
+            "CAST(COALESCE(SUM(CASE WHEN has_v = 1 AND has_c = 0"
+            " THEN converted END) * 1000000"
+            " DIV SUM(CASE WHEN has_v = 1 AND has_c = 0"
+            " THEN 1 END), 0) AS BIGINT)"
+        ).alias("v_only"),
+        F.expr(
+            "CAST(COALESCE(SUM(CASE WHEN has_v = 0 AND has_c = 1"
+            " THEN converted END) * 1000000"
+            " DIV SUM(CASE WHEN has_v = 0 AND has_c = 1"
+            " THEN 1 END), 0) AS BIGINT)"
+        ).alias("c_only"),
+        F.expr(
+            "CAST(COALESCE(SUM(CASE WHEN has_v = 1 AND has_c = 1"
+            " THEN converted END) * 1000000"
+            " DIV SUM(CASE WHEN has_v = 1 AND has_c = 1"
+            " THEN 1 END), 0) AS BIGINT)"
+        ).alias("vc"),
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+    )
+    v = rates.select(
+        F.lit("view").alias("channel"),
+        F.expr("CAST(v_only + vc - c_only AS BIGINT)").alias(
+            "phi_x2_ppm"
+        ),
+        "n_windows",
+    )
+    c = rates.select(
+        F.lit("click").alias("channel"),
+        F.expr("CAST(c_only + vc - v_only AS BIGINT)").alias(
+            "phi_x2_ppm"
+        ),
+        "n_windows",
+    )
+    return v.unionAll(c)
+
+
+@register(
+    "order_aging_buckets",
+    oracle="""
+    WITH ship AS (
+      SELECT l_orderkey AS ok, MIN(l_shipdate) AS first_ship
+      FROM lineitem GROUP BY 1
+    ), open_o AS (
+      SELECT o_orderdate,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                  AS BIGINT) AS cents
+      FROM orders JOIN ship ON o_orderkey = ship.ok
+      WHERE o_orderdate <= DATE '1997-06-01'
+        AND ship.first_ship > DATE '1997-06-01'
+    ), aged AS (
+      SELECT CASE
+               WHEN DATE '1997-06-01' - CAST(o_orderdate AS DATE)
+                    <= 30 THEN '00-30'
+               WHEN DATE '1997-06-01' - CAST(o_orderdate AS DATE)
+                    <= 60 THEN '31-60'
+               WHEN DATE '1997-06-01' - CAST(o_orderdate AS DATE)
+                    <= 90 THEN '61-90'
+               ELSE '90+' END AS bucket, cents
+      FROM open_o
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS open_cents
+    FROM aged GROUP BY 1
+    """,
+)
+def q_order_aging_buckets(spark, sf_dir):
+    """Open-order aging report at the 1997-06-01 snapshot — the
+    working-capital/backlog readout: an order is OPEN when placed on
+    or before the snapshot and none of its lineitems has shipped yet
+    (MIN(l_shipdate) > snapshot — the anti-join expressed as an agg
+    + filter so it stays one equi-join), bucketed by age into the
+    standard 30/60/90 bands with exact day arithmetic (datediff on
+    both engines; DATE-literal comparisons are tz-free). Value at
+    stake is exact cents. Scale: one lineitem agg (partial min
+    pushes map-side) + one fact equi-join; bucket CASE is a scan
+    expression."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    ship = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.min("l_shipdate").alias("first_ship")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    open_o = (
+        o.join(ship, o.o_orderkey == ship.ok)
+        .where(
+            F.expr(
+                "o_orderdate <= DATE '1997-06-01'"
+                " AND first_ship > DATE '1997-06-01'"
+            )
+        )
+        .select(
+            F.expr(
+                "datediff(DATE '1997-06-01', CAST(o_orderdate"
+                " AS DATE))"
+            ).alias("age"),
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100"
+                " AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    return (
+        open_o.select(
+            F.expr(
+                "CASE WHEN age <= 30 THEN '00-30'"
+                " WHEN age <= 60 THEN '31-60'"
+                " WHEN age <= 90 THEN '61-90'"
+                " ELSE '90+' END"
+            ).alias("bucket"),
+            "cents",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("open_cents"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -19667,7 +20325,8 @@ _FRONT: list[str] = [
     # label_propagation_communities, silhouette_by_label,
     # position_multitouch_attribution, association_rules,
     # cochran_armitage_trend, ipf_raking, huber_mean_cents,
-    # cliffs_delta, odds_ratio_by_nation, closeness_centrality.
+    # cliffs_delta, odds_ratio_by_nation, closeness_centrality,
+    # friedman_test, rapid_repeat_events, forecastability_ratio.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

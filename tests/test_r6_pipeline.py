@@ -4354,3 +4354,138 @@ def test_closeness_centrality_recompute(spark):
         for r in _q(spark, "closeness_centrality").collect()
     }
     assert got == want
+
+
+def test_friedman_recompute(spark):
+    """Doubled-midrank sums and the chi2 equal the Python replay on
+    complete month blocks only."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    nat = {
+        x.n_nationkey: x.n_regionkey
+        for x in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    reg = {
+        x.r_regionkey: x.r_name
+        for x in read_table(spark, SF_SMALL, "region").collect()
+    }
+    region_of = {
+        c.c_custkey: reg[nat[c.c_nationkey]]
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    cells = defaultdict(int)
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        mon = o.o_orderdate.year * 100 + o.o_orderdate.month
+        cents = int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01"))
+            * 100
+        )
+        cells[(region_of[o.o_custkey], mon)] += cents
+    regions = sorted({r for r, _ in cells})
+    k = len(regions)
+    months = sorted({m for _, m in cells})
+    full = [
+        m for m in months if all((r, m) in cells for r in regions)
+    ]
+    dr = defaultdict(int)
+    for m in full:
+        vals = sorted(cells[(r, m)] for r in regions)
+        for r in regions:
+            v = cells[(r, m)]
+            lt = sum(1 for x in vals if x < v)
+            eq = sum(1 for x in vals if x == v)
+            dr[r] += 2 * (lt + 1) + eq - 1
+    b = len(full)
+    ss = sum((dr[r] - b * (k + 1)) ** 2 for r in regions)
+    chi2 = float(3 * ss) / float(b * k * (k + 1))
+    for row in _q(spark, "friedman_test").collect():
+        assert row.dr == dr[row.r_name]
+        assert row.friedman_chi2 == chi2
+
+
+def test_rapid_repeat_events_recompute(spark):
+    """Banded pair counts equal the brute-force O(n^2)-per-user
+    replay of the 60-minute same-type window."""
+    import datetime
+    from collections import defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    by_ut = defaultdict(list)
+    for e in read_table(spark, SF_SMALL, "events").collect():
+        by_ut[(e.user_id, e.event_type)].append((e.ts, e.event_id))
+    pairs = defaultdict(int)
+    users = defaultdict(set)
+    lim = datetime.timedelta(minutes=60)
+    for (uid, et), evs in by_ut.items():
+        for a in evs:
+            for bb in evs:
+                if (
+                    a[0] <= bb[0] <= a[0] + lim
+                    and (bb[0] > a[0] or bb[1] > a[1])
+                    and a[1] != bb[1]
+                ):
+                    pairs[et] += 1
+                    users[et].add(uid)
+    got = {
+        r.event_type: (r.n_pairs, r.n_users)
+        for r in _q(spark, "rapid_repeat_events").collect()
+    }
+    assert got == {
+        et: (pairs[et], len(users[et])) for et in pairs
+    }
+    assert sum(p for p, _ in got.values()) > 0
+
+
+def test_forecastability_ratio_recompute(spark):
+    """Lag-1/lag-12 absolute-diff sums and the cross-multiplied ppm
+    ratio equal the calendar-aligned Python replay."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    nat = {
+        x.n_nationkey: x.n_name
+        for x in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    nation_of = {
+        c.c_custkey: nat[c.c_nationkey]
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    m = defaultdict(int)
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        midx = (o.o_orderdate.year - 1990) * 12 + o.o_orderdate.month - 1
+        m[(nation_of[o.o_custkey], midx)] += int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01"))
+            * 100
+        )
+
+    def lag_sum(k):
+        n_, s_ = defaultdict(int), defaultdict(int)
+        for (name, midx), v in m.items():
+            if (name, midx - k) in m:
+                n_[name] += 1
+                s_[name] += abs(v - m[(name, midx - k)])
+        return n_, s_
+
+    n1, s1 = lag_sum(1)
+    n12, s12 = lag_sum(12)
+    for r in _q(spark, "forecastability_ratio").collect():
+        assert (r.n1, r.n12) == (n1[r.n_name], n12[r.n_name])
+        if s1[r.n_name] > 0 and n12[r.n_name] > 0:
+            want = (
+                s12[r.n_name]
+                * n1[r.n_name]
+                * 1_000_000
+                // (s1[r.n_name] * n12[r.n_name])
+            )
+            assert r.seasonal_ratio_ppm == want
+        else:
+            assert r.seasonal_ratio_ppm is None

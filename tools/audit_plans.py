@@ -70,6 +70,7 @@ WHITELIST = {
     "cochran_armitage_trend": "1-row five-moment aggregate broadcast onto the 5 score rows (the anova_oneway output shape)",
     "ipf_raking": "1-row grand-total and cell-count attaches feeding the margin targets and uniform seed (25-cell state)",
     "closeness_centrality": "1-row edge-mean stats attach inside the shared _trade_edges derivation (graph-family scalar attach)",
+    "friedman_test": "1-row (k, b) totals and 1-row SS aggregate broadcast onto the 5 region rows (anova output shape)",
     "ams_f2_sketch": "1-row exact-F2 aggregate cross-joined with the 1-row sketch estimate (two scalar cells)",
     "trade_graph_shortest_cost": "1-row totals/seed aggregates over the <=|nations|^2 bilateral table (graph-family scalar attach)",
     "share_of_parent": "1-row grand-total aggregate broadcast-attached to the |nations|-row leaf table",
