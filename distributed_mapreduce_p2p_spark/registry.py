@@ -20171,6 +20171,313 @@ def q_order_aging_buckets(spark, sf_dir):
     )
 
 
+@register(
+    "negative_sampling_pairs",
+    oracle="""
+    WITH pos AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_custkey % 50 = 0
+    ), pidx AS MATERIALIZED (
+      SELECT p_partkey,
+             ROW_NUMBER() OVER (ORDER BY p_partkey) - 1 AS pi
+      FROM part
+    ), np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pidx),
+    cand AS (
+      SELECT pos.cust, pos.part, j.j,
+             ('0x' || substr(md5(CAST(pos.cust AS VARCHAR) || ':'
+                 || CAST(pos.part AS VARCHAR) || ':'
+                 || CAST(j.j AS VARCHAR)), 1, 12))::BIGINT
+               % (SELECT n FROM np) AS idx
+      FROM pos CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS j) j
+    ), withneg AS (
+      SELECT c.cust, c.part, c.j, pidx.p_partkey AS neg_part
+      FROM cand c JOIN pidx ON pidx.pi = c.idx
+    )
+    SELECT w.cust, w.part, CAST(w.j AS BIGINT) AS j, w.neg_part
+    FROM withneg w
+    LEFT JOIN pos p2 ON p2.cust = w.cust AND p2.part = w.neg_part
+    WHERE p2.part IS NULL
+    """,
+)
+def q_negative_sampling_pairs(spark, sf_dir):
+    """Deterministic negative sampling for training pairs (the
+    word2vec/recsys contrastive-data op): for every observed
+    (customer, purchased part) positive — demo slice cust % 50 = 0;
+    the op is linear in positives — draw 3 pseudo-random negatives
+    by the PORTABLE salted hash (md5 prefix -> bigint, the sketch-
+    family base hash) modulo the part count, materialized through an
+    EQUI-join on a two-phase global part index (relational.
+    global_cumsum — no single-partition row_number over what is a
+    fact-scale dimension at SF100), then anti-filtered against the
+    user's own positive set (accidental-hit removal; the j slot is
+    simply dropped, the documented industry default over re-drawing,
+    which would make the plan iterative). RNG-free: same pairs on
+    any cluster, any partitioning, any engine. Scale: 3x|positives|
+    rows through one broadcast-joinable index and one anti-join on
+    the (cust, part) key."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("cust")
+    ).where(F.expr("o_custkey % 50 = 0"))
+    pos = (
+        li.join(o, li.ok == o.o_orderkey)
+        .select("cust", "part")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    pidx = R.global_cumsum(
+        part.withColumn("one", F.lit(1)), "one", ["p_partkey"]
+    ).select(
+        "p_partkey",
+        (F.col("_cum") - 1).alias("pi"),
+        F.col("_total").alias("np"),
+    )
+    npr = pidx.agg(F.max("np").cast("long").alias("n"))
+    cand = (
+        pos.withColumn(
+            "j", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))
+        )
+        .crossJoin(broadcast(npr))
+        .select(
+            "cust",
+            "part",
+            F.col("j").cast("long").alias("j"),
+            F.expr(
+                "cast(conv(substring(md5(concat("
+                "cast(cust as string), ':',"
+                " cast(part as string), ':',"
+                " cast(j as string))), 1, 12), 16, 10) as bigint)"
+                " % n"
+            ).alias("idx"),
+        )
+    )
+    withneg = cand.join(
+        pidx.select("pi", F.col("p_partkey").alias("neg_part")),
+        cand.idx == F.col("pi"),
+    )
+    p2 = pos.select(
+        F.col("cust").alias("c2"), F.col("part").alias("np2")
+    )
+    return (
+        withneg.join(
+            p2,
+            (withneg.cust == p2.c2) & (withneg.neg_part == p2.np2),
+            "left_anti",
+        )
+        .select("cust", "part", "j", "neg_part")
+    )
+
+
+@register(
+    "hard_negatives_topk",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), m AS (
+      SELECT vec_id, MAX(ABS(v)) AS m FROM ex GROUP BY 1
+    ), q AS (
+      SELECT ex.vec_id, ex.label, pos,
+             CASE WHEN m.m = 0 THEN 0
+                  ELSE CAST(trunc(127.0 * v / m.m) AS BIGINT)
+                  END AS qv
+      FROM ex JOIN m USING (vec_id)
+    ), qs AS (
+      SELECT vec_id AS query_id, label AS qlabel, pos, qv
+      FROM q WHERE vec_id < 5
+    ), dots AS (
+      SELECT qs.query_id, q.vec_id,
+             CAST(SUM(qs.qv * q.qv) AS BIGINT) AS qdot
+      FROM qs JOIN q ON q.pos = qs.pos
+                    AND q.vec_id <> qs.query_id
+                    AND q.label <> qs.qlabel
+      GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, qdot, rk FROM (
+      SELECT query_id, vec_id, qdot,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY qdot DESC, vec_id) AS BIGINT) AS rk
+      FROM dots
+    ) WHERE rk <= 3
+    """,
+)
+def q_hard_negatives_topk(spark, sf_dir):
+    """Hard-negative mining for contrastive training (the
+    retrieval-training data curator): per query vector, the top-3
+    MOST-similar vectors carrying a DIFFERENT label — maximally
+    confusing negatives, where random negative sampling
+    (negative_sampling_pairs) gives mostly easy ones. Ranking is the
+    exact int64 quantized dot (int8_quantized_topk's code path:
+    trunc-quantization, bit-deterministic on any partitioning), the
+    label inequality rides the position equi-join, and the per-query
+    top-k window partitions by query. Scale: the 5x64-row query side
+    broadcasts onto the code table; at fleet scale the same plan
+    takes an LSH/IVF candidate stage first (ann_lsh_topk /
+    ann_ivf_topk are the registered candidate generators,
+    documented)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "vf"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("vf").cast("double").alias("v"),
+    )
+    m = ex.groupBy("vec_id").agg(F.max(F.abs("v")).alias("m"))
+    q = ex.join(m, "vec_id").select(
+        "vec_id",
+        "label",
+        "pos",
+        F.when(F.col("m") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("cast(127.0 * v / m as bigint)"))
+        .alias("qv"),
+    )
+    qs = q.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        "pos",
+        F.col("qv").alias("pqv"),
+    )
+    dots = (
+        q.join(broadcast(qs), "pos")
+        .where(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("qlabel"))
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum(F.col("pqv") * F.col("qv")).cast("long").alias(
+                "qdot"
+            )
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), "vec_id"
+    )
+    return (
+        dots.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select("query_id", "vec_id", "qdot", "rk")
+    )
+
+
+@register(
+    "promo_diff_in_diff",
+    oracle="""
+    WITH cells AS (
+      SELECT CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END
+               AS treated,
+             CASE WHEN EXTRACT(year FROM o_orderdate) = 1997
+                  THEN 1 ELSE 0 END AS post,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+                  * 100 AS BIGINT)) AS BIGINT) AS s
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997)
+      GROUP BY 1, 2
+    ), w AS (
+      SELECT MAX(CASE WHEN treated=1 AND post=1 THEN s END) AS s11,
+             MAX(CASE WHEN treated=1 AND post=1 THEN n END) AS n11,
+             MAX(CASE WHEN treated=1 AND post=0 THEN s END) AS s10,
+             MAX(CASE WHEN treated=1 AND post=0 THEN n END) AS n10,
+             MAX(CASE WHEN treated=0 AND post=1 THEN s END) AS s01,
+             MAX(CASE WHEN treated=0 AND post=0 THEN s END) AS s00,
+             MAX(CASE WHEN treated=0 AND post=1 THEN n END) AS n01,
+             MAX(CASE WHEN treated=0 AND post=0 THEN n END) AS n00
+      FROM cells
+    )
+    SELECT c.treated, c.post, c.n, c.s,
+           CASE WHEN n11 > 0 AND n10 > 0 AND n01 > 0 AND n00 > 0
+                THEN (CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE)
+                      - CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE))
+                     - (CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE)
+                        - CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE))
+                END AS did_cents
+    FROM cells c CROSS JOIN w
+    """,
+)
+def q_promo_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences estimate of the PROMO part-type
+    effect on mean line revenue, 1996 -> 1997 — the workhorse causal
+    design when randomization isn't available: the control group's
+    year-over-year drift is subtracted from the treated group's, so
+    any common shock (inflation, demand cycle) cancels and what
+    remains estimates the treatment effect under parallel trends.
+    The four cell means come from exact BIGINT (sum, n) pairs; the
+    DiD is four mirrored double divisions and three subtractions in
+    pinned order (the only float ops), mirrored-NULL if any cell is
+    empty. Evidence cells ship beside the estimate (1-row attach,
+    whitelisted). Scale: one fact-scale groupBy to 4 cells."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    ).where(F.expr("year(o_orderdate) IN (1996, 1997)"))
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cells = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.expr(
+                "CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END"
+            ).alias("treated"),
+            F.expr(
+                "CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0"
+                " END"
+            ).alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.expr(
+                    "CAST(CAST(l_extendedprice AS DECIMAL(14,2))"
+                    " * 100 AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = cells.agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("treated") == t) & (F.col("post") == pp),
+                    F.col(col),
+                )
+            ).alias(f"{col}{t}{pp}")
+            for t in (1, 0)
+            for pp in (1, 0)
+            for col in ("s", "n")
+        ]
+    )
+    return cells.crossJoin(broadcast(w)).select(
+        "treated",
+        "post",
+        "n",
+        "s",
+        F.expr(
+            "CASE WHEN n11 > 0 AND n10 > 0 AND n01 > 0 AND n00 > 0"
+            " THEN (CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE)"
+            " - CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE))"
+            " - (CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE)"
+            " - CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE)) END"
+        ).alias("did_cents"),
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -20326,7 +20633,9 @@ _FRONT: list[str] = [
     # position_multitouch_attribution, association_rules,
     # cochran_armitage_trend, ipf_raking, huber_mean_cents,
     # cliffs_delta, odds_ratio_by_nation, closeness_centrality,
-    # friedman_test, rapid_repeat_events, forecastability_ratio.
+    # friedman_test, rapid_repeat_events, forecastability_ratio,
+    # revenue_bridge_pvm, shapley_channel_attribution,
+    # order_aging_buckets.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

@@ -4489,3 +4489,147 @@ def test_forecastability_ratio_recompute(spark):
             assert r.seasonal_ratio_ppm == want
         else:
             assert r.seasonal_ratio_ppm is None
+
+
+def test_revenue_bridge_pvm_recompute(spark):
+    """Volume effect equals the Python replay and the bridge always
+    reconciles: volume + price/mix == delta exactly."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    nat = {
+        x.n_nationkey: x.n_name
+        for x in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    nation_of = {
+        c.c_custkey: nat[c.c_nationkey]
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    meta = {}
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        if o.o_orderdate.year in (1996, 1997):
+            meta[o.o_orderkey] = (
+                nation_of[o.o_custkey],
+                o.o_orderdate.year,
+            )
+    agg = defaultdict(lambda: [0, 0])
+    for li in read_table(spark, SF_SMALL, "lineitem").collect():
+        if li.l_orderkey not in meta:
+            continue
+        name, yr = meta[li.l_orderkey]
+        cents = int(
+            Decimal(str(li.l_extendedprice)).quantize(
+                Decimal("0.01")
+            )
+            * 100
+        )
+        agg[(name, yr)][0] += cents
+        agg[(name, yr)][1] += int(li.l_quantity)
+
+    def tdiv(a, b):
+        return -((-a) // b) if a < 0 else a // b
+
+    for r in _q(spark, "revenue_bridge_pvm").collect():
+        r1, q1 = agg[(r.n_name, 1996)]
+        r2, q2 = agg[(r.n_name, 1997)]
+        assert r.delta_cents == r2 - r1
+        if q1 > 0:
+            ve = tdiv((q2 - q1) * r1, q1)
+            assert r.volume_effect_cents == ve
+            assert (
+                r.volume_effect_cents + r.price_mix_effect_cents
+                == r.delta_cents
+            )
+
+
+def test_shapley_channel_recompute(spark):
+    """Doubled Shapley values equal the exposure-cell replay and
+    efficiency holds exactly: phi_v + phi_c == 2 * v({v,c})."""
+    from collections import defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    by_user = defaultdict(list)
+    for e in read_table(spark, SF_SMALL, "events").collect():
+        by_user[e.user_id].append((e.ts, e.event_id, e.event_type))
+    cells = defaultdict(lambda: [0, 0])
+    for evs in by_user.values():
+        evs.sort()
+        touches = []
+        for _, _, t in evs:
+            if t == "purchase":
+                if touches:
+                    key = (
+                        int("view" in touches),
+                        int("click" in touches),
+                    )
+                    cells[key][0] += 1
+                    cells[key][1] += 1
+                touches = []
+            elif t in ("view", "click"):
+                touches.append(t)
+        if touches:
+            key = (int("view" in touches), int("click" in touches))
+            cells[key][0] += 1
+    def rate(k):
+        n, conv = cells.get(k, (0, 0))
+        return conv * 1_000_000 // n if n else 0
+
+    v_only, c_only, vc = rate((1, 0)), rate((0, 1)), rate((1, 1))
+    got = {
+        r.channel: (r.phi_x2_ppm, r.n_windows)
+        for r in _q(spark, "shapley_channel_attribution").collect()
+    }
+    nwin = sum(v[0] for v in cells.values())
+    assert got["view"] == (v_only + vc - c_only, nwin)
+    assert got["click"] == (c_only + vc - v_only, nwin)
+    assert got["view"][0] + got["click"][0] == 2 * vc
+
+
+def test_order_aging_recompute(spark):
+    """Aging buckets equal the Python replay; buckets tile the open
+    orders and every open order has truly unshipped lineitems."""
+    import datetime
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    first_ship = {}
+    for li in read_table(spark, SF_SMALL, "lineitem").collect():
+        d = li.l_shipdate
+        k = li.l_orderkey
+        if k not in first_ship or d < first_ship[k]:
+            first_ship[k] = d
+    snap = datetime.datetime(1997, 6, 1)
+    want = defaultdict(lambda: [0, 0])
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        fs = first_ship.get(o.o_orderkey)
+        od = o.o_orderdate
+        if fs is None or od > snap or fs <= snap:
+            continue
+        age = (snap.date() - (od.date() if hasattr(od, "date") else od)).days
+        b = (
+            "00-30"
+            if age <= 30
+            else "31-60"
+            if age <= 60
+            else "61-90"
+            if age <= 90
+            else "90+"
+        )
+        want[b][0] += 1
+        want[b][1] += int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01"))
+            * 100
+        )
+    got = {
+        r.bucket: (r.n_orders, r.open_cents)
+        for r in _q(spark, "order_aging_buckets").collect()
+    }
+    assert got == {b: tuple(v) for b, v in want.items()}
