@@ -20478,6 +20478,590 @@ def q_promo_diff_in_diff(spark, sf_dir):
     )
 
 
+@register(
+    "rocchio_classification_report",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), m AS (
+      SELECT vec_id, MAX(ABS(v)) AS m FROM ex GROUP BY 1
+    ), q AS MATERIALIZED (
+      SELECT ex.vec_id, ex.label, pos,
+             CASE WHEN m.m = 0 THEN 0
+                  ELSE CAST(trunc(127.0 * v / m.m) AS BIGINT)
+                  END AS qv
+      FROM ex JOIN m USING (vec_id)
+    ), cent AS MATERIALIZED (
+      SELECT label, pos,
+             CAST(SUM(qv) * 1000000 // COUNT(*) AS BIGINT) AS c
+      FROM q GROUP BY 1, 2
+    ), d2 AS MATERIALIZED (
+      SELECT q.vec_id, q.label AS truth, cent.label AS cl,
+             CAST(SUM((q.qv * 1000000 - cent.c)
+                      * (q.qv * 1000000 - cent.c)
+                      // 1000000) AS BIGINT) AS dist2
+      FROM q JOIN cent ON cent.pos = q.pos
+      GROUP BY 1, 2, 3
+    ), pred AS MATERIALIZED (
+      SELECT vec_id, truth,
+             MIN(CASE WHEN rk = 1 THEN cl END) AS pred
+      FROM (
+        SELECT vec_id, truth, cl,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY dist2, cl) AS rk
+        FROM d2
+      ) GROUP BY 1, 2
+    ), labs AS (SELECT DISTINCT label FROM q)
+    SELECT CAST(labs.label AS BIGINT) AS label,
+           CAST(COALESCE(SUM(CASE WHEN truth = labs.label
+                THEN 1 END), 0) AS BIGINT) AS n,
+           CAST(COALESCE(SUM(CASE WHEN truth = labs.label
+                AND pred = labs.label THEN 1 END), 0)
+                AS BIGINT) AS tp,
+           CAST(COALESCE(SUM(CASE WHEN truth <> labs.label
+                AND pred = labs.label THEN 1 END), 0)
+                AS BIGINT) AS fp,
+           CAST(COALESCE(SUM(CASE WHEN truth = labs.label
+                AND pred <> labs.label THEN 1 END), 0)
+                AS BIGINT) AS fn,
+           CASE WHEN COALESCE(SUM(CASE WHEN pred = labs.label
+                     THEN 1 END), 0) > 0
+                THEN CAST(COALESCE(SUM(CASE WHEN truth = labs.label
+                     AND pred = labs.label THEN 1 END), 0) * 1000000
+                     // SUM(CASE WHEN pred = labs.label THEN 1 END)
+                     AS BIGINT)
+                END AS precision_ppm,
+           CASE WHEN COALESCE(SUM(CASE WHEN truth = labs.label
+                     THEN 1 END), 0) > 0
+                THEN CAST(COALESCE(SUM(CASE WHEN truth = labs.label
+                     AND pred = labs.label THEN 1 END), 0) * 1000000
+                     // SUM(CASE WHEN truth = labs.label THEN 1 END)
+                     AS BIGINT)
+                END AS recall_ppm
+    FROM labs CROSS JOIN pred
+    GROUP BY 1
+    """,
+)
+def q_rocchio_classification_report(spark, sf_dir):
+    """Per-class precision/recall report for the Rocchio
+    (nearest-centroid) classifier — prediction AND evaluation as one
+    plan, the model-quality readout every training pipeline ends
+    with: every vector is assigned the label of its nearest
+    fixed-point ppm centroid (the silhouette_by_label distance
+    machinery; argmin ties break toward the smaller label via one
+    row_number), then per-class tp/fp/fn roll up into exact ppm
+    precision/recall (tp*1e6 DIV predicted / DIV actual;
+    mirrored-NULL for never-predicted classes). Rocchio rather than
+    leave-one-out k-NN because it is the O(n.k.d) form — the
+    pairwise form cannot ship at fleet scale (knn_classify's
+    8-probe demo stays the retrieval-semantics anchor). Scale: one
+    quantize pass, a k-way centroid replicate, per-point argmin
+    cells, a |labels|-row report."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "vf"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("vf").cast("double").alias("v"),
+    )
+    m = ex.groupBy("vec_id").agg(F.max(F.abs("v")).alias("m"))
+    q = ex.join(m, "vec_id").select(
+        "vec_id",
+        F.col("label").alias("truth"),
+        "pos",
+        F.when(F.col("m") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("cast(127.0 * v / m as bigint)"))
+        .alias("qv"),
+    )
+    cent = q.groupBy(F.col("truth").alias("cl"), "pos").agg(
+        F.expr(
+            "CAST(SUM(qv) * 1000000 DIV COUNT(1) AS BIGINT)"
+        ).alias("c")
+    )
+    d2 = (
+        q.join(broadcast(cent), "pos")
+        .groupBy("vec_id", "truth", "cl")
+        .agg(
+            F.expr(
+                "CAST(SUM((qv * 1000000 - c) * (qv * 1000000 - c)"
+                " DIV 1000000) AS BIGINT)"
+            ).alias("dist2")
+        )
+    )
+    wmin = Window.partitionBy("vec_id").orderBy("dist2", "cl")
+    pred = (
+        d2.withColumn("rk", F.row_number().over(wmin))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "truth", F.col("cl").alias("pred"))
+    )
+    labs = q.select(F.col("truth").alias("label")).distinct()
+    j = labs.crossJoin(broadcast(pred))
+    return j.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.expr(
+            "CAST(COALESCE(SUM(CASE WHEN truth = label THEN 1 END),"
+            " 0) AS BIGINT)"
+        ).alias("n"),
+        F.expr(
+            "CAST(COALESCE(SUM(CASE WHEN truth = label AND"
+            " pred = label THEN 1 END), 0) AS BIGINT)"
+        ).alias("tp"),
+        F.expr(
+            "CAST(COALESCE(SUM(CASE WHEN truth <> label AND"
+            " pred = label THEN 1 END), 0) AS BIGINT)"
+        ).alias("fp"),
+        F.expr(
+            "CAST(COALESCE(SUM(CASE WHEN truth = label AND"
+            " pred <> label THEN 1 END), 0) AS BIGINT)"
+        ).alias("fn"),
+        F.expr(
+            "CASE WHEN COALESCE(SUM(CASE WHEN pred = label THEN 1"
+            " END), 0) > 0 THEN"
+            " CAST(COALESCE(SUM(CASE WHEN truth = label AND"
+            " pred = label THEN 1 END), 0) * 1000000"
+            " DIV SUM(CASE WHEN pred = label THEN 1 END)"
+            " AS BIGINT) END"
+        ).alias("precision_ppm"),
+        F.expr(
+            "CASE WHEN COALESCE(SUM(CASE WHEN truth = label THEN 1"
+            " END), 0) > 0 THEN"
+            " CAST(COALESCE(SUM(CASE WHEN truth = label AND"
+            " pred = label THEN 1 END), 0) * 1000000"
+            " DIV SUM(CASE WHEN truth = label THEN 1 END)"
+            " AS BIGINT) END"
+        ).alias("recall_ppm"),
+    )
+
+
+@register(
+    "cluster_purity",
+    oracle="WITH RECURSIVE " + _SH_CTE + """,
+    based AS (SELECT doc_id,
+                      ('0x' || substr(md5(sh), 1, 10))::BIGINT AS base
+               FROM sh),
+    seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+    sigs AS (
+      SELECT doc_id, seed,
+             MIN(((976369 + 2 * seed) * base + (13 + 97 * seed))
+                 % 1099511627776) AS minhash
+      FROM based CROSS JOIN seeds
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, seed // 4 AS band,
+             string_agg(minhash::VARCHAR, ',' ORDER BY seed)
+               AS band_key
+      FROM sigs GROUP BY doc_id, seed // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM cand
+      JOIN sigs sa ON sa.doc_id = doc_a
+      JOIN sigs sb ON sb.doc_id = doc_b AND sb.seed = sa.seed
+      GROUP BY doc_a, doc_b
+      HAVING CAST(SUM(CASE WHEN sa.minhash = sb.minhash
+                  THEN 1 ELSE 0 END) AS DOUBLE) / 16 >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r
+      JOIN edges e ON r.node = e.src
+    ),
+    clus AS (
+      SELECT node AS doc_id, MIN(label) AS cluster_id
+      FROM reach GROUP BY node
+    ),
+    cs AS (
+      SELECT cluster_id, d.source, CAST(COUNT(*) AS BIGINT) AS c
+      FROM clus JOIN documents d USING (doc_id)
+      GROUP BY 1, 2
+    ),
+    mj AS (
+      SELECT cluster_id, CAST(MAX(c) AS BIGINT) AS m,
+             CAST(SUM(c) AS BIGINT) AS sz
+      FROM cs GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_multi,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(m) * 1000000 // SUM(sz) AS BIGINT)
+             AS purity_ppm
+    FROM mj
+    """,
+)
+def q_cluster_purity(spark, sf_dir):
+    """Purity of the near-duplicate clusters against the source
+    labels — the external cluster-quality metric (purity = fraction
+    of docs whose cluster's MAJORITY source matches theirs): high
+    purity says near-dup structure is intra-source (boilerplate
+    within a crawl); low purity says cross-source syndication, which
+    is exactly what leakage_safe_split exists to contain. Served
+    from the SAME per-process cluster memo as
+    dedup_clusters/leakage_safe_split/cluster_best_doc (one LSH+CC
+    run per session), then two tiny aggregations: per-(cluster,
+    source) counts, per-cluster majority, one exact SUM(m)*1e6 DIV
+    SUM(sz). Singleton clusters count (purity 1 by definition) and
+    the multi-doc cluster count ships beside the metric so the
+    reader can tell how much structure the number summarizes."""
+    clus = _dedup_cluster_table(spark, sf_dir, 0.5)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    cs = (
+        clus.join(docs, "doc_id")
+        .groupBy("cluster_id", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    mj = cs.groupBy("cluster_id").agg(
+        F.max("c").cast("long").alias("m"),
+        F.sum("c").cast("long").alias("sz"),
+    )
+    return mj.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum(F.when(F.col("sz") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_multi"),
+        F.sum("sz").cast("long").alias("n_docs"),
+        F.expr(
+            "CAST(SUM(m) * 1000000 DIV SUM(sz) AS BIGINT)"
+        ).alias("purity_ppm"),
+    )
+
+
+@register(
+    "bipartite_butterflies",
+    oracle="""
+    WITH items AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), pp AS (
+      SELECT a.part AS p1, b.part AS p2,
+             CAST(COUNT(*) AS BIGINT) AS shared
+      FROM items a JOIN items b
+        ON a.cust = b.cust AND a.part < b.part
+      GROUP BY 1, 2
+    )
+    SELECT CAST(SUM(shared * (shared - 1) // 2) AS BIGINT)
+             AS butterflies,
+           CAST(COUNT(*) AS BIGINT) AS n_part_pairs,
+           CAST(SUM(CASE WHEN shared >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_closed_pairs
+    FROM pp
+    """,
+)
+def q_bipartite_butterflies(spark, sf_dir):
+    """Butterfly (2x2 biclique) count of the customer-part purchase
+    graph — the bipartite analogue of triangle counting and the
+    motif under recsys co-clustering: butterflies = SUM over part
+    pairs of C(shared_customers, 2), computed from the same
+    bounded basket self-join as association_rules (per-customer
+    pair fan-out = basket width squared — linear in customers for
+    bounded baskets; never the |parts|^2 form). shared*(shared-1)/2
+    is exact (consecutive integers, one always even — integer / is
+    safe without DIV gymnastics). Ships the pair counts beside the
+    motif total so density is readable. Scale: one distinct pass +
+    one width-bounded self-join + a 1-row rollup."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_partkey").alias("part"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("cust")
+    )
+    items = (
+        li.join(o, li.ok == o.o_orderkey)
+        .select("cust", "part")
+        .distinct()
+    )
+    b = items.select(
+        F.col("cust").alias("cust2"), F.col("part").alias("p2")
+    )
+    pp = (
+        items.join(
+            b,
+            (F.col("cust") == F.col("cust2"))
+            & (F.col("part") < F.col("p2")),
+        )
+        .groupBy(F.col("part").alias("p1"), "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    return pp.agg(
+        F.sum(
+            F.expr("shared * (shared - 1) DIV 2")
+        )
+        .cast("long")
+        .alias("butterflies"),
+        F.count(F.lit(1)).cast("long").alias("n_part_pairs"),
+        F.sum(F.when(F.col("shared") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_closed_pairs"),
+    )
+
+
+_ABSORB_ITERS = 16
+
+
+def _absorb_oracle_sql(iters: int = _ABSORB_ITERS) -> str:
+    head = """
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), trans AS MATERIALIZED (
+      SELECT event_type AS src, nxt AS dst,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), p AS MATERIALIZED (
+      SELECT src, dst,
+             CAST(c * 1000000 // SUM(c) OVER (PARTITION BY src)
+                  AS BIGINT) AS p_ppm
+      FROM trans WHERE src NOT IN ('purchase', 'error')
+    ), states AS MATERIALIZED (
+      SELECT DISTINCT src AS t FROM p
+    ), a0 AS MATERIALIZED (
+      SELECT t, CAST(0 AS BIGINT) AS mass FROM states
+    )"""
+    prev, parts = "a0", [head]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    a{i} AS MATERIALIZED (
+      SELECT s.t,
+             CAST((COALESCE(SUM(CASE
+                 WHEN p.dst = 'purchase' THEN p.p_ppm * 1000000
+                 WHEN p.dst = 'error' THEN 0
+                 ELSE p.p_ppm * prev.mass END), 0)) // 1000000
+               AS BIGINT) AS mass
+      FROM states s
+      LEFT JOIN p ON p.src = s.t
+      LEFT JOIN {prev} prev ON prev.t = p.dst
+      GROUP BY 1
+    )""")
+        prev = f"a{i}"
+    return "".join(parts) + f"""
+    SELECT t AS event_type, mass AS absorb_purchase_ppm FROM {prev}
+    """
+
+
+@register("markov_absorption", oracle=_absorb_oracle_sql())
+def q_markov_absorption(spark, sf_dir):
+    """Absorption probabilities of the user journey chain: from each
+    transient state (view/click/signup), the ppm probability of
+    hitting PURCHASE before ERROR — the absorbing-Markov companion
+    of markov_stationary (occupancy says where users spend time;
+    absorption says where they END UP, the funnel question). Solves
+    h = P_transient h + P(.,purchase) by 16 fixed-point ppm
+    iterations from h=0 (monotone convergence from below — each
+    round adds the paths one step longer, so truncation only ever
+    under-counts and the iterate is a certified LOWER bound).
+    Transition rows into the two absorbing states collapse to
+    constants inside the step; a transient dst missing from the
+    state vector contributes NULL and drops out of SUM identically
+    on both engines. 3-row state localCheckpointed per round;
+    unrolled MATERIALIZED-CTE oracle."""
+    ev = _t(spark, sf_dir, "events")
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(wl).alias("nxt"),
+    )
+    trans = (
+        seq.where(F.col("nxt").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("src"),
+            F.col("nxt").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    pmat = (
+        trans.where(~F.col("src").isin("purchase", "error"))
+        .select(
+            "src",
+            "dst",
+            F.expr(
+                "CAST(c * 1000000 DIV SUM(c) OVER"
+                " (PARTITION BY src) AS BIGINT)"
+            ).alias("p_ppm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    states = pmat.select(F.col("src").alias("t")).distinct()
+    a = states.select(
+        "t", F.lit(0).cast("long").alias("mass")
+    ).localCheckpoint(eager=True)
+    for _ in range(_ABSORB_ITERS):
+        prev = a.select(
+            F.col("t").alias("pt"), F.col("mass").alias("pmass")
+        )
+        pm = pmat.select(
+            F.col("src").alias("psrc"),
+            F.col("dst").alias("pdst"),
+            "p_ppm",
+        )
+        a = (
+            states.join(pm, states.t == pm.psrc, "left")
+            .join(
+                broadcast(prev), F.col("pdst") == F.col("pt"), "left"
+            )
+            .groupBy("t")
+            .agg(
+                F.expr(
+                    "CAST(COALESCE(SUM(CASE"
+                    " WHEN pdst = 'purchase' THEN p_ppm * 1000000"
+                    " WHEN pdst = 'error' THEN 0"
+                    " ELSE p_ppm * pmass END), 0) DIV 1000000"
+                    " AS BIGINT)"
+                ).alias("mass")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return a.select(
+        F.col("t").alias("event_type"),
+        F.col("mass").alias("absorb_purchase_ppm"),
+    )
+
+
+@register(
+    "gains_table_deciles",
+    oracle="""
+    WITH s96 AS (
+      SELECT c_custkey AS cust,
+             CAST(COALESCE(SUM(CASE WHEN EXTRACT(year FROM
+                  o_orderdate) = 1996
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                       * 100 AS BIGINT) END), 0) AS BIGINT)
+               AS score,
+             CAST(MAX(CASE WHEN EXTRACT(year FROM o_orderdate)
+                  = 1997 THEN 1 ELSE 0 END) AS BIGINT) AS resp
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY 1
+    ), rk AS (
+      SELECT score, resp,
+             ROW_NUMBER() OVER (ORDER BY score DESC, cust) AS r,
+             COUNT(*) OVER () AS n
+      FROM s96
+    ), dec AS (
+      SELECT CAST((r - 1) * 10 // n AS BIGINT) AS decile, resp
+      FROM rk
+    ), cells AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_cust,
+             CAST(SUM(resp) AS BIGINT) AS responders
+      FROM dec GROUP BY 1
+    ), cum AS (
+      SELECT decile, n_cust, responders,
+             SUM(n_cust) OVER (ORDER BY decile) AS cn,
+             SUM(responders) OVER (ORDER BY decile) AS cr,
+             SUM(n_cust) OVER () AS tn,
+             SUM(responders) OVER () AS tr
+      FROM cells
+    )
+    SELECT decile, n_cust, responders,
+           CAST(responders * 1000000 // n_cust AS BIGINT)
+             AS resp_ppm,
+           CASE WHEN tr > 0
+                THEN CAST(cr * tn * 1000000 // (cn * tr) AS BIGINT)
+                END AS cum_lift_ppm
+    FROM cum
+    """,
+)
+def q_gains_table_deciles(spark, sf_dir):
+    """Decile gains table — the targeting-model evaluation every
+    CRM/campaign pipeline ships: customers ranked by 1996 spend
+    (the score), outcome = ordered again in 1997; per decile the
+    response rate and the CUMULATIVE lift vs the population
+    (cr*tn*1e6 DIV (cn*tr), exact cross-multiplied integers — a
+    lift of 1e6 at decile 9 is the sanity identity, pinned in the
+    test). The global rank comes from the two-phase partition-offset
+    cumsum (relational.global_cumsum over (score DESC, custkey) as
+    (-score, cust) — no single-partition window over what is the
+    full customer dimension); deciles are exact rank arithmetic
+    ((r-1)*10 DIV n), and the final cumulative window runs on 10
+    rows. Scale: one left join + groupBy, one ranged repartition."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    s96 = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(F.col("c_custkey").alias("cust"))
+        .agg(
+            F.expr(
+                "CAST(COALESCE(SUM(CASE WHEN year(o_orderdate)"
+                " = 1996 THEN CAST(CAST(o_totalprice AS"
+                " DECIMAL(14,2)) * 100 AS BIGINT) END), 0)"
+                " AS BIGINT)"
+            ).alias("score"),
+            F.expr(
+                "CAST(MAX(CASE WHEN year(o_orderdate) = 1997"
+                " THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("resp"),
+        )
+        .withColumn("negscore", -F.col("score"))
+        .withColumn("one", F.lit(1))
+    )
+    rk = R.global_cumsum(s96, "one", ["negscore", "cust"]).select(
+        "resp",
+        F.col("_cum").alias("r"),
+        F.col("_total").alias("n"),
+    )
+    cells = (
+        rk.select(
+            F.expr("CAST((r - 1) * 10 DIV n AS BIGINT)").alias(
+                "decile"
+            ),
+            "resp",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+            F.sum("resp").cast("long").alias("responders"),
+        )
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = cells.select(
+        "decile",
+        "n_cust",
+        "responders",
+        F.sum("n_cust").over(wcum).alias("cn"),
+        F.sum("responders").over(wcum).alias("cr"),
+        F.sum("n_cust").over(wall).alias("tn"),
+        F.sum("responders").over(wall).alias("tr"),
+    )
+    return cum.select(
+        "decile",
+        "n_cust",
+        "responders",
+        F.expr(
+            "CAST(responders * 1000000 DIV n_cust AS BIGINT)"
+        ).alias("resp_ppm"),
+        F.expr(
+            "CASE WHEN tr > 0 THEN"
+            " CAST(cr * tn * 1000000 DIV (cn * tr) AS BIGINT) END"
+        ).alias("cum_lift_ppm"),
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -20635,7 +21219,11 @@ _FRONT: list[str] = [
     # cliffs_delta, odds_ratio_by_nation, closeness_centrality,
     # friedman_test, rapid_repeat_events, forecastability_ratio,
     # revenue_bridge_pvm, shapley_channel_attribution,
-    # order_aging_buckets.
+    # order_aging_buckets, negative_sampling_pairs,
+    # hard_negatives_topk, promo_diff_in_diff,
+    # rocchio_classification_report, cluster_purity,
+    # bipartite_butterflies, markov_absorption,
+    # gains_table_deciles.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

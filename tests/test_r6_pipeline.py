@@ -4633,3 +4633,367 @@ def test_order_aging_recompute(spark):
         for r in _q(spark, "order_aging_buckets").collect()
     }
     assert got == {b: tuple(v) for b, v in want.items()}
+
+
+def test_negative_sampling_recompute(spark):
+    """Sampled negatives equal the Python md5 replay; no emitted
+    negative collides with the user's positive set and every
+    positive yields at most 3 slots."""
+    import hashlib
+    from collections import defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    order_cust = {
+        o.o_orderkey: o.o_custkey
+        for o in read_table(spark, SF_SMALL, "orders").collect()
+    }
+    pos = set()
+    for li in read_table(spark, SF_SMALL, "lineitem").collect():
+        cust = order_cust[li.l_orderkey]
+        if cust % 50 == 0:
+            pos.add((cust, li.l_partkey))
+    parts = sorted(
+        p.p_partkey
+        for p in read_table(spark, SF_SMALL, "part").collect()
+    )
+    np_ = len(parts)
+    by_cust = defaultdict(set)
+    for cust, part in pos:
+        by_cust[cust].add(part)
+    want = set()
+    for cust, part in pos:
+        for j in (1, 2, 3):
+            h = hashlib.md5(
+                f"{cust}:{part}:{j}".encode()
+            ).hexdigest()[:12]
+            neg = parts[int(h, 16) % np_]
+            if neg not in by_cust[cust]:
+                want.add((cust, part, j, neg))
+    got = {
+        (r.cust, r.part, r.j, r.neg_part)
+        for r in _q(spark, "negative_sampling_pairs").collect()
+    }
+    assert got == want
+    assert all(
+        (c, n) not in pos for c, _, _, n in got
+    )
+
+
+def test_hard_negatives_recompute(spark):
+    """Top-3 hard negatives equal the brute-force replay and every
+    returned neighbor has a different label from its query."""
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    codes, label = {}, {}
+    for r in read_table(spark, SF_SMALL, "embeddings").collect():
+        vs = [float(v) for v in r.embedding]
+        m = max(abs(v) for v in vs)
+        codes[r.vec_id] = [
+            0 if m == 0 else int(127.0 * v / m) for v in vs
+        ]
+        label[r.vec_id] = r.label
+    want = set()
+    for q in range(5):
+        cand = sorted(
+            (
+                -sum(a * b for a, b in zip(codes[q], codes[v])),
+                v,
+            )
+            for v in codes
+            if v != q and label[v] != label[q]
+        )[:3]
+        for rk, (negdot, v) in enumerate(cand, 1):
+            want.add((q, v, -negdot, rk))
+    got = {
+        (r.query_id, r.vec_id, r.qdot, r.rk)
+        for r in _q(spark, "hard_negatives_topk").collect()
+    }
+    assert got == want
+    assert all(
+        label[v] != label[q] for q, v, _, _ in got
+    )
+
+
+def test_promo_diff_in_diff_recompute(spark):
+    """Cells and the DiD estimate equal the mirrored-IEEE Python
+    replay."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    yr = {
+        o.o_orderkey: o.o_orderdate.year
+        for o in read_table(spark, SF_SMALL, "orders").collect()
+        if o.o_orderdate.year in (1996, 1997)
+    }
+    promo = {
+        p.p_partkey: p.p_type.startswith("PROMO")
+        for p in read_table(spark, SF_SMALL, "part").collect()
+    }
+    cells = defaultdict(lambda: [0, 0])
+    for li in read_table(spark, SF_SMALL, "lineitem").collect():
+        if li.l_orderkey not in yr:
+            continue
+        t = int(promo[li.l_partkey])
+        po = int(yr[li.l_orderkey] == 1997)
+        cents = int(
+            Decimal(str(li.l_extendedprice)).quantize(
+                Decimal("0.01")
+            )
+            * 100
+        )
+        cells[(t, po)][0] += 1
+        cells[(t, po)][1] += cents
+
+    def mean(k):
+        n, s = cells[k]
+        return float(s) / float(n)
+
+    did = (
+        (mean((1, 1)) - mean((1, 0)))
+        - (mean((0, 1)) - mean((0, 0)))
+        if all(cells[k][0] > 0 for k in [(1, 1), (1, 0), (0, 1), (0, 0)])
+        else None
+    )
+    for r in _q(spark, "promo_diff_in_diff").collect():
+        n, s = cells[(r.treated, r.post)]
+        assert (r.n, r.s) == (n, s)
+        assert r.did_cents == did
+
+
+def test_rocchio_report_recompute(spark):
+    """Per-class tp/fp/fn and ppm precision/recall equal the
+    all-integer Python replay; tp+fn tiles each class."""
+    from collections import defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    def tdiv(a, b):
+        return -((-a) // b) if a < 0 else a // b
+
+    codes, truth = {}, {}
+    sums = defaultdict(int)
+    cnts = defaultdict(int)
+    for r in read_table(spark, SF_SMALL, "embeddings").collect():
+        vs = [float(v) for v in r.embedding]
+        m = max(abs(v) for v in vs)
+        qv = [0 if m == 0 else int(127.0 * v / m) for v in vs]
+        codes[r.vec_id] = qv
+        truth[r.vec_id] = r.label
+        for pos, q in enumerate(qv):
+            sums[(r.label, pos)] += q
+            cnts[(r.label, pos)] += 1
+    cent = defaultdict(dict)
+    for (lbl, pos), s in sums.items():
+        cent[lbl][pos] = tdiv(s * 1_000_000, cnts[(lbl, pos)])
+    pred = {}
+    for vid, qv in codes.items():
+        best = min(
+            (
+                sum(
+                    (q * 1_000_000 - cent[lbl][p]) ** 2 // 1_000_000
+                    for p, q in enumerate(qv)
+                ),
+                lbl,
+            )
+            for lbl in cent
+        )
+        pred[vid] = best[1]
+    stats = defaultdict(lambda: [0, 0, 0, 0])  # n tp fp fn
+    for vid in codes:
+        t, p = truth[vid], pred[vid]
+        stats[t][0] += 1
+        if t == p:
+            stats[t][1] += 1
+        else:
+            stats[p][2] += 1
+            stats[t][3] += 1
+    for r in _q(spark, "rocchio_classification_report").collect():
+        n, tp, fp, fn = stats[r.label]
+        assert (r.n, r.tp, r.fp, r.fn) == (n, tp, fp, fn)
+        assert r.tp + r.fn == r.n
+        if tp + fp > 0:
+            assert r.precision_ppm == tp * 1_000_000 // (tp + fp)
+        else:
+            assert r.precision_ppm is None
+        if n > 0:
+            assert r.recall_ppm == tp * 1_000_000 // n
+
+
+def test_cluster_purity_invariants(spark):
+    """Purity recomputed from the shared cluster table matches the
+    query output; purity is 1e6 exactly when every multi-doc
+    cluster is single-source."""
+    from collections import defaultdict
+
+    from distributed_mapreduce_p2p_spark import registry
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    clus = {
+        r.doc_id: r.cluster_id
+        for r in registry._dedup_cluster_table(
+            spark, SF_SMALL, 0.5
+        ).collect()
+    }
+    src = {
+        d.doc_id: d.source
+        for d in read_table(spark, SF_SMALL, "documents").collect()
+    }
+    cells = defaultdict(lambda: defaultdict(int))
+    for doc, c in clus.items():
+        cells[c][src[doc]] += 1
+    m = sum(max(v.values()) for v in cells.values())
+    n = sum(sum(v.values()) for v in cells.values())
+    row = _q(spark, "cluster_purity").collect()[0]
+    assert row.n_clusters == len(cells)
+    assert row.n_docs == n
+    assert row.n_multi == sum(
+        1 for v in cells.values() if sum(v.values()) > 1
+    )
+    assert row.purity_ppm == m * 1_000_000 // n
+
+
+def test_bipartite_butterflies_recompute(spark):
+    """Butterfly count equals the Python replay over shared-customer
+    part pairs."""
+    from collections import defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    cust_of = {
+        o.o_orderkey: o.o_custkey
+        for o in read_table(spark, SF_SMALL, "orders").collect()
+    }
+    items = set()
+    for li in read_table(spark, SF_SMALL, "lineitem").collect():
+        items.add((cust_of[li.l_orderkey], li.l_partkey))
+    by_cust = defaultdict(list)
+    for cust, part in items:
+        by_cust[cust].append(part)
+    shared = defaultdict(int)
+    for parts in by_cust.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b2 in ps[i + 1 :]:
+                shared[(a, b2)] += 1
+    butterflies = sum(s * (s - 1) // 2 for s in shared.values())
+    row = _q(spark, "bipartite_butterflies").collect()[0]
+    assert row.butterflies == butterflies
+    assert row.n_part_pairs == len(shared)
+    assert row.n_closed_pairs == sum(
+        1 for s in shared.values() if s >= 2
+    )
+
+
+def test_markov_absorption_recompute(spark):
+    """The 16 fixed-point rounds equal the integer Python replay and
+    the iterate is a certified lower bound (monotone from 0, each
+    value in [0, 1e6])."""
+    from collections import defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    by_user = defaultdict(list)
+    for e in read_table(spark, SF_SMALL, "events").collect():
+        by_user[e.user_id].append((e.ts, e.event_id, e.event_type))
+    trans = defaultdict(int)
+    for evs in by_user.values():
+        evs.sort()
+        for a, b in zip(evs, evs[1:]):
+            trans[(a[2], b[2])] += 1
+    row = defaultdict(int)
+    for (s, d), c in trans.items():
+        row[s] += c
+    p = {
+        (s, d): c * 1_000_000 // row[s]
+        for (s, d), c in trans.items()
+        if s not in ("purchase", "error")
+    }
+    states = sorted({s for s, _ in p})
+    h = {t: 0 for t in states}
+    for _ in range(16):
+        nxt = {}
+        for t in states:
+            acc = 0
+            for (s, d), ppm in p.items():
+                if s != t:
+                    continue
+                if d == "purchase":
+                    acc += ppm * 1_000_000
+                elif d == "error":
+                    pass
+                elif d in h:
+                    acc += ppm * h[d]
+            nxt[t] = acc // 1_000_000
+        prev_h, h = h, nxt
+        assert all(h[t] >= prev_h[t] for t in states)
+    got = {
+        r.event_type: r.absorb_purchase_ppm
+        for r in _q(spark, "markov_absorption").collect()
+    }
+    assert got == h
+    assert all(0 <= v <= 1_000_000 for v in got.values())
+
+
+def test_gains_table_recompute(spark):
+    """Deciles, response rates and cumulative lift equal the Python
+    replay; the last decile's cumulative lift is exactly 1e6."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    score = defaultdict(int)
+    resp = defaultdict(int)
+    custs = [
+        c.c_custkey
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    ]
+    for cu in custs:
+        score[cu] = 0
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        if o.o_orderdate.year == 1996:
+            score[o.o_custkey] += int(
+                Decimal(str(o.o_totalprice)).quantize(
+                    Decimal("0.01")
+                )
+                * 100
+            )
+        if o.o_orderdate.year == 1997:
+            resp[o.o_custkey] = 1
+    ranked = sorted(custs, key=lambda cu: (-score[cu], cu))
+    n = len(ranked)
+    cells = defaultdict(lambda: [0, 0])
+    for r_, cu in enumerate(ranked, 1):
+        d = (r_ - 1) * 10 // n
+        cells[d][0] += 1
+        cells[d][1] += resp.get(cu, 0)
+    tn = sum(v[0] for v in cells.values())
+    tr = sum(v[1] for v in cells.values())
+    cn = cr = 0
+    want = {}
+    for d in sorted(cells):
+        cn += cells[d][0]
+        cr += cells[d][1]
+        want[d] = (
+            cells[d][0],
+            cells[d][1],
+            cells[d][1] * 1_000_000 // cells[d][0],
+            cr * tn * 1_000_000 // (cn * tr) if tr > 0 else None,
+        )
+    got = {
+        r.decile: (r.n_cust, r.responders, r.resp_ppm, r.cum_lift_ppm)
+        for r in _q(spark, "gains_table_deciles").collect()
+    }
+    assert got == want
+    assert got[max(got)][3] == 1_000_000

@@ -71,6 +71,10 @@ WHITELIST = {
     "ipf_raking": "1-row grand-total and cell-count attaches feeding the margin targets and uniform seed (25-cell state)",
     "closeness_centrality": "1-row edge-mean stats attach inside the shared _trade_edges derivation (graph-family scalar attach)",
     "friedman_test": "1-row (k, b) totals and 1-row SS aggregate broadcast onto the 5 region rows (anova output shape)",
+    "negative_sampling_pairs": "1-row part-count attach feeding the hash modulo (the two-phase index carries its own n_parts-row offsets)",
+    "promo_diff_in_diff": "1-row four-cell pivot broadcast onto the 4 evidence rows (DiD output shape)",
+    "shapley_channel_attribution": "two 1-row selects from the single 4-cell rates aggregate (union of scalar rows)",
+    "rocchio_classification_report": "|labels|-row label list cross-joined onto per-point predictions for the report rollup (bounded by k)",
     "ams_f2_sketch": "1-row exact-F2 aggregate cross-joined with the 1-row sketch estimate (two scalar cells)",
     "trade_graph_shortest_cost": "1-row totals/seed aggregates over the <=|nations|^2 bilateral table (graph-family scalar attach)",
     "share_of_parent": "1-row grand-total aggregate broadcast-attached to the |nations|-row leaf table",
