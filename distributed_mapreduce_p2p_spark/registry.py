@@ -21062,6 +21062,615 @@ def q_gains_table_deciles(spark, sf_dir):
     )
 
 
+@register(
+    "rrf_fusion_topk",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), m AS (SELECT vec_id, MAX(ABS(v)) AS m FROM ex GROUP BY 1),
+    q AS (
+      SELECT ex.vec_id, pos,
+             CASE WHEN m.m = 0 THEN 0
+                  ELSE CAST(trunc(127.0 * v / m.m) AS BIGINT)
+                  END AS qv
+      FROM ex JOIN m USING (vec_id)
+    ), qs AS (
+      SELECT vec_id AS query_id, pos, qv FROM q WHERE vec_id < 5
+    ), feat AS (
+      SELECT qs.query_id, q.vec_id,
+             CAST(SUM(qs.qv * q.qv) AS BIGINT) AS qdot,
+             CAST(SUM((qs.qv - q.qv) * (qs.qv - q.qv)) AS BIGINT)
+               AS l2
+      FROM qs JOIN q ON q.pos = qs.pos AND q.vec_id <> qs.query_id
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY qdot DESC, vec_id) AS r_dot,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY l2, vec_id) AS r_l2
+      FROM feat
+    ), scored AS (
+      SELECT query_id, vec_id,
+             CAST(1000000 // (60 + r_dot) + 1000000 // (60 + r_l2)
+                  AS BIGINT) AS rrf_ppm
+      FROM ranked
+    )
+    SELECT query_id, vec_id, rrf_ppm, rk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY rrf_ppm DESC, vec_id) AS BIGINT) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def q_rrf_fusion_topk(spark, sf_dir):
+    """Reciprocal-rank fusion of two retrieval rankers — the
+    standard hybrid-search combiner (Cormack et al. SIGIR'09,
+    k=60): per query, the dot-product ranking (angle) and the
+    squared-L2 ranking (magnitude-sensitive) are fused by
+    RRF(d) = sum 1/(60 + rank_i), kept integer as 1e6 DIV (60+r) —
+    rank fusion needs no score calibration, which is exactly why it
+    is the production default for mixing BM25 with vector scores.
+    Both rankings come from ONE pass over the same quantized-dot
+    join (dot and L2 share the per-position terms); per-query
+    windows partition by query; final top-3 likewise. Scale: the
+    int8_quantized_topk retrieval shape twice over, still one scan
+    of the code table."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "vf")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("vf").cast("double").alias("v"),
+    )
+    m = ex.groupBy("vec_id").agg(F.max(F.abs("v")).alias("m"))
+    q = ex.join(m, "vec_id").select(
+        "vec_id",
+        "pos",
+        F.when(F.col("m") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("cast(127.0 * v / m as bigint)"))
+        .alias("qv"),
+    )
+    qs = q.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        "pos",
+        F.col("qv").alias("pqv"),
+    )
+    feat = (
+        q.join(broadcast(qs), "pos")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum(F.expr("pqv * qv")).cast("long").alias("qdot"),
+            F.sum(F.expr("(pqv - qv) * (pqv - qv)"))
+            .cast("long")
+            .alias("l2"),
+        )
+    )
+    wdot = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), "vec_id"
+    )
+    wl2 = Window.partitionBy("query_id").orderBy("l2", "vec_id")
+    scored = feat.select(
+        "query_id",
+        "vec_id",
+        F.expr("CAST(0 AS BIGINT)").alias("_z"),
+        F.row_number().over(wdot).alias("r_dot"),
+        F.row_number().over(wl2).alias("r_l2"),
+    ).select(
+        "query_id",
+        "vec_id",
+        F.expr(
+            "CAST(1000000 DIV (60 + r_dot)"
+            " + 1000000 DIV (60 + r_l2) AS BIGINT)"
+        ).alias("rrf_ppm"),
+    )
+    wtop = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_ppm").desc(), "vec_id"
+    )
+    return (
+        scored.withColumn(
+            "rk", F.row_number().over(wtop).cast("long")
+        )
+        .where(F.col("rk") <= 3)
+        .select("query_id", "vec_id", "rrf_ppm", "rk")
+    )
+
+
+@register(
+    "dedup_threshold_curve",
+    oracle="WITH " + _SH_CTE + """,
+    based AS (SELECT doc_id,
+                      ('0x' || substr(md5(sh), 1, 10))::BIGINT AS base
+               FROM sh),
+    seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+    sigs AS (
+      SELECT doc_id, seed,
+             MIN(((976369 + 2 * seed) * base + (13 + 97 * seed))
+                 % 1099511627776) AS minhash
+      FROM based CROSS JOIN seeds
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, seed // 4 AS band,
+             string_agg(minhash::VARCHAR, ',' ORDER BY seed)
+               AS band_key
+      FROM sigs GROUP BY doc_id, seed // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT doc_a, doc_b,
+             CAST(SUM(CASE WHEN sa.minhash = sb.minhash
+                  THEN 1 ELSE 0 END) AS BIGINT) AS matches
+      FROM cand
+      JOIN sigs sa ON sa.doc_id = doc_a
+      JOIN sigs sb ON sb.doc_id = doc_b AND sb.seed = sa.seed
+      GROUP BY doc_a, doc_b
+    ), agg AS (
+      SELECT CAST(SUM(CASE WHEN 4 * matches >= 16 THEN 1 ELSE 0
+                  END) AS BIGINT) AS n25,
+             CAST(SUM(CASE WHEN 2 * matches >= 16 THEN 1 ELSE 0
+                  END) AS BIGINT) AS n50,
+             CAST(SUM(CASE WHEN 4 * matches >= 48 THEN 1 ELSE 0
+                  END) AS BIGINT) AS n75,
+             CAST(COUNT(*) AS BIGINT) AS n_cand
+      FROM est
+    )
+    SELECT t.threshold_pct, t.n_pairs, agg.n_cand FROM (
+      SELECT CAST(25 AS BIGINT) AS threshold_pct, n25 AS n_pairs
+      FROM agg
+      UNION ALL SELECT 50, n50 FROM agg
+      UNION ALL SELECT 75, n75 FROM agg
+    ) t CROSS JOIN agg
+    """,
+)
+def q_dedup_threshold_curve(spark, sf_dir):
+    """Near-dup threshold sensitivity curve: how many LSH candidate
+    pairs survive estimated-Jaccard floors of 0.25/0.50/0.75 — the
+    knob-tuning readout run BEFORE committing a dedup threshold to
+    a 100 TB pass (too low merges topics, too high leaves
+    boilerplate; the curve's knee is the evidence). Counts come
+    from ONE pass over the banded candidates (the minhash_lsh_pairs
+    machinery at threshold 0): the three floors are CASE sums on
+    the integer match count (4*matches >= 16 etc — cross-multiplied
+    so the /16 estimate never becomes a float), stacked into rows
+    with the candidate total beside them. Scale: identical to
+    minhash_lsh_pairs — banded, never all-pairs."""
+    pairs = DD.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), 0.0
+    ).select(
+        (F.col("est_jaccard") * 16).cast("long").alias("matches")
+    )
+    agg = pairs.agg(
+        F.sum(F.when(4 * F.col("matches") >= 16, 1).otherwise(0))
+        .cast("long")
+        .alias("n25"),
+        F.sum(F.when(2 * F.col("matches") >= 16, 1).otherwise(0))
+        .cast("long")
+        .alias("n50"),
+        F.sum(F.when(4 * F.col("matches") >= 48, 1).otherwise(0))
+        .cast("long")
+        .alias("n75"),
+        F.count(F.lit(1)).cast("long").alias("n_cand"),
+    )
+    rows = None
+    for pct, col in ((25, "n25"), (50, "n50"), (75, "n75")):
+        r = agg.select(
+            F.lit(pct).cast("long").alias("threshold_pct"),
+            F.col(col).alias("n_pairs"),
+            "n_cand",
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    return rows
+
+
+@register(
+    "topic_shift_boundaries",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, g.i - 1 AS pos, ws[g.i] AS w
+      FROM (SELECT doc_id, source,
+                   string_split_regex(trim(text), '\\s+') AS ws
+            FROM documents),
+           (SELECT UNNEST(generate_series(1, 100000)) AS i) g
+      WHERE g.i <= len(ws)
+    ), blocks AS (
+      SELECT DISTINCT doc_id, source, pos // 20 AS blk, w FROM toks
+    ), bsize AS (
+      SELECT doc_id, blk, CAST(COUNT(*) AS BIGINT) AS n
+      FROM blocks GROUP BY 1, 2
+    ), inter AS (
+      SELECT a.doc_id, a.blk,
+             CAST(COUNT(*) AS BIGINT) AS inter
+      FROM blocks a JOIN blocks b
+        ON a.doc_id = b.doc_id AND b.blk = a.blk + 1 AND a.w = b.w
+      GROUP BY 1, 2
+    ), gaps AS (
+      SELECT sa.doc_id, sa.blk,
+             CAST(COALESCE(i.inter, 0) * 1000000
+                  // (sa.n + sb.n - COALESCE(i.inter, 0))
+                  AS BIGINT) AS jacc_ppm
+      FROM bsize sa
+      JOIN bsize sb ON sb.doc_id = sa.doc_id
+                   AND sb.blk = sa.blk + 1
+      LEFT JOIN inter i ON i.doc_id = sa.doc_id
+                       AND i.blk = sa.blk
+    ), marked AS (
+      SELECT g.doc_id, g.jacc_ppm,
+             CASE WHEN 2 * g.jacc_ppm * t.ng < t.s THEN 1 ELSE 0
+                  END AS boundary
+      FROM gaps g JOIN (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ng,
+               CAST(SUM(jacc_ppm) AS BIGINT) AS s
+        FROM gaps GROUP BY 1
+      ) t USING (doc_id)
+    )
+    SELECT d.source,
+           CAST(COUNT(DISTINCT m.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(m.boundary) AS BIGINT) AS n_boundaries
+    FROM marked m JOIN documents d USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def q_topic_shift_boundaries(spark, sf_dir):
+    """TextTiling-style topic segmentation (Hearst CL'97, integer
+    form): documents split into 20-token blocks, adjacent blocks
+    compared by token-SET Jaccard (exact ppm via DIV), and a gap is
+    a topic boundary when its similarity falls below HALF the doc's
+    mean gap similarity — the depth test cross-multiplied
+    (2*jacc*n_gaps < sum) so no mean is ever a float. Zero-overlap
+    gaps survive via the mirrored COALESCE left join. The per-source
+    rollup is the segmentation-density readout a chunking pipeline
+    tunes against (doc_chunking is the consumer: boundary-aware
+    chunks beat fixed windows for RAG training data). Scale:
+    everything partitions by doc_id; the adjacent-block join is an
+    equi-join on (doc, blk+1, token)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr("split(trim(text), '\\\\s+')").alias("ws"),
+    )
+    toks = d.select(
+        "doc_id", "source", F.posexplode("ws").alias("pos", "w")
+    )
+    blocks = toks.select(
+        "doc_id",
+        "source",
+        F.expr("pos DIV 20").alias("blk"),
+        "w",
+    ).distinct()
+    bsize = blocks.groupBy("doc_id", "blk").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    b2 = blocks.select(
+        F.col("doc_id").alias("d2"),
+        (F.col("blk") - 1).alias("blkm"),
+        F.col("w").alias("w2"),
+    )
+    inter = (
+        blocks.join(
+            b2,
+            (F.col("doc_id") == F.col("d2"))
+            & (F.col("blk") == F.col("blkm"))
+            & (F.col("w") == F.col("w2")),
+        )
+        .groupBy("doc_id", "blk")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sb = bsize.select(
+        F.col("doc_id").alias("db"),
+        (F.col("blk") - 1).alias("blkb"),
+        F.col("n").alias("nb"),
+    )
+    gaps = (
+        bsize.join(
+            sb,
+            (F.col("doc_id") == F.col("db"))
+            & (F.col("blk") == F.col("blkb")),
+        )
+        .join(inter, ["doc_id", "blk"], "left")
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(COALESCE(inter, 0) * 1000000"
+                " DIV (n + nb - COALESCE(inter, 0)) AS BIGINT)"
+            ).alias("jacc_ppm"),
+        )
+    )
+    t = gaps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("jacc_ppm").cast("long").alias("s"),
+    )
+    marked = gaps.join(t, "doc_id").select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN 2 * jacc_ppm * ng < s THEN 1 ELSE 0 END"
+        ).alias("boundary"),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    return (
+        marked.join(broadcast(docs), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum("boundary").cast("long").alias("n_boundaries"),
+        )
+    )
+
+
+@register(
+    "kendall_tau_rankings",
+    oracle="""
+    WITH m AS (
+      SELECT n_name,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                  * 100 AS BIGINT)) AS BIGINT) AS rev,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1
+    ), pairs AS (
+      SELECT CAST(SUM(CASE WHEN (a.rev - b.rev) * (a.cnt - b.cnt)
+                  > 0 THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+             CAST(SUM(CASE WHEN (a.rev - b.rev) * (a.cnt - b.cnt)
+                  < 0 THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+             CAST(SUM(CASE WHEN a.rev = b.rev AND a.cnt <> b.cnt
+                  THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+             CAST(SUM(CASE WHEN a.cnt = b.cnt AND a.rev <> b.rev
+                  THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+             CAST(COUNT(*) AS BIGINT) AS np
+      FROM m a JOIN m b ON a.n_name < b.n_name
+    )
+    SELECT conc, disc, tx, ty, np,
+           CASE WHEN (conc + disc + tx) > 0
+                 AND (conc + disc + ty) > 0
+                THEN CAST(conc - disc AS DOUBLE)
+                     / (sqrt(CAST(conc + disc + tx AS DOUBLE))
+                        * sqrt(CAST(conc + disc + ty AS DOUBLE)))
+                END AS tau_b
+    FROM pairs
+    """,
+)
+def q_kendall_tau_rankings(spark, sf_dir):
+    """Kendall tau-b agreement between two nation rankings (total
+    revenue vs order count) — the rank-correlation that handles
+    ties exactly, answering "do the two league tables agree?"
+    where spearman_rho answers it for row-level values and
+    mann_kendall_trend for time. The pair enumeration is the
+    |nations|^2-BOUNDED self-join on the aggregated league table
+    (never on facts); concordance is the sign of a product of
+    exact BIGINT differences; tau-b = (C-D)/sqrt((C+D+Tx)(C+D+Ty))
+    with the two sqrts and one division mirrored verbatim,
+    mirrored-NULL when either margin is all-ties. Scale: one
+    fact-scale groupBy, then a 300-row pair join."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    m = (
+        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(14,2))"
+                    " * 100 AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("rev"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+    )
+    b = m.select(
+        F.col("n_name").alias("n2"),
+        F.col("rev").alias("rev2"),
+        F.col("cnt").alias("cnt2"),
+    )
+    pairs = m.join(broadcast(b), F.col("n_name") < F.col("n2")).agg(
+        F.sum(
+            F.when(
+                (F.col("rev") - F.col("rev2"))
+                * (F.col("cnt") - F.col("cnt2"))
+                > 0,
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("conc"),
+        F.sum(
+            F.when(
+                (F.col("rev") - F.col("rev2"))
+                * (F.col("cnt") - F.col("cnt2"))
+                < 0,
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("disc"),
+        F.sum(
+            F.when(
+                (F.col("rev") == F.col("rev2"))
+                & (F.col("cnt") != F.col("cnt2")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("tx"),
+        F.sum(
+            F.when(
+                (F.col("cnt") == F.col("cnt2"))
+                & (F.col("rev") != F.col("rev2")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("ty"),
+        F.count(F.lit(1)).cast("long").alias("np"),
+    )
+    return pairs.select(
+        "conc",
+        "disc",
+        "tx",
+        "ty",
+        "np",
+        F.expr(
+            "CASE WHEN (conc + disc + tx) > 0"
+            " AND (conc + disc + ty) > 0"
+            " THEN CAST(conc - disc AS DOUBLE)"
+            " / (sqrt(CAST(conc + disc + tx AS DOUBLE))"
+            " * sqrt(CAST(conc + disc + ty AS DOUBLE))) END"
+        ).alias("tau_b"),
+    )
+
+
+@register(
+    "wilcoxon_signed_rank",
+    oracle="""
+    WITH m AS (
+      SELECT n_name, EXTRACT(year FROM o_orderdate) AS yr,
+             EXTRACT(month FROM o_orderdate) AS mon,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                  * 100 AS BIGINT)) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997)
+      GROUP BY 1, 2, 3
+    ), d AS (
+      SELECT a.n_name, b.cents - a.cents AS diff
+      FROM m a JOIN m b ON a.n_name = b.n_name AND a.mon = b.mon
+                       AND a.yr = 1996 AND b.yr = 1997
+      WHERE b.cents <> a.cents
+    ), rk AS (
+      SELECT n_name, diff,
+             CAST(2 * RANK() OVER (PARTITION BY n_name
+                    ORDER BY ABS(diff))
+                  + COUNT(*) OVER (PARTITION BY n_name, ABS(diff))
+                  - 1 AS BIGINT) AS drank
+      FROM d
+    ), agg AS (
+      SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN diff > 0 THEN drank ELSE 0 END)
+                  AS BIGINT) AS w2p
+      FROM rk GROUP BY 1
+    )
+    SELECT n_name, n, w2p,
+           CASE WHEN n >= 2
+                THEN CAST(w2p - n * (n + 1) // 2 AS DOUBLE)
+                     / sqrt(CAST(n * (n + 1) * (2 * n + 1)
+                            AS DOUBLE) / 6.0)
+                END AS z_wilcoxon
+    FROM agg
+    """,
+)
+def q_wilcoxon_signed_rank(spark, sf_dir):
+    """Wilcoxon signed-rank test per nation: did monthly revenue
+    SHIFT from 1996 to 1997, judged on the PAIRED month-by-month
+    differences — the paired continuous partner that completes the
+    nonparametric shelf (mann_whitney_u = independent groups,
+    mcnemar_test = paired binary, friedman_test = k related
+    samples). Pairs align by calendar month equi-join, zero diffs
+    drop (the standard Wilcoxon convention) identically on both
+    engines, |diff| ranks are DOUBLED midranks (2*rank + ties - 1,
+    exact integers), and with doubled ranks the normal
+    approximation is z = (2W+ - n(n+1)/2) / sqrt(n(n+1)(2n+1)/6) —
+    exact BIGINTs into one mirrored division (no tie-variance
+    correction; documented, mirrored). Scale: month cells per
+    nation; one window per nation partition."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).where(F.expr("year(o_orderdate) IN (1996, 1997)"))
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    m = (
+        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.expr("year(o_orderdate)").alias("yr"),
+            F.expr("month(o_orderdate)").alias("mon"),
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(14,2))"
+                    " * 100 AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    a = m.where(F.col("yr") == 1996).select(
+        "n_name", "mon", F.col("cents").alias("c96")
+    )
+    b = m.where(F.col("yr") == 1997).select(
+        F.col("n_name").alias("n2"),
+        F.col("mon").alias("m2"),
+        F.col("cents").alias("c97"),
+    )
+    d = (
+        a.join(
+            b,
+            (a.n_name == b.n2) & (a.mon == b.m2),
+        )
+        .where(F.col("c97") != F.col("c96"))
+        .select(
+            "n_name", (F.col("c97") - F.col("c96")).alias("diff")
+        )
+    )
+    wrk = Window.partitionBy("n_name").orderBy(F.abs(F.col("diff")))
+    wtie = Window.partitionBy("n_name", F.abs(F.col("diff")))
+    rk = d.select(
+        "n_name",
+        "diff",
+        (
+            2 * F.rank().over(wrk)
+            + F.count(F.lit(1)).over(wtie)
+            - 1
+        )
+        .cast("long")
+        .alias("drank"),
+    )
+    agg = rk.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("diff") > 0, F.col("drank")).otherwise(0)
+        )
+        .cast("long")
+        .alias("w2p"),
+    )
+    return agg.select(
+        "n_name",
+        "n",
+        "w2p",
+        F.expr(
+            "CASE WHEN n >= 2"
+            " THEN CAST(w2p - n * (n + 1) DIV 2 AS DOUBLE)"
+            " / sqrt(CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE)"
+            " / 6.0) END"
+        ).alias("z_wilcoxon"),
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -21223,7 +21832,9 @@ _FRONT: list[str] = [
     # hard_negatives_topk, promo_diff_in_diff,
     # rocchio_classification_report, cluster_purity,
     # bipartite_butterflies, markov_absorption,
-    # gains_table_deciles.
+    # gains_table_deciles, rrf_fusion_topk, dedup_threshold_curve,
+    # topic_shift_boundaries, kendall_tau_rankings,
+    # wilcoxon_signed_rank.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

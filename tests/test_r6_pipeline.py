@@ -4997,3 +4997,230 @@ def test_gains_table_recompute(spark):
     }
     assert got == want
     assert got[max(got)][3] == 1_000_000
+
+
+def test_rrf_fusion_recompute(spark):
+    """Fused top-3 equals the Python replay of both rankings and the
+    integer RRF formula."""
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    codes = {}
+    for r in read_table(spark, SF_SMALL, "embeddings").collect():
+        vs = [float(v) for v in r.embedding]
+        m = max(abs(v) for v in vs)
+        codes[r.vec_id] = [
+            0 if m == 0 else int(127.0 * v / m) for v in vs
+        ]
+    want = set()
+    for qid in range(5):
+        feat = []
+        for v, c in codes.items():
+            if v == qid:
+                continue
+            dot = sum(a * b for a, b in zip(codes[qid], c))
+            l2 = sum((a - b) ** 2 for a, b in zip(codes[qid], c))
+            feat.append((v, dot, l2))
+        rd = {
+            v: i + 1
+            for i, (v, _, _) in enumerate(
+                sorted(feat, key=lambda t: (-t[1], t[0]))
+            )
+        }
+        rl = {
+            v: i + 1
+            for i, (v, _, _) in enumerate(
+                sorted(feat, key=lambda t: (t[2], t[0]))
+            )
+        }
+        scored = sorted(
+            (
+                -(1_000_000 // (60 + rd[v]) + 1_000_000 // (60 + rl[v])),
+                v,
+            )
+            for v, _, _ in feat
+        )[:3]
+        for rk, (neg, v) in enumerate(scored, 1):
+            want.add((qid, v, -neg, rk))
+    got = {
+        (r.query_id, r.vec_id, r.rrf_ppm, r.rk)
+        for r in _q(spark, "rrf_fusion_topk").collect()
+    }
+    assert got == want
+
+
+def test_dedup_threshold_curve_invariants(spark):
+    """The curve is monotone non-increasing in the threshold, counts
+    are bounded by the candidate total, and the 0.5 point equals the
+    registered minhash_lsh_pairs count."""
+    rows = {
+        r.threshold_pct: (r.n_pairs, r.n_cand)
+        for r in _q(spark, "dedup_threshold_curve").collect()
+    }
+    n25, n50, n75 = (
+        rows[25][0],
+        rows[50][0],
+        rows[75][0],
+    )
+    ncand = rows[50][1]
+    assert n25 >= n50 >= n75
+    assert ncand >= n25
+    lsh = _q(spark, "minhash_lsh_pairs").count()
+    assert n50 == lsh
+
+
+def test_topic_shift_recompute(spark):
+    """Per-source gap and boundary counts equal the pure-Python
+    TextTiling replay (20-token blocks, set Jaccard, half-mean depth
+    rule)."""
+    import re
+    from collections import defaultdict
+
+    docs = {
+        d.doc_id: (d.source, re.split(r"\s+", d.text.strip()))
+        for d in _docs(spark).collect()
+    }
+    want = defaultdict(lambda: [set(), 0, 0])
+    for doc_id, (src, ws) in docs.items():
+        blocks = defaultdict(set)
+        for pos, w in enumerate(ws):
+            blocks[pos // 20].add(w)
+        nb = max(blocks) + 1
+        if nb < 2:
+            continue
+        jaccs = []
+        for b in range(nb - 1):
+            inter = len(blocks[b] & blocks[b + 1])
+            union = len(blocks[b]) + len(blocks[b + 1]) - inter
+            jaccs.append(inter * 1_000_000 // union)
+        s = sum(jaccs)
+        ng = len(jaccs)
+        nbound = sum(1 for j in jaccs if 2 * j * ng < s)
+        want[src][0].add(doc_id)
+        want[src][1] += ng
+        want[src][2] += nbound
+    got = {
+        r.source: (r.n_docs, r.n_gaps, r.n_boundaries)
+        for r in _q(spark, "topic_shift_boundaries").collect()
+    }
+    assert got == {
+        s: (len(v[0]), v[1], v[2]) for s, v in want.items()
+    }
+
+
+def test_kendall_tau_recompute(spark):
+    """Concordance cells and tau-b equal the brute-force pair replay
+    on the nation league table."""
+    import math
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    nat = {
+        x.n_nationkey: x.n_name
+        for x in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    nation_of = {
+        c.c_custkey: nat[c.c_nationkey]
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    rev = defaultdict(int)
+    cnt = defaultdict(int)
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        name = nation_of[o.o_custkey]
+        rev[name] += int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01"))
+            * 100
+        )
+        cnt[name] += 1
+    names = sorted(rev)
+    conc = disc = tx = ty = np_ = 0
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            np_ += 1
+            d = (rev[a] - rev[b]) * (cnt[a] - cnt[b])
+            if d > 0:
+                conc += 1
+            elif d < 0:
+                disc += 1
+            elif rev[a] == rev[b] and cnt[a] != cnt[b]:
+                tx += 1
+            elif cnt[a] == cnt[b] and rev[a] != rev[b]:
+                ty += 1
+    r = _q(spark, "kendall_tau_rankings").collect()[0]
+    assert (r.conc, r.disc, r.tx, r.ty, r.np) == (
+        conc,
+        disc,
+        tx,
+        ty,
+        np_,
+    )
+    want = (
+        float(conc - disc)
+        / (
+            math.sqrt(float(conc + disc + tx))
+            * math.sqrt(float(conc + disc + ty))
+        )
+        if conc + disc + tx > 0 and conc + disc + ty > 0
+        else None
+    )
+    assert r.tau_b == want
+
+
+def test_wilcoxon_signed_rank_recompute(spark):
+    """W+ doubled-rank sums and z equal the Python replay with the
+    same drop-zeros convention and mirrored IEEE order."""
+    import math
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    nat = {
+        x.n_nationkey: x.n_name
+        for x in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    nation_of = {
+        c.c_custkey: nat[c.c_nationkey]
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    cells = defaultdict(int)
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        if o.o_orderdate.year not in (1996, 1997):
+            continue
+        cells[
+            (
+                nation_of[o.o_custkey],
+                o.o_orderdate.year,
+                o.o_orderdate.month,
+            )
+        ] += int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01"))
+            * 100
+        )
+    diffs = defaultdict(list)
+    for (name, yr, mon), v in cells.items():
+        if yr == 1996 and (name, 1997, mon) in cells:
+            dd = cells[(name, 1997, mon)] - v
+            if dd != 0:
+                diffs[name].append(dd)
+    for r in _q(spark, "wilcoxon_signed_rank").collect():
+        ds = diffs[r.n_name]
+        n = len(ds)
+        assert r.n == n
+        absd = sorted(abs(x) for x in ds)
+        w2p = 0
+        for x in ds:
+            if x > 0:
+                lt = sum(1 for y in absd if y < abs(x))
+                eq = sum(1 for y in absd if y == abs(x))
+                w2p += 2 * (lt + 1) + eq - 1
+        assert r.w2p == w2p
+        if n >= 2:
+            want = float(w2p - n * (n + 1) // 2) / math.sqrt(
+                float(n * (n + 1) * (2 * n + 1)) / 6.0
+            )
+            assert r.z_wilcoxon == want

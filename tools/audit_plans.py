@@ -75,6 +75,7 @@ WHITELIST = {
     "promo_diff_in_diff": "1-row four-cell pivot broadcast onto the 4 evidence rows (DiD output shape)",
     "shapley_channel_attribution": "two 1-row selects from the single 4-cell rates aggregate (union of scalar rows)",
     "rocchio_classification_report": "|labels|-row label list cross-joined onto per-point predictions for the report rollup (bounded by k)",
+    "kendall_tau_rankings": "|nations|^2-bounded inequality pair join on the 25-row aggregated league table (the ks_statistic_sources shape)",
     "ams_f2_sketch": "1-row exact-F2 aggregate cross-joined with the 1-row sketch estimate (two scalar cells)",
     "trade_graph_shortest_cost": "1-row totals/seed aggregates over the <=|nations|^2 bilateral table (graph-family scalar attach)",
     "share_of_parent": "1-row grand-total aggregate broadcast-attached to the |nations|-row leaf table",
