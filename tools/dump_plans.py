@@ -218,6 +218,27 @@ SHOWCASE: list[tuple[str, str]] = [
         "partitioned cumsum window + one rollup share the nation "
         "partitioning.",
     ),
+    (
+        "closeness_centrality",
+        "Min-plus doubling APSP: the final plan is the 5th tropical "
+        "self-squaring of a localCheckpointed |V|^2 distance table — "
+        "log(diameter) joins instead of |V| BFS sweeps; the one "
+        "fact-scale trade aggregation happened before checkpoint 0.",
+    ),
+    (
+        "token_cooccurrence_lift",
+        "A +-3-position skip-gram window as an OFFSET-EXPLODE equi-join "
+        "(d in 1..3 on (doc_id, pos+d)) — SortMergeJoin on pure "
+        "equality, no BNLJ range join; top-20 via "
+        "TakeOrderedAndProject, never a single-partition window.",
+    ),
+    (
+        "negative_sampling_pairs",
+        "Deterministic salted-hash sampling materialized as an "
+        "EQUI-join against a two-phase global part index (no "
+        "single-partition row_number over a dimension); accidental "
+        "positives removed by a LeftAnti hash join on (cust, part).",
+    ),
 ]
 
 

@@ -120,6 +120,13 @@ QUERIES = [
     "position_multitouch_attribution",
     "huber_mean_cents",
     "cliffs_delta",
+    # r6 close: last-wave heavy shapes — TextTiling adjacent-block
+    # join, Rocchio n.k.d explode, deterministic negative sampling
+    # through the two-phase index, banded rapid-repeat time pairs
+    "topic_shift_boundaries",
+    "rocchio_classification_report",
+    "negative_sampling_pairs",
+    "rapid_repeat_events",
 ]
 
 
