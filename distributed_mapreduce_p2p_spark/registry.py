@@ -21671,6 +21671,121 @@ def q_wilcoxon_signed_rank(spark, sf_dir):
     )
 
 
+@register(
+    "mdape_seasonal_naive",
+    oracle="""
+    WITH m AS (
+      SELECT n_name,
+             CAST((EXTRACT(year FROM o_orderdate) - 1990) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT)
+               AS midx,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                  * 100 AS BIGINT)) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), ape AS (
+      SELECT a.n_name,
+             CAST(ABS(a.cents - p.cents) * 1000000 // p.cents
+                  AS BIGINT) AS ape_ppm
+      FROM m a JOIN m p ON a.n_name = p.n_name
+                       AND a.midx = p.midx + 12
+      WHERE p.cents > 0
+    ), cells AS (
+      SELECT n_name, ape_ppm AS val, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ape GROUP BY 1, 2
+    ), cum AS (
+      SELECT n_name, val,
+             SUM(c) OVER (PARTITION BY n_name ORDER BY val
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS cw,
+             SUM(c) OVER (PARTITION BY n_name) AS tot
+      FROM cells
+    )
+    SELECT n_name, CAST(MAX(tot) AS BIGINT) AS n_pairs,
+           CAST(MIN(CASE WHEN 2 * cw >= tot THEN val END)
+                AS BIGINT) AS mdape_ppm
+    FROM cum GROUP BY 1
+    """,
+)
+def q_mdape_seasonal_naive(spark, sf_dir):
+    """Median absolute percentage error of the seasonal-naive
+    forecast (v_hat_m = v_(m-12)) per nation — the robust
+    forecast-accuracy score that pairs with forecastability_ratio
+    (that one picks the model family; this one reports its error in
+    units a planner reads, and the MEDIAN shrugs off the blowup
+    months that make MAPE lie). Fully fixed-point: per-month APE as
+    ABS(diff)*1e6 DIV baseline (baseline>0 guarded identically both
+    engines), the median an exact rank pick on APE value cells via
+    the (type,dow)-median machinery. Calendar midx equi-join — the
+    yoy_growth gapped-lag lesson. Scale: month cells per nation;
+    one cumulative window partitioned by nation."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    m = (
+        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.expr(
+                "CAST((year(o_orderdate) - 1990) * 12"
+                " + month(o_orderdate) - 1 AS BIGINT)"
+            ).alias("midx"),
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(14,2))"
+                    " * 100 AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    p = m.select(
+        F.col("n_name").alias("pn"),
+        (F.col("midx") + 12).alias("pm"),
+        F.col("cents").alias("pc"),
+    )
+    ape = (
+        m.join(p, (m.n_name == p.pn) & (m.midx == p.pm))
+        .where(F.col("pc") > 0)
+        .select(
+            "n_name",
+            F.expr(
+                "CAST(ABS(cents - pc) * 1000000 DIV pc AS BIGINT)"
+            ).alias("ape_ppm"),
+        )
+    )
+    cells = ape.groupBy(
+        "n_name", F.col("ape_ppm").alias("val")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wcum = (
+        Window.partitionBy("n_name")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("n_name")
+    cum = cells.select(
+        "n_name",
+        "val",
+        F.sum("c").over(wcum).alias("cw"),
+        F.sum("c").over(wall).alias("tot"),
+    )
+    return cum.groupBy("n_name").agg(
+        F.max("tot").cast("long").alias("n_pairs"),
+        F.min(F.when(F.expr("2 * cw >= tot"), F.col("val")))
+        .cast("long")
+        .alias("mdape_ppm"),
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -21834,7 +21949,7 @@ _FRONT: list[str] = [
     # bipartite_butterflies, markov_absorption,
     # gains_table_deciles, rrf_fusion_topk, dedup_threshold_curve,
     # topic_shift_boundaries, kendall_tau_rankings,
-    # wilcoxon_signed_rank.
+    # wilcoxon_signed_rank, mdape_seasonal_naive.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

@@ -5224,3 +5224,47 @@ def test_wilcoxon_signed_rank_recompute(spark):
                 float(n * (n + 1) * (2 * n + 1)) / 6.0
             )
             assert r.z_wilcoxon == want
+
+
+def test_mdape_seasonal_naive_recompute(spark):
+    """Per-nation MdAPE equals the exact rank-pick Python replay of
+    the calendar-aligned seasonal-naive APEs."""
+    from collections import Counter, defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    nat = {
+        x.n_nationkey: x.n_name
+        for x in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    nation_of = {
+        c.c_custkey: nat[c.c_nationkey]
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    m = defaultdict(int)
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        midx = (o.o_orderdate.year - 1990) * 12 + o.o_orderdate.month - 1
+        m[(nation_of[o.o_custkey], midx)] += int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01"))
+            * 100
+        )
+    apes = defaultdict(list)
+    for (name, midx), v in m.items():
+        base = m.get((name, midx - 12))
+        if base and base > 0:
+            apes[name].append(abs(v - base) * 1_000_000 // base)
+
+    def med(values):
+        nn = len(values)
+        cc = Counter(values)
+        cum = 0
+        for v in sorted(cc):
+            cum += cc[v]
+            if 2 * cum >= nn:
+                return v
+
+    for r in _q(spark, "mdape_seasonal_naive").collect():
+        assert r.n_pairs == len(apes[r.n_name])
+        assert r.mdape_ppm == med(apes[r.n_name])
