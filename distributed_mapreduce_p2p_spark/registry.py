@@ -21786,6 +21786,442 @@ def q_mdape_seasonal_naive(spark, sf_dir):
     )
 
 
+@register(
+    "jonckheere_terpstra",
+    oracle="""
+    WITH s AS (
+      SELECT n_name,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS v,
+             CAST(o_orderpriority AS VARCHAR) AS grp
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    ), cell AS (
+      SELECT n_name, v,
+             CAST(SUM(CASE WHEN grp = '1-URGENT' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN grp = '2-HIGH' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c2,
+             CAST(SUM(CASE WHEN grp = '3-MEDIUM' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c3,
+             CAST(SUM(CASE WHEN grp = '4-NOT SPECIFIED' THEN 1
+                           ELSE 0 END) AS BIGINT) AS c4,
+             CAST(SUM(CASE WHEN grp = '5-LOW' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c5
+      FROM s GROUP BY 1, 2
+    ), w AS (
+      SELECT n_name, c1, c2, c3, c4, c5,
+             2 * (SUM(c1) OVER pw - c1) + c1 AS a1,
+             2 * (SUM(c2) OVER pw - c2) + c2 AS a2,
+             2 * (SUM(c3) OVER pw - c3) + c3 AS a3,
+             2 * (SUM(c4) OVER pw - c4) + c4 AS a4
+      FROM cell
+      WINDOW pw AS (PARTITION BY n_name ORDER BY v
+                    ROWS UNBOUNDED PRECEDING)
+    ), agg AS (
+      SELECT n_name,
+             CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c2) AS BIGINT) AS n2,
+             CAST(SUM(c3) AS BIGINT) AS n3,
+             CAST(SUM(c4) AS BIGINT) AS n4,
+             CAST(SUM(c5) AS BIGINT) AS n5,
+             CAST(SUM(c2 * a1 + c3 * (a1 + a2) + c4 * (a1 + a2 + a3)
+                      + c5 * (a1 + a2 + a3 + a4)) AS BIGINT)
+               AS two_jt
+      FROM w GROUP BY 1
+    )
+    SELECT n_name,
+           n1 * n2 + (n1 + n2) * n3 + (n1 + n2 + n3) * n4
+             + (n1 + n2 + n3 + n4) * n5 AS pairs_nn,
+           two_jt,
+           CAST(two_jt AS DOUBLE)
+             / CAST(2 * (n1 * n2 + (n1 + n2) * n3
+                         + (n1 + n2 + n3) * n4
+                         + (n1 + n2 + n3 + n4) * n5) AS DOUBLE)
+             AS jt_share
+    FROM agg
+    """,
+)
+def q_jonckheere_terpstra(spark, sf_dir):
+    """Jonckheere–Terpstra ordered-alternative trend test (order value
+    across the FIVE priority levels, per nation): JT = Σ_{i<j} U_ij,
+    the k-sample generalization of Mann–Whitney for an a-priori group
+    ORDERING — 'does value shift monotonically as priority drops?',
+    which ANOVA (unordered) and MWU (two groups only) can't ask.
+    Same doubled-midrank cell machinery as mann_whitney_u, run once
+    for ALL 10 group pairs: per-VALUE cells carry all five group
+    counts, one cumulative window yields a_i = 2·lt_i + ct_i per
+    group, and the pair sum telescopes to c_j·Σ_{i<j} a_i — 2·JT is
+    an exact BIGINT (ties halved exactly, invariant 0 ≤ 2JT ≤
+    2·Σn_i n_j), and jt_share (≈0.5 under no trend) is the single
+    double division. Rank machinery on distinct-value cells, never
+    raw rows — one shuffle by nation, scale-safe."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    pri = [
+        "1-URGENT",
+        "2-HIGH",
+        "3-MEDIUM",
+        "4-NOT SPECIFIED",
+        "5-LOW",
+    ]
+    s = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100"
+                " AS BIGINT)"
+            ).alias("v"),
+            F.col("o_orderpriority").alias("grp"),
+        )
+    )
+    cell = s.groupBy("n_name", "v").agg(
+        *[
+            F.sum(F.when(F.col("grp") == p, 1).otherwise(0))
+            .cast("long")
+            .alias(f"c{i + 1}")
+            for i, p in enumerate(pri)
+        ]
+    )
+    pw = (
+        Window.partitionBy("n_name")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w = cell.select(
+        "n_name",
+        "c1",
+        "c2",
+        "c3",
+        "c4",
+        "c5",
+        *[
+            (
+                2 * (F.sum(f"c{i}").over(pw) - F.col(f"c{i}"))
+                + F.col(f"c{i}")
+            ).alias(f"a{i}")
+            for i in (1, 2, 3, 4)
+        ],
+    )
+    agg = w.groupBy("n_name").agg(
+        *[
+            F.sum(f"c{i}").cast("long").alias(f"n{i}")
+            for i in (1, 2, 3, 4, 5)
+        ],
+        F.sum(
+            F.col("c2") * F.col("a1")
+            + F.col("c3") * (F.col("a1") + F.col("a2"))
+            + F.col("c4")
+            * (F.col("a1") + F.col("a2") + F.col("a3"))
+            + F.col("c5")
+            * (F.col("a1") + F.col("a2") + F.col("a3") + F.col("a4"))
+        )
+        .cast("long")
+        .alias("two_jt"),
+    )
+    pairs = (
+        F.col("n1") * F.col("n2")
+        + (F.col("n1") + F.col("n2")) * F.col("n3")
+        + (F.col("n1") + F.col("n2") + F.col("n3")) * F.col("n4")
+        + (F.col("n1") + F.col("n2") + F.col("n3") + F.col("n4"))
+        * F.col("n5")
+    )
+    return agg.select(
+        "n_name",
+        pairs.cast("long").alias("pairs_nn"),
+        "two_jt",
+        (
+            F.col("two_jt").cast("double")
+            / (2 * pairs).cast("double")
+        ).alias("jt_share"),
+    )
+
+
+@register(
+    "levene_brown_forsythe",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderpriority AS grp,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS c
+      FROM orders
+    ), r1 AS (
+      SELECT grp, c,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY c) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS n
+      FROM t
+    ), med AS (
+      SELECT grp, MAX(CASE WHEN rn = (n + 1) // 2 THEN c END)
+               AS med_c
+      FROM r1 GROUP BY grp
+    ), z AS (
+      SELECT t.grp, ABS(t.c - m.med_c) // 100 AS x
+      FROM t JOIN med m ON m.grp = t.grp
+    ), g AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS ssq
+      FROM z GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(s) AS BIGINT) AS st,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM g
+    ), parts AS (
+      SELECT grp, n, s, ssq, nn, st, k,
+             CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+               / CAST(n AS DOUBLE) AS cg,
+             CAST(ssq AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                 / CAST(n AS DOUBLE) AS wg
+      FROM g CROSS JOIN tot
+    ), folded AS (
+      SELECT MAX(nn) AS nn, MAX(st) AS st, MAX(k) AS k,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list(cg ORDER BY grp)),
+                         (acc, x) -> acc + x) AS c_sum,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list(wg ORDER BY grp)),
+                         (acc, x) -> acc + x) AS ssw
+      FROM parts
+    )
+    SELECT CAST(k AS BIGINT) AS n_groups,
+           CAST(nn AS BIGINT) AS n_rows,
+           c_sum - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                     / CAST(nn AS DOUBLE) AS ss_between,
+           ssw AS ss_within,
+           ((c_sum - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                       / CAST(nn AS DOUBLE))
+            / CAST(k - 1 AS DOUBLE))
+           / (ssw / CAST(nn - k AS DOUBLE)) AS w_stat
+    FROM folded
+    """,
+)
+def q_levene_brown_forsythe(spark, sf_dir):
+    """Brown–Forsythe/Levene variance-homogeneity test (order value by
+    priority): the missing PRECONDITION check for the shelf's ANOVA /
+    t-tests — 'are the group variances even comparable?'. It is
+    exactly one-way ANOVA run on z = |x − group MEDIAN| (the
+    Brown–Forsythe variant: median-centered deviations are robust
+    where Levene's mean-centered ones chase the same tails the test
+    is about). Composition of two proven pieces: mad_by_group's exact
+    LOW-median rank pick feeds anova_oneway's exact-BIGINT moment
+    algebra (deviations in whole dollars via integer DIV so Σz²
+    stays in int64 to ~sf20), with the per-group float terms folded
+    in group-name order. W is three mirrored divisions."""
+    t = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)"
+        ).alias("c"),
+    )
+    w1 = Window.partitionBy("grp").orderBy("c")
+    wn = Window.partitionBy("grp")
+    r1 = t.select(
+        "grp",
+        "c",
+        F.row_number().over(w1).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = r1.groupBy("grp").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("c"))
+        ).alias("med_c")
+    )
+    z = t.join(broadcast(med), "grp").select(
+        "grp",
+        F.expr("ABS(c - med_c) DIV 100").alias("x"),
+    )
+    g = z.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("ssq"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast("long").alias("st"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    d_ = lambda col: F.col(col).cast("double")  # noqa: E731
+    parts = g.crossJoin(broadcast(tot)).select(
+        "grp",
+        "nn",
+        "st",
+        "k",
+        (d_("s") * d_("s") / d_("n")).alias("cg"),
+        (d_("ssq") - d_("s") * d_("s") / d_("n")).alias("wg"),
+    )
+    folded = parts.agg(
+        F.max("nn").alias("nn"),
+        F.max("st").alias("st"),
+        F.max("k").alias("k"),
+        F.expr(
+            "aggregate(transform(sort_array(collect_list("
+            "struct(grp, cg))), s -> s.cg), CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + x)"
+        ).alias("c_sum"),
+        F.expr(
+            "aggregate(transform(sort_array(collect_list("
+            "struct(grp, wg))), s -> s.wg), CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + x)"
+        ).alias("ssw"),
+    )
+    ssb = F.col("c_sum") - d_("st") * d_("st") / d_("nn")
+    return folded.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("nn").cast("long").alias("n_rows"),
+        ssb.alias("ss_between"),
+        F.col("ssw").alias("ss_within"),
+        (
+            (ssb / (F.col("k") - 1).cast("double"))
+            / (F.col("ssw") / (F.col("nn") - F.col("k")).cast("double"))
+        ).alias("w_stat"),
+    )
+
+
+@register(
+    "longest_daily_streak",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1990-01-01', CAST(ts AS DATE))
+               AS e
+      FROM events
+    ), isl AS (
+      SELECT user_id,
+             e - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY e)
+               AS grp
+      FROM d
+    ), runs AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len
+      FROM isl GROUP BY user_id, grp
+    ), best AS (
+      SELECT user_id, MAX(len) AS streak_days
+      FROM runs GROUP BY user_id
+    )
+    SELECT streak_days, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM best GROUP BY 1
+    """,
+)
+def q_longest_daily_streak(spark, sf_dir):
+    """Longest consecutive-active-day streak per user (events), as a
+    streak-length histogram — the engagement/retention classic
+    (gaps-and-islands): distinct active days per user, island id =
+    epoch_day − row_number (pure integers, no date arithmetic to
+    disagree on), island size = streak, per-user max, then the
+    bounded histogram. All exact counts; one shuffle keyed by
+    user_id carries the window AND both group-bys (same key), so at
+    100 TB this is a single exchange over the distinct activity
+    table — the per-user fan-in is bounded by the calendar, never by
+    event volume (the DISTINCT collapses raw events first)."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1990-01-01"))
+        .cast("long")
+        .alias("e"),
+    ).distinct()
+    isl = d.select(
+        "user_id",
+        (
+            F.col("e")
+            - F.row_number().over(
+                Window.partitionBy("user_id").orderBy("e")
+            )
+        ).alias("grp"),
+    )
+    runs = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    best = runs.groupBy("user_id").agg(
+        F.max("len").alias("streak_days")
+    )
+    return best.groupBy("streak_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+@register(
+    "nrr_by_cohort",
+    oracle="""
+    WITH first_year AS (
+      SELECT o_custkey AS cust,
+             MIN(EXTRACT(YEAR FROM o_orderdate)) AS cohort
+      FROM orders GROUP BY 1
+    ), rev AS (
+      SELECT f.cohort AS cohort,
+             EXTRACT(YEAR FROM o.o_orderdate) AS order_year,
+             CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS r
+      FROM orders o JOIN first_year f ON o.o_custkey = f.cust
+      GROUP BY 1, 2
+    )
+    SELECT CAST(cur.cohort AS BIGINT) AS cohort,
+           CAST(cur.order_year AS BIGINT) AS order_year,
+           CAST(cur.r AS DOUBLE) / 100.0 AS revenue,
+           CAST(cur.r * 1000000 // prev.r AS BIGINT) AS nrr_ppm
+    FROM rev cur JOIN rev prev
+      ON cur.cohort = prev.cohort
+     AND cur.order_year = prev.order_year + 1
+    """,
+)
+def q_nrr_by_cohort(spark, sf_dir):
+    """Net-revenue-retention trajectory per acquisition cohort: each
+    customer is stamped with their first-order YEAR, cohort revenue
+    is rolled up per order year in exact cents, and NRR is the
+    year-over-year ratio within the cohort — the SaaS-metrics
+    complement of retention_cohorts (which counts heads; this
+    weighs wallets). nrr_ppm is pinned integer 1e6-DIV on the exact
+    cent sums (revenue ships as the one display double). The
+    first-year stamp is a min-agg + fact equi-join on custkey, the
+    trajectory join is cohort×year on a years²-bounded table —
+    nothing here scales with row count past the two keyed
+    aggregations."""
+    o = _t(spark, sf_dir, "orders")
+    fy = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.min(F.year("o_orderdate")).alias("cohort")
+    )
+    rev = (
+        o.join(fy, o.o_custkey == fy.cust)
+        .groupBy("cohort", F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("r")
+        )
+    )
+    cur = rev.alias("cur")
+    prev = rev.alias("prev")
+    return (
+        cur.join(
+            prev,
+            (F.col("cur.cohort") == F.col("prev.cohort"))
+            & (
+                F.col("cur.order_year")
+                == F.col("prev.order_year") + 1
+            ),
+        )
+        .select(
+            F.col("cur.cohort").cast("long").alias("cohort"),
+            F.col("cur.order_year").cast("long").alias("order_year"),
+            (F.col("cur.r").cast("double") / F.lit(100.0)).alias(
+                "revenue"
+            ),
+            F.expr("CAST(cur.r * 1000000 DIV prev.r AS BIGINT)").alias(
+                "nrr_ppm"
+            ),
+        )
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -21949,7 +22385,9 @@ _FRONT: list[str] = [
     # bipartite_butterflies, markov_absorption,
     # gains_table_deciles, rrf_fusion_topk, dedup_threshold_curve,
     # topic_shift_boundaries, kendall_tau_rankings,
-    # wilcoxon_signed_rank, mdape_seasonal_naive.
+    # wilcoxon_signed_rank, mdape_seasonal_naive,
+    # jonckheere_terpstra, levene_brown_forsythe,
+    # longest_daily_streak, nrr_by_cohort.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

@@ -5268,3 +5268,143 @@ def test_mdape_seasonal_naive_recompute(spark):
     for r in _q(spark, "mdape_seasonal_naive").collect():
         assert r.n_pairs == len(apes[r.n_name])
         assert r.mdape_ppm == med(apes[r.n_name])
+
+
+def test_jonckheere_terpstra_recompute(spark):
+    """2·JT equals the brute-force Σ_{i<j groups} pairwise count
+    (2·[x<y] + [x==y]) replay per nation."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    nat = {
+        x.n_nationkey: x.n_name
+        for x in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    nation_of = {
+        c.c_custkey: nat[c.c_nationkey]
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    vals = defaultdict(lambda: defaultdict(list))
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        cents = int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01"))
+            * 100
+        )
+        vals[nation_of[o.o_custkey]][o.o_orderpriority].append(cents)
+    for r in _q(spark, "jonckheere_terpstra").collect():
+        groups = sorted(vals[r.n_name])
+        two_jt = pairs = 0
+        for gi in range(len(groups)):
+            for gj in range(gi + 1, len(groups)):
+                xs, ys = vals[r.n_name][groups[gi]], vals[r.n_name][
+                    groups[gj]
+                ]
+                pairs += len(xs) * len(ys)
+                for x in xs:
+                    for y in ys:
+                        if x < y:
+                            two_jt += 2
+                        elif x == y:
+                            two_jt += 1
+        assert (r.two_jt, r.pairs_nn) == (two_jt, pairs)
+        assert r.jt_share == float(two_jt) / float(2 * pairs)
+
+
+def test_levene_brown_forsythe_recompute(spark):
+    """W equals one-way ANOVA run on |x − group LOW-median| whole
+    dollars, replayed with the same ordered float fold."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    by_grp = defaultdict(list)
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        by_grp[o.o_orderpriority].append(
+            int(
+                Decimal(str(o.o_totalprice)).quantize(Decimal("0.01"))
+                * 100
+            )
+        )
+    z = {}
+    for g, xs in by_grp.items():
+        xs.sort()
+        med = xs[(len(xs) + 1) // 2 - 1]
+        z[g] = [abs(c - med) // 100 for c in xs]
+    n = {g: len(v) for g, v in z.items()}
+    s = {g: sum(v) for g, v in z.items()}
+    ssq = {g: sum(x * x for x in v) for g, v in z.items()}
+    nn, st, k = sum(n.values()), sum(s.values()), len(z)
+    c_sum = ssw = 0.0
+    for g in sorted(z):
+        c_sum += float(s[g]) * float(s[g]) / float(n[g])
+        ssw += float(ssq[g]) - float(s[g]) * float(s[g]) / float(n[g])
+    ssb = c_sum - float(st) * float(st) / float(nn)
+    r = _q(spark, "levene_brown_forsythe").collect()[0]
+    assert (r.n_groups, r.n_rows) == (k, nn)
+    assert r.ss_between == ssb
+    assert r.ss_within == ssw
+    assert r.w_stat == (ssb / float(k - 1)) / (ssw / float(nn - k))
+
+
+def test_longest_daily_streak_recompute(spark):
+    """Streak histogram equals the per-user consecutive-day replay."""
+    from collections import Counter, defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    days = defaultdict(set)
+    for e in read_table(spark, SF_SMALL, "events").collect():
+        days[e.user_id].add(e.ts.date().toordinal())
+    hist = Counter()
+    for u, ds in days.items():
+        best = cur = 1
+        prev = None
+        for d in sorted(ds):
+            cur = cur + 1 if prev is not None and d == prev + 1 else 1
+            best = max(best, cur)
+            prev = d
+        hist[best] += 1
+    got = {
+        r.streak_days: r.n_users
+        for r in _q(spark, "longest_daily_streak").collect()
+    }
+    assert got == dict(hist)
+
+
+def test_nrr_by_cohort_recompute(spark):
+    """Cohort-year revenue and pinned-DIV nrr_ppm equal the replay."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    first = {}
+    orders = read_table(spark, SF_SMALL, "orders").collect()
+    for o in orders:
+        y = o.o_orderdate.year
+        first[o.o_custkey] = min(first.get(o.o_custkey, y), y)
+    rev = defaultdict(int)
+    for o in orders:
+        rev[(first[o.o_custkey], o.o_orderdate.year)] += int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01"))
+            * 100
+        )
+    rows = _q(spark, "nrr_by_cohort").collect()
+    want = {
+        (c, y): r
+        for (c, y), r in rev.items()
+        if (c, y - 1) in rev
+    }
+    assert {(r.cohort, r.order_year) for r in rows} == set(want)
+    for r in rows:
+        cur = rev[(r.cohort, r.order_year)]
+        prv = rev[(r.cohort, r.order_year - 1)]
+        assert r.revenue == cur / 100.0
+        assert r.nrr_ppm == cur * 1_000_000 // prv
