@@ -22222,6 +22222,320 @@ def q_nrr_by_cohort(spark, sf_dir):
     )
 
 
+@register(
+    "acf_multi_lag",
+    oracle="""
+    WITH m AS (
+      SELECT n_name,
+             CAST(YEAR(CAST(o_orderdate AS DATE)) * 12
+                  + MONTH(CAST(o_orderdate AS DATE)) AS BIGINT) AS midx,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                           AS BIGINT)) // 100 AS BIGINT) AS dollars
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), a AS (
+      SELECT n_name, midx, dollars,
+             CAST(unnest([1, 2, 3, 4, 5, 6]) AS BIGINT) AS lag
+      FROM m
+    ), p AS (
+      SELECT a.n_name, a.lag, a.dollars AS x, b.dollars AS y
+      FROM a JOIN m b ON a.n_name = b.n_name
+                     AND b.midx = a.midx + a.lag
+    ), s AS (
+      SELECT n_name, lag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(38,0)) * x)
+                  AS DECIMAL(38,0)) AS BIGINT) AS sxx,
+             CAST(CAST(SUM(CAST(y AS DECIMAL(38,0)) * y)
+                  AS DECIMAL(38,0)) AS BIGINT) AS syy,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(38,0)) * y)
+                  AS DECIMAL(38,0)) AS BIGINT) AS sxy
+      FROM p GROUP BY 1, 2
+    )
+    SELECT n_name, lag, n,
+           CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0 THEN
+             CAST(n*sxy - sx*sy AS DOUBLE)
+               / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                  * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+           END AS acf
+    FROM s
+    """,
+)
+def q_acf_multi_lag(spark, sf_dir):
+    """The full autocorrelation function at lags 1..6 of each nation's
+    monthly revenue — autocorr_lag1 generalized to the correlogram
+    that seasonality/forecastability diagnostics actually read (a
+    lone lag-1 number can't show the 12-month echo). The lag axis is
+    an EXPLODED LITERAL on the cell table (6× a ~2k-row aggregate),
+    never a join against a lags dim — zero extra shuffles over the
+    single-lag form; the calendar-aligned midx+lag equi-join skips
+    missing months per lag exactly as lag-1 does. Moments exact
+    (integer dollars, DECIMAL(38,0) products), one mirrored
+    sqrt-product division per (nation, lag), NULL-guarded for
+    constant series."""
+    m = _nation_month_cents(spark, sf_dir).select(
+        "n_name",
+        "midx",
+        F.expr("CAST(cents DIV 100 AS BIGINT)").alias("dollars"),
+    )
+    a = m.select(
+        "n_name",
+        "midx",
+        "dollars",
+        F.explode(
+            F.array(*[F.lit(i).cast("long") for i in range(1, 7)])
+        ).alias("lag"),
+    ).alias("a")
+    b = m.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.n_name") == F.col("b.n_name"))
+        & (F.col("b.midx") == F.col("a.midx") + F.col("a.lag")),
+    ).select(
+        F.col("a.n_name").alias("n_name"),
+        F.col("a.lag").alias("lag"),
+        F.col("a.dollars").alias("x"),
+        F.col("b.dollars").alias("y"),
+    )
+    s = p.groupBy("n_name", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(x AS DECIMAL(38,0)) * x)"
+            " AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("sxx"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(y AS DECIMAL(38,0)) * y)"
+            " AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("syy"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(x AS DECIMAL(38,0)) * y)"
+            " AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("sxy"),
+    )
+    return s.select(
+        "n_name",
+        "lag",
+        "n",
+        F.expr(
+            "CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0"
+            " THEN CAST(n*sxy - sx*sy AS DOUBLE)"
+            " / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))"
+            "    * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) END"
+        ).alias("acf"),
+    )
+
+
+@register(
+    "feature_hash_vectors",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(lower(text),
+                                               '[^a-z]+')) AS w
+      FROM documents
+    ), b AS (
+      SELECT source,
+             ('0x' || substr(md5('fh:' || w), 1, 10))::BIGINT % 64
+               AS bucket
+      FROM tok WHERE w <> ''
+    )
+    SELECT source, CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS tf
+    FROM b GROUP BY 1, 2
+    """,
+)
+def q_feature_hash_vectors(spark, sf_dir):
+    """The hashing trick (Weinberger et al. 2009, public): project an
+    unbounded vocabulary onto a FIXED 64-dim term-frequency vector
+    via a salted md5 bucket — the standard way to featurize text for
+    linear models at 100 TB without ever materializing (or shuffling)
+    a vocabulary dictionary. Rolled up per source here so the output
+    is the bounded |sources|×64 design-matrix block. The md5-hex
+    prefix → BIGINT bridge is the engine-portable hash used by every
+    sketch in the registry (Spark conv(), DuckDB 0x-cast agree bit
+    for bit); tokenization is the wordcount split. One narrow
+    explode + one groupBy — no joins, no windows."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.explode(
+            F.split(F.lower(F.col("text")), "[^a-z]+")
+        ).alias("w"),
+    ).where(F.col("w") != "")
+    b = tok.select(
+        "source",
+        F.expr(
+            "CAST(conv(substring(md5(concat('fh:', w)), 1, 10),"
+            " 16, 10) AS BIGINT) % 64"
+        ).alias("bucket"),
+    )
+    return b.groupBy("source", F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+
+
+@register(
+    "flesch_reading_ease",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+'))
+                  AS BIGINT) AS w,
+             CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS s,
+             CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                  AS BIGINT) AS y
+      FROM documents
+    ), g AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(w) AS BIGINT) AS ws,
+             CAST(SUM(s) AS BIGINT) AS ss,
+             CAST(SUM(y) AS BIGINT) AS ys
+      FROM d WHERE w > 0 GROUP BY 1
+    )
+    SELECT source, n_docs, ws AS words, ss AS sentences,
+           ys AS syllables,
+           206835 - 1015 * (ws * 1000 // ss) // 1000
+                  - 84600 * (ys * 1000 // ws) // 1000 AS flesch_milli
+    FROM g
+    """,
+)
+def q_flesch_reading_ease(spark, sf_dir):
+    """Flesch reading-ease per source (Flesch 1948, public), the
+    classic text-quality/readability signal for corpus curation —
+    pinned to EXACT integer milli-units so both engines agree to the
+    bit: words = [A-Za-z]+ runs, sentences = [.!?]+ runs clamped to
+    ≥1 per doc (unpunctuated synthetic docs degrade to
+    words-per-doc, documented), syllables ≈ vowel-group runs (the
+    standard cheap proxy), and 206.835 − 1.015·W/S − 84.6·Y/W
+    evaluated as milli-scaled integer DIVs in the identical order.
+    Counting happens inside regexp_extract_all on the scan — one
+    narrow agg per source, no explode of the token stream at all
+    (contrast feature_hash_vectors, which needs the tokens)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.expr(
+            "CAST(size(regexp_extract_all(text, '[A-Za-z]+', 0))"
+            " AS BIGINT)"
+        ).alias("w"),
+        F.expr(
+            "CAST(GREATEST(size(regexp_extract_all(text, '[.!?]+',"
+            " 0)), 1) AS BIGINT)"
+        ).alias("s"),
+        F.expr(
+            "CAST(size(regexp_extract_all(text, '[aeiouyAEIOUY]+',"
+            " 0)) AS BIGINT)"
+        ).alias("y"),
+    )
+    g = (
+        d.where(F.col("w") > 0)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("w").cast("long").alias("ws"),
+            F.sum("s").cast("long").alias("ss"),
+            F.sum("y").cast("long").alias("ys"),
+        )
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        F.col("ws").alias("words"),
+        F.col("ss").alias("sentences"),
+        F.col("ys").alias("syllables"),
+        F.expr(
+            "206835 - 1015 * (ws * 1000 DIV ss) DIV 1000"
+            " - 84600 * (ys * 1000 DIV ws) DIV 1000"
+        ).alias("flesch_milli"),
+    )
+
+
+@register(
+    "candidate_key_discovery",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS d_orderkey,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS d_custkey,
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS d_status,
+             CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS d_price,
+             CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS d_date,
+             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS d_pri,
+             CAST(COUNT(DISTINCT (o_custkey, o_orderdate)) AS BIGINT)
+               AS d_cust_date,
+             CAST(COUNT(DISTINCT (o_orderdate, o_totalprice))
+                  AS BIGINT) AS d_date_price
+      FROM orders
+    )
+    SELECT u.col_name, u.n_distinct, g.n_rows,
+           CAST(CASE WHEN u.n_distinct = g.n_rows THEN 1 ELSE 0 END
+                AS BIGINT) AS is_key
+    FROM g, LATERAL (VALUES
+      ('o_orderkey', d_orderkey),
+      ('o_custkey', d_custkey),
+      ('o_orderstatus', d_status),
+      ('o_totalprice', d_price),
+      ('o_orderdate', d_date),
+      ('o_orderpriority', d_pri),
+      ('o_custkey,o_orderdate', d_cust_date),
+      ('o_orderdate,o_totalprice', d_date_price)
+    ) AS u(col_name, n_distinct)
+    """,
+)
+def q_candidate_key_discovery(spark, sf_dir):
+    """Candidate-key discovery over orders — the uniqueness-profiling
+    pass every ingestion pipeline runs before declaring a primary
+    key or dedup column: exact distinct cardinality for each audited
+    column (and two composite candidates) vs the row count, with an
+    is_key verdict. All eight EXACT distincts are computed in ONE
+    aggregate — Catalyst plans multi-distinct via a single Expand
+    (one scan, 9× row expansion, partial-aggregated map-side), which
+    beats eight separate scans at any scale; the 1-row result is then
+    unpivoted (stack) to the report shape. No approx_count_distinct:
+    a key audit needs exactness, and the verdict column is why."""
+    o = _t(spark, sf_dir, "orders")
+    g = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("o_orderkey").cast("long").alias("d_orderkey"),
+        F.countDistinct("o_custkey").cast("long").alias("d_custkey"),
+        F.countDistinct("o_orderstatus").cast("long").alias("d_status"),
+        F.countDistinct("o_totalprice").cast("long").alias("d_price"),
+        F.countDistinct("o_orderdate").cast("long").alias("d_date"),
+        F.countDistinct("o_orderpriority").cast("long").alias("d_pri"),
+        F.countDistinct("o_custkey", "o_orderdate")
+        .cast("long")
+        .alias("d_cust_date"),
+        F.countDistinct("o_orderdate", "o_totalprice")
+        .cast("long")
+        .alias("d_date_price"),
+    )
+    return g.select(
+        F.expr(
+            "stack(8,"
+            " 'o_orderkey', d_orderkey,"
+            " 'o_custkey', d_custkey,"
+            " 'o_orderstatus', d_status,"
+            " 'o_totalprice', d_price,"
+            " 'o_orderdate', d_date,"
+            " 'o_orderpriority', d_pri,"
+            " 'o_custkey,o_orderdate', d_cust_date,"
+            " 'o_orderdate,o_totalprice', d_date_price"
+            ") AS (col_name, n_distinct)"
+        ),
+        "n_rows",
+    ).select(
+        "col_name",
+        "n_distinct",
+        "n_rows",
+        F.expr(
+            "CAST(CASE WHEN n_distinct = n_rows THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("is_key"),
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -22387,7 +22701,9 @@ _FRONT: list[str] = [
     # topic_shift_boundaries, kendall_tau_rankings,
     # wilcoxon_signed_rank, mdape_seasonal_naive,
     # jonckheere_terpstra, levene_brown_forsythe,
-    # longest_daily_streak, nrr_by_cohort.
+    # longest_daily_streak, nrr_by_cohort, acf_multi_lag,
+    # feature_hash_vectors, flesch_reading_ease,
+    # candidate_key_discovery.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

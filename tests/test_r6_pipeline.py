@@ -5408,3 +5408,120 @@ def test_nrr_by_cohort_recompute(spark):
         prv = rev[(r.cohort, r.order_year - 1)]
         assert r.revenue == cur / 100.0
         assert r.nrr_ppm == cur * 1_000_000 // prv
+
+
+def test_acf_multi_lag_matches_lag1(spark):
+    """The lag-1 slice of the correlogram equals autocorr_lag1
+    exactly (same cells, same algebra), and every |acf| ≤ 1."""
+    lag1 = {
+        r.n_name: (r.n, r.acf1)
+        for r in _q(spark, "autocorr_lag1").collect()
+    }
+    rows = _q(spark, "acf_multi_lag").collect()
+    got1 = {
+        r.n_name: (r.n, r.acf)
+        for r in rows
+        if r.lag == 1
+    }
+    assert got1 == lag1
+    for r in rows:
+        assert r.lag in (1, 2, 3, 4, 5, 6)
+        if r.acf is not None:
+            assert -1.0 - 1e-12 <= r.acf <= 1.0 + 1e-12
+
+
+def test_feature_hash_vectors_recompute(spark):
+    """Bucketed tf equals the Python md5 replay, and per-source tf
+    sums equal the raw token counts (hashing loses no mass)."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    want = Counter()
+    tok_totals = Counter()
+    for d in read_table(spark, SF_SMALL, "documents").collect():
+        for w in re.split("[^a-z]+", d.text.lower()):
+            if w:
+                h = int(
+                    hashlib.md5(f"fh:{w}".encode()).hexdigest()[:10],
+                    16,
+                )
+                want[(d.source, h % 64)] += 1
+                tok_totals[d.source] += 1
+    rows = _q(spark, "feature_hash_vectors").collect()
+    assert {(r.source, r.bucket): r.tf for r in rows} == dict(want)
+    got_totals = Counter()
+    for r in rows:
+        got_totals[r.source] += r.tf
+    assert got_totals == tok_totals
+
+
+def test_flesch_reading_ease_recompute(spark):
+    """Per-source W/S/Y counts and the pinned integer milli formula
+    equal the regex replay."""
+    import re
+    from collections import defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for d in read_table(spark, SF_SMALL, "documents").collect():
+        w = len(re.findall("[A-Za-z]+", d.text))
+        if w == 0:
+            continue
+        s = max(len(re.findall("[.!?]+", d.text)), 1)
+        y = len(re.findall("[aeiouyAEIOUY]+", d.text))
+        a = agg[d.source]
+        a[0] += 1
+        a[1] += w
+        a[2] += s
+        a[3] += y
+    for r in _q(spark, "flesch_reading_ease").collect():
+        n, ws, ss, ys = agg[r.source]
+        assert (r.n_docs, r.words, r.sentences, r.syllables) == (
+            n,
+            ws,
+            ss,
+            ys,
+        )
+        assert r.flesch_milli == (
+            206835
+            - 1015 * (ws * 1000 // ss) // 1000
+            - 84600 * (ys * 1000 // ws) // 1000
+        )
+
+
+def test_candidate_key_discovery_recompute(spark):
+    """Exact distinct counts and key verdicts equal the set replay;
+    o_orderkey is the one true key on testdata."""
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    rows = read_table(spark, SF_SMALL, "orders").collect()
+    cols = {
+        "o_orderkey": {r.o_orderkey for r in rows},
+        "o_custkey": {r.o_custkey for r in rows},
+        "o_orderstatus": {r.o_orderstatus for r in rows},
+        "o_totalprice": {r.o_totalprice for r in rows},
+        "o_orderdate": {r.o_orderdate for r in rows},
+        "o_orderpriority": {r.o_orderpriority for r in rows},
+        "o_custkey,o_orderdate": {
+            (r.o_custkey, r.o_orderdate) for r in rows
+        },
+        "o_orderdate,o_totalprice": {
+            (r.o_orderdate, r.o_totalprice) for r in rows
+        },
+    }
+    got = {r.col_name: r for r in _q(spark, "candidate_key_discovery").collect()}
+    assert set(got) == set(cols)
+    for name, vals in cols.items():
+        assert got[name].n_distinct == len(vals)
+        assert got[name].n_rows == len(rows)
+        assert got[name].is_key == (
+            1 if len(vals) == len(rows) else 0
+        )
+    assert got["o_orderkey"].is_key == 1
