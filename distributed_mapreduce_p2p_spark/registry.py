@@ -22536,6 +22536,440 @@ def q_candidate_key_discovery(spark, sf_dir):
     )
 
 
+@register(
+    "linear_mmd_labels",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), m AS (
+      SELECT vec_id, MAX(ABS(v)) AS m FROM ex GROUP BY 1
+    ), q AS (
+      SELECT ex.label, pos,
+             CASE WHEN m.m = 0 THEN 0
+                  ELSE CAST(trunc(127.0 * v / m.m) AS BIGINT) END AS qv
+      FROM ex JOIN m USING (vec_id)
+    ), g AS (
+      SELECT label, pos, CAST(SUM(qv) AS BIGINT) AS s
+      FROM q GROUP BY 1, 2
+    ), n AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM embeddings GROUP BY 1
+    ), pair AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             na.n AS n_a, nb.n AS n_b,
+             CAST(CAST(SUM(CAST(nb.n * a.s - na.n * b.s
+                                AS DECIMAL(38,0))
+                           * (nb.n * a.s - na.n * b.s))
+                  AS DECIMAL(38,0)) AS BIGINT) AS num
+      FROM g a JOIN g b ON a.pos = b.pos AND a.label < b.label
+               JOIN n na ON na.label = a.label
+               JOIN n nb ON nb.label = b.label
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT CAST(label_a AS BIGINT) AS label_a,
+           CAST(label_b AS BIGINT) AS label_b, n_a, n_b, num,
+           CAST(num AS DOUBLE)
+             / (CAST(n_a * n_b AS DOUBLE) * CAST(n_a * n_b AS DOUBLE))
+             AS mmd2
+    FROM pair
+    """,
+)
+def q_linear_mmd_labels(spark, sf_dir):
+    """Linear-kernel Maximum Mean Discrepancy between every label pair
+    of the embedding table: MMD²_lin = ‖μ_a − μ_b‖², the
+    distribution-shift test for EMBEDDING space (tv_distance_drift
+    covers categorical marginals; this catches a drift that moves
+    the cloud without moving any single coordinate's histogram).
+    Exactness: vectors are int8-quantized (the int8_quantized_topk
+    trunc bridge), per-(label, dim) sums are exact BIGINTs, and the
+    mean difference is cross-multiplied — Σ_d (n_b·S_ad − n_a·S_bd)²
+    in DECIMAL(38,0) — so num is integer-exact and the single double
+    division by (n_a·n_b)² ships last. Plan: posexplode → per-vector
+    max-abs → per-(label,dim) agg (|labels|·64 rows), then the
+    |labels|²-bounded pair join runs on AGGREGATED cells only —
+    at 100 TB the fact pass is one partial-agged shuffle."""
+    ex = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("v").cast("double").alias("v"),
+    )
+    m = ex.groupBy("vec_id").agg(F.max(F.abs("v")).alias("m"))
+    q = ex.join(m, "vec_id").select(
+        "label",
+        "pos",
+        F.expr(
+            # double->bigint cast truncates toward zero on Spark,
+            # matching DuckDB's trunc() (the int8_quantized_topk bridge)
+            "CASE WHEN m = 0 THEN 0"
+            " ELSE CAST(127.0 * v / m AS BIGINT) END"
+        ).alias("qv"),
+    )
+    g = q.groupBy("label", "pos").agg(
+        F.sum("qv").cast("long").alias("s")
+    )
+    n = (
+        _t(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    a = g.alias("a")
+    b = g.alias("b")
+    na = n.alias("na")
+    nb = n.alias("nb")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .join(broadcast(na), F.col("na.label") == F.col("a.label"))
+        .join(broadcast(nb), F.col("nb.label") == F.col("b.label"))
+        .groupBy(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+            F.col("na.n").alias("n_a"),
+            F.col("nb.n").alias("n_b"),
+        )
+        .agg(
+            F.expr(
+                "CAST(CAST(SUM(CAST(nb.n * a.s - na.n * b.s"
+                " AS DECIMAL(38,0))"
+                " * (nb.n * a.s - na.n * b.s))"
+                " AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("num")
+        )
+    )
+    return pair.select(
+        F.col("label_a").cast("long").alias("label_a"),
+        F.col("label_b").cast("long").alias("label_b"),
+        "n_a",
+        "n_b",
+        "num",
+        (
+            F.col("num").cast("double")
+            / (
+                (F.col("n_a") * F.col("n_b")).cast("double")
+                * (F.col("n_a") * F.col("n_b")).cast("double")
+            )
+        ).alias("mmd2"),
+    )
+
+
+@register(
+    "l_diversity_audit",
+    oracle="""
+    SELECT event_type,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT CAST(CAST(value AS DECIMAL(14,2)) * 100
+                               AS BIGINT) // 1000) AS BIGINT)
+             AS l_sensitive,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS k_users,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           (COUNT(DISTINCT CAST(CAST(value AS DECIMAL(14,2)) * 100
+                           AS BIGINT) // 1000) < 3) AS suppress
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+    """,
+)
+def q_l_diversity_audit(spark, sf_dir):
+    """l-diversity audit over the same quasi-identifier as
+    k_anonymity_audit (event_type, day) — the STRONGER release gate:
+    a group can be k-anonymous yet leak the sensitive attribute if
+    all k users share one value (the homogeneity attack,
+    Machanavajjhala et al. 2007, public). Sensitive attribute =
+    event value in $10 buckets (exact cents DIV 1000); a QI group
+    with fewer than l=3 distinct sensitive buckets is flagged.
+    Both distincts run in one Expand-planned aggregate, one shuffle
+    on the QI key — the k-anonymity plan shape with a second
+    distinct lane."""
+    ev = _t(spark, sf_dir, "events")
+    sens = F.expr(
+        "CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) DIV 1000"
+    )
+    return (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(
+            F.countDistinct(sens).alias("l_sensitive"),
+            F.countDistinct("user_id").alias("k_users"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.countDistinct(sens) < 3).alias("suppress"),
+        )
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "l_sensitive",
+            "k_users",
+            "n_rows",
+            "suppress",
+        )
+    )
+
+
+@register(
+    "xyz_demand_variability",
+    oracle="""
+    WITH md AS (
+      SELECT l_partkey AS pk,
+             CAST(YEAR(CAST(l_shipdate AS DATE)) * 12
+                  + MONTH(CAST(l_shipdate AS DATE)) AS BIGINT) AS midx,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1, 2
+    ), s AS (
+      SELECT pk, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(qty) AS BIGINT) AS sq,
+             CAST(SUM(qty * qty) AS BIGINT) AS sqq
+      FROM md GROUP BY 1
+    ), cv AS (
+      SELECT pk, n,
+             (n * sqq * 1000000) // (sq * sq) - 1000000 AS cv2_ppm
+      FROM s WHERE sq > 0
+    ), cls AS (
+      SELECT pk, n,
+             CASE WHEN cv2_ppm < 250000 THEN 'X'
+                  WHEN cv2_ppm < 1000000 THEN 'Y'
+                  ELSE 'Z' END AS xyz_class,
+             cv2_ppm
+      FROM cv
+    )
+    SELECT xyz_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(MIN(cv2_ppm) AS BIGINT) AS min_cv2_ppm,
+           CAST(MAX(cv2_ppm) AS BIGINT) AS max_cv2_ppm,
+           CAST(SUM(n) AS BIGINT) AS demand_months
+    FROM cls GROUP BY 1
+    """,
+)
+def q_xyz_demand_variability(spark, sf_dir):
+    """XYZ demand-variability classification per part — the
+    inventory-planning twin of abc_classification (ABC ranks by
+    value; XYZ ranks by FORECASTABILITY): squared coefficient of
+    variation of monthly demand, cv² = n·Σq²/(Σq)² − 1, kept as a
+    pinned integer ppm ((n·Σq²·10⁶) DIV (Σq)² − 10⁶ — exact BIGINTs
+    throughout, no mean or sqrt materialized), bucketed at the
+    textbook 0.5/1.0 cv thresholds (250k/1M in cv²-ppm). Only
+    observed demand months enter n (structural zeros are a policy
+    choice, documented). Two keyed aggregations (part×month, then
+    part) and a 3-row rollup — one fact shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    md = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.expr(
+            "CAST(YEAR(CAST(l_shipdate AS DATE)) * 12"
+            " + MONTH(CAST(l_shipdate AS DATE)) AS BIGINT)"
+        ).alias("midx"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty")
+    )
+    s = md.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("qty").cast("long").alias("sq"),
+        F.sum(F.col("qty") * F.col("qty")).cast("long").alias("sqq"),
+    )
+    cls = s.where(F.col("sq") > 0).select(
+        "pk",
+        "n",
+        F.expr(
+            "(n * sqq * 1000000) DIV (sq * sq) - 1000000"
+        ).alias("cv2_ppm"),
+    ).select(
+        "pk",
+        "n",
+        F.expr(
+            "CASE WHEN cv2_ppm < 250000 THEN 'X'"
+            " WHEN cv2_ppm < 1000000 THEN 'Y' ELSE 'Z' END"
+        ).alias("xyz_class"),
+        "cv2_ppm",
+    )
+    return cls.groupBy("xyz_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.min("cv2_ppm").cast("long").alias("min_cv2_ppm"),
+        F.max("cv2_ppm").cast("long").alias("max_cv2_ppm"),
+        F.sum("n").cast("long").alias("demand_months"),
+    )
+
+
+@register(
+    "growth_share_matrix",
+    oracle="""
+    WITH yr AS (
+      SELECT CAST(MAX(YEAR(CAST(l_shipdate AS DATE))) AS BIGINT)
+               AS last_y
+      FROM lineitem
+    ), rev AS (
+      SELECT p_type, p_brand,
+             CAST(YEAR(CAST(l_shipdate AS DATE)) AS BIGINT) AS y,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+                           * 100 AS BIGINT)) AS BIGINT) AS r
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      CROSS JOIN yr
+      WHERE YEAR(CAST(l_shipdate AS DATE)) >= yr.last_y - 1
+      GROUP BY 1, 2, 3
+    ), wide AS (
+      SELECT p_type, p_brand,
+             CAST(SUM(CASE WHEN y = (SELECT last_y FROM yr) THEN r
+                           ELSE 0 END) AS BIGINT) AS r_last,
+             CAST(SUM(CASE WHEN y = (SELECT last_y FROM yr) - 1 THEN r
+                           ELSE 0 END) AS BIGINT) AS r_prev
+      FROM rev GROUP BY 1, 2
+    ), mkt AS (
+      SELECT p_type,
+             CAST(SUM(r_last) AS BIGINT) AS t_last,
+             CAST(SUM(r_prev) AS BIGINT) AS t_prev,
+             CAST(MAX(r_last) AS BIGINT) AS max1,
+             CAST(COUNT(*) AS BIGINT) AS n_brands
+      FROM wide GROUP BY 1
+    ), mx2 AS (
+      SELECT w.p_type,
+             CAST(MAX(CASE WHEN w.r_last < m.max1 THEN w.r_last
+                           ELSE 0 END) AS BIGINT) AS max2
+      FROM wide w JOIN mkt m ON w.p_type = m.p_type
+      GROUP BY 1
+    )
+    SELECT w.p_type, w.p_brand,
+           CAST(w.r_last AS DOUBLE) / 100.0 AS revenue,
+           w.r_last * 1000000 // m.t_last AS share_ppm,
+           CASE WHEN w.r_last = m.max1 AND x.max2 > 0
+                  THEN w.r_last * 1000000 // x.max2
+                WHEN w.r_last < m.max1
+                  THEN w.r_last * 1000000 // m.max1
+                END AS rel_share_ppm,
+           CASE WHEN m.t_prev > 0
+                  THEN m.t_last * 1000000 // m.t_prev END
+             AS market_growth_ppm,
+           CASE WHEN m.t_prev = 0 THEN 'question'
+                WHEN m.t_last * 1000000 // m.t_prev >= 1000000 THEN
+                  CASE WHEN w.r_last = m.max1 THEN 'star'
+                       ELSE 'question' END
+                ELSE
+                  CASE WHEN w.r_last = m.max1 THEN 'cash_cow'
+                       ELSE 'dog' END
+           END AS quadrant
+    FROM wide w JOIN mkt m ON w.p_type = m.p_type
+                JOIN mx2 x ON w.p_type = x.p_type
+    WHERE w.r_last > 0
+    """,
+)
+def q_growth_share_matrix(spark, sf_dir):
+    """BCG growth–share matrix per (category, brand): each brand's
+    revenue share of its p_type market, RELATIVE share vs its
+    largest competitor (the classic BCG x-axis — leader measured
+    against #2, followers against the leader), category market
+    growth, and the star/cash-cow/question/dog quadrant. All ratios
+    are pinned integer 1e6-DIV on exact cent sums; the
+    leader-vs-runner-up split uses max1/max2 of the aggregated brand
+    table (no self-join on facts). The last-year anchor is computed
+    from the data (MAX year, 1-row attach) so the query is
+    calendar-portable. Facts touched once: one join to part, one
+    two-year filtered agg; everything after runs on the
+    |types|×|brands|-bounded table."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    yr = li.agg(
+        F.max(F.year(F.col("l_shipdate").cast("date")))
+        .cast("long")
+        .alias("last_y")
+    )
+    rev = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .crossJoin(broadcast(yr))
+        .where(
+            F.year(F.col("l_shipdate").cast("date"))
+            >= F.col("last_y") - 1
+        )
+        .groupBy(
+            "p_type",
+            "p_brand",
+            F.year(F.col("l_shipdate").cast("date"))
+            .cast("long")
+            .alias("y"),
+            "last_y",
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(l_extendedprice AS DECIMAL(14,2))"
+                    " * 100 AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("r")
+        )
+    )
+    # |types|x|brands|-bounded; localCheckpoint so its 3 consumers
+    # (mkt, mx2, the output join) don't re-run the fact pass + 1-row
+    # year attach 4x (the supplier_cosine_topk memo discipline).
+    wide = (
+        rev.groupBy("p_type", "p_brand")
+        .agg(
+            F.sum(
+                F.when(F.col("y") == F.col("last_y"), F.col("r")).otherwise(0)
+            )
+            .cast("long")
+            .alias("r_last"),
+            F.sum(
+                F.when(
+                    F.col("y") == F.col("last_y") - 1, F.col("r")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("r_prev"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    mkt = wide.groupBy("p_type").agg(
+        F.sum("r_last").cast("long").alias("t_last"),
+        F.sum("r_prev").cast("long").alias("t_prev"),
+        F.max("r_last").cast("long").alias("max1"),
+        F.count(F.lit(1)).cast("long").alias("n_brands"),
+    )
+    mx2 = (
+        wide.join(mkt.select("p_type", "max1"), "p_type")
+        .groupBy("p_type")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("r_last") < F.col("max1"), F.col("r_last")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("max2")
+        )
+    )
+    w = wide.alias("w")
+    out = (
+        w.join(broadcast(mkt.drop("n_brands")), "p_type")
+        .join(broadcast(mx2), "p_type")
+        .where(F.col("r_last") > 0)
+    )
+    return out.select(
+        "p_type",
+        "p_brand",
+        (F.col("r_last").cast("double") / F.lit(100.0)).alias("revenue"),
+        F.expr("r_last * 1000000 DIV t_last").alias("share_ppm"),
+        F.expr(
+            "CASE WHEN r_last = max1 AND max2 > 0"
+            " THEN r_last * 1000000 DIV max2"
+            " WHEN r_last < max1 THEN r_last * 1000000 DIV max1 END"
+        ).alias("rel_share_ppm"),
+        F.expr(
+            "CASE WHEN t_prev > 0 THEN t_last * 1000000 DIV t_prev END"
+        ).alias("market_growth_ppm"),
+        F.expr(
+            "CASE WHEN t_prev = 0 THEN 'question'"
+            " WHEN t_last * 1000000 DIV t_prev >= 1000000 THEN"
+            " CASE WHEN r_last = max1 THEN 'star' ELSE 'question' END"
+            " ELSE CASE WHEN r_last = max1 THEN 'cash_cow'"
+            " ELSE 'dog' END END"
+        ).alias("quadrant"),
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -22703,7 +23137,8 @@ _FRONT: list[str] = [
     # jonckheere_terpstra, levene_brown_forsythe,
     # longest_daily_streak, nrr_by_cohort, acf_multi_lag,
     # feature_hash_vectors, flesch_reading_ease,
-    # candidate_key_discovery.
+    # candidate_key_discovery, linear_mmd_labels, l_diversity_audit,
+    # xyz_demand_variability, growth_share_matrix.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

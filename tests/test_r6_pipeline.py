@@ -5525,3 +5525,181 @@ def test_candidate_key_discovery_recompute(spark):
             1 if len(vals) == len(rows) else 0
         )
     assert got["o_orderkey"].is_key == 1
+
+
+def test_linear_mmd_labels_recompute(spark):
+    """Cross-multiplied MMD² numerator equals the per-dim Python
+    replay on int8-quantized vectors, with mmd2 the mirrored
+    division; zero for identical distributions by construction."""
+    import math
+    from collections import defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    sums = defaultdict(lambda: [0] * 64)
+    ns = defaultdict(int)
+    for r in read_table(spark, SF_SMALL, "embeddings").collect():
+        m = max(abs(float(v)) for v in r.embedding)
+        q = [
+            0 if m == 0 else int(127.0 * float(v) / m)
+            for v in r.embedding
+        ]
+        ns[r.label] += 1
+        for d in range(64):
+            sums[r.label][d] += math.trunc(q[d])
+    rows = _q(spark, "linear_mmd_labels").collect()
+    labels = sorted(ns)
+    assert {(r.label_a, r.label_b) for r in rows} == {
+        (a, b) for i, a in enumerate(labels) for b in labels[i + 1 :]
+    }
+    for r in rows:
+        num = sum(
+            (ns[r.label_b] * sums[r.label_a][d]
+             - ns[r.label_a] * sums[r.label_b][d]) ** 2
+            for d in range(64)
+        )
+        assert (r.n_a, r.n_b, r.num) == (
+            ns[r.label_a],
+            ns[r.label_b],
+            num,
+        )
+        assert r.mmd2 == float(num) / (
+            float(r.n_a * r.n_b) * float(r.n_a * r.n_b)
+        )
+
+
+def test_l_diversity_audit_recompute(spark):
+    """l-distinct sensitive buckets per QI group equal the replay and
+    imply the k-anonymity counts (l ≤ k never needs to hold, but
+    both gates see identical groups)."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    groups = defaultdict(lambda: (set(), set(), 0))
+    acc = {}
+    for e in read_table(spark, SF_SMALL, "events").collect():
+        key = (e.event_type, e.ts.date().isoformat())
+        s, u, n = acc.get(key, (set(), set(), 0))
+        cents = int(
+            Decimal(str(e.value)).quantize(Decimal("0.01")) * 100
+        )
+        s.add(cents // 1000)
+        u.add(e.user_id)
+        acc[key] = (s, u, n + 1)
+    rows = _q(spark, "l_diversity_audit").collect()
+    assert {(r.event_type, r.day) for r in rows} == set(acc)
+    for r in rows:
+        s, u, n = acc[(r.event_type, r.day)]
+        assert (r.l_sensitive, r.k_users, r.n_rows) == (
+            len(s),
+            len(u),
+            n,
+        )
+        assert r.suppress == (len(s) < 3)
+
+
+def test_xyz_demand_variability_recompute(spark):
+    """Class counts and cv²-ppm extremes equal the per-part monthly
+    replay with pinned integer DIV."""
+    from collections import defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    md = defaultdict(int)
+    for li in read_table(spark, SF_SMALL, "lineitem").collect():
+        midx = li.l_shipdate.year * 12 + li.l_shipdate.month
+        md[(li.l_partkey, midx)] += int(li.l_quantity)
+    per_part = defaultdict(list)
+    for (pk, _), qty in md.items():
+        per_part[pk].append(qty)
+    stats = defaultdict(lambda: [0, None, None, 0])
+    for pk, qs in per_part.items():
+        n, sq, sqq = len(qs), sum(qs), sum(q * q for q in qs)
+        if sq <= 0:
+            continue
+        cv2 = (n * sqq * 1_000_000) // (sq * sq) - 1_000_000
+        cls = "X" if cv2 < 250_000 else ("Y" if cv2 < 1_000_000 else "Z")
+        st = stats[cls]
+        st[0] += 1
+        st[1] = cv2 if st[1] is None else min(st[1], cv2)
+        st[2] = cv2 if st[2] is None else max(st[2], cv2)
+        st[3] += n
+    got = {r.xyz_class: r for r in _q(spark, "xyz_demand_variability").collect()}
+    assert set(got) == set(stats)
+    for cls, (np_, mn, mx, dm) in stats.items():
+        r = got[cls]
+        assert (r.n_parts, r.min_cv2_ppm, r.max_cv2_ppm,
+                r.demand_months) == (np_, mn, mx, dm)
+
+
+def test_growth_share_matrix_recompute(spark):
+    """Quadrants, shares and relative shares equal the two-year
+    brand-revenue replay: exactly one leader per market, leader is
+    star or cash_cow, follower rel_share measured against max1."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    part = {
+        p.p_partkey: (p.p_type, p.p_brand)
+        for p in read_table(spark, SF_SMALL, "part").collect()
+    }
+    li = read_table(spark, SF_SMALL, "lineitem").collect()
+    last_y = max(x.l_shipdate.year for x in li)
+    rev = defaultdict(lambda: [0, 0])
+    for x in li:
+        y = x.l_shipdate.year
+        if y < last_y - 1:
+            continue
+        t, b = part[x.l_partkey]
+        cents = int(
+            Decimal(str(x.l_extendedprice)).quantize(Decimal("0.01"))
+            * 100
+        )
+        rev[(t, b)][0 if y == last_y else 1] += cents
+    mkt = defaultdict(lambda: [0, 0, 0])
+    for (t, b), (rl, rp) in rev.items():
+        mkt[t][0] += rl
+        mkt[t][1] += rp
+        mkt[t][2] = max(mkt[t][2], rl)
+    rows = _q(spark, "growth_share_matrix").collect()
+    assert {(r.p_type, r.p_brand) for r in rows} == {
+        k for k, v in rev.items() if v[0] > 0
+    }
+    for r in rows:
+        rl, rp = rev[(r.p_type, r.p_brand)]
+        tl, tp, max1 = mkt[r.p_type]
+        max2 = max(
+            (v[0] for k, v in rev.items()
+             if k[0] == r.p_type and v[0] < max1),
+            default=0,
+        )
+        assert r.revenue == rl / 100.0
+        assert r.share_ppm == rl * 1_000_000 // tl
+        if rl == max1:
+            want_rel = rl * 1_000_000 // max2 if max2 > 0 else None
+        else:
+            want_rel = rl * 1_000_000 // max1
+        assert r.rel_share_ppm == want_rel
+        growth = tl * 1_000_000 // tp if tp > 0 else None
+        assert r.market_growth_ppm == growth
+        if tp == 0:
+            want_q = "question"
+        elif growth >= 1_000_000:
+            want_q = "star" if rl == max1 else "question"
+        else:
+            want_q = "cash_cow" if rl == max1 else "dog"
+        assert r.quadrant == want_q
+    leaders = defaultdict(int)
+    for r in rows:
+        if r.quadrant in ("star", "cash_cow"):
+            leaders[r.p_type] += 1
+    for t, c in leaders.items():
+        assert c >= 1

@@ -83,6 +83,7 @@ WHITELIST = {
     "price_tier_stats": "4-row broadcast tier table joined on BETWEEN (bounded dim side, constant cost per fact row — the legitimate range-dim BNLJ)",
     "log_rank_test": "1-row cohort-totals aggregate broadcast onto the calendar-bounded month-cell table",
     "anova_oneway": "1-row grand-totals aggregate broadcast onto the |groups|-row moment table",
+    "growth_share_matrix": "1-row MAX-year aggregate broadcast onto the two-year fact filter (single attach; downstream consumers read the localCheckpointed brand table)",
     "levene_brown_forsythe": "1-row grand-totals aggregate broadcast onto the |groups|-row deviation-moment table (the anova_oneway attach on |x-median|)",
     "jackknife_group_means": "1-row grand-total aggregate broadcast onto the |groups|-row moment table (the leave-out algebra)",
     "cart_tree_depth2": "1-row root-decision broadcast re-tags the cohort (the tree-iteration attach); cart_root_split's scalar threshold attach likewise",
