@@ -22970,6 +22970,328 @@ def q_growth_share_matrix(spark, sf_dir):
     )
 
 
+@register(
+    "streaming_sliding_counts",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, ts,
+             date_trunc('hour', ts)
+               + CASE WHEN EXTRACT(MINUTE FROM ts) >= 30
+                      THEN INTERVAL 30 MINUTE
+                      ELSE INTERVAL 0 MINUTE END AS ws1
+      FROM events
+    ), both_w AS (
+      SELECT event_type, ws1 AS ws FROM base
+      UNION ALL
+      SELECT event_type, ws1 - INTERVAL 30 MINUTE AS ws FROM base
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS cnt
+    FROM both_w
+    WHERE ws + INTERVAL 1 HOUR
+          <= (SELECT max(ts) - INTERVAL 2 SECOND FROM events)
+    GROUP BY 1, 2
+    """,
+)
+def q_streaming_sliding_counts(spark, sf_dir):
+    """SLIDING-window counts (1 h window, 30 min slide) through the
+    real Structured Streaming engine — the overlapping-window twin of
+    streaming_tumbling_window: every event lands in exactly TWO open
+    windows, so the engine keeps two window states per (type, slot)
+    and append-mode emission still waits for each window's END to
+    pass the watermark. The oracle materializes the two window starts
+    per event explicitly (trunc-to-30-min and that minus 30 min) and
+    applies the identical end <= max(ts) - 2 s emission rule — the
+    stream result is set-equal to the batch double-count, which is
+    the unification claim for sliding windows. Same staged file
+    source / availableNow / scoped shuffle-partition discipline as
+    the tumbling form."""
+    import tempfile
+
+    staged, schema = _stage_events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ssslide_")
+    out = f"{tmp}/out"
+    with _stream_conf(spark):
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(staged)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        q = (
+            stream.withWatermark("ts", "2 seconds")
+            .groupBy(
+                F.window("ts", "1 hour", "30 minutes"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                F.date_format(
+                    "window.start", "yyyy-MM-dd HH:mm:ss"
+                ).alias("window_start"),
+                "event_type",
+                "cnt",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    return spark.read.parquet(out)
+
+
+@register(
+    "embedding_pair_sim_histogram",
+    oracle="""
+    WITH samp AS (
+      SELECT vec_id, embedding
+      FROM embeddings
+      ORDER BY ('0x' || substr(md5('ps:' || vec_id), 1, 10))::BIGINT,
+               vec_id
+      LIMIT 128
+    ), ex AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM samp
+    ), m AS (
+      SELECT vec_id, MAX(ABS(v)) AS m FROM ex GROUP BY 1
+    ), q AS (
+      SELECT ex.vec_id, pos,
+             CASE WHEN m.m = 0 THEN 0
+                  ELSE CAST(trunc(127.0 * v / m.m) AS BIGINT) END AS qv
+      FROM ex JOIN m USING (vec_id)
+    ), nrm AS (
+      SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS n2
+      FROM q GROUP BY 1
+    ), dots AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             CAST(SUM(a.qv * b.qv) AS BIGINT) AS dot
+      FROM q a JOIN q b ON a.pos = b.pos AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN NULL
+                  ELSE (1000 * dot * ABS(dot)) // (na.n2 * nb.n2) END
+               AS cos2_milli
+      FROM dots JOIN nrm na ON na.vec_id = ia
+                JOIN nrm nb ON nb.vec_id = ib
+    )
+    SELECT CAST(cos2_milli // 50 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(cos2_milli) AS BIGINT) AS min_cos2_milli,
+           CAST(MAX(cos2_milli) AS BIGINT) AS max_cos2_milli
+    FROM scored WHERE cos2_milli IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_embedding_pair_sim_histogram(spark, sf_dir):
+    """Pairwise-similarity histogram over a DETERMINISTIC bounded
+    sample of the embedding table — the calibration pass that picks
+    near-dup / clustering thresholds before running the banded LSH
+    machinery (you read this histogram to see where the corpus's
+    similarity mass sits). Sample = 128 vectors by salted-md5 rank
+    (TakeOrderedAndProject, no global row_number; the SAME 128 ids
+    on any partitioning or engine), so the pair set is 8128 rows at
+    ANY corpus scale — the quadratic stays constant-bounded while
+    the sample stays uniform-ish (hash order is unrelated to vector
+    content). Similarity = signed squared cosine in exact integer
+    milli-units: 1000·dot·|dot| DIV (‖a‖²·‖b‖²) on int8-quantized
+    codes — sqrt never materializes, every cell is an exact BIGINT
+    (max |dot| = 127²·64 ≈ 1e6, products ≤ 1e15). Histogram buckets
+    of 0.05 cos²."""
+    e = _t(spark, sf_dir, "embeddings")
+    samp = (
+        e.select(
+            "vec_id",
+            "embedding",
+            F.expr(
+                "CAST(conv(substring(md5(concat('ps:',"
+                " CAST(vec_id AS STRING))), 1, 10), 16, 10)"
+                " AS BIGINT)"
+            ).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(128)
+    )
+    ex = samp.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "v")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("v").cast("double").alias("v"),
+    )
+    m = ex.groupBy("vec_id").agg(F.max(F.abs("v")).alias("m"))
+    q = ex.join(m, "vec_id").select(
+        "vec_id",
+        "pos",
+        F.expr(
+            "CASE WHEN m = 0 THEN 0"
+            " ELSE CAST(127.0 * v / m AS BIGINT) END"
+        ).alias("qv"),
+    )
+    nrm = q.groupBy("vec_id").agg(
+        F.sum(F.col("qv") * F.col("qv")).cast("long").alias("n2")
+    )
+    a = q.alias("a")
+    b = q.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("ia"),
+            F.col("b.vec_id").alias("ib"),
+        )
+        .agg(
+            F.sum(F.col("a.qv") * F.col("b.qv"))
+            .cast("long")
+            .alias("dot")
+        )
+    )
+    na = nrm.alias("na")
+    nb = nrm.alias("nb")
+    scored = (
+        dots.join(broadcast(na), F.col("na.vec_id") == F.col("ia"))
+        .join(broadcast(nb), F.col("nb.vec_id") == F.col("ib"))
+        .select(
+            F.expr(
+                "CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN NULL"
+                " ELSE (1000 * dot * ABS(dot)) DIV (na.n2 * nb.n2)"
+                " END"
+            ).alias("cos2_milli")
+        )
+        .where(F.col("cos2_milli").isNotNull())
+    )
+    return scored.groupBy(
+        F.expr("CAST(cos2_milli DIV 50 AS BIGINT)").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min("cos2_milli").cast("long").alias("min_cos2_milli"),
+        F.max("cos2_milli").cast("long").alias("max_cos2_milli"),
+    )
+
+
+@register(
+    "trending_brands_weekly",
+    oracle="""
+    WITH cells AS (
+      SELECT p_brand,
+             date_diff('day', DATE '1990-01-01',
+                       CAST(l_shipdate AS DATE)) // 7 AS widx,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    ), trail AS (
+      SELECT c.p_brand, c.widx + d.d AS widx,
+             CAST(SUM(c.cnt) AS BIGINT) AS trail_cnt
+      FROM cells c CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS d) d
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT widx, CAST(SUM(cnt) AS BIGINT) AS tot_w
+      FROM cells GROUP BY 1
+    ), trail_tot AS (
+      SELECT t.widx + d.d AS widx,
+             CAST(SUM(t.tot_w) AS BIGINT) AS trail_tot
+      FROM tot t CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS d) d
+      GROUP BY 1
+    ), lifted AS (
+      SELECT c.widx, c.p_brand, c.cnt, tr.trail_cnt,
+             (c.cnt * tt.trail_tot * 1000000)
+               // (tr.trail_cnt * t.tot_w) AS lift_ppm
+      FROM cells c
+      JOIN trail tr ON tr.p_brand = c.p_brand AND tr.widx = c.widx
+      JOIN tot t ON t.widx = c.widx
+      JOIN trail_tot tt ON tt.widx = c.widx
+      WHERE tr.trail_cnt > 0
+    )
+    SELECT CAST(widx AS BIGINT) AS widx, p_brand, cnt, trail_cnt,
+           lift_ppm, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY widx
+                ORDER BY lift_ppm DESC, p_brand) AS rk
+      FROM lifted
+    ) WHERE rk <= 3
+    """,
+)
+def q_trending_brands_weekly(spark, sf_dir):
+    """Weekly trending-brand detection: each brand's share of this
+    week's order lines vs its share of the trailing 4 weeks, as an
+    exact cross-multiplied integer lift — (cnt·trail_tot·10⁶) DIV
+    (trail_cnt·tot_w) — with the top-3 risers per week. The trailing
+    window is the OFFSET-EXPLODE recipe (token_cooccurrence_lift's
+    ±k trick applied to time): a 4-element literal explode re-keys
+    each weekly cell to the 4 future weeks it serves, so 'trailing
+    sum over a sparse calendar' is one groupBy — no range join, no
+    per-brand dense calendar, no window over missing weeks. All
+    aggregation happens on (brand × week) cells; the rank window
+    partitions by week. New entrants (trail_cnt = 0) are excluded —
+    lift against an empty base is a policy choice, documented.
+    BIGINT-safe to ~sf1 (cnt·trail_tot·10⁶ ≤ 1e16 at sf0.1); lift
+    the products to DECIMAL(38,0) beyond."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cells = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.expr(
+                "date_diff(CAST(l_shipdate AS DATE),"
+                " DATE '1990-01-01') DIV 7"
+            ).alias("widx"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    d4 = F.explode(F.array(*[F.lit(i) for i in (1, 2, 3, 4)])).alias(
+        "d"
+    )
+    trail = (
+        cells.select("p_brand", "widx", "cnt", d4)
+        .groupBy("p_brand", (F.col("widx") + F.col("d")).alias("widx"))
+        .agg(F.sum("cnt").cast("long").alias("trail_cnt"))
+    )
+    tot = cells.groupBy("widx").agg(
+        F.sum("cnt").cast("long").alias("tot_w")
+    )
+    trail_tot = (
+        tot.select("widx", "tot_w", d4)
+        .groupBy((F.col("widx") + F.col("d")).alias("widx"))
+        .agg(F.sum("tot_w").cast("long").alias("trail_tot"))
+    )
+    lifted = (
+        cells.join(trail, ["p_brand", "widx"])
+        .join(tot, "widx")
+        .join(trail_tot, "widx")
+        .where(F.col("trail_cnt") > 0)
+        .select(
+            "widx",
+            "p_brand",
+            "cnt",
+            "trail_cnt",
+            F.expr(
+                "(cnt * trail_tot * 1000000)"
+                " DIV (trail_cnt * tot_w)"
+            ).alias("lift_ppm"),
+        )
+    )
+    w = Window.partitionBy("widx").orderBy(
+        F.col("lift_ppm").desc(), "p_brand"
+    )
+    return (
+        lifted.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            F.col("widx").cast("long").alias("widx"),
+            "p_brand",
+            "cnt",
+            "trail_cnt",
+            "lift_ppm",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -23138,7 +23460,9 @@ _FRONT: list[str] = [
     # longest_daily_streak, nrr_by_cohort, acf_multi_lag,
     # feature_hash_vectors, flesch_reading_ease,
     # candidate_key_discovery, linear_mmd_labels, l_diversity_audit,
-    # xyz_demand_variability, growth_share_matrix.
+    # xyz_demand_variability, growth_share_matrix,
+    # streaming_sliding_counts, embedding_pair_sim_histogram,
+    # trending_brands_weekly.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

@@ -5703,3 +5703,124 @@ def test_growth_share_matrix_recompute(spark):
             leaders[r.p_type] += 1
     for t, c in leaders.items():
         assert c >= 1
+
+
+def test_streaming_sliding_counts_recompute(spark):
+    """The SS sliding-window emission equals the Python double-count
+    replay with the end <= max_ts - 2 s watermark rule."""
+    from collections import Counter
+    from datetime import timedelta
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    evs = read_table(spark, SF_SMALL, "events").collect()
+    max_ts = max(e.ts for e in evs)
+    cut = max_ts - timedelta(seconds=2)
+    want = Counter()
+    for e in evs:
+        base = e.ts.replace(
+            minute=30 if e.ts.minute >= 30 else 0,
+            second=0,
+            microsecond=0,
+        )
+        for ws in (base, base - timedelta(minutes=30)):
+            if ws + timedelta(hours=1) <= cut:
+                want[(ws.strftime("%Y-%m-%d %H:%M:%S"), e.event_type)] += 1
+    got = {
+        (r.window_start, r.event_type): r.cnt
+        for r in _q(spark, "streaming_sliding_counts").collect()
+    }
+    assert got == dict(want)
+
+
+def test_embedding_pair_sim_histogram_recompute(spark):
+    """Histogram equals the Python replay of the 128-id hash sample,
+    int8 quantization and signed cos²-milli bucketing; total pairs
+    = 8128 (sample bounded regardless of corpus size)."""
+    import hashlib
+    from collections import Counter
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    rows = read_table(spark, SF_SMALL, "embeddings").collect()
+
+    def h(vid):
+        return int(
+            hashlib.md5(f"ps:{vid}".encode()).hexdigest()[:10], 16
+        )
+
+    samp = sorted(rows, key=lambda r: (h(r.vec_id), r.vec_id))[:128]
+    qs = {}
+    for r in samp:
+        m = max(abs(float(v)) for v in r.embedding)
+        qs[r.vec_id] = [
+            0 if m == 0 else int(127.0 * float(v) / m)
+            for v in r.embedding
+        ]
+    hist = Counter()
+    stats = {}
+    ids = sorted(qs)
+    n_pairs = 0
+    for i, ia in enumerate(ids):
+        for ib in ids[i + 1 :]:
+            n_pairs += 1
+            qa, qb = qs[ia], qs[ib]
+            dot = sum(x * y for x, y in zip(qa, qb))
+            na2 = sum(x * x for x in qa)
+            nb2 = sum(x * x for x in qb)
+            if na2 == 0 or nb2 == 0:
+                continue
+            # mirror SQL integer DIV (truncate toward zero)
+            num = 1000 * dot * abs(dot)
+            den = na2 * nb2
+            c = abs(num) // den * (1 if num >= 0 else -1)
+            b = abs(c) // 50 * (1 if c >= 0 else -1)
+            hist[b] += 1
+            lo, hi = stats.get(b, (c, c))
+            stats[b] = (min(lo, c), max(hi, c))
+    got = {r.bucket: r for r in _q(spark, "embedding_pair_sim_histogram").collect()}
+    assert n_pairs == len(samp) * (len(samp) - 1) // 2
+    assert {b: r.n_pairs for b, r in got.items()} == dict(hist)
+    for b, r in got.items():
+        assert (r.min_cos2_milli, r.max_cos2_milli) == stats[b]
+
+
+def test_trending_brands_weekly_recompute(spark):
+    """Top-3 weekly brand lifts equal the Python trailing-4-week
+    replay with pinned integer DIV and (lift desc, brand) ranking."""
+    from collections import defaultdict
+    from datetime import date
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    part = {
+        p.p_partkey: p.p_brand
+        for p in read_table(spark, SF_SMALL, "part").collect()
+    }
+    cells = defaultdict(int)
+    for li in read_table(spark, SF_SMALL, "lineitem").collect():
+        w = (li.l_shipdate.date() - date(1990, 1, 1)).days // 7
+        cells[(part[li.l_partkey], w)] += 1
+    tot = defaultdict(int)
+    for (b, w), c in cells.items():
+        tot[w] += c
+    out = defaultdict(list)
+    for (b, w), c in cells.items():
+        trail_cnt = sum(cells.get((b, w - d), 0) for d in (1, 2, 3, 4))
+        trail_tot = sum(tot.get(w - d, 0) for d in (1, 2, 3, 4))
+        if trail_cnt > 0:
+            lift = (c * trail_tot * 1_000_000) // (trail_cnt * tot[w])
+            out[w].append((-lift, b, c, trail_cnt, lift))
+    want = {}
+    for w, lst in out.items():
+        for rk, (_, b, c, tc, lift) in enumerate(sorted(lst)[:3], 1):
+            want[(w, b)] = (c, tc, lift, rk)
+    rows = _q(spark, "trending_brands_weekly").collect()
+    assert {(r.widx, r.p_brand) for r in rows} == set(want)
+    for r in rows:
+        assert (r.cnt, r.trail_cnt, r.lift_ppm, r.rk) == want[
+            (r.widx, r.p_brand)
+        ]
