@@ -23292,6 +23292,364 @@ def q_trending_brands_weekly(spark, sf_dir):
     )
 
 
+@register(
+    "nelson_aalen_hazard",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             MIN(CASE WHEN o_orderstatus = 'F' THEN
+                 YEAR(CAST(o_orderdate AS DATE)) * 12
+                 + MONTH(CAST(o_orderdate AS DATE)) END) AS ev_m,
+             MAX(YEAR(CAST(o_orderdate AS DATE)) * 12
+                 + MONTH(CAST(o_orderdate AS DATE))) AS last_m
+      FROM orders GROUP BY 1
+    ), subj AS (
+      SELECT n_name,
+             CAST(COALESCE(ev_m, last_m) AS BIGINT) AS t,
+             CASE WHEN ev_m IS NOT NULL THEN 1 ELSE 0 END AS is_event
+      FROM per JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey
+    ), cell AS (
+      SELECT n_name, t,
+             CAST(SUM(is_event) AS BIGINT) AS d,
+             CAST(COUNT(*) - SUM(is_event) AS BIGINT) AS cns
+      FROM subj GROUP BY 1, 2
+    ), cum AS (
+      SELECT n_name, t, d, cns,
+             CAST(SUM(d + cns) OVER (PARTITION BY n_name ORDER BY t
+                                     ROWS UNBOUNDED PRECEDING)
+                  - (d + cns) AS BIGINT) AS gone_before,
+             CAST(SUM(d + cns) OVER (PARTITION BY n_name)
+                  AS BIGINT) AS total
+      FROM cell
+    ), ev AS (
+      SELECT n_name, t, d, total - gone_before AS n_risk,
+             (d * 1000000) // (total - gone_before) AS inc_ppm
+      FROM cum WHERE d > 0
+    )
+    SELECT n_name, t, n_risk, d,
+           CAST(SUM(inc_ppm) OVER (PARTITION BY n_name ORDER BY t
+                                   ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cumhaz_ppm
+    FROM ev
+    """,
+)
+def q_nelson_aalen_hazard(spark, sf_dir):
+    """Nelson–Aalen cumulative-hazard estimator per nation, on the
+    IDENTICAL risk-set machinery as kaplan_meier_survival (same
+    subjects, censoring convention and per-month cells) — the
+    additive sibling: H(t) = Σ_{tᵢ≤t} dᵢ/n_riskᵢ. Where KM must fold
+    float FACTORS in event order (multiplication), NA's increments
+    are pinned integer ppm (d·10⁶ DIV n_risk) and the cumulative sum
+    is an order-insensitive BIGINT window — strictly easier to make
+    bit-portable, which is exactly why production survival pipelines
+    at scale prefer NA + exp(−H) over chained float products. One
+    fact agg, one cell window."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    mi = F.expr(
+        "YEAR(CAST(o_orderdate AS DATE)) * 12"
+        " + MONTH(CAST(o_orderdate AS DATE))"
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.min(
+            F.when(F.col("o_orderstatus") == "F", mi)
+        ).alias("ev_m"),
+        F.max(mi).alias("last_m"),
+    )
+    subj = (
+        per.join(c, per.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.coalesce("ev_m", "last_m").cast("long").alias("t"),
+            F.when(F.col("ev_m").isNotNull(), 1)
+            .otherwise(0)
+            .alias("is_event"),
+        )
+    )
+    cell = subj.groupBy("n_name", "t").agg(
+        F.sum("is_event").cast("long").alias("d"),
+        (F.count(F.lit(1)) - F.sum("is_event"))
+        .cast("long")
+        .alias("cns"),
+    )
+    wcum = (
+        Window.partitionBy("n_name")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("n_name")
+    cum = cell.select(
+        "n_name",
+        "t",
+        "d",
+        (
+            F.sum(F.col("d") + F.col("cns")).over(wcum)
+            - (F.col("d") + F.col("cns"))
+        ).alias("gone_before"),
+        F.sum(F.col("d") + F.col("cns")).over(wall).alias("total"),
+    )
+    ev = cum.where(F.col("d") > 0).select(
+        "n_name",
+        "t",
+        "d",
+        (F.col("total") - F.col("gone_before")).alias("n_risk"),
+        F.expr(
+            "(d * 1000000) DIV (total - gone_before)"
+        ).alias("inc_ppm"),
+    )
+    return ev.select(
+        "n_name",
+        "t",
+        "n_risk",
+        "d",
+        F.sum("inc_ppm").over(wcum).cast("long").alias("cumhaz_ppm"),
+    )
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle="""
+    WITH wc AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+'))
+              AS word FROM documents)
+      WHERE word <> ''
+      GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS vocab
+      FROM wc
+    ), ranked AS (
+      SELECT cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, word)
+                  AS BIGINT) AS rk
+      FROM wc
+    ), ks AS (
+      SELECT CAST(unnest([10, 25, 50, 100, 250]) AS BIGINT) AS k
+    )
+    SELECT k, tot.vocab, tot.total AS total_tokens,
+           CAST(COALESCE(SUM(r.cnt), 0) AS BIGINT) AS covered_tokens,
+           CAST(COALESCE(SUM(r.cnt), 0) * 1000000 // tot.total
+                AS BIGINT) AS coverage_ppm
+    FROM ks CROSS JOIN tot LEFT JOIN ranked r ON r.rk <= ks.k
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_vocab_coverage_curve(spark, sf_dir):
+    """Vocabulary coverage curve — what fraction of all corpus tokens
+    the top-k vocabulary covers, at k ∈ {10,25,50,100,250}: THE
+    tokenizer-budget diagnostic (BPE vocab sizing, OOV-rate
+    projection) and the companion of vocab_growth (which walks docs;
+    this walks ranks). Ranking runs on the AGGREGATED word-count
+    table (vocab-bounded, not corpus-bounded); the rank window is
+    capped by filtering to cnt-rank ≤ max(k) via TakeOrdered-shape
+    top-250 before the cumulative membership join, so no
+    vocab-global single-partition window survives at scale. Coverage
+    is pinned integer ppm on exact token counts; k beyond the vocab
+    saturates at 10⁶ — the curve's plateau is the signal."""
+    d = _t(spark, sf_dir, "documents")
+    wc = (
+        d.select(
+            F.explode(
+                F.split(F.lower(F.col("text")), "[^a-z]+")
+            ).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tot = wc.agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    ks = [10, 25, 50, 100, 250]
+    # bounded top-max(k) slice: TakeOrderedAndProject, then the tiny
+    # 250-row table gets its exact ranks from a driver-safe window
+    top = wc.orderBy(F.col("cnt").desc(), "word").limit(max(ks))
+    ranked = top.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), "word"))
+        .cast("long")
+        .alias("rk"),
+    )
+    kdf = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(k).cast("long") for k in ks])
+        ).alias("k")
+    )
+    return (
+        kdf.crossJoin(broadcast(tot))
+        .join(broadcast(ranked), F.col("rk") <= F.col("k"), "left")
+        .groupBy("k", "vocab", F.col("total").alias("total_tokens"))
+        .agg(
+            F.coalesce(F.sum("cnt"), F.lit(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            F.expr(
+                "CAST(COALESCE(SUM(cnt), 0) * 1000000 DIV"
+                " FIRST(total) AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+    )
+
+
+@register(
+    "rake_keywords",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source, pos, w,
+             CASE WHEN w IN ('the','a','of','and','to','in','is','on',
+                             'for','it','with','as','at','by','an',
+                             'be','or') THEN 1 ELSE 0 END AS stop
+      FROM (
+        SELECT doc_id, source,
+               generate_subscripts(string_split_regex(lower(text),
+                                                      '[^a-z]+'), 1)
+                 AS pos,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    ), nw AS (
+      SELECT doc_id, source, pos, w,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY pos) AS isl
+      FROM tok WHERE stop = 0
+    ), ph AS (
+      SELECT doc_id, source, isl, w, pos,
+             CAST(COUNT(*) OVER (PARTITION BY doc_id, isl) AS BIGINT)
+               AS plen
+      FROM nw
+    ), wstat AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(plen) AS BIGINT) AS deg
+      FROM ph GROUP BY 1
+    ), wscore AS (
+      SELECT w, (deg * 1000000) // freq AS wscore_ppm FROM wstat
+    ), phrase AS (
+      SELECT p.source,
+             string_agg(p.w, ' ' ORDER BY p.pos) AS phrase,
+             CAST(SUM(s.wscore_ppm) AS BIGINT) AS score_ppm
+      FROM ph p JOIN wscore s ON s.w = p.w
+      GROUP BY p.doc_id, p.isl, p.source
+    ), cand AS (
+      SELECT source, phrase,
+             CAST(MAX(score_ppm) AS BIGINT) AS score_ppm,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM phrase GROUP BY 1, 2
+    )
+    SELECT source, phrase, score_ppm, n_occurrences,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY score_ppm DESC, phrase) AS rk
+      FROM cand
+    ) WHERE rk <= 10
+    """,
+)
+def q_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al. 2010, public) per source:
+    candidate phrases are maximal stopword-free token runs
+    (gaps-and-islands on token POSITIONS — island id = pos −
+    row_number among content tokens, the longest_daily_streak trick
+    applied inside documents), each word scores degree/frequency
+    (degree = Σ phrase-length over its occurrences, RAKE's
+    co-occurrence count including self), and a phrase scores the sum
+    of its words' scores. Scores are pinned integer ppm so ranking
+    is bit-deterministic; identical phrase texts collapse with MAX
+    (=the common) score and an occurrence count; top-10 per source.
+    Everything runs on token/phrase cells — the only windows are
+    per-doc (bounded by doc length) and the per-source top-10
+    rank."""
+    d = _t(spark, sf_dir, "documents")
+    stops = (
+        "'the','a','of','and','to','in','is','on','for','it','with',"
+        "'as','at','by','an','be','or'"
+    )
+    tok = (
+        d.select(
+            "doc_id",
+            "source",
+            F.posexplode(
+                F.split(F.lower(F.col("text")), "[^a-z]+")
+            ).alias("pos0", "w"),
+        )
+        .where(F.col("w") != "")
+        .select(
+            "doc_id",
+            "source",
+            (F.col("pos0") + 1).alias("pos"),
+            "w",
+            F.expr(
+                f"CASE WHEN w IN ({stops}) THEN 1 ELSE 0 END"
+            ).alias("stop"),
+        )
+    )
+    nw = tok.where(F.col("stop") == 0).select(
+        "doc_id",
+        "source",
+        "pos",
+        "w",
+        (
+            F.col("pos")
+            - F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("pos")
+            )
+        ).alias("isl"),
+    )
+    ph = nw.select(
+        "doc_id",
+        "source",
+        "isl",
+        "w",
+        "pos",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("doc_id", "isl"))
+        .cast("long")
+        .alias("plen"),
+    )
+    wscore = (
+        ph.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+        .select("w", F.expr("(deg * 1000000) DIV freq").alias("wscore_ppm"))
+    )
+    phrase = (
+        ph.join(wscore, "w")
+        .groupBy("doc_id", "isl", "source")
+        .agg(
+            F.expr(
+                "array_join(transform(sort_array(collect_list("
+                "struct(pos, w))), s -> s.w), ' ')"
+            ).alias("phrase"),
+            F.sum("wscore_ppm").cast("long").alias("score_ppm"),
+        )
+    )
+    cand = phrase.groupBy("source", "phrase").agg(
+        F.max("score_ppm").cast("long").alias("score_ppm"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("score_ppm").desc(), "phrase"
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select(
+            "source",
+            "phrase",
+            "score_ppm",
+            "n_occurrences",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -23462,7 +23820,8 @@ _FRONT: list[str] = [
     # candidate_key_discovery, linear_mmd_labels, l_diversity_audit,
     # xyz_demand_variability, growth_share_matrix,
     # streaming_sliding_counts, embedding_pair_sim_histogram,
-    # trending_brands_weekly.
+    # trending_brands_weekly, nelson_aalen_hazard,
+    # vocab_coverage_curve, rake_keywords.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

@@ -5824,3 +5824,121 @@ def test_trending_brands_weekly_recompute(spark):
         assert (r.cnt, r.trail_cnt, r.lift_ppm, r.rk) == want[
             (r.widx, r.p_brand)
         ]
+
+
+def test_nelson_aalen_recompute(spark):
+    """Cumulative-hazard ppm equals the KM-machinery replay with
+    integer increments; NA rows align 1:1 with KM event rows and
+    share n_risk/d."""
+    km = {
+        (r.n_name, r.t): (r.n_risk, r.d)
+        for r in _q(spark, "kaplan_meier_survival").collect()
+    }
+    rows = _q(spark, "nelson_aalen_hazard").collect()
+    assert {(r.n_name, r.t) for r in rows} == set(km)
+    from collections import defaultdict
+
+    by_n = defaultdict(list)
+    for r in rows:
+        assert (r.n_risk, r.d) == km[(r.n_name, r.t)]
+        by_n[r.n_name].append(r)
+    for n, rs in by_n.items():
+        rs.sort(key=lambda r: r.t)
+        acc = 0
+        for r in rs:
+            acc += (r.d * 1_000_000) // r.n_risk
+            assert r.cumhaz_ppm == acc
+        # monotone increasing by construction
+        assert all(
+            a.cumhaz_ppm < b.cumhaz_ppm for a, b in zip(rs, rs[1:])
+        )
+
+
+def test_vocab_coverage_curve_recompute(spark):
+    """Coverage ppm equals the rank replay; the curve is monotone in
+    k and saturates at 1e6 once k >= vocab."""
+    import re
+    from collections import Counter
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    wc = Counter()
+    for d in read_table(spark, SF_SMALL, "documents").collect():
+        for w in re.split("[^a-z]+", d.text.lower()):
+            if w:
+                wc[w] += 1
+    ranked = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(wc.values())
+    rows = sorted(
+        _q(spark, "vocab_coverage_curve").collect(),
+        key=lambda r: r.k,
+    )
+    assert [r.k for r in rows] == [10, 25, 50, 100, 250]
+    prev = -1
+    for r in rows:
+        cov = sum(c for _, c in ranked[: r.k])
+        assert (r.vocab, r.total_tokens, r.covered_tokens) == (
+            len(wc),
+            total,
+            cov,
+        )
+        assert r.coverage_ppm == cov * 1_000_000 // total
+        assert r.coverage_ppm >= prev
+        prev = r.coverage_ppm
+        if r.k >= len(wc):
+            assert r.coverage_ppm == 1_000_000
+
+
+def test_rake_keywords_recompute(spark):
+    """Top-10 RAKE phrases per source equal the Python replay
+    (islands, deg/freq ppm scores, tie-broken ranking)."""
+    import re
+    from collections import Counter, defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    STOPS = {
+        "the", "a", "of", "and", "to", "in", "is", "on", "for",
+        "it", "with", "as", "at", "by", "an", "be", "or",
+    }
+    phrases = []  # (doc, source, [words])
+    for d in read_table(spark, SF_SMALL, "documents").collect():
+        toks = [w for w in re.split("[^a-z]+", d.text.lower()) if w]
+        cur = []
+        for w in toks:
+            if w in STOPS:
+                if cur:
+                    phrases.append((d.source, cur))
+                    cur = []
+            else:
+                cur.append(w)
+        if cur:
+            phrases.append((d.source, cur))
+    freq = Counter()
+    deg = Counter()
+    for _, ws in phrases:
+        for w in ws:
+            freq[w] += 1
+            deg[w] += len(ws)
+    wscore = {w: deg[w] * 1_000_000 // freq[w] for w in freq}
+    cand = defaultdict(lambda: [0, 0])
+    for src, ws in phrases:
+        s = sum(wscore[w] for w in ws)
+        key = (src, " ".join(ws))
+        cand[key][0] = max(cand[key][0], s)
+        cand[key][1] += 1
+    want = defaultdict(list)
+    for (src, phrase), (s, n) in cand.items():
+        want[src].append((-s, phrase, n))
+    top = {}
+    for src, lst in want.items():
+        for rk, (negs, phrase, n) in enumerate(sorted(lst)[:10], 1):
+            top[(src, phrase)] = (-negs, n, rk)
+    rows = _q(spark, "rake_keywords").collect()
+    assert {(r.source, r.phrase) for r in rows} == set(top)
+    for r in rows:
+        assert (r.score_ppm, r.n_occurrences, r.rk) == top[
+            (r.source, r.phrase)
+        ]
