@@ -23650,6 +23650,286 @@ def q_rake_keywords(spark, sf_dir):
     )
 
 
+@register(
+    "seasonal_decompose_ratio",
+    oracle="""
+    WITH m AS (
+      SELECT n_name,
+             CAST(YEAR(CAST(o_orderdate AS DATE)) * 12
+                  + MONTH(CAST(o_orderdate AS DATE)) AS BIGINT) AS midx,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), contrib AS (
+      SELECT n_name, midx + d.d AS t,
+             CASE WHEN ABS(d.d) = 6 THEN cents ELSE 2 * cents END
+               AS w2x
+      FROM m CROSS JOIN (SELECT unnest([-6, -5, -4, -3, -2, -1, 0,
+                                        1, 2, 3, 4, 5, 6]) AS d) d
+    ), trend AS (
+      SELECT n_name, t, CAST(SUM(w2x) AS BIGINT) AS trend2,
+             CAST(COUNT(*) AS BIGINT) AS n_cells
+      FROM contrib GROUP BY 1, 2
+    ), ratio AS (
+      SELECT m.n_name,
+             ((m.midx - 1) % 12) + 1 AS moy,
+             (m.cents * 24 * 1000000) // tr.trend2 AS ratio_ppm
+      FROM m JOIN trend tr ON tr.n_name = m.n_name AND tr.t = m.midx
+      WHERE tr.n_cells = 13 AND tr.trend2 > 0
+    )
+    SELECT n_name, CAST(moy AS BIGINT) AS moy,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(SUM(ratio_ppm) // COUNT(*) AS BIGINT)
+             AS seasidx_ppm
+    FROM ratio GROUP BY 1, 2
+    """,
+)
+def q_seasonal_decompose_ratio(spark, sf_dir):
+    """Classical ratio-to-moving-average seasonal decomposition
+    (Macaulay 1931 — the method behind X-11's first pass): the trend
+    is a CENTERED 12-month moving average (half weights at the ±6
+    ends so the window is symmetric around t), each month's
+    detrended ratio is x_t/trend_t, and the seasonal index per
+    (nation, month-of-year) is the mean ratio. EVERYTHING is pinned
+    integer: the MA is kept as Σ(2·x or x at ±6) without its /24
+    (ratio cross-multiplies it back: x·24·10⁶ DIV trend2), the index
+    is an integer-DIV mean of ppm cells, and months with an
+    incomplete 13-cell neighborhood are excluded by COUNT, never by
+    NULL arithmetic. The centered window is the OFFSET-EXPLODE
+    recipe again (13 literal offsets on month cells) — no dense
+    calendar, no per-nation window function at all."""
+    m = _nation_month_cents(spark, sf_dir).drop("ym")
+    offs = F.explode(
+        F.array(*[F.lit(i) for i in range(-6, 7)])
+    ).alias("d")
+    contrib = m.select("n_name", "midx", "cents", offs).select(
+        "n_name",
+        (F.col("midx") + F.col("d")).alias("t"),
+        F.when(F.abs(F.col("d")) == 6, F.col("cents"))
+        .otherwise(2 * F.col("cents"))
+        .alias("w2x"),
+    )
+    trend = contrib.groupBy("n_name", "t").agg(
+        F.sum("w2x").cast("long").alias("trend2"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    tr = trend.alias("tr")
+    mm = m.alias("mm")
+    ratio = (
+        mm.join(
+            tr,
+            (F.col("tr.n_name") == F.col("mm.n_name"))
+            & (F.col("tr.t") == F.col("mm.midx")),
+        )
+        .where((F.col("n_cells") == 13) & (F.col("trend2") > 0))
+        .select(
+            F.col("mm.n_name").alias("n_name"),
+            (((F.col("mm.midx") - 1) % 12) + 1).alias("moy"),
+            F.expr(
+                "(mm.cents * 24 * 1000000) DIV tr.trend2"
+            ).alias("ratio_ppm"),
+        )
+    )
+    return ratio.groupBy(
+        "n_name", F.col("moy").cast("long").alias("moy")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.expr(
+            "CAST(SUM(ratio_ppm) DIV COUNT(*) AS BIGINT)"
+        ).alias("seasidx_ppm"),
+    )
+
+
+@register(
+    "churn_hazard_by_tenure",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             MAX(YEAR(CAST(o_orderdate AS DATE)) * 12
+                 + MONTH(CAST(o_orderdate AS DATE)))
+             - MIN(YEAR(CAST(o_orderdate AS DATE)) * 12
+                   + MONTH(CAST(o_orderdate AS DATE))) AS tenure
+      FROM orders GROUP BY 1
+    ), cell AS (
+      SELECT CAST(tenure AS BIGINT) AS tenure,
+             CAST(COUNT(*) AS BIGINT) AS churned
+      FROM per GROUP BY 1
+    ), cum AS (
+      SELECT tenure, churned,
+             CAST(SUM(churned) OVER () AS BIGINT) AS total,
+             CAST(SUM(churned) OVER (ORDER BY tenure
+                                     ROWS UNBOUNDED PRECEDING)
+                  - churned AS BIGINT) AS gone_before
+      FROM cell
+    )
+    SELECT tenure, total - gone_before AS at_risk, churned,
+           (churned * 1000000) // (total - gone_before) AS hazard_ppm
+    FROM cum
+    """,
+)
+def q_churn_hazard_by_tenure(spark, sf_dir):
+    """Discrete-time churn hazard by customer tenure: tenure = months
+    between first and last order, a customer 'churns at k' when
+    their last order lands k months in, and hazard(k) = churners(k)
+    / at-risk(k) where the risk set is everyone whose tenure
+    reached k — the life-table view of the customer base that
+    retention_cohorts (calendar view) and kaplan_meier (event-time
+    view) don't give: WHERE in their lifecycle customers quit,
+    pooled across acquisition dates. at-risk comes from one
+    cumulative window over tenure cells (total − churned-before),
+    hazard is pinned integer ppm. One fact agg to per-customer
+    rows, one tiny cell window."""
+    o = _t(spark, sf_dir, "orders")
+    mi = F.expr(
+        "YEAR(CAST(o_orderdate AS DATE)) * 12"
+        " + MONTH(CAST(o_orderdate AS DATE))"
+    )
+    per = o.groupBy("o_custkey").agg(
+        (F.max(mi) - F.min(mi)).cast("long").alias("tenure")
+    )
+    cell = per.groupBy("tenure").agg(
+        F.count(F.lit(1)).cast("long").alias("churned")
+    )
+    wcum = Window.orderBy("tenure").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = cell.select(
+        "tenure",
+        "churned",
+        F.sum("churned").over(wall).cast("long").alias("total"),
+        (F.sum("churned").over(wcum) - F.col("churned"))
+        .cast("long")
+        .alias("gone_before"),
+    )
+    return cum.select(
+        "tenure",
+        (F.col("total") - F.col("gone_before")).alias("at_risk"),
+        "churned",
+        F.expr(
+            "(churned * 1000000) DIV (total - gone_before)"
+        ).alias("hazard_ppm"),
+    )
+
+
+# ---- Holt-Winters additive fold: the recurrence is written ONCE as
+# engine-neutral fragments and inlined into both the Spark aggregate()
+# lambda and the DuckDB recursive CTE, so the two engines execute the
+# textually identical IEEE expression sequence per step.
+_HW_HALF = "(CAST(1 AS DOUBLE)/CAST(2 AS DOUBLE))"
+# DuckDB step fragments (r = previous state, s2.x = new observation,
+# 1-based idx into the 12-slot seasonal list)
+_HW_IDX_D = "(((r.rn) % 12) + 1)"
+_HW_SOLD_D = f"r.s[{_HW_IDX_D}]"
+_HW_NEWL_D = (
+    f"({_HW_HALF} * (s2.x - {_HW_SOLD_D})"
+    f" + {_HW_HALF} * (r.l + r.b))"
+)
+_HW_ZEROS_D = (
+    "[" + ", ".join(["CAST(0 AS DOUBLE)"] * 12) + "]"
+)
+_HW_ORACLE = f"""
+    WITH RECURSIVE m AS (
+      SELECT n_name,
+             CAST(YEAR(CAST(o_orderdate AS DATE)) * 12
+                  + MONTH(CAST(o_orderdate AS DATE)) AS BIGINT) AS midx,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), seq AS (
+      SELECT n_name, CAST(cents AS DOUBLE) AS x,
+             CAST(ROW_NUMBER() OVER (PARTITION BY n_name
+                  ORDER BY midx) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY n_name) AS BIGINT) AS n
+      FROM m
+    ), rec AS (
+      SELECT n_name, rn, n, x AS l, CAST(0 AS DOUBLE) AS b,
+             {_HW_ZEROS_D} AS s
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s2.n_name, s2.rn, s2.n,
+             {_HW_NEWL_D},
+             {_HW_HALF} * ({_HW_NEWL_D} - r.l) + {_HW_HALF} * r.b,
+             r.s[1:{_HW_IDX_D} - 1]
+               || [{_HW_HALF} * (s2.x - {_HW_NEWL_D})
+                   + {_HW_HALF} * {_HW_SOLD_D}]
+               || r.s[{_HW_IDX_D} + 1:12]
+      FROM rec r JOIN seq s2
+        ON s2.n_name = r.n_name AND s2.rn = r.rn + 1
+    )
+    SELECT n_name, n, l AS level_out, b AS trend_out,
+           s[CAST((n % 12) + 1 AS INT)] AS season_next,
+           l + b + s[CAST((n % 12) + 1 AS INT)] AS forecast_next
+    FROM rec WHERE rn = n
+"""
+
+
+@register("holt_winters_forecast", oracle=_HW_ORACLE)
+def q_holt_winters_forecast(spark, sf_dir):
+    """Holt–Winters ADDITIVE seasonal smoothing (level + trend +
+    12-slot seasonal state, α=β=γ=1/2) per nation's monthly series,
+    with the one-step-ahead forecast l + b + s_next — the seasonal
+    completion of holt_linear_forecast and the classical answer to
+    'forecast WITH the December spike'. The accumulator is a
+    named_struct carrying the 12-element seasonal ARRAY: Spark folds
+    with aggregate(), updating slot (i % 12) via an indexed
+    transform(); the DuckDB oracle steps the recurrence through a
+    recursive CTE updating the same slot by list slicing
+    (s[1:i-1] || [new] || s[i+1:12]). Both engines execute the
+    TEXTUALLY SHARED step fragments (module constants _HW_*), so
+    every float op runs in the identical IEEE order — the
+    holt_linear mirroring discipline extended to array state.
+    Init convention: l=x₁, b=0, s=zeros (slots warm up over the
+    first year; documented, mirrored). Fold runs on ≤~84 cells per
+    nation, never raw rows."""
+    m = _nation_month_cents(spark, sf_dir).drop("ym")
+    arr = m.groupBy("n_name").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(midx, cents)))"
+            ", s -> CAST(s.cents AS DOUBLE))"
+        ).alias("xs"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    half = _HW_HALF
+    # Spark step fragments — same algebra as _HW_*_D with acc/x names
+    sold = "element_at(acc.s, (acc.i % 12) + 1)"
+    newl = (
+        f"({half} * (x - {sold}) + {half} * (acc.l + acc.b))"
+    )
+    st = (
+        f"aggregate(slice(xs, 2, size(xs) - 1),"
+        f" named_struct('l', element_at(xs, 1),"
+        f" 'b', CAST(0 AS DOUBLE),"
+        f" 's', array_repeat(CAST(0 AS DOUBLE), 12),"
+        f" 'i', 1),"
+        f" (acc, x) -> named_struct("
+        f"'l', {newl},"
+        f" 'b', {half} * ({newl} - acc.l) + {half} * acc.b,"
+        f" 's', transform(acc.s, (v, j) -> CASE"
+        f" WHEN j = acc.i % 12"
+        f" THEN {half} * (x - {newl}) + {half} * v"
+        f" ELSE v END),"
+        f" 'i', acc.i + 1))"
+    )
+    return arr.select(
+        "n_name",
+        "n",
+        F.expr(f"{st}.l").alias("level_out"),
+        F.expr(f"{st}.b").alias("trend_out"),
+        F.expr(
+            f"element_at({st}.s, CAST((n % 12) + 1 AS INT))"
+        ).alias("season_next"),
+        F.expr(
+            f"{st}.l + {st}.b"
+            f" + element_at({st}.s, CAST((n % 12) + 1 AS INT))"
+        ).alias("forecast_next"),
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -23821,7 +24101,9 @@ _FRONT: list[str] = [
     # xyz_demand_variability, growth_share_matrix,
     # streaming_sliding_counts, embedding_pair_sim_histogram,
     # trending_brands_weekly, nelson_aalen_hazard,
-    # vocab_coverage_curve, rake_keywords.
+    # vocab_coverage_curve, rake_keywords,
+    # seasonal_decompose_ratio, churn_hazard_by_tenure,
+    # holt_winters_forecast.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

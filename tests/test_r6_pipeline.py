@@ -5942,3 +5942,131 @@ def test_rake_keywords_recompute(spark):
         assert (r.score_ppm, r.n_occurrences, r.rk) == top[
             (r.source, r.phrase)
         ]
+
+
+def test_seasonal_decompose_ratio_recompute(spark):
+    """Seasonal indices equal the centered-13-cell MA replay with
+    cross-multiplied integer ratios; indices average near 1e6."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    nat = {
+        x.n_nationkey: x.n_name
+        for x in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    nation_of = {
+        c.c_custkey: nat[c.c_nationkey]
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    m = defaultdict(int)
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        midx = o.o_orderdate.year * 12 + o.o_orderdate.month
+        m[(nation_of[o.o_custkey], midx)] += int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01"))
+            * 100
+        )
+    acc = defaultdict(lambda: [0, 0])
+    for (name, midx), cents in m.items():
+        cells = [
+            m.get((name, midx + d))
+            for d in range(-6, 7)
+        ]
+        if any(c is None for c in cells):
+            continue
+        trend2 = sum(
+            c if abs(d) == 6 else 2 * c
+            for d, c in zip(range(-6, 7), cells)
+        )
+        if trend2 <= 0:
+            continue
+        moy = ((midx - 1) % 12) + 1
+        a = acc[(name, moy)]
+        a[0] += 1
+        a[1] += (cents * 24 * 1_000_000) // trend2
+    rows = _q(spark, "seasonal_decompose_ratio").collect()
+    assert {(r.n_name, r.moy) for r in rows} == set(acc)
+    for r in rows:
+        n_obs, ssum = acc[(r.n_name, r.moy)]
+        assert (r.n_obs, r.seasidx_ppm) == (n_obs, ssum // n_obs)
+
+
+def test_churn_hazard_by_tenure_recompute(spark):
+    """Hazards equal the life-table replay; at_risk telescopes and
+    the last tenure bucket has hazard exactly 1e6."""
+    from collections import Counter
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    first, last = {}, {}
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        midx = o.o_orderdate.year * 12 + o.o_orderdate.month
+        k = o.o_custkey
+        first[k] = min(first.get(k, midx), midx)
+        last[k] = max(last.get(k, midx), midx)
+    cell = Counter(last[k] - first[k] for k in first)
+    total = sum(cell.values())
+    rows = sorted(
+        _q(spark, "churn_hazard_by_tenure").collect(),
+        key=lambda r: r.tenure,
+    )
+    assert [r.tenure for r in rows] == sorted(cell)
+    gone = 0
+    for r in rows:
+        assert r.churned == cell[r.tenure]
+        assert r.at_risk == total - gone
+        assert r.hazard_ppm == (r.churned * 1_000_000) // r.at_risk
+        gone += r.churned
+    assert rows[-1].hazard_ppm == 1_000_000
+
+
+def test_holt_winters_recompute(spark):
+    """Level/trend/seasonal state equals the Python float replay of
+    the identical half-weight recurrence, and the lag-0 seasonal
+    slots stay zero until their first annual revisit."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    nat = {
+        x.n_nationkey: x.n_name
+        for x in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    nation_of = {
+        c.c_custkey: nat[c.c_nationkey]
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    m = defaultdict(int)
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        midx = o.o_orderdate.year * 12 + o.o_orderdate.month
+        m[(nation_of[o.o_custkey], midx)] += int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01"))
+            * 100
+        )
+    series = defaultdict(list)
+    for (name, midx), cents in sorted(m.items()):
+        series[name].append((midx, float(cents)))
+    rows = {r.n_name: r for r in _q(spark, "holt_winters_forecast").collect()}
+    assert set(rows) == set(series)
+    for name, xs in series.items():
+        xs = [x for _, x in sorted(xs)]
+        l, b, s = xs[0], 0.0, [0.0] * 12
+        for i, x in enumerate(xs[1:], start=1):
+            idx = i % 12
+            sold = s[idx]
+            newl = 0.5 * (x - sold) + 0.5 * (l + b)
+            newb = 0.5 * (newl - l) + 0.5 * b
+            s[idx] = 0.5 * (x - newl) + 0.5 * sold
+            l, b = newl, newb
+        r = rows[name]
+        assert r.n == len(xs)
+        assert r.level_out == l
+        assert r.trend_out == b
+        nxt = s[len(xs) % 12]
+        assert r.season_next == nxt
+        assert r.forecast_next == l + b + nxt
