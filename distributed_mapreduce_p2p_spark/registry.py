@@ -23930,6 +23930,346 @@ def q_holt_winters_forecast(spark, sf_dir):
     )
 
 
+@register(
+    "isotonic_regression_monthly",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(YEAR(CAST(o_orderdate AS DATE)) * 12
+                  + MONTH(CAST(o_orderdate AS DATE)) AS BIGINT) AS midx,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                  AS BIGINT)) // 100 AS BIGINT) AS dollars
+      FROM orders GROUP BY 1
+    ), seq AS (
+      SELECT midx, dollars,
+             CAST(ROW_NUMBER() OVER (ORDER BY midx) AS BIGINT) AS rn
+      FROM m
+    ), cum AS (
+      SELECT rn, midx, dollars,
+             CAST(SUM(dollars) OVER (ORDER BY rn
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
+      FROM seq
+    ), iv AS (
+      SELECT a.rn AS s, b.rn AS e,
+             (b.cs - a.cs + a.dollars) * 1000000
+               // (b.rn - a.rn + 1) AS avg_u
+      FROM cum a JOIN cum b ON b.rn >= a.rn
+    ), tri AS (
+      SELECT s, e, avg_u, unnest(generate_series(s, e)) AS t
+      FROM iv
+    ), inner_min AS (
+      SELECT s, t, CAST(MIN(avg_u) AS BIGINT) AS min_avg
+      FROM tri WHERE e >= t
+      GROUP BY 1, 2
+    )
+    SELECT c.midx, c.dollars,
+           CAST(MAX(i.min_avg) AS BIGINT) AS fitted_u
+    FROM inner_min i JOIN cum c ON c.rn = i.t
+    WHERE i.s <= i.t
+    GROUP BY 1, 2
+    """,
+)
+def q_isotonic_regression_monthly(spark, sf_dir):
+    """Isotonic (monotone non-decreasing) regression of global
+    monthly revenue via the MINIMAX characterization — y*_t =
+    max_{s≤t} min_{e≥t} avg(x[s..e]) (Barlow et al. 1972, public),
+    the closed form of what PAVA computes sequentially: PAVA's
+    pool-adjacent-violators loop is inherently serial state, but the
+    minimax form is PURE relational algebra — interval averages from
+    one cumulative sum, an inner MIN per (start, t), an outer MAX
+    per t. Everything bounded: the series is ~84 month CELLS, so
+    intervals are ≤84²/2 and (s,e,t) triples (via sequence explode)
+    ≤84³/6 — constants at any fact scale. Averages are pinned
+    integer micro-units (sum·10⁶ DIV len), so min/max compare exact
+    BIGINTs and the fit is bit-deterministic. Monotonicity of
+    fitted_u is asserted in the recompute test."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.expr(
+            "CAST(YEAR(CAST(o_orderdate AS DATE)) * 12"
+            " + MONTH(CAST(o_orderdate AS DATE)) AS BIGINT)"
+        ).alias("midx")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100"
+            " AS BIGINT)) DIV 100 AS BIGINT)"
+        ).alias("dollars")
+    )
+    seq = m.select(
+        "midx",
+        "dollars",
+        F.row_number().over(Window.orderBy("midx")).cast("long").alias("rn"),
+    )
+    wc = Window.orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = seq.select(
+        "rn",
+        "midx",
+        "dollars",
+        F.sum("dollars").over(wc).cast("long").alias("cs"),
+    )
+    a = cum.alias("a")
+    b = cum.alias("b")
+    iv = a.join(b, F.col("b.rn") >= F.col("a.rn")).select(
+        F.col("a.rn").alias("s"),
+        F.col("b.rn").alias("e"),
+        F.expr(
+            "(b.cs - a.cs + a.dollars) * 1000000"
+            " DIV (b.rn - a.rn + 1)"
+        ).alias("avg_u"),
+    )
+    tri = iv.select(
+        "s",
+        "e",
+        "avg_u",
+        F.explode(F.sequence("s", "e")).alias("t"),
+    )
+    inner_min = (
+        tri.where(F.col("e") >= F.col("t"))
+        .groupBy("s", "t")
+        .agg(F.min("avg_u").cast("long").alias("min_avg"))
+    )
+    c = cum.alias("c")
+    return (
+        inner_min.where(F.col("s") <= F.col("t"))
+        .join(c, F.col("c.rn") == F.col("t"))
+        .groupBy(F.col("c.midx").alias("midx"), F.col("c.dollars").alias("dollars"))
+        .agg(F.max("min_avg").cast("long").alias("fitted_u"))
+    )
+
+
+# ---- Page-Hinkley fold: shared engine-neutral step fragments (the
+# holt_winters discipline for a 4-field scalar accumulator; DuckDB
+# list_reduce struct accumulators are broken in 1.0, so the oracle
+# steps a recursive CTE).
+_PH_NEWMEAN = "(r.mean + (s2.x - r.mean) / CAST(r.rn + 1 AS DOUBLE))"
+
+
+@register(
+    "page_hinkley_drift",
+    oracle=f"""
+    WITH RECURSIVE m AS (
+      SELECT n_name,
+             CAST(YEAR(CAST(o_orderdate AS DATE)) * 12
+                  + MONTH(CAST(o_orderdate AS DATE)) AS BIGINT) AS midx,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                  AS BIGINT)) // 100 AS BIGINT) AS dollars
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), seq AS (
+      SELECT n_name, CAST(dollars AS DOUBLE) AS x,
+             CAST(ROW_NUMBER() OVER (PARTITION BY n_name
+                  ORDER BY midx) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY n_name) AS BIGINT) AS n
+      FROM m
+    ), rec AS (
+      SELECT n_name, rn, n, x AS mean, CAST(0 AS DOUBLE) AS cum,
+             CAST(0 AS DOUBLE) AS minc
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s2.n_name, s2.rn, s2.n,
+             {_PH_NEWMEAN},
+             r.cum + (s2.x - {_PH_NEWMEAN}),
+             LEAST(r.minc, r.cum + (s2.x - {_PH_NEWMEAN}))
+      FROM rec r JOIN seq s2
+        ON s2.n_name = r.n_name AND s2.rn = r.rn + 1
+    )
+    SELECT n_name, n, mean AS mean_out,
+           cum - minc AS ph_stat,
+           (cum - minc > mean) AS drift
+    FROM rec WHERE rn = n
+    """,
+)
+def q_page_hinkley_drift(spark, sf_dir):
+    """Page–Hinkley upward-drift detector (Page 1954; the CUSUM-family
+    sequential test every streaming drift monitor implements) over
+    each nation's monthly revenue: running mean, cumulative deviation
+    from it, and PH = cum − min(cum) — a persistent upward shift
+    pumps cum above its historical minimum. Complements
+    cusum_changepoint (which locates a changepoint retrospectively);
+    PH is the ONLINE form whose state is 4 scalars, i.e. exactly
+    what a transformWithState operator would carry. The float fold
+    shares its step fragments between Spark's aggregate() and the
+    DuckDB recursive CTE (the holt_winters mirroring discipline —
+    DuckDB's list_reduce struct accumulator is broken in 1.0, probed
+    in test_r6_pipeline). Drift flag = PH > final mean (a documented
+    demo threshold; λ is domain-specific). Folds run on month cells,
+    never raw rows."""
+    m = _nation_month_cents(spark, sf_dir).drop("ym").select(
+        "n_name",
+        "midx",
+        F.expr("CAST(cents DIV 100 AS BIGINT)").alias("dollars"),
+    )
+    arr = m.groupBy("n_name").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(midx, dollars)))"
+            ", s -> CAST(s.dollars AS DOUBLE))"
+        ).alias("xs"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    newmean = "(acc.mean + (x - acc.mean) / CAST(acc.rn + 1 AS DOUBLE))"
+    st = (
+        f"aggregate(slice(xs, 2, size(xs) - 1),"
+        f" named_struct('mean', element_at(xs, 1),"
+        f" 'cum', CAST(0 AS DOUBLE),"
+        f" 'minc', CAST(0 AS DOUBLE),"
+        f" 'rn', CAST(1 AS BIGINT)),"
+        f" (acc, x) -> named_struct("
+        f"'mean', {newmean},"
+        f" 'cum', acc.cum + (x - {newmean}),"
+        f" 'minc', LEAST(acc.minc, acc.cum + (x - {newmean})),"
+        f" 'rn', acc.rn + 1))"
+    )
+    return arr.select(
+        "n_name",
+        "n",
+        F.expr(f"{st}.mean").alias("mean_out"),
+        F.expr(f"{st}.cum - {st}.minc").alias("ph_stat"),
+        F.expr(f"({st}.cum - {st}.minc) > {st}.mean").alias("drift"),
+    )
+
+
+@register(
+    "burstiness_fano",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(c) AS BIGINT) AS total,
+           CAST((CAST(COUNT(*) AS BIGINT) * CAST(SUM(c * c) AS BIGINT)
+                 - CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT))
+                * 1000000
+                // (CAST(COUNT(*) AS BIGINT) * CAST(SUM(c) AS BIGINT))
+                AS BIGINT) AS fano_ppm
+    FROM d GROUP BY 1
+    """,
+)
+def q_burstiness_fano(spark, sf_dir):
+    """Fano factor (index of dispersion, variance/mean of daily event
+    counts) per event type — the burstiness diagnostic that separates
+    Poisson-like arrivals (Fano ≈ 1) from bursty ones (≫1) and
+    over-regular ones (≪1); the arrival-process twin of
+    forecastability_ratio. Pinned integer ppm by cross-multiplying
+    the population variance: (n·Σc² − S²)·10⁶ DIV (n·S) — counts are
+    exact, no mean materialized, int64-safe far past sf1 (Σc² ≤ 1e10
+    at sf0.1). Two keyed aggregations, no windows."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("total"),
+        F.expr(
+            "(COUNT(*) * SUM(c * c) - SUM(c) * SUM(c)) * 1000000"
+            " DIV (COUNT(*) * SUM(c))"
+        ).alias("fano_ppm"),
+    )
+
+
+@register(
+    "nearest_event_join",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us
+      FROM events
+    ), s AS (
+      SELECT user_id, ts_us, event_type,
+             LAG(CASE WHEN event_type = 'click' THEN ts_us END
+                 IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+               AS prev_us,
+             LEAD(CASE WHEN event_type = 'click' THEN ts_us END
+                  IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+               AS next_us
+      FROM e
+    ), p AS (
+      SELECT user_id,
+             CASE
+               WHEN prev_us IS NULL AND next_us IS NULL THEN NULL
+               WHEN prev_us IS NULL THEN next_us - ts_us
+               WHEN next_us IS NULL THEN ts_us - prev_us
+               WHEN ts_us - prev_us <= next_us - ts_us
+                 THEN ts_us - prev_us
+               ELSE next_us - ts_us
+             END AS gap_us
+      FROM s WHERE event_type = 'purchase'
+    )
+    SELECT CAST(gap_us // 60000000 AS BIGINT) AS gap_minutes,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM p WHERE gap_us IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_nearest_event_join(spark, sf_dir):
+    """Nearest-neighbor temporal join — for every purchase, the
+    CLOSEST click by the same user in EITHER direction (asof joins
+    look only backward; attribution and anomaly triage want
+    |Δt|-nearest), rolled up as a gap histogram in minutes. The
+    either-direction nearest is ONE window pass over the combined
+    per-user event stream: IGNORE NULLS lag/lead of the
+    click-timestamp lane give each purchase its flanking clicks with
+    no self-join at all (contrast the naive plan: purchases × clicks
+    range join). Ties at equal distance prefer the earlier click
+    (pinned ≤). Gaps are exact epoch-MICROSECOND integers on both
+    engines (date_diff('second') counts boundary CROSSINGS on DuckDB
+    while timestampdiff truncates elapsed time on Spark —
+    sub-second timestamps make them disagree by one; epoch math has
+    no such seam), minute buckets by DIV. One shuffle on user_id;
+    the stream order is (ts_us, event_id) — fully deterministic
+    under duplicate timestamps."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        _epoch_us("ts").cast("long").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    click_us = F.when(
+        F.col("event_type") == "click", F.col("ts_us")
+    )
+    s = e.select(
+        "user_id",
+        "ts_us",
+        "event_type",
+        F.last(click_us, ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("prev_us"),
+        F.first(click_us, ignorenulls=True)
+        .over(w.rowsBetween(1, Window.unboundedFollowing))
+        .alias("next_us"),
+    )
+    p = s.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.expr(
+            "CASE"
+            " WHEN prev_us IS NULL AND next_us IS NULL THEN NULL"
+            " WHEN prev_us IS NULL THEN next_us - ts_us"
+            " WHEN next_us IS NULL THEN ts_us - prev_us"
+            " WHEN ts_us - prev_us <= next_us - ts_us"
+            " THEN ts_us - prev_us"
+            " ELSE next_us - ts_us END"
+        ).alias("gap_us"),
+    )
+    return (
+        p.where(F.col("gap_us").isNotNull())
+        .groupBy(
+            F.expr(
+                "CAST(gap_us DIV 60000000 AS BIGINT)"
+            ).alias("gap_minutes")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -24103,7 +24443,8 @@ _FRONT: list[str] = [
     # trending_brands_weekly, nelson_aalen_hazard,
     # vocab_coverage_curve, rake_keywords,
     # seasonal_decompose_ratio, churn_hazard_by_tenure,
-    # holt_winters_forecast.
+    # holt_winters_forecast, isotonic_regression_monthly,
+    # page_hinkley_drift, burstiness_fano, nearest_event_join.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

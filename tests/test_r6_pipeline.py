@@ -6070,3 +6070,171 @@ def test_holt_winters_recompute(spark):
         nxt = s[len(xs) % 12]
         assert r.season_next == nxt
         assert r.forecast_next == l + b + nxt
+
+
+def test_isotonic_regression_recompute(spark):
+    """Fitted values equal the O(n²) minimax replay, are monotone
+    non-decreasing in midx, and pool to the PAVA block means."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    m = defaultdict(int)
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        midx = o.o_orderdate.year * 12 + o.o_orderdate.month
+        m[midx] += int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01"))
+            * 100
+        )
+    xs = [v // 100 for _, v in sorted(m.items())]
+    n = len(xs)
+    cs = [0]
+    for x in xs:
+        cs.append(cs[-1] + x)
+
+    def avg_u(s, e):  # 1-based inclusive
+        return (cs[e] - cs[s - 1]) * 1_000_000 // (e - s + 1)
+
+    want = []
+    for t in range(1, n + 1):
+        best = None
+        for s in range(1, t + 1):
+            inner = min(avg_u(s, e) for e in range(t, n + 1))
+            best = inner if best is None else max(best, inner)
+        want.append(best)
+    rows = sorted(
+        _q(spark, "isotonic_regression_monthly").collect(),
+        key=lambda r: r.midx,
+    )
+    assert [r.midx for r in rows] == sorted(m)
+    assert [r.fitted_u for r in rows] == want
+    assert all(a.fitted_u <= b.fitted_u for a, b in zip(rows, rows[1:]))
+
+
+def test_page_hinkley_recompute(spark):
+    """PH statistic equals the Python float replay of the shared
+    recurrence and is non-negative by construction."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    nat = {
+        x.n_nationkey: x.n_name
+        for x in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    nation_of = {
+        c.c_custkey: nat[c.c_nationkey]
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    m = defaultdict(int)
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        midx = o.o_orderdate.year * 12 + o.o_orderdate.month
+        m[(nation_of[o.o_custkey], midx)] += int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01"))
+            * 100
+        )
+    series = defaultdict(list)
+    for (name, midx), cents in sorted(m.items()):
+        series[name].append(float(cents // 100))
+    rows = {r.n_name: r for r in _q(spark, "page_hinkley_drift").collect()}
+    assert set(rows) == set(series)
+    for name, xs in series.items():
+        mean, cum, minc = xs[0], 0.0, 0.0
+        for i, x in enumerate(xs[1:], start=1):
+            mean = mean + (x - mean) / float(i + 1)
+            cum = cum + (x - mean)
+            minc = min(minc, cum)
+        r = rows[name]
+        assert r.n == len(xs)
+        assert r.mean_out == mean
+        assert r.ph_stat == cum - minc
+        assert r.ph_stat >= 0.0
+        assert r.drift == (cum - minc > mean)
+
+
+def test_burstiness_fano_recompute(spark):
+    """Fano ppm equals the daily-count replay with cross-multiplied
+    integer variance/mean."""
+    from collections import Counter, defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    daily = Counter()
+    for e in read_table(spark, SF_SMALL, "events").collect():
+        daily[(e.event_type, e.ts.date())] += 1
+    per_type = defaultdict(list)
+    for (t, _), c in daily.items():
+        per_type[t].append(c)
+    rows = {r.event_type: r for r in _q(spark, "burstiness_fano").collect()}
+    assert set(rows) == set(per_type)
+    for t, cs in per_type.items():
+        n, s, sq = len(cs), sum(cs), sum(c * c for c in cs)
+        r = rows[t]
+        assert (r.n_days, r.total) == (n, s)
+        assert r.fano_ppm == (n * sq - s * s) * 1_000_000 // (n * s)
+
+
+def test_nearest_event_join_recompute(spark):
+    """Gap histogram equals the per-user bidirectional nearest-click
+    replay in exact microseconds."""
+    from collections import Counter, defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    by_user = defaultdict(list)
+    for e in read_table(spark, SF_SMALL, "events").collect():
+        us = int(e.ts.timestamp() * 1_000_000) if False else None
+        by_user[e.user_id].append(e)
+    hist = Counter()
+    from datetime import datetime
+
+    epoch = datetime(1970, 1, 1)
+
+    def us(ts):
+        d = ts - epoch
+        return (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+
+    for u, evs in by_user.items():
+        evs.sort(key=lambda e: (us(e.ts), e.event_id))
+        clicks = [us(e.ts) for e in evs if e.event_type == "click"]
+        if not clicks:
+            continue
+        import bisect
+
+        for e in evs:
+            if e.event_type != "purchase":
+                continue
+            t = us(e.ts)
+            # replicate the lane semantics: prev = last click strictly
+            # BEFORE this row in (ts_us, event_id) order; next = first
+            # click after
+            prev_c = None
+            next_c = None
+            for c in evs:
+                if c.event_type != "click":
+                    continue
+                cu = us(c.ts)
+                if (cu, c.event_id) < (t, e.event_id):
+                    prev_c = cu
+                elif (cu, c.event_id) > (t, e.event_id) and next_c is None:
+                    next_c = cu
+            if prev_c is None and next_c is None:
+                continue
+            if prev_c is None:
+                gap = next_c - t
+            elif next_c is None:
+                gap = t - prev_c
+            else:
+                gap = min(t - prev_c, next_c - t)
+            hist[gap // 60_000_000] += 1
+    got = {
+        r.gap_minutes: r.n_purchases
+        for r in _q(spark, "nearest_event_join").collect()
+    }
+    assert got == dict(hist)
