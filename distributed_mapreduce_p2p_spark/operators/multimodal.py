@@ -625,3 +625,52 @@ def channel_stats_real(assets: DataFrame) -> DataFrame:
             " c1_sum long, c2_sum long",
         )
     )
+
+
+def ahash_real(assets: DataFrame, side: int = 8) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint from REAL BMP
+    bytes — the classic perceptual-dedup primitive (public: Krawetz,
+    "Looks Like It"): nearest-neighbor downsample to a fixed
+    ``side``×``side`` grid (source index o*in DIV side — the
+    resize_real index math with a forced square output), grayscale
+    each cell as (b0+b1+b2) DIV 3 in int64 (never uint8 arithmetic),
+    threshold at the integer mean (Σg DIV side², pinned DIV), and
+    pack the 64 bits row-major. The hash ships as TWO int32-range
+    BIGINTs (lo = bits 0..31, hi = bits 32..63) so bit 63 never
+    wraps a signed int64 negative — both engines compare plain
+    non-negative integers. Every step is exact integer arithmetic,
+    so an arithmetic oracle can reproduce the hash of the real
+    byte-decoded pixels."""
+
+    def _ah(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"asset_id": [], "hash_hi": [], "hash_lo": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                px, w, h = bmp_pixels(bytes(payload))
+                arr = px.astype(np.int64)
+                sy = (np.arange(side, dtype=np.int64) * h) // side
+                sx = (np.arange(side, dtype=np.int64) * w) // side
+                g = (
+                    arr[sy][:, 3 * sx]
+                    + arr[sy][:, 3 * sx + 1]
+                    + arr[sy][:, 3 * sx + 2]
+                ) // 3
+                m = int(g.sum()) // (side * side)
+                bits = (g > m).astype(np.int64).reshape(-1)
+                lo = hi = 0
+                for i in range(32):
+                    lo += int(bits[i]) << i
+                for i in range(32, side * side):
+                    hi += int(bits[i]) << (i - 32)
+                out["asset_id"].append(int(aid))
+                out["hash_hi"].append(hi)
+                out["hash_lo"].append(lo)
+            yield pd.DataFrame(out)
+
+    return (
+        assets.where(F.col("modality") == "image")
+        .select("asset_id", "payload")
+        .mapInPandas(_ah, "asset_id long, hash_hi long, hash_lo long")
+    )

@@ -24270,6 +24270,312 @@ def q_nearest_event_join(spark, sf_dir):
     )
 
 
+@register(
+    "image_phash_buckets",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id AS asset_id, doc_id AS seed,
+             CAST(4 + doc_id % 29 AS BIGINT) AS w,
+             CAST(3 + doc_id % 17 AS BIGINT) AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ), grid AS (
+      SELECT i.asset_id, gy.y * 8 + gx.x AS idx,
+             ((i.seed + 31 * ((gy.y * i.h) // 8)
+               + 3 * ((gx.x * i.w) // 8)) % 256
+              + (i.seed + 31 * ((gy.y * i.h) // 8)
+                 + 3 * ((gx.x * i.w) // 8) + 1) % 256
+              + (i.seed + 31 * ((gy.y * i.h) // 8)
+                 + 3 * ((gx.x * i.w) // 8) + 2) % 256) // 3 AS g
+      FROM img i,
+           unnest(generate_series(0, 7)) AS gy(y),
+           unnest(generate_series(0, 7)) AS gx(x)
+    ), mt AS (
+      SELECT asset_id, CAST(SUM(g) // 64 AS BIGINT) AS m
+      FROM grid GROUP BY 1
+    ), bits AS (
+      SELECT g.asset_id, g.idx,
+             CASE WHEN g.g > mt.m THEN 1 ELSE 0 END AS bit
+      FROM grid g JOIN mt USING (asset_id)
+    ), hashes AS (
+      SELECT asset_id,
+             CAST(SUM(CASE WHEN idx >= 32
+                           THEN bit * (CAST(1 AS BIGINT) << (idx - 32))
+                           ELSE 0 END) AS BIGINT) AS hash_hi,
+             CAST(SUM(CASE WHEN idx < 32
+                           THEN bit * (CAST(1 AS BIGINT) << idx)
+                           ELSE 0 END) AS BIGINT) AS hash_lo
+      FROM bits GROUP BY 1
+    )
+    SELECT hash_hi, hash_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(MIN(asset_id) AS BIGINT) AS first_asset
+    FROM hashes GROUP BY 1, 2
+    """,
+)
+def q_image_phash_buckets(spark, sf_dir):
+    """Perceptual-hash (aHash) dedup buckets over REAL image bytes —
+    the multimodal twin of the text near-dup shelf: executors decode
+    each actual BMP pixel block, downsample to an 8×8 grid
+    (nearest-neighbor, the resize_real index math), grayscale,
+    threshold at the integer mean and pack 64 bits
+    (multimodal.py::ahash_real); identical-looking images land in
+    the same (hash_hi, hash_lo) bucket, and the report is the bucket
+    census a dedup pass would join on. The oracle reproduces the
+    hash ARITHMETICALLY from the asset generation formula — per-
+    channel mod-256 terms evaluated separately (byte wrap!, (v)%256 +
+    (v+1)%256 + (v+2)%256 is NOT 3v+3 at 254/255), integer-mean
+    threshold, the same row-major packing — so a hash match proves
+    the real byte path end to end. The 64-bit hash ships as two
+    int32-range lanes so bit 63 never wraps signed."""
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    hashes = MM.ahash_real(MM.real_assets(ids))
+    return hashes.groupBy("hash_hi", "hash_lo").agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.min("asset_id").cast("long").alias("first_asset"),
+    )
+
+
+@register(
+    "cronbach_alpha",
+    oracle="""
+    WITH cells AS (
+      SELECT n_nationkey AS nk,
+             CAST(MONTH(CAST(o_orderdate AS DATE)) AS BIGINT) AS moy,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                  AS BIGINT)) // 100000 AS BIGINT) AS x
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), dense AS (
+      SELECT n.n_nationkey AS nk, m.moy,
+             CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+      FROM nation n
+      CROSS JOIN (SELECT CAST(unnest(generate_series(1, 12)) AS BIGINT)
+                    AS moy) m
+      LEFT JOIN cells c ON c.nk = n.n_nationkey AND c.moy = m.moy
+    ), item AS (
+      SELECT moy,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS ssq
+      FROM dense GROUP BY 1
+    ), iv AS (
+      SELECT CAST(SUM(n * ssq - s * s) AS BIGINT) AS sum_item_var,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(MAX(n) AS BIGINT) AS n_subj
+      FROM item
+    ), subj AS (
+      SELECT nk, CAST(SUM(x) AS BIGINT) AS t
+      FROM dense GROUP BY 1
+    ), tv AS (
+      SELECT CAST(COUNT(*) * SUM(t * t) - SUM(t) * SUM(t) AS BIGINT)
+               AS total_var
+      FROM subj
+    )
+    SELECT iv.k, iv.n_subj, iv.sum_item_var, tv.total_var,
+           (CAST(iv.k AS DOUBLE) / CAST(iv.k - 1 AS DOUBLE))
+             * (CAST(1 AS DOUBLE)
+                - CAST(iv.sum_item_var AS DOUBLE)
+                  / CAST(tv.total_var AS DOUBLE)) AS alpha
+    FROM iv CROSS JOIN tv
+    """,
+)
+def q_cronbach_alpha(spark, sf_dir):
+    """Cronbach's alpha internal-consistency coefficient (Cronbach
+    1951, public) treating the 12 calendar months as ITEMS and
+    nations as SUBJECTS (score = revenue in exact THOUSANDS of
+    dollars for that month of year — the unit keeps n·Σx² and n·Σt²
+    inside int64 through ~sf100; cents would overflow subject
+    totals at sf0.1): do the months measure one underlying 'nation
+    size'
+    trait, or do they move independently? α = k/(k−1)·(1 −
+    ΣVᵢ/V_total). All variances are CROSS-MULTIPLIED exact BIGINTs
+    (n·Σx² − S², the burstiness_fano trick — same scale factor n²
+    cancels in the ratio, so no division happens until the final
+    mirrored double). The item×subject matrix is DENSE by
+    construction (nation × generate_series(1,12) grid, zero-filled
+    LEFT join) because a missing cell silently shrinks an item's
+    variance — the psychometrics gotcha, handled relationally."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_nationkey").alias("nk"),
+            F.expr(
+                "CAST(MONTH(CAST(o_orderdate AS DATE)) AS BIGINT)"
+            ).alias("moy"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2))"
+                " * 100 AS BIGINT)) DIV 100000 AS BIGINT)"
+            ).alias("x")
+        )
+    )
+    moys = spark.range(1, 13).select(F.col("id").cast("long").alias("moy"))
+    dense = (
+        n.select(F.col("n_nationkey").alias("nk"))
+        .crossJoin(broadcast(moys))
+        .join(cells, ["nk", "moy"], "left")
+        .select(
+            "nk", "moy", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+        )
+    )
+    item = dense.groupBy("moy").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("ssq"),
+    )
+    iv = item.agg(
+        F.sum(
+            F.col("n") * F.col("ssq") - F.col("s") * F.col("s")
+        )
+        .cast("long")
+        .alias("sum_item_var"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("n").cast("long").alias("n_subj"),
+    )
+    subj = dense.groupBy("nk").agg(F.sum("x").cast("long").alias("t"))
+    tv = subj.agg(
+        (
+            F.count(F.lit(1)) * F.sum(F.col("t") * F.col("t"))
+            - F.sum("t") * F.sum("t")
+        )
+        .cast("long")
+        .alias("total_var")
+    )
+    return iv.crossJoin(broadcast(tv)).select(
+        "k",
+        "n_subj",
+        "sum_item_var",
+        "total_var",
+        (
+            (F.col("k").cast("double") / (F.col("k") - 1).cast("double"))
+            * (
+                F.lit(1.0)
+                - F.col("sum_item_var").cast("double")
+                / F.col("total_var").cast("double")
+            )
+        ).alias("alpha"),
+    )
+
+
+@register(
+    "cohens_d_effect",
+    oracle="""
+    WITH v AS (
+      SELECT n_name,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               // 100 AS x,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END
+               AS grp
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), g AS (
+      SELECT n_name,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2,
+             CAST(SUM(CASE WHEN grp = 1 THEN x ELSE 0 END) AS BIGINT)
+               AS s1,
+             CAST(SUM(CASE WHEN grp = 2 THEN x ELSE 0 END) AS BIGINT)
+               AS s2,
+             CAST(SUM(CASE WHEN grp = 1 THEN x * x ELSE 0 END)
+                  AS BIGINT) AS q1,
+             CAST(SUM(CASE WHEN grp = 2 THEN x * x ELSE 0 END)
+                  AS BIGINT) AS q2
+      FROM v GROUP BY 1
+    )
+    SELECT n_name, n1, n2,
+           (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+           / sqrt(((CAST(q1 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                      / CAST(n1 AS DOUBLE))
+                   + (CAST(q2 AS DOUBLE)
+                      - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                        / CAST(n2 AS DOUBLE)))
+                  / CAST(n1 + n2 - 2 AS DOUBLE)) AS cohens_d
+    FROM g WHERE n1 > 1 AND n2 > 1
+    """,
+)
+def q_cohens_d_effect(spark, sf_dir):
+    """Cohen's d standardized effect size (URGENT vs LOW order value
+    per nation) — the PARAMETRIC effect size pairing cliffs_delta
+    (rank-based) and welch_ttest (significance): pooled-SD
+    standardized mean difference, the number meta-analyses and
+    power calculations actually consume (a t-statistic grows with
+    √n; d doesn't). Exact BIGINT moments per group from ONE
+    conditional-aggregation pass (no per-group shuffle), whole
+    dollars via integer DIV; the mean difference, pooled variance
+    and the sqrt run as mirrored doubles in pinned order (sqrt is
+    IEEE correctly-rounded, portable — the autocorr_lag1
+    precedent)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    v = (
+        o.where(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100"
+                " AS BIGINT) DIV 100"
+            ).alias("x"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(2)
+            .alias("grp"),
+        )
+    )
+    g = v.groupBy("n_name").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("grp") == 1, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(F.col("grp") == 2, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("s2"),
+        F.sum(
+            F.when(F.col("grp") == 1, F.col("x") * F.col("x")).otherwise(0)
+        )
+        .cast("long")
+        .alias("q1"),
+        F.sum(
+            F.when(F.col("grp") == 2, F.col("x") * F.col("x")).otherwise(0)
+        )
+        .cast("long")
+        .alias("q2"),
+    )
+    return g.where((F.col("n1") > 1) & (F.col("n2") > 1)).select(
+        "n_name",
+        "n1",
+        "n2",
+        F.expr(
+            "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+            " - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+            " / sqrt(((CAST(q1 AS DOUBLE)"
+            " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+            " / CAST(n1 AS DOUBLE))"
+            " + (CAST(q2 AS DOUBLE)"
+            " - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)"
+            " / CAST(n2 AS DOUBLE)))"
+            " / CAST(n1 + n2 - 2 AS DOUBLE))"
+        ).alias("cohens_d"),
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -24444,7 +24750,8 @@ _FRONT: list[str] = [
     # vocab_coverage_curve, rake_keywords,
     # seasonal_decompose_ratio, churn_hazard_by_tenure,
     # holt_winters_forecast, isotonic_regression_monthly,
-    # page_hinkley_drift, burstiness_fano, nearest_event_join.
+    # page_hinkley_drift, burstiness_fano, nearest_event_join,
+    # image_phash_buckets, cronbach_alpha, cohens_d_effect.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

@@ -6238,3 +6238,141 @@ def test_nearest_event_join_recompute(spark):
         for r in _q(spark, "nearest_event_join").collect()
     }
     assert got == dict(hist)
+
+
+def test_image_phash_buckets_recompute(spark):
+    """aHash buckets equal the Python replay that decodes the REAL
+    BMP bytes (not the generation formula), proving the byte path;
+    bucket counts sum to the image-asset count."""
+    import numpy as np
+
+    from distributed_mapreduce_p2p_spark.operators import multimodal as MM
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    ids = read_table(spark, SF_SMALL, "documents").select("doc_id")
+    assets = {
+        r.asset_id: bytes(r.payload)
+        for r in MM.real_assets(ids).where("modality = 'image'").collect()
+    }
+    want = {}
+    for aid, payload in assets.items():
+        px, w, h = MM.bmp_pixels(payload)
+        arr = px.astype(np.int64)
+        sy = (np.arange(8, dtype=np.int64) * h) // 8
+        sx = (np.arange(8, dtype=np.int64) * w) // 8
+        g = (
+            arr[sy][:, 3 * sx]
+            + arr[sy][:, 3 * sx + 1]
+            + arr[sy][:, 3 * sx + 2]
+        ) // 3
+        m = int(g.sum()) // 64
+        bits = (g > m).astype(np.int64).reshape(-1)
+        lo = sum(int(bits[i]) << i for i in range(32))
+        hi = sum(int(bits[i]) << (i - 32) for i in range(32, 64))
+        want.setdefault((hi, lo), []).append(aid)
+    rows = _q(spark, "image_phash_buckets").collect()
+    assert {(r.hash_hi, r.hash_lo) for r in rows} == set(want)
+    total = 0
+    for r in rows:
+        ids_ = want[(r.hash_hi, r.hash_lo)]
+        assert r.n_images == len(ids_)
+        assert r.first_asset == min(ids_)
+        total += r.n_images
+    assert total == len(assets)
+
+
+def test_cronbach_alpha_recompute(spark):
+    """Alpha equals the dense-matrix replay with cross-multiplied
+    integer variances; alpha <= 1 by construction."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    nat_of = {}
+    for c in read_table(spark, SF_SMALL, "customer").collect():
+        nat_of[c.c_custkey] = c.c_nationkey
+    nks = {
+        x.n_nationkey
+        for x in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    cells = defaultdict(int)
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        cents = int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01"))
+            * 100
+        )
+        cells[(nat_of[o.o_custkey], o.o_orderdate.month)] += cents
+    x = {
+        (nk, moy): cells.get((nk, moy), 0) // 100000
+        for nk in nks
+        for moy in range(1, 13)
+    }
+    n = len(nks)
+    siv = 0
+    for moy in range(1, 13):
+        xs = [x[(nk, moy)] for nk in nks]
+        siv += n * sum(v * v for v in xs) - sum(xs) ** 2
+    ts = [sum(x[(nk, moy)] for moy in range(1, 13)) for nk in nks]
+    tv = n * sum(t * t for t in ts) - sum(ts) ** 2
+    r = _q(spark, "cronbach_alpha").collect()[0]
+    assert (r.k, r.n_subj, r.sum_item_var, r.total_var) == (
+        12,
+        n,
+        siv,
+        tv,
+    )
+    want = (12.0 / 11.0) * (1.0 - float(siv) / float(tv))
+    assert r.alpha == want
+    assert r.alpha <= 1.0
+
+
+def test_cohens_d_recompute(spark):
+    """d equals the pooled-SD replay from exact moments, and its sign
+    agrees with cliffs-delta-style direction (mean comparison)."""
+    import math
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    nat = {
+        x.n_nationkey: x.n_name
+        for x in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    nation_of = {
+        c.c_custkey: nat[c.c_nationkey]
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    vals = defaultdict(lambda: ([], []))
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        if o.o_orderpriority not in ("1-URGENT", "5-LOW"):
+            continue
+        cents = int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01"))
+            * 100
+        )
+        vals[nation_of[o.o_custkey]][
+            0 if o.o_orderpriority == "1-URGENT" else 1
+        ].append(cents // 100)
+    rows = {r.n_name: r for r in _q(spark, "cohens_d_effect").collect()}
+    want_names = {
+        n for n, (a, b) in vals.items() if len(a) > 1 and len(b) > 1
+    }
+    assert set(rows) == want_names
+    for name in want_names:
+        a, b = vals[name]
+        n1, n2 = len(a), len(b)
+        s1, s2 = sum(a), sum(b)
+        q1, q2 = sum(v * v for v in a), sum(v * v for v in b)
+        num = float(s1) / float(n1) - float(s2) / float(n2)
+        pooled = (
+            (float(q1) - float(s1) * float(s1) / float(n1))
+            + (float(q2) - float(s2) * float(s2) / float(n2))
+        ) / float(n1 + n2 - 2)
+        r = rows[name]
+        assert (r.n1, r.n2) == (n1, n2)
+        assert r.cohens_d == num / math.sqrt(pooled)
