@@ -127,6 +127,21 @@ QUERIES = [
     "rocchio_classification_report",
     "negative_sampling_pairs",
     "rapid_repeat_events",
+    # r6 session 2: this session's heavy/novel shapes — 10-pair
+    # cumulative-cell JT trend, token-position RAKE islands, weekly
+    # offset-explode trending, label-pair MMD cells, hash-sampled
+    # pair histogram, bidirectional nearest-event lanes, per-part
+    # monthly XYZ cells, real-byte aHash buckets, user-keyed streaks
+    "jonckheere_terpstra",
+    "rake_keywords",
+    "trending_brands_weekly",
+    "linear_mmd_labels",
+    "embedding_pair_sim_histogram",
+    "nearest_event_join",
+    "xyz_demand_variability",
+    "image_phash_buckets",
+    "longest_daily_streak",
+    "feature_hash_vectors",
 ]
 
 
