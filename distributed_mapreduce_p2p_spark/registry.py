@@ -24576,6 +24576,305 @@ def q_cohens_d_effect(spark, sf_dir):
     )
 
 
+@register(
+    "seasonal_mann_kendall",
+    oracle="""
+    WITH m AS (
+      SELECT n_name,
+             CAST(YEAR(CAST(o_orderdate AS DATE)) * 12
+                  + MONTH(CAST(o_orderdate AS DATE)) AS BIGINT) AS midx,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.n_name,
+             CASE WHEN b.cents > a.cents THEN 1
+                  WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sgn,
+             CASE WHEN b.cents = a.cents THEN 1 ELSE 0 END AS tie
+      FROM m a JOIN m b ON a.n_name = b.n_name AND b.midx > a.midx
+                       AND (b.midx - a.midx) % 12 = 0
+    ), s AS (
+      SELECT n_name, CAST(SUM(sgn) AS BIGINT) AS s_stat,
+             CAST(COUNT(*) AS BIGINT) AS n0,
+             CAST(SUM(tie) AS BIGINT) AS n_tied_pairs
+      FROM pairs GROUP BY 1
+    ), nn AS (
+      SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n FROM m GROUP BY 1
+    )
+    SELECT s.n_name, nn.n, s.n0 AS n_pairs, s.s_stat, s.n_tied_pairs,
+           CASE WHEN s.n0 > 0 AND (s.n0 - s.n_tied_pairs) > 0 THEN
+             CAST(s.s_stat AS DOUBLE)
+               / (sqrt(CAST(s.n0 AS DOUBLE))
+                  * sqrt(CAST(s.n0 - s.n_tied_pairs AS DOUBLE)))
+           END AS tau_b
+    FROM s JOIN nn ON s.n_name = nn.n_name
+    """,
+)
+def q_seasonal_mann_kendall(spark, sf_dir):
+    """Seasonal Mann–Kendall trend test (Hirsch & Slack 1984, the
+    water-quality standard, public): the MK S statistic computed
+    ONLY over same-month-of-year pairs (January vs later Januaries,
+    …) and summed across the 12 seasons — a year-over-year trend
+    detector that a strong seasonal cycle cannot fool, where plain
+    mann_kendall_trend reads the seasonal sawtooth as ties/noise.
+    Implementation is the MK cell machinery with one extra pair
+    predicate ((Δmidx) % 12 = 0): pair count drops from n²/2 to
+    ~n²/24, everything else identical — exact BIGINT S and tie
+    counts on month cells, one mirrored sqrt-product division."""
+    m = _nation_month_cents(spark, sf_dir).drop("ym")
+    a = m.alias("a")
+    b = m.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.n_name") == F.col("b.n_name"))
+        & (F.col("b.midx") > F.col("a.midx"))
+        & ((F.col("b.midx") - F.col("a.midx")) % 12 == 0),
+    ).select(
+        F.col("a.n_name").alias("n_name"),
+        F.when(F.col("b.cents") > F.col("a.cents"), 1)
+        .when(F.col("b.cents") < F.col("a.cents"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+        F.when(F.col("b.cents") == F.col("a.cents"), 1)
+        .otherwise(0)
+        .alias("tie"),
+    )
+    s = pairs.groupBy("n_name").agg(
+        F.sum("sgn").cast("long").alias("s_stat"),
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum("tie").cast("long").alias("n_tied_pairs"),
+    )
+    nn = m.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return s.join(nn, "n_name").select(
+        "n_name",
+        "n",
+        F.col("n0").alias("n_pairs"),
+        "s_stat",
+        "n_tied_pairs",
+        F.expr(
+            "CASE WHEN n0 > 0 AND (n0 - n_tied_pairs) > 0 THEN"
+            " CAST(s_stat AS DOUBLE)"
+            " / (sqrt(CAST(n0 AS DOUBLE))"
+            "    * sqrt(CAST(n0 - n_tied_pairs AS DOUBLE))) END"
+        ).alias("tau_b"),
+    )
+
+
+@register(
+    "als_rank1_scores",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey AS cust, l_partkey AS part,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS rating
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ), u AS (
+      SELECT cust,
+             CAST(SUM(rating) * 1000 // COUNT(*) AS BIGINT) AS u_milli
+      FROM r GROUP BY 1
+    ), v AS (
+      SELECT r.part,
+             CAST(COUNT(*) AS BIGINT) AS n_raters,
+             CAST(SUM(r.rating * u.u_milli) * 1000000
+                  // SUM(u.u_milli * u.u_milli) AS BIGINT) AS v_ppm
+      FROM r JOIN u ON u.cust = r.cust
+      GROUP BY 1
+    )
+    SELECT CAST(part AS BIGINT) AS part, n_raters, v_ppm,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY v_ppm DESC, part) AS rk
+      FROM v
+    ) WHERE rk <= 20
+    """,
+)
+def q_als_rank1_scores(spark, sf_dir):
+    """One alternating-least-squares round of a RANK-1 matrix
+    factorization over the (customer × part) quantity matrix — the
+    collaborative-filtering kernel (Koren et al., public) in its
+    distributed shape: user factors from one user-keyed agg, item
+    factors from one item-keyed agg over the ratings joined to the
+    user factors. With v initialized to 1 the closed forms are
+    u_i = Σr/n_i and v_j = Σ r·u / Σ u² — and both ship as PINNED
+    FIXED-POINT integers (u in milli via DIV, v in ppm via
+    cross-multiplied DIV on exact BIGINT sums), so the 'float
+    summation order' problem of distributed ALS never arises. The
+    top-20 items by factor score (TakeOrdered) are the popularity-
+    debiased head. Two shuffles on the ratings table; factors are
+    dimension-bounded."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    r = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_partkey").alias("part"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long"))
+            .cast("long")
+            .alias("rating")
+        )
+    )
+    u = r.groupBy("cust").agg(
+        F.expr(
+            "CAST(SUM(rating) * 1000 DIV COUNT(*) AS BIGINT)"
+        ).alias("u_milli")
+    )
+    v = (
+        r.join(u, "cust")
+        .groupBy("part")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_raters"),
+            F.expr(
+                "CAST(SUM(rating * u_milli) * 1000000"
+                " DIV SUM(u_milli * u_milli) AS BIGINT)"
+            ).alias("v_ppm"),
+        )
+    )
+    w = Window.orderBy(F.col("v_ppm").desc(), "part")
+    return (
+        v.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 20)
+        .select(
+            F.col("part").cast("long").alias("part"),
+            "n_raters",
+            "v_ppm",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+@register(
+    "truss_peel_rounds",
+    oracle="""
+    WITH trade AS MATERIALIZED (
+      SELECT c_nationkey AS cn, s_nationkey AS sn,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1 - l_discount AS DECIMAL(4,2))) AS vol
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2
+    ), und AS MATERIALIZED (
+      SELECT LEAST(cn, sn) AS a, GREATEST(cn, sn) AS b,
+             SUM(vol) AS vol
+      FROM trade WHERE cn <> sn GROUP BY 1, 2
+    ), e0 AS MATERIALIZED (
+      SELECT a, b FROM und
+      WHERE CAST(vol AS DOUBLE) * (SELECT COUNT(*) FROM und)
+            > (SELECT CAST(SUM(vol) AS DOUBLE) FROM und)
+    ), t1 AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e0 e1 JOIN e0 e2 ON e2.a = e1.b
+                 JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), s1 AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS sup FROM (
+        SELECT x AS a, y AS b FROM t1
+        UNION ALL SELECT y, z FROM t1
+        UNION ALL SELECT x, z FROM t1
+      ) GROUP BY 1, 2
+    ), e1_ AS MATERIALIZED (
+      SELECT a, b FROM s1 WHERE sup >= 2
+    ), t2 AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e1_ e1 JOIN e1_ e2 ON e2.a = e1.b
+                  JOIN e1_ e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), s2 AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS sup FROM (
+        SELECT x AS a, y AS b FROM t2
+        UNION ALL SELECT y, z FROM t2
+        UNION ALL SELECT x, z FROM t2
+      ) GROUP BY 1, 2
+    ), e2_ AS MATERIALIZED (
+      SELECT a, b FROM s2 WHERE sup >= 2
+    ), t3 AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e2_ e1 JOIN e2_ e2 ON e2.a = e1.b
+                  JOIN e2_ e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), s3 AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS sup FROM (
+        SELECT x AS a, y AS b FROM t3
+        UNION ALL SELECT y, z FROM t3
+        UNION ALL SELECT x, z FROM t3
+      ) GROUP BY 1, 2
+    )
+    SELECT na.n_name AS a_name, nb.n_name AS b_name, s3.sup
+    FROM s3 JOIN nation na ON na.n_nationkey = s3.a
+            JOIN nation nb ON nb.n_nationkey = s3.b
+    WHERE s3.sup >= 2
+    """,
+)
+def q_truss_peel_rounds(spark, sf_dir):
+    """4-truss peel on the derived trade graph, THREE support-peel
+    rounds (documented bounded-round semantics, not a fixpoint —
+    the k-core/k-truss family's iterate-to-convergence form is
+    kcore_decomposition's territory; three rounds on a
+    |nations|-bounded graph reaches the fixpoint on every tested SF,
+    asserted by the idempotence check in the recompute test):
+    each round enumerates triangles on the SURVIVING edge set
+    (ordered a<b<c closure join), credits each triangle to its 3
+    edges, and keeps edges with support ≥ k−2 = 2. Trusses are the
+    community-core primitive stricter than k-core (every edge, not
+    node, needs triangle backing). The fact-scale work is the ONE
+    shared _trade_und aggregation (memoized, localCheckpointed);
+    every peel round runs on ≤|nations|² edge cells. The Spark side
+    loops the rounds in Python over the bounded edge table."""
+    edges = _trade_edges(spark, sf_dir)
+    for _ in range(3):
+        e1 = edges.alias("e1")
+        e2 = edges.alias("e2")
+        e3 = edges.alias("e3")
+        tri = (
+            e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+            .join(
+                e3,
+                (F.col("e3.a") == F.col("e1.a"))
+                & (F.col("e3.b") == F.col("e2.b")),
+            )
+            .select(
+                F.col("e1.a").alias("x"),
+                F.col("e1.b").alias("y"),
+                F.col("e2.b").alias("z"),
+            )
+        )
+        sup = (
+            tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+            .unionAll(
+                tri.select(F.col("y").alias("a"), F.col("z").alias("b"))
+            )
+            .unionAll(
+                tri.select(F.col("x").alias("a"), F.col("z").alias("b"))
+            )
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("sup"))
+        )
+        edges = (
+            sup.where(F.col("sup") >= 2)
+            .select("a", "b", "sup")
+            .localCheckpoint(eager=False)
+        )
+    n = _t(spark, sf_dir, "nation")
+    na = n.alias("na")
+    nb = n.alias("nb")
+    return (
+        edges.join(
+            broadcast(na), F.col("na.n_nationkey") == F.col("a")
+        )
+        .join(broadcast(nb), F.col("nb.n_nationkey") == F.col("b"))
+        .select(
+            F.col("na.n_name").alias("a_name"),
+            F.col("nb.n_name").alias("b_name"),
+            "sup",
+        )
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -24751,7 +25050,8 @@ _FRONT: list[str] = [
     # seasonal_decompose_ratio, churn_hazard_by_tenure,
     # holt_winters_forecast, isotonic_regression_monthly,
     # page_hinkley_drift, burstiness_fano, nearest_event_join,
-    # image_phash_buckets, cronbach_alpha, cohens_d_effect.
+    # image_phash_buckets, cronbach_alpha, cohens_d_effect,
+    # seasonal_mann_kendall, als_rank1_scores, truss_peel_rounds.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

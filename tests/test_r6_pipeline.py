@@ -6376,3 +6376,150 @@ def test_cohens_d_recompute(spark):
         r = rows[name]
         assert (r.n1, r.n2) == (n1, n2)
         assert r.cohens_d == num / math.sqrt(pooled)
+
+
+def test_seasonal_mann_kendall_recompute(spark):
+    """Seasonal S equals the same-month-of-year pair replay, and its
+    pair count is exactly the sum over seasons of C(n_season, 2)."""
+    import math
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    nat = {
+        x.n_nationkey: x.n_name
+        for x in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    nation_of = {
+        c.c_custkey: nat[c.c_nationkey]
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    m = defaultdict(int)
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        midx = o.o_orderdate.year * 12 + o.o_orderdate.month
+        m[(nation_of[o.o_custkey], midx)] += int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01"))
+            * 100
+        )
+    series = defaultdict(list)
+    for (name, midx), cents in m.items():
+        series[name].append((midx, cents))
+    rows = {r.n_name: r for r in _q(spark, "seasonal_mann_kendall").collect()}
+    for name, pts in series.items():
+        s_stat = n0 = tied = 0
+        season_counts = defaultdict(int)
+        for midx, _ in pts:
+            season_counts[midx % 12] += 1
+        for i, (mi, xi) in enumerate(pts):
+            for mj, xj in pts:
+                if mj > mi and (mj - mi) % 12 == 0:
+                    n0 += 1
+                    if xj > xi:
+                        s_stat += 1
+                    elif xj < xi:
+                        s_stat -= 1
+                    else:
+                        tied += 1
+        r = rows[name]
+        assert (r.n, r.n_pairs, r.s_stat, r.n_tied_pairs) == (
+            len(pts),
+            n0,
+            s_stat,
+            tied,
+        )
+        assert r.n_pairs == sum(
+            c * (c - 1) // 2 for c in season_counts.values()
+        )
+        if n0 > 0 and n0 - tied > 0:
+            assert r.tau_b == float(s_stat) / (
+                math.sqrt(float(n0)) * math.sqrt(float(n0 - tied))
+            )
+
+
+def test_als_rank1_recompute(spark):
+    """Item factors equal the two-phase fixed-point replay; top-20
+    ranking tie-breaks on part id."""
+    from collections import defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    okey2cust = {
+        o.o_orderkey: o.o_custkey
+        for o in read_table(spark, SF_SMALL, "orders").collect()
+    }
+    r = defaultdict(int)
+    for li in read_table(spark, SF_SMALL, "lineitem").collect():
+        r[(okey2cust[li.l_orderkey], li.l_partkey)] += int(li.l_quantity)
+    by_cust = defaultdict(list)
+    by_part = defaultdict(list)
+    for (cust, part), rating in r.items():
+        by_cust[cust].append(rating)
+        by_part[part].append((cust, rating))
+    u = {
+        cust: sum(v) * 1000 // len(v) for cust, v in by_cust.items()
+    }
+    v = {}
+    for part, lst in by_part.items():
+        num = sum(rating * u[cust] for cust, rating in lst)
+        den = sum(u[cust] * u[cust] for cust, _ in lst)
+        v[part] = (len(lst), num * 1_000_000 // den)
+    ranked = sorted(v.items(), key=lambda kv: (-kv[1][1], kv[0]))[:20]
+    rows = sorted(_q(spark, "als_rank1_scores").collect(), key=lambda x: x.rk)
+    assert [(x.part, x.n_raters, x.v_ppm) for x in rows] == [
+        (p, n, vp) for p, (n, vp) in ranked
+    ]
+
+
+def test_truss_peel_recompute(spark):
+    """Surviving 4-truss edges equal the Python peel replay, the
+    third round is idempotent (fixpoint reached on testdata), and
+    every surviving edge has support >= 2."""
+    edges = {
+        (min(a, b), max(a, b))
+        for a, b in (
+            (r.a, r.b)
+            for r in __import__(
+                "distributed_mapreduce_p2p_spark.registry", fromlist=["x"]
+            )._trade_edges(spark, "/root/testdata/sf0.001").collect()
+        )
+    }
+
+    def peel(es):
+        from collections import Counter
+
+        sup = Counter()
+        es_sorted = sorted(es)
+        esset = set(es)
+        for i, (a, b) in enumerate(es_sorted):
+            for (c, d) in es_sorted[i + 1 :]:
+                if c != b:
+                    continue
+                # triangle a<b<d needs (a,d)
+                if (a, d) in esset:
+                    sup[(a, b)] += 1
+                    sup[(b, d)] += 1
+                    sup[(a, d)] += 1
+        return {e: c for e, c in sup.items() if c >= 2}
+
+    cur = {e: None for e in edges}
+    for _ in range(3):
+        cur = peel(set(cur))
+    again = peel(set(cur))
+    assert set(again) == set(cur)  # fixpoint on testdata
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    nat = {
+        x.n_nationkey: x.n_name
+        for x in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    want = {
+        (nat[a], nat[b]): sup for (a, b), sup in cur.items()
+    }
+    rows = _q(spark, "truss_peel_rounds").collect()
+    assert {(r.a_name, r.b_name): r.sup for r in rows} == want
+    assert all(r.sup >= 2 for r in rows)
