@@ -24875,6 +24875,365 @@ def q_truss_peel_rounds(spark, sf_dir):
     )
 
 
+@register(
+    "cramers_v_effect",
+    oracle="""
+    WITH cell AS (
+      SELECT o_orderpriority AS p, o_orderstatus AS st,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM orders GROUP BY 1, 2
+    ), rm AS (SELECT p, CAST(SUM(obs) AS BIGINT) AS r
+              FROM cell GROUP BY p),
+    cm AS (SELECT st, CAST(SUM(obs) AS BIGINT) AS c
+           FROM cell GROUP BY st),
+    tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT p) AS BIGINT) AS rdim,
+                   CAST(COUNT(DISTINCT st) AS BIGINT) AS cdim
+            FROM cell),
+    cc AS (
+      SELECT cell.p, cell.st,
+             CAST(obs * n - r * c AS DOUBLE)
+               * CAST(obs * n - r * c AS DOUBLE)
+               / CAST(n AS DOUBLE) / CAST(r AS DOUBLE)
+               / CAST(c AS DOUBLE) AS chi2_cell
+      FROM cell JOIN rm ON rm.p = cell.p
+                JOIN cm ON cm.st = cell.st
+                CROSS JOIN tot
+    ), folded AS (
+      SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list(chi2_cell ORDER BY p, st)),
+                         (acc, x) -> acc + x) AS chi2
+      FROM cc
+    )
+    SELECT tot.n, tot.rdim, tot.cdim, folded.chi2,
+           sqrt(folded.chi2
+                / (CAST(tot.n AS DOUBLE)
+                   * CAST(LEAST(tot.rdim - 1, tot.cdim - 1)
+                          AS DOUBLE))) AS cramers_v
+    FROM folded CROSS JOIN tot
+    """,
+)
+def q_cramers_v_effect(spark, sf_dir):
+    """Cramér's V association strength for priority × status — the
+    EFFECT SIZE chi2_priority_status deliberately stops short of
+    (that entry keeps cells as rows to avoid a float-sum ordering;
+    a significance statistic still needs the sum). The sum happens
+    here under the ordered-fold discipline (cells folded in (p, st)
+    order from a 0.0 init — the anova_oneway recipe), then V =
+    √(χ²/(n·min(r−1, c−1))), the [0,1]-normalized association that
+    is comparable across table shapes where raw χ² is not. Exact
+    integer deviations, one fold, two mirrored divisions and a
+    sqrt."""
+    cell = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("p"),
+            F.col("o_orderstatus").alias("st"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+        .localCheckpoint(eager=True)
+    )
+    rm = cell.groupBy("p").agg(F.sum("obs").cast("long").alias("r"))
+    cm = cell.groupBy("st").agg(F.sum("obs").cast("long").alias("c"))
+    tot = cell.agg(
+        F.sum("obs").cast("long").alias("n"),
+        F.countDistinct("p").cast("long").alias("rdim"),
+        F.countDistinct("st").cast("long").alias("cdim"),
+    )
+    cc = (
+        cell.join(broadcast(rm), "p")
+        .join(broadcast(cm), "st")
+        .crossJoin(broadcast(tot))
+        .select(
+            "p",
+            "st",
+            "n",
+            "rdim",
+            "cdim",
+            F.expr(
+                "CAST(obs * n - r * c AS DOUBLE)"
+                " * CAST(obs * n - r * c AS DOUBLE)"
+                " / CAST(n AS DOUBLE) / CAST(r AS DOUBLE)"
+                " / CAST(c AS DOUBLE)"
+            ).alias("chi2_cell"),
+        )
+    )
+    folded = cc.agg(
+        F.max("n").alias("n"),
+        F.max("rdim").alias("rdim"),
+        F.max("cdim").alias("cdim"),
+        F.expr(
+            "aggregate(transform(sort_array(collect_list("
+            "struct(p, st, chi2_cell))), s -> s.chi2_cell),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        ).alias("chi2"),
+    )
+    return folded.select(
+        "n",
+        "rdim",
+        "cdim",
+        "chi2",
+        F.expr(
+            "sqrt(chi2 / (CAST(n AS DOUBLE)"
+            " * CAST(LEAST(rdim - 1, cdim - 1) AS DOUBLE)))"
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "seasonal_residual_outliers",
+    oracle="""
+    WITH m AS (
+      SELECT n_name,
+             CAST(YEAR(CAST(o_orderdate AS DATE)) * 12
+                  + MONTH(CAST(o_orderdate AS DATE)) AS BIGINT) AS midx,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), contrib AS (
+      SELECT n_name, midx + d.d AS t,
+             CASE WHEN ABS(d.d) = 6 THEN cents ELSE 2 * cents END
+               AS w2x
+      FROM m CROSS JOIN (SELECT unnest([-6, -5, -4, -3, -2, -1, 0,
+                                        1, 2, 3, 4, 5, 6]) AS d) d
+    ), trend AS (
+      SELECT n_name, t, CAST(SUM(w2x) AS BIGINT) AS trend2,
+             CAST(COUNT(*) AS BIGINT) AS n_cells
+      FROM contrib GROUP BY 1, 2
+    ), ratio AS (
+      SELECT m.n_name, m.midx,
+             ((m.midx - 1) % 12) + 1 AS moy,
+             (m.cents * 24 * 1000000) // tr.trend2 AS ratio_ppm
+      FROM m JOIN trend tr ON tr.n_name = m.n_name AND tr.t = m.midx
+      WHERE tr.n_cells = 13 AND tr.trend2 > 0
+    ), idx AS (
+      SELECT n_name, moy,
+             CAST(SUM(ratio_ppm) // COUNT(*) AS BIGINT) AS seasidx_ppm
+      FROM ratio GROUP BY 1, 2
+    ), res AS (
+      SELECT r.n_name, r.midx, r.ratio_ppm, i.seasidx_ppm,
+             r.ratio_ppm - i.seasidx_ppm AS residual_ppm
+      FROM ratio r JOIN idx i ON i.n_name = r.n_name
+                              AND i.moy = r.moy
+    ), r1 AS (
+      SELECT n_name, residual_ppm,
+             ROW_NUMBER() OVER (PARTITION BY n_name
+                                ORDER BY residual_ppm) AS rn,
+             COUNT(*) OVER (PARTITION BY n_name) AS cnt
+      FROM res
+    ), med AS (
+      SELECT n_name,
+             MAX(CASE WHEN rn = (cnt + 1) // 2 THEN residual_ppm END)
+               AS med_r
+      FROM r1 GROUP BY 1
+    ), dev AS (
+      SELECT res.n_name, res.midx, res.ratio_ppm, res.seasidx_ppm,
+             res.residual_ppm, m2.med_r,
+             ABS(res.residual_ppm - m2.med_r) AS adev
+      FROM res JOIN med m2 ON m2.n_name = res.n_name
+    ), r2 AS (
+      SELECT n_name, adev,
+             ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY adev)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY n_name) AS cnt
+      FROM dev
+    ), mad AS (
+      SELECT n_name,
+             MAX(CASE WHEN rn = (cnt + 1) // 2 THEN adev END) AS mad_r
+      FROM r2 GROUP BY 1
+    )
+    SELECT d.n_name, d.midx, d.ratio_ppm, d.seasidx_ppm,
+           d.residual_ppm
+    FROM dev d JOIN mad ON mad.n_name = d.n_name
+    WHERE ABS(d.residual_ppm - d.med_r) > 3 * mad.mad_r
+    """,
+)
+def q_seasonal_residual_outliers(spark, sf_dir):
+    """Seasonally-adjusted anomaly detection — the composition the
+    decomposition exists FOR: detrend (centered-MA ratio), deseason
+    (subtract the month-of-year index), then flag months whose
+    residual sits more than 3 robust-MADs from the per-nation
+    residual median. Catches the December that was anomalous FOR A
+    DECEMBER, which raw z-scores (chebyshev_outliers) and seasonal-
+    naive diffs (seasonal_naive_anomaly) both conflate with the
+    seasonal swing itself. Every stage is the registry's pinned
+    integer machinery composed end-to-end: offset-explode trend,
+    cross-multiplied ratio ppm, integer-DIV seasonal index, LOW-
+    median rank picks for median and MAD. Emits only flagged rows —
+    possibly none at tiny SFs, which both engines agree on by
+    construction."""
+    m = _nation_month_cents(spark, sf_dir).drop("ym")
+    offs = F.explode(
+        F.array(*[F.lit(i) for i in range(-6, 7)])
+    ).alias("d")
+    contrib = m.select("n_name", "midx", "cents", offs).select(
+        "n_name",
+        (F.col("midx") + F.col("d")).alias("t"),
+        F.when(F.abs(F.col("d")) == 6, F.col("cents"))
+        .otherwise(2 * F.col("cents"))
+        .alias("w2x"),
+    )
+    trend = contrib.groupBy("n_name", "t").agg(
+        F.sum("w2x").cast("long").alias("trend2"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    tr = trend.alias("tr")
+    mm = m.alias("mm")
+    ratio = (
+        mm.join(
+            tr,
+            (F.col("tr.n_name") == F.col("mm.n_name"))
+            & (F.col("tr.t") == F.col("mm.midx")),
+        )
+        .where((F.col("n_cells") == 13) & (F.col("trend2") > 0))
+        .select(
+            F.col("mm.n_name").alias("n_name"),
+            F.col("mm.midx").alias("midx"),
+            (((F.col("mm.midx") - 1) % 12) + 1).alias("moy"),
+            F.expr(
+                "(mm.cents * 24 * 1000000) DIV tr.trend2"
+            ).alias("ratio_ppm"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    idx = ratio.groupBy("n_name", "moy").agg(
+        F.expr(
+            "CAST(SUM(ratio_ppm) DIV COUNT(*) AS BIGINT)"
+        ).alias("seasidx_ppm")
+    )
+    res = ratio.join(broadcast(idx), ["n_name", "moy"]).select(
+        "n_name",
+        "midx",
+        "ratio_ppm",
+        "seasidx_ppm",
+        (F.col("ratio_ppm") - F.col("seasidx_ppm")).alias(
+            "residual_ppm"
+        ),
+    )
+    w1 = Window.partitionBy("n_name").orderBy("residual_ppm")
+    wn = Window.partitionBy("n_name")
+    r1 = res.select(
+        "n_name",
+        "residual_ppm",
+        F.row_number().over(w1).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("cnt"),
+    )
+    med = r1.groupBy("n_name").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(cnt + 1) div 2"),
+                F.col("residual_ppm"),
+            )
+        ).alias("med_r")
+    )
+    dev = res.join(broadcast(med), "n_name").select(
+        "n_name",
+        "midx",
+        "ratio_ppm",
+        "seasidx_ppm",
+        "residual_ppm",
+        "med_r",
+        F.abs(F.col("residual_ppm") - F.col("med_r")).alias("adev"),
+    )
+    w2 = Window.partitionBy("n_name").orderBy("adev")
+    r2 = dev.select(
+        "n_name",
+        "adev",
+        F.row_number().over(w2).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("cnt"),
+    )
+    mad = r2.groupBy("n_name").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(cnt + 1) div 2"), F.col("adev"))
+        ).alias("mad_r")
+    )
+    return (
+        dev.join(broadcast(mad), "n_name")
+        .where(
+            F.abs(F.col("residual_ppm") - F.col("med_r"))
+            > 3 * F.col("mad_r")
+        )
+        .select(
+            "n_name", "midx", "ratio_ppm", "seasidx_ppm", "residual_ppm"
+        )
+    )
+
+
+@register(
+    "streaming_chained_max_counts",
+    oracle="""
+    WITH counts AS (
+      SELECT date_trunc('hour', ts) AS ws, event_type,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+           CAST(SUM(cnt) AS BIGINT) AS total
+    FROM counts
+    WHERE ws + INTERVAL 1 HOUR
+          <= (SELECT max(ts) - INTERVAL 2 SECOND FROM events)
+    GROUP BY 1
+    """,
+)
+def q_streaming_chained_max_counts(spark, sf_dir):
+    """CHAINED stateful streaming aggregation — two stateful
+    operators in one query (per-(window, type) counts, then per-
+    window max/total over those counts), the multi-stateful-operator
+    capability Structured Streaming added for exactly this funnel
+    shape (Spark 3.5+/4.x; earlier engines forced an intermediate
+    sink + second job). Append mode end to end: the first aggregate
+    emits a (window, type) row once the window closes under the 2 s
+    watermark; the second, grouping by the SAME event-time window
+    column, emits its per-window rollup when that window's emissions
+    are complete — so the oracle is the batch rollup over closed
+    windows, with the identical end <= max(ts) - 2 s rule. Proves
+    the engine's watermark propagates THROUGH a stateful operator,
+    not just into it."""
+    import tempfile
+
+    staged, schema = _stage_events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="sschain_")
+    out = f"{tmp}/out"
+    with _stream_conf(spark):
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(staged)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        counts = (
+            stream.withWatermark("ts", "2 seconds")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        rollup = counts.groupBy("window").agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.max("cnt").alias("max_cnt"),
+            F.sum("cnt").alias("total"),
+        )
+        q = (
+            rollup.select(
+                F.date_format(
+                    "window.start", "yyyy-MM-dd HH:mm:ss"
+                ).alias("window_start"),
+                F.col("n_types").cast("long").alias("n_types"),
+                F.col("max_cnt").cast("long").alias("max_cnt"),
+                F.col("total").cast("long").alias("total"),
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    return spark.read.parquet(out)
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -25051,7 +25410,9 @@ _FRONT: list[str] = [
     # holt_winters_forecast, isotonic_regression_monthly,
     # page_hinkley_drift, burstiness_fano, nearest_event_join,
     # image_phash_buckets, cronbach_alpha, cohens_d_effect,
-    # seasonal_mann_kendall, als_rank1_scores, truss_peel_rounds.
+    # seasonal_mann_kendall, als_rank1_scores, truss_peel_rounds,
+    # cramers_v_effect, seasonal_residual_outliers,
+    # streaming_chained_max_counts.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

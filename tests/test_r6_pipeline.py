@@ -6523,3 +6523,118 @@ def test_truss_peel_recompute(spark):
     rows = _q(spark, "truss_peel_rounds").collect()
     assert {(r.a_name, r.b_name): r.sup for r in rows} == want
     assert all(r.sup >= 2 for r in rows)
+
+
+def test_cramers_v_recompute(spark):
+    """V equals the ordered-fold replay over chi2 cells and agrees
+    with the chi2_priority_status cell values; 0 <= V <= 1."""
+    import math
+
+    cells = sorted(
+        _q(spark, "chi2_priority_status").collect(),
+        key=lambda r: (r.o_orderpriority, r.o_orderstatus),
+    )
+    chi2 = 0.0
+    for c in cells:
+        chi2 += c.chi2_cell
+    n = sum(c.obs for c in cells)
+    rdim = len({c.o_orderpriority for c in cells})
+    cdim = len({c.o_orderstatus for c in cells})
+    r = _q(spark, "cramers_v_effect").collect()[0]
+    assert (r.n, r.rdim, r.cdim) == (n, rdim, cdim)
+    assert r.chi2 == chi2
+    assert r.cramers_v == math.sqrt(
+        chi2 / (float(n) * float(min(rdim - 1, cdim - 1)))
+    )
+    assert 0.0 <= r.cramers_v <= 1.0
+
+
+def test_seasonal_residual_outliers_recompute(spark):
+    """The flagged set equals the full Python replay (decompose →
+    residual → LOW-median/MAD → 3-MAD rule); at sf0.001 the replay
+    yields an empty set and both sides agree on that."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    nat = {
+        x.n_nationkey: x.n_name
+        for x in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    nation_of = {
+        c.c_custkey: nat[c.c_nationkey]
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    m = defaultdict(int)
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        midx = o.o_orderdate.year * 12 + o.o_orderdate.month
+        m[(nation_of[o.o_custkey], midx)] += int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01"))
+            * 100
+        )
+    ratio = {}
+    for (name, midx), cents in m.items():
+        cells = [m.get((name, midx + d)) for d in range(-6, 7)]
+        if any(c is None for c in cells):
+            continue
+        trend2 = sum(
+            c if abs(d) == 6 else 2 * c
+            for d, c in zip(range(-6, 7), cells)
+        )
+        if trend2 <= 0:
+            continue
+        ratio[(name, midx)] = (cents * 24 * 1_000_000) // trend2
+    sidx = defaultdict(lambda: [0, 0])
+    for (name, midx), rp in ratio.items():
+        a = sidx[(name, ((midx - 1) % 12) + 1)]
+        a[0] += 1
+        a[1] += rp
+    res = {
+        k: rp - sidx[(k[0], ((k[1] - 1) % 12) + 1)][1]
+        // sidx[(k[0], ((k[1] - 1) % 12) + 1)][0]
+        for k, rp in ratio.items()
+    }
+    by_n = defaultdict(list)
+    for (name, midx), r in res.items():
+        by_n[name].append(r)
+
+    def lowmed(xs):
+        xs = sorted(xs)
+        return xs[(len(xs) + 1) // 2 - 1]
+
+    want = set()
+    for name, rs in by_n.items():
+        med = lowmed(rs)
+        mad = lowmed([abs(r - med) for r in rs])
+        for (n2, midx), r in res.items():
+            if n2 == name and abs(r - med) > 3 * mad:
+                want.add((name, midx))
+    rows = _q(spark, "seasonal_residual_outliers").collect()
+    assert {(r.n_name, r.midx) for r in rows} == want
+    for r in rows:
+        assert r.residual_ppm == res[(r.n_name, r.midx)]
+        assert r.residual_ppm == r.ratio_ppm - r.seasidx_ppm
+
+
+def test_streaming_chained_recompute(spark):
+    """The two-stage streaming rollup equals the batch replay over
+    closed windows, and cross-checks streaming_tumbling_window's
+    per-type counts stage."""
+    from collections import defaultdict
+
+    tumbling = defaultdict(dict)
+    for r in _q(spark, "streaming_tumbling_window").collect():
+        tumbling[r.window_start][r.event_type] = r.cnt
+    got = {
+        r.window_start: (r.n_types, r.max_cnt, r.total)
+        for r in _q(spark, "streaming_chained_max_counts").collect()
+    }
+    assert set(got) == set(tumbling)
+    for ws, types in tumbling.items():
+        assert got[ws] == (
+            len(types),
+            max(types.values()),
+            sum(types.values()),
+        )
