@@ -25234,6 +25234,300 @@ def q_streaming_chained_max_counts(spark, sf_dir):
     return spark.read.parquet(out)
 
 
+@register(
+    "window_funnel_strict",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+             CASE event_type WHEN 'signup' THEN 1 WHEN 'click' THEN 2
+                  WHEN 'view' THEN 3 WHEN 'purchase' THEN 4
+                  ELSE 0 END AS step,
+             event_id
+      FROM events
+      WHERE event_type IN ('signup', 'click', 'view', 'purchase')
+    ), seq AS (
+      SELECT user_id, ts_us, step,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY ts_us, event_id) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+      FROM e
+    ), rec AS (
+      SELECT user_id, rn, n,
+             CASE WHEN step = 1 THEN ts_us END AS t1,
+             CAST(NULL AS BIGINT) AS t2,
+             CAST(NULL AS BIGINT) AS t3,
+             CAST(NULL AS BIGINT) AS t4
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn, s.n,
+             CASE WHEN r.t1 IS NULL AND s.step = 1 THEN s.ts_us
+                  ELSE r.t1 END,
+             CASE WHEN r.t2 IS NULL AND s.step = 2 AND r.t1 IS NOT NULL
+                       AND s.ts_us - r.t1 <= 3600000000 THEN s.ts_us
+                  ELSE r.t2 END,
+             CASE WHEN r.t3 IS NULL AND s.step = 3 AND r.t2 IS NOT NULL
+                       AND s.ts_us - r.t2 <= 3600000000 THEN s.ts_us
+                  ELSE r.t3 END,
+             CASE WHEN r.t4 IS NULL AND s.step = 4 AND r.t3 IS NOT NULL
+                       AND s.ts_us - r.t3 <= 3600000000 THEN s.ts_us
+                  ELSE r.t4 END
+      FROM rec r JOIN seq s
+        ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    ), final AS (
+      SELECT user_id,
+             CASE WHEN t4 IS NOT NULL THEN 4
+                  WHEN t3 IS NOT NULL THEN 3
+                  WHEN t2 IS NOT NULL THEN 2
+                  WHEN t1 IS NOT NULL THEN 1
+                  ELSE 0 END AS steps_completed
+      FROM rec WHERE rn = n
+    )
+    SELECT CAST(steps_completed AS BIGINT) AS steps_completed,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM final GROUP BY 1
+    """,
+)
+def q_window_funnel_strict(spark, sf_dir):
+    """Strict-order window funnel (the ClickHouse windowFunnel
+    semantic): per user, the deepest prefix of signup → click →
+    view → purchase where EACH successive step lands within 1 hour
+    of the previous step's FIRST completion — greedy earliest-
+    completion semantics, pinned: a step locks in the first time it
+    fires and later candidates are ignored (re-attempts after a
+    timeout don't resurrect the funnel; that forgiving variant is a
+    different operator, documented). This is inherently a sequential
+    fold (state = 4 completion timestamps), run per user over the
+    midx-sorted event array with aggregate(); the oracle steps the
+    identical CASE chain through a recursive CTE on (user, rn).
+    Exact epoch-microsecond comparisons throughout. Per-user arrays
+    are engagement-bounded (≤~700 at sf0.1); at true fact scale
+    this state machine is the applyInPandasWithState/
+    transformWithState shape (streaming/replication.py carries that
+    form)."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.where(
+        F.col("event_type").isin("signup", "click", "view", "purchase")
+    ).select(
+        "user_id",
+        _epoch_us("ts").cast("long").alias("ts_us"),
+        F.expr(
+            "CASE event_type WHEN 'signup' THEN 1 WHEN 'click' THEN 2"
+            " WHEN 'view' THEN 3 WHEN 'purchase' THEN 4 ELSE 0 END"
+        ).alias("step"),
+        "event_id",
+    )
+    arr = e.groupBy("user_id").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(ts_us,"
+            " event_id, step))), s -> struct(s.ts_us AS ts_us,"
+            " s.step AS step))"
+        ).alias("xs")
+    )
+    hour = "3600000000"
+    st = (
+        "aggregate(xs,"
+        " named_struct('t1', CAST(NULL AS BIGINT),"
+        " 't2', CAST(NULL AS BIGINT), 't3', CAST(NULL AS BIGINT),"
+        " 't4', CAST(NULL AS BIGINT)),"
+        " (acc, x) -> named_struct("
+        "'t1', CASE WHEN acc.t1 IS NULL AND x.step = 1 THEN x.ts_us"
+        " ELSE acc.t1 END,"
+        " 't2', CASE WHEN acc.t2 IS NULL AND x.step = 2"
+        " AND acc.t1 IS NOT NULL"
+        f" AND x.ts_us - acc.t1 <= {hour} THEN x.ts_us"
+        " ELSE acc.t2 END,"
+        " 't3', CASE WHEN acc.t3 IS NULL AND x.step = 3"
+        " AND acc.t2 IS NOT NULL"
+        f" AND x.ts_us - acc.t2 <= {hour} THEN x.ts_us"
+        " ELSE acc.t3 END,"
+        " 't4', CASE WHEN acc.t4 IS NULL AND x.step = 4"
+        " AND acc.t3 IS NOT NULL"
+        f" AND x.ts_us - acc.t3 <= {hour} THEN x.ts_us"
+        " ELSE acc.t4 END))"
+    )
+    final = arr.select(
+        "user_id",
+        F.expr(
+            f"CASE WHEN {st}.t4 IS NOT NULL THEN 4"
+            f" WHEN {st}.t3 IS NOT NULL THEN 3"
+            f" WHEN {st}.t2 IS NOT NULL THEN 2"
+            f" WHEN {st}.t1 IS NOT NULL THEN 1 ELSE 0 END"
+        ).alias("steps_completed"),
+    )
+    return final.groupBy(
+        F.col("steps_completed").cast("long").alias("steps_completed")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+
+
+@register(
+    "golden_record_merge",
+    oracle="""
+    SELECT c_custkey AS cust,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           arg_max(o_orderstatus,
+                   date_diff('day', DATE '1990-01-01',
+                             CAST(o_orderdate AS DATE))
+                     * 10000000000 + o_orderkey) AS latest_status,
+           arg_max(o_orderpriority,
+                   CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                        AS BIGINT) * 10000000000
+                     + (10000000000 - o_orderkey))
+             AS priciest_priority,
+           strftime(MIN(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+             AS first_seen,
+           CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                AS BIGINT)) AS DOUBLE) / 100.0 AS max_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+)
+def q_golden_record_merge(spark, sf_dir):
+    """Survivorship / golden-record merge (the MDM primitive):
+    collapse each customer's order rows into ONE record where each
+    FIELD follows its own survivorship rule — latest status (most
+    recent order wins), priority from the highest-value order,
+    earliest first-seen date, max price. This is field-level
+    survivorship, the thing dedupe_keep_last (row-level keep-last)
+    cannot express: no single source row need equal the golden
+    record. Every arg-max carries an explicit DETERMINISTIC
+    tie-break folded into ONE integer key (days·10¹⁰ + orderkey /
+    cents·10¹⁰ + (10¹⁰ − orderkey); DuckDB 1.0's arg_max rejects
+    composite keys, so the tuple is arithmetic) because
+    max_by with ties is engine-arbitrary — the classic silent-
+    nondeterminism trap in MDM pipelines. One keyed aggregation,
+    no windows, no self-joins."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cents = (
+        "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)"
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_custkey").alias("cust"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.expr(
+                "max_by(o_orderstatus,"
+                " date_diff(CAST(o_orderdate AS DATE),"
+                " DATE '1990-01-01')"
+                " * 10000000000 + o_orderkey)"
+            ).alias("latest_status"),
+            F.expr(
+                f"max_by(o_orderpriority, {cents} * 10000000000"
+                " + (10000000000 - o_orderkey))"
+            ).alias("priciest_priority"),
+            F.date_format(
+                F.min(F.expr("CAST(o_orderdate AS DATE)")),
+                "yyyy-MM-dd",
+            ).alias("first_seen"),
+            (
+                F.max(F.expr(cents)).cast("double") / F.lit(100.0)
+            ).alias("max_price"),
+        )
+    )
+
+
+@register(
+    "percentile_cont_exact",
+    oracle="""
+    WITH t AS (
+      SELECT n_name,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS c
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    ), r AS (
+      SELECT n_name, c,
+             ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY c) AS rn,
+             COUNT(*) OVER (PARTITION BY n_name) AS n
+      FROM t
+    ), q AS (
+      SELECT r.n_name, r.n, p.p,
+             -- PERCENTILE_CONT h = (n-1)*p/100; with p in {25,50,75}
+             -- and k = (n-1)*p, lo = k//100, frac = k%100 — exact.
+             MAX(CASE WHEN rn - 1 = ((n - 1) * p.p) // 100 THEN c END)
+               AS lo_c,
+             MAX(CASE WHEN rn - 1 = ((n - 1) * p.p) // 100 + 1 THEN c
+                 END) AS hi_c,
+             ((n - 1) * p.p) % 100 AS frac
+      FROM r CROSS JOIN (SELECT unnest([25, 50, 75]) AS p) p
+      GROUP BY 1, 2, 3
+    )
+    SELECT n_name, CAST(p AS BIGINT) AS pctl, n,
+           CAST(lo_c * 100 + (COALESCE(hi_c, lo_c) - lo_c) * frac
+                AS BIGINT) AS value_centi_cents
+    FROM q
+    """,
+)
+def q_percentile_cont_exact(spark, sf_dir):
+    """PERCENTILE_CONT with EXACT integer interpolation — the
+    continuous (interpolated) quantile that group_quantiles'
+    rank-pick (percentile_disc) deliberately avoids, made
+    hash-portable by never leaving integers: h = (n−1)·p/100 splits
+    into lo = ⌊h⌋ and a RATIONAL fraction with denominator 100, so
+    the interpolated value lo + (hi−lo)·frac ships exactly in
+    CENTI-CENTS (value·100). Engines disagree on percentile_cont's
+    float rounding; this form disagrees with neither because both
+    sides compute the same integers. The two boundary rows come from
+    one rank window + a 3-element percentile explode — same
+    machinery as group_quantiles with an interpolation lane."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    t = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100"
+                " AS BIGINT)"
+            ).alias("c"),
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("c")
+    wn = Window.partitionBy("n_name")
+    r = t.select(
+        "n_name",
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    ps = F.explode(F.array(*[F.lit(p) for p in (25, 50, 75)])).alias(
+        "p"
+    )
+    q = (
+        r.select("n_name", "c", "rn", "n", ps)
+        .groupBy("n_name", "n", "p")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn") - 1
+                    == F.expr("((n - 1) * p) DIV 100"),
+                    F.col("c"),
+                )
+            ).alias("lo_c"),
+            F.max(
+                F.when(
+                    F.col("rn") - 1
+                    == F.expr("((n - 1) * p) DIV 100 + 1"),
+                    F.col("c"),
+                )
+            ).alias("hi_c"),
+            F.max(F.expr("((n - 1) * p) % 100")).alias("frac"),
+        )
+    )
+    return q.select(
+        "n_name",
+        F.col("p").cast("long").alias("pctl"),
+        "n",
+        F.expr(
+            "CAST(lo_c * 100 + (COALESCE(hi_c, lo_c) - lo_c) * frac"
+            " AS BIGINT)"
+        ).alias("value_centi_cents"),
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -25412,7 +25706,8 @@ _FRONT: list[str] = [
     # image_phash_buckets, cronbach_alpha, cohens_d_effect,
     # seasonal_mann_kendall, als_rank1_scores, truss_peel_rounds,
     # cramers_v_effect, seasonal_residual_outliers,
-    # streaming_chained_max_counts.
+    # streaming_chained_max_counts, window_funnel_strict,
+    # golden_record_merge, percentile_cont_exact.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

@@ -6638,3 +6638,125 @@ def test_streaming_chained_recompute(spark):
             max(types.values()),
             sum(types.values()),
         )
+
+
+def test_window_funnel_strict_recompute(spark):
+    """Funnel depth histogram equals the greedy earliest-completion
+    Python replay with 1h step windows."""
+    from collections import Counter, defaultdict
+    from datetime import datetime
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    epoch = datetime(1970, 1, 1)
+
+    def us(ts):
+        d = ts - epoch
+        return (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+
+    steps = {"signup": 1, "click": 2, "view": 3, "purchase": 4}
+    by_user = defaultdict(list)
+    for e in read_table(spark, SF_SMALL, "events").collect():
+        if e.event_type in steps:
+            by_user[e.user_id].append(
+                (us(e.ts), e.event_id, steps[e.event_type])
+            )
+    hour = 3_600_000_000
+    hist = Counter()
+    for u, evs in by_user.items():
+        evs.sort()
+        t = [None] * 5
+        for ts, _, s in evs:
+            if s == 1 and t[1] is None:
+                t[1] = ts
+            elif (
+                s > 1
+                and t[s] is None
+                and t[s - 1] is not None
+                and ts - t[s - 1] <= hour
+            ):
+                t[s] = ts
+        depth = max((i for i in range(1, 5) if t[i] is not None), default=0)
+        hist[depth] += 1
+    got = {
+        r.steps_completed: r.n_users
+        for r in _q(spark, "window_funnel_strict").collect()
+    }
+    assert got == dict(hist)
+
+
+def test_golden_record_merge_recompute(spark):
+    """Field survivorship equals the per-field replay with the
+    arithmetic composite tie-breaks."""
+    from collections import defaultdict
+    from datetime import date
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    per = defaultdict(list)
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        cents = int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01"))
+            * 100
+        )
+        days = (o.o_orderdate.date() - date(1990, 1, 1)).days
+        per[o.o_custkey].append((o, cents, days))
+    rows = {r.cust: r for r in _q(spark, "golden_record_merge").collect()}
+    assert set(rows) == set(per)
+    for cust, lst in per.items():
+        r = rows[cust]
+        assert r.n_orders == len(lst)
+        latest = max(
+            lst, key=lambda t: t[2] * 10_000_000_000 + t[0].o_orderkey
+        )
+        assert r.latest_status == latest[0].o_orderstatus
+        priciest = max(
+            lst,
+            key=lambda t: t[1] * 10_000_000_000
+            + (10_000_000_000 - t[0].o_orderkey),
+        )
+        assert r.priciest_priority == priciest[0].o_orderpriority
+        assert r.first_seen == min(
+            t[0].o_orderdate.date() for t in lst
+        ).isoformat()
+        assert r.max_price == max(t[1] for t in lst) / 100.0
+
+
+def test_percentile_cont_exact_recompute(spark):
+    """Interpolated centi-cent values equal the exact rational
+    replay, and the p50 lane brackets the rank-pick median."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    nat = {
+        x.n_nationkey: x.n_name
+        for x in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    nation_of = {
+        c.c_custkey: nat[c.c_nationkey]
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    vals = defaultdict(list)
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        vals[nation_of[o.o_custkey]].append(
+            int(
+                Decimal(str(o.o_totalprice)).quantize(Decimal("0.01"))
+                * 100
+            )
+        )
+    rows = _q(spark, "percentile_cont_exact").collect()
+    assert len(rows) == len(vals) * 3
+    for r in rows:
+        xs = sorted(vals[r.n_name])
+        n = len(xs)
+        k = (n - 1) * r.pctl
+        lo, frac = k // 100, k % 100
+        hi = xs[lo + 1] if lo + 1 < n else xs[lo]
+        want = xs[lo] * 100 + (hi - xs[lo]) * frac
+        assert (r.n, r.value_centi_cents) == (n, want)
