@@ -25528,6 +25528,217 @@ def q_percentile_cont_exact(spark, sf_dir):
     )
 
 
+@register(
+    "audio_silence_runs",
+    oracle="""
+    WITH aud AS (
+      SELECT doc_id AS asset_id, doc_id AS seed,
+             CAST(1 + doc_id % 2 AS BIGINT) AS nc,
+             CAST(100 + doc_id % 400 AS BIGINT) AS ns
+      FROM documents WHERE doc_id % 3 = 1
+    ), samp AS (
+      SELECT a.asset_id, i.i,
+             ((a.seed * 131 + i.i * 7) % 65536) - 32768 AS s
+      FROM aud a,
+           unnest(generate_series(0, a.ns * a.nc - 1)) AS i(i)
+    ), quiet AS (
+      SELECT asset_id, i,
+             i - ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY i)
+               AS isl
+      FROM samp WHERE ABS(s) < 8192
+    ), runs AS (
+      SELECT asset_id, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM quiet GROUP BY asset_id, isl
+    )
+    SELECT a.asset_id, a.ns * a.nc AS n_samples,
+           CAST(COALESCE(SUM(r.run_len), 0) AS BIGINT) AS n_quiet,
+           CAST(COALESCE(SUM(CASE WHEN r.run_len >= 4 THEN 1
+                                  ELSE 0 END), 0) AS BIGINT) AS n_runs,
+           CAST(COALESCE(MAX(r.run_len), 0) AS BIGINT) AS max_run
+    FROM aud a LEFT JOIN runs r ON r.asset_id = a.asset_id
+    GROUP BY 1, 2
+    """,
+)
+def q_audio_silence_runs(spark, sf_dir):
+    """Silence-segment detection over REAL audio bytes — the
+    voice-activity/trim pass of an audio-training pipeline:
+    executors parse each actual RIFF/WAVE payload with the stdlib
+    wave reader and scan the interleaved PCM for maximal runs of
+    |s| < 8192 (multimodal.py::audio_silence_runs), reporting
+    quiet-sample totals, run counts at the 4-sample floor, and the
+    longest run. The oracle finds the SAME runs arithmetically from
+    the generation formula via gaps-and-islands over
+    generate_series (i − row_number island ids — the
+    longest_daily_streak trick at sample granularity), so a hash
+    match proves the real byte parse AND the run segmentation.
+    Clips with no quiet samples survive via LEFT join + zero
+    COALESCE."""
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    return MM.audio_silence_runs(MM.real_assets(ids)).select(
+        "asset_id", "n_samples", "n_quiet", "n_runs", "max_run"
+    )
+
+
+@register(
+    "hellinger_drift",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+      FROM events
+    ), tagged AS (
+      SELECT event_type,
+             CASE WHEN date_diff('day', b.d0, CAST(ts AS DATE))
+                  <= date_diff('day', b.d0, b.d1) // 2
+                  THEN 1 ELSE 2 END AS half
+      FROM events CROSS JOIN bounds b
+    ), cell AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c2
+      FROM tagged GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c2) AS BIGINT) AS n2
+      FROM cell
+    ), folded AS (
+      SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(sqrt(CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))
+                    ORDER BY event_type)),
+               (acc, x) -> acc + x) AS bc_num
+      FROM cell
+    )
+    SELECT tot.n1, tot.n2,
+           folded.bc_num
+             / sqrt(CAST(tot.n1 AS DOUBLE) * CAST(tot.n2 AS DOUBLE))
+             AS bhattacharyya,
+           CAST(1 AS DOUBLE)
+             - folded.bc_num
+               / sqrt(CAST(tot.n1 AS DOUBLE) * CAST(tot.n2 AS DOUBLE))
+             AS hellinger2
+    FROM folded CROSS JOIN tot
+    """,
+)
+def q_hellinger_drift(spark, sf_dir):
+    """Hellinger-squared drift between the event-type mix of the
+    first and second halves of the observation window — the proper
+    f-divergence complement of tv_distance_drift (L1) that needs NO
+    logarithm (KL/PSI/JS are not hash-portable; √ is IEEE
+    correctly-rounded): H² = 1 − Σ√(p·q), and because both halves
+    share one denominator the whole statistic collapses to
+    (Σ√(c1·c2))/√(N1·N2) — integer cell counts, a √-fold in
+    event-type order (the anova ordered-fold discipline), ONE
+    mirrored division. The half split is pinned integer day
+    arithmetic from the data's own bounds."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    tagged = ev.crossJoin(broadcast(bounds)).select(
+        "event_type",
+        F.expr(
+            "CASE WHEN date_diff(CAST(ts AS DATE), d0)"
+            " <= date_diff(d1, d0) DIV 2 THEN 1 ELSE 2 END"
+        ).alias("half"),
+    )
+    cell = tagged.groupBy("event_type").agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("half") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    folded = cell.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.expr(
+            "aggregate(transform(sort_array(collect_list("
+            "struct(event_type, c1, c2))),"
+            " s -> sqrt(CAST(s.c1 AS DOUBLE) * CAST(s.c2 AS DOUBLE))),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        ).alias("bc_num"),
+    )
+    return folded.select(
+        "n1",
+        "n2",
+        F.expr(
+            "bc_num / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
+        ).alias("bhattacharyya"),
+        F.expr(
+            "CAST(1 AS DOUBLE) - bc_num"
+            " / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
+        ).alias("hellinger2"),
+    )
+
+
+@register(
+    "dow_hour_profile",
+    oracle="""
+    WITH cell AS (
+      SELECT CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS dow,
+             CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM events GROUP BY 1, 2
+    ), rm AS (SELECT dow, CAST(SUM(obs) AS BIGINT) AS r
+              FROM cell GROUP BY dow),
+    cm AS (SELECT hr, CAST(SUM(obs) AS BIGINT) AS c
+           FROM cell GROUP BY hr),
+    tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cell)
+    SELECT cell.dow, cell.hr, obs,
+           CAST(obs * n - r * c AS BIGINT) AS dev_num,
+           CAST(obs * n - r * c AS DOUBLE)
+             * CAST(obs * n - r * c AS DOUBLE)
+             / CAST(n AS DOUBLE) / CAST(r AS DOUBLE)
+             / CAST(c AS DOUBLE) AS chi2_cell
+    FROM cell JOIN rm ON rm.dow = cell.dow
+              JOIN cm ON cm.hr = cell.hr
+              CROSS JOIN tot
+    """,
+)
+def q_dow_hour_profile(spark, sf_dir):
+    """Day-of-week × hour-of-day activity profile with independence
+    deviations — the calendar heatmap behind staffing/capacity and
+    anomaly baselines ('is Tuesday 3am REALLY quieter than the
+    margins predict?'): per-cell observed counts plus the exact
+    cross-multiplied deviation obs·N − r·c and its chi2 contribution
+    (the chi2_priority_status machinery pointed at TIME margins;
+    weekday_seasonality covers dow alone — the interaction needs
+    the 2-D grid). DuckDB dayofweek is 0=Sunday while Spark's is
+    1=Sunday, so the Spark side maps dayofweek−1 to match. ≤168
+    cells regardless of fact scale."""
+    ev = _t(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        (F.dayofweek(F.col("ts").cast("date")) - 1)
+        .cast("long")
+        .alias("dow"),
+        F.hour("ts").cast("long").alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    cell = cell.localCheckpoint(eager=False)
+    rm = cell.groupBy("dow").agg(F.sum("obs").cast("long").alias("r"))
+    cm = cell.groupBy("hr").agg(F.sum("obs").cast("long").alias("c"))
+    tot = cell.agg(F.sum("obs").cast("long").alias("n"))
+    return (
+        cell.join(broadcast(rm), "dow")
+        .join(broadcast(cm), "hr")
+        .crossJoin(broadcast(tot))
+        .select(
+            "dow",
+            "hr",
+            "obs",
+            F.expr("CAST(obs * n - r * c AS BIGINT)").alias("dev_num"),
+            F.expr(
+                "CAST(obs * n - r * c AS DOUBLE)"
+                " * CAST(obs * n - r * c AS DOUBLE)"
+                " / CAST(n AS DOUBLE) / CAST(r AS DOUBLE)"
+                " / CAST(c AS DOUBLE)"
+            ).alias("chi2_cell"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -25707,7 +25918,8 @@ _FRONT: list[str] = [
     # seasonal_mann_kendall, als_rank1_scores, truss_peel_rounds,
     # cramers_v_effect, seasonal_residual_outliers,
     # streaming_chained_max_counts, window_funnel_strict,
-    # golden_record_merge, percentile_cont_exact.
+    # golden_record_merge, percentile_cont_exact,
+    # audio_silence_runs, hellinger_drift, dow_hour_profile.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

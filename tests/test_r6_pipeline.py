@@ -6760,3 +6760,118 @@ def test_percentile_cont_exact_recompute(spark):
         hi = xs[lo + 1] if lo + 1 < n else xs[lo]
         want = xs[lo] * 100 + (hi - xs[lo]) * frac
         assert (r.n, r.value_centi_cents) == (n, want)
+
+
+def test_audio_silence_runs_recompute(spark):
+    """Run stats equal the Python replay over the REAL decoded PCM
+    (not the formula), and quiet totals equal the sum of run
+    lengths."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from distributed_mapreduce_p2p_spark.operators import multimodal as MM
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    ids = read_table(spark, SF_SMALL, "documents").select("doc_id")
+    rows = {r.asset_id: r for r in _q(spark, "audio_silence_runs").collect()}
+    checked = 0
+    for a in MM.real_assets(ids).where("modality = 'audio'").collect():
+        with wave.open(io.BytesIO(bytes(a.payload)), "rb") as w:
+            nc, ns = w.getnchannels(), w.getnframes()
+            pcm = np.frombuffer(w.readframes(ns), dtype="<i2").astype(
+                np.int64
+            )
+        quiet = np.abs(pcm) < 8192
+        runs = []
+        cur = 0
+        for q in quiet:
+            if q:
+                cur += 1
+            elif cur:
+                runs.append(cur)
+                cur = 0
+        if cur:
+            runs.append(cur)
+        r = rows[a.asset_id]
+        assert r.n_samples == pcm.size == ns * nc
+        assert r.n_quiet == int(quiet.sum()) == sum(runs)
+        assert r.n_runs == sum(1 for x in runs if x >= 4)
+        assert r.max_run == (max(runs) if runs else 0)
+        checked += 1
+    assert checked == len(rows)
+
+
+def test_hellinger_drift_recompute(spark):
+    """H² equals the ordered √-fold replay; 0 <= H² <= 1 and the
+    Bhattacharyya coefficient complements it exactly."""
+    import math
+    from collections import Counter
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    evs = read_table(spark, SF_SMALL, "events").collect()
+    d0 = min(e.ts.date() for e in evs)
+    d1 = max(e.ts.date() for e in evs)
+    half_span = (d1 - d0).days // 2
+    c1, c2 = Counter(), Counter()
+    for e in evs:
+        if (e.ts.date() - d0).days <= half_span:
+            c1[e.event_type] += 1
+        else:
+            c2[e.event_type] += 1
+    bc_num = 0.0
+    for t in sorted(set(c1) | set(c2)):
+        bc_num += math.sqrt(float(c1.get(t, 0)) * float(c2.get(t, 0)))
+    n1, n2 = sum(c1.values()), sum(c2.values())
+    r = _q(spark, "hellinger_drift").collect()[0]
+    assert (r.n1, r.n2) == (n1, n2)
+    bc = bc_num / math.sqrt(float(n1) * float(n2))
+    assert r.bhattacharyya == bc
+    assert r.hellinger2 == 1.0 - bc
+    assert 0.0 <= r.hellinger2 <= 1.0
+
+
+def test_dow_hour_profile_recompute(spark):
+    """Cells equal the calendar replay (Sunday=0 convention) and
+    deviations sum to zero per margin."""
+    from collections import Counter, defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    obs = Counter()
+    for e in read_table(spark, SF_SMALL, "events").collect():
+        dow = (e.ts.date().weekday() + 1) % 7  # Python Mon=0 -> Sun=0
+        obs[(dow, e.ts.hour)] += 1
+    rows = _q(spark, "dow_hour_profile").collect()
+    assert {(r.dow, r.hr): r.obs for r in rows} == dict(obs)
+    n = sum(obs.values())
+    rm = defaultdict(int)
+    cm = defaultdict(int)
+    for (d, h), o in obs.items():
+        rm[d] += o
+        cm[h] += o
+    for r in rows:
+        assert r.dev_num == r.obs * n - rm[r.dow] * cm[r.hr]
+        want_chi2 = (
+            float(r.dev_num)
+            * float(r.dev_num)
+            / float(n)
+            / float(rm[r.dow])
+            / float(cm[r.hr])
+        )
+        assert r.chi2_cell == want_chi2
+    # deviations over EMPTY cells (obs=0 -> dev = -r*c) complete the
+    # zero-sum identity; present-cell sums alone do not vanish on a
+    # sparse grid, so reconstruct the full-grid sum
+    full = sum(r.dev_num for r in rows) + sum(
+        0 * n - rm[d] * cm[h]
+        for d in rm
+        for h in cm
+        if (d, h) not in obs
+    )
+    assert full == 0

@@ -88,6 +88,8 @@ WHITELIST = {
     "isotonic_regression_monthly": "interval self-join on the <=~84-row month-cell table (b.rn >= a.rn inequality; minimax isotonic needs all intervals, cells^2 is a constant at any fact scale)",
     "cronbach_alpha": "12-row month grid crossed onto the |nations| dim for the dense zero-filled item matrix + two 1-row variance-total attaches (all constant-bounded)",
     "cramers_v_effect": "1-row (n, rdim, cdim) totals attach onto the tiny contingency cell table (the chi2_priority_status attach + fold)",
+    "hellinger_drift": "1-row date-bounds aggregate broadcast onto the fact scan for the half split (single attach)",
+    "dow_hour_profile": "1-row grand-total aggregate broadcast onto the <=168-cell calendar grid (the chi2 attach)",
     "levene_brown_forsythe": "1-row grand-totals aggregate broadcast onto the |groups|-row deviation-moment table (the anova_oneway attach on |x-median|)",
     "jackknife_group_means": "1-row grand-total aggregate broadcast onto the |groups|-row moment table (the leave-out algebra)",
     "cart_tree_depth2": "1-row root-decision broadcast re-tags the cohort (the tree-iteration attach); cart_root_split's scalar threshold attach likewise",
