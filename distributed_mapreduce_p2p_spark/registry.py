@@ -25739,6 +25739,359 @@ def q_dow_hour_profile(spark, sf_dir):
     )
 
 
+@register(
+    "dtw_distance_regions",
+    oracle="""
+    WITH RECURSIVE m AS (
+      SELECT r_name,
+             CAST(YEAR(CAST(o_orderdate AS DATE)) * 12
+                  + MONTH(CAST(o_orderdate AS DATE)) AS BIGINT) AS midx,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                  AS BIGINT)) // 100 AS BIGINT) AS dollars
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2
+    ), ser AS (
+      SELECT r_name, list(dollars ORDER BY midx) AS xs,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM m GROUP BY 1
+    ), pair AS (
+      SELECT a.r_name AS ra, b.r_name AS rb,
+             a.xs AS av, b.xs AS bv, a.n AS m_len, b.n AS n_len
+      FROM ser a JOIN ser b ON a.r_name < b.r_name
+    ), rec AS (
+      SELECT ra, rb, av, bv, m_len, n_len, CAST(1 AS BIGINT) AS i,
+             list_reduce(
+               list_prepend([ABS(av[1] - bv[1])]::BIGINT[],
+                 list_transform(generate_series(2, CAST(n_len AS INT)),
+                                j -> [j]::BIGINT[])),
+               (acc, x) -> list_append(acc,
+                 ABS(av[1] - bv[CAST(x[1] AS INT)])
+                   + acc[len(acc)])) AS dp
+      FROM pair
+      UNION ALL
+      SELECT ra, rb, av, bv, m_len, n_len, i + 1,
+             list_reduce(
+               list_prepend(
+                 [ABS(av[CAST(i + 1 AS INT)] - bv[1])
+                  + dp[1]]::BIGINT[],
+                 list_transform(generate_series(2, CAST(n_len AS INT)),
+                                j -> [j]::BIGINT[])),
+               (acc, x) -> list_append(acc,
+                 ABS(av[CAST(i + 1 AS INT)] - bv[CAST(x[1] AS INT)])
+                   + LEAST(dp[CAST(x[1] AS INT)],
+                           dp[CAST(x[1] AS INT) - 1],
+                           acc[len(acc)])))
+      FROM rec WHERE i < m_len
+    )
+    SELECT ra AS region_a, rb AS region_b, m_len, n_len,
+           CAST(dp[CAST(n_len AS INT)] AS BIGINT) AS dtw_cost
+    FROM rec WHERE i = m_len
+    """,
+)
+def q_dtw_distance_regions(spark, sf_dir):
+    """Dynamic-time-warping distance between every pair of REGION
+    monthly-revenue series (|a_i − b_j| cost, no warping window) —
+    the time-series similarity measure that tolerates phase shift,
+    where lead_lag_crosscorr demands a single global lag. The DP is
+    PURE INTEGER (whole-dollar costs, min over BIGINTs), so unlike
+    float DP any evaluation order agrees bit-for-bit — which is what
+    licenses DIFFERENT execution strategies per engine: Spark folds
+    rows with aggregate() carrying the previous DP row as the
+    accumulator and a NESTED aggregate building each row left to
+    right; the DuckDB oracle steps rows through a recursive CTE
+    whose inner fold is list_reduce with a LIST accumulator (probed:
+    DuckDB 1.0 breaks STRUCT accumulators, list accumulators are
+    sound — test_r6_pipeline). 10 region pairs × ≤84² integer cells:
+    constant work at any fact scale; the fact pass is one
+    region-month aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            "r_name",
+            F.expr(
+                "CAST(YEAR(CAST(o_orderdate AS DATE)) * 12"
+                " + MONTH(CAST(o_orderdate AS DATE)) AS BIGINT)"
+            ).alias("midx"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2))"
+                " * 100 AS BIGINT)) DIV 100 AS BIGINT)"
+            ).alias("dollars")
+        )
+    )
+    ser = m.groupBy("r_name").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(midx,"
+            " dollars))), s -> s.dollars)"
+        ).alias("xs"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    a = ser.alias("a")
+    b = ser.alias("b")
+    # 5-row series table; broadcast makes the inequality pair join a
+    # constant-cost BNLJ instead of a CartesianProduct in the plan
+    pair = a.join(broadcast(b), F.col("a.r_name") < F.col("b.r_name")).select(
+        F.col("a.r_name").alias("ra"),
+        F.col("b.r_name").alias("rb"),
+        F.col("a.xs").alias("av"),
+        F.col("b.xs").alias("bv"),
+        F.col("a.n").alias("m_len"),
+        F.col("b.n").alias("n_len"),
+    )
+    # row 1: prefix sums of |a1 - b_j|
+    row1 = (
+        "aggregate(sequence(2, CAST(n_len AS INT)),"
+        " array(ABS(element_at(av, 1) - element_at(bv, 1))),"
+        " (acc, j) -> concat(acc, array("
+        "ABS(element_at(av, 1) - element_at(bv, j))"
+        " + element_at(acc, size(acc)))))"
+    )
+    # outer fold over a_2..a_m carrying (dp row, i)
+    inner = (
+        "aggregate(sequence(2, CAST(n_len AS INT)),"
+        " array(ABS(x - element_at(bv, 1))"
+        " + element_at(acc.dp, 1)),"
+        " (na, j) -> concat(na, array("
+        "ABS(x - element_at(bv, j))"
+        " + LEAST(element_at(acc.dp, j), element_at(acc.dp, j - 1),"
+        " element_at(na, size(na))))))"
+    )
+    st = (
+        f"aggregate(slice(av, 2, size(av) - 1),"
+        f" named_struct('dp', {row1}),"
+        f" (acc, x) -> named_struct('dp', {inner}))"
+    )
+    return pair.select(
+        F.col("ra").alias("region_a"),
+        F.col("rb").alias("region_b"),
+        "m_len",
+        "n_len",
+        F.expr(
+            f"CAST(element_at({st}.dp, CAST(n_len AS INT))"
+            " AS BIGINT)"
+        ).alias("dtw_cost"),
+    )
+
+
+@register(
+    "cochran_q_test",
+    oracle="""
+    WITH x AS (
+      SELECT o_custkey AS cust, o_orderpriority AS pri,
+             CAST(MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hit
+      FROM orders GROUP BY 1, 2
+    ), blocks AS (
+      SELECT cust FROM x GROUP BY cust HAVING COUNT(*) = 5
+    ), xx AS (
+      SELECT x.cust, x.pri, x.hit FROM x JOIN blocks USING (cust)
+    ), col AS (
+      SELECT pri, CAST(SUM(hit) AS BIGINT) AS cj FROM xx GROUP BY 1
+    ), rowt AS (
+      SELECT cust, CAST(SUM(hit) AS BIGINT) AS ri FROM xx GROUP BY 1
+    ), agg AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM blocks) AS b,
+             (SELECT CAST(SUM(cj) AS BIGINT) FROM col) AS n,
+             (SELECT CAST(SUM(cj * cj) AS BIGINT) FROM col) AS sc2,
+             (SELECT CAST(SUM(ri) AS BIGINT) FROM rowt) AS sr,
+             (SELECT CAST(SUM(ri * ri) AS BIGINT) FROM rowt) AS sr2
+    )
+    SELECT b, n,
+           CAST(5 * 4 * (5 * sc2 - n * n) AS BIGINT) AS q_num,
+           CAST(5 * (5 * sr - sr2) AS BIGINT) AS q_den,
+           CASE WHEN (5 * sr - sr2) > 0 THEN
+             CAST(5 * 4 * (5 * sc2 - n * n) AS DOUBLE)
+               / CAST(5 * (5 * sr - sr2) AS DOUBLE) END AS q_stat
+    FROM agg
+    """,
+)
+def q_cochran_q_test(spark, sf_dir):
+    """Cochran's Q test (Cochran 1950, public) — the k-treatment
+    extension of McNemar for BINARY repeated measures: does the
+    probability of a finalized order differ across the five
+    priorities, judged only on customers observed under ALL five
+    (complete blocks — the design requirement, enforced by a
+    HAVING COUNT(*)=5 block filter)? Q = k(k−1)(kΣC_j² − N²) /
+    (kΣR_i − ΣR_i²): both numerator and denominator are EXACT
+    BIGINTs from column/row hit totals (k=5 is a literal), shipped
+    alongside the one mirrored division. Completes the categorical
+    shelf: mcnemar (2 paired), cochran_armitage (ordered dose),
+    friedman (ranks) — this is the binary k-panel. Two keyed aggs
+    on (cust, pri) cells; blocks via one HAVING filter."""
+    o = _t(spark, sf_dir, "orders")
+    x = o.groupBy(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderpriority").alias("pri"),
+    ).agg(
+        F.max(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("hit")
+    )
+    blocks = (
+        x.groupBy("cust")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .where(F.col("k") == 5)
+        .select("cust")
+    )
+    xx = x.join(blocks, "cust").localCheckpoint(eager=False)
+    col = xx.groupBy("pri").agg(F.sum("hit").cast("long").alias("cj"))
+    rowt = xx.groupBy("cust").agg(
+        F.sum("hit").cast("long").alias("ri")
+    )
+    bq = blocks.agg(F.count(F.lit(1)).cast("long").alias("b"))
+    ca = col.agg(
+        F.sum("cj").cast("long").alias("n"),
+        F.sum(F.col("cj") * F.col("cj")).cast("long").alias("sc2"),
+    )
+    ra = rowt.agg(
+        F.sum("ri").cast("long").alias("sr"),
+        F.sum(F.col("ri") * F.col("ri")).cast("long").alias("sr2"),
+    )
+    agg = bq.crossJoin(broadcast(ca)).crossJoin(broadcast(ra))
+    return agg.select(
+        "b",
+        "n",
+        F.expr("CAST(5 * 4 * (5 * sc2 - n * n) AS BIGINT)").alias(
+            "q_num"
+        ),
+        F.expr("CAST(5 * (5 * sr - sr2) AS BIGINT)").alias("q_den"),
+        F.expr(
+            "CASE WHEN (5 * sr - sr2) > 0 THEN"
+            " CAST(5 * 4 * (5 * sc2 - n * n) AS DOUBLE)"
+            " / CAST(5 * (5 * sr - sr2) AS DOUBLE) END"
+        ).alias("q_stat"),
+    )
+
+
+@register(
+    "mcc_binary_rule",
+    oracle="""
+    WITH med AS (
+      SELECT CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN c END)
+                  AS BIGINT) AS med_c
+      FROM (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn,
+               COUNT(*) OVER () AS n
+        FROM (SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                     AS BIGINT) AS c FROM orders)
+      )
+    ), conf AS (
+      SELECT
+        CAST(SUM(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS fn,
+        CAST(SUM(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS tn
+      FROM (
+        SELECT CASE WHEN CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                         * 100 AS BIGINT) > m.med_c
+                    THEN 1 ELSE 0 END AS pred,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders CROSS JOIN med m
+      )
+    )
+    SELECT tp, fp, fn, tn,
+           CASE WHEN (tp + fp) > 0 AND (tp + fn) > 0
+                 AND (tn + fp) > 0 AND (tn + fn) > 0 THEN
+             (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+              - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+             / sqrt(CAST(tp + fp AS DOUBLE))
+             / sqrt(CAST(tp + fn AS DOUBLE))
+             / sqrt(CAST(tn + fp AS DOUBLE))
+             / sqrt(CAST(tn + fn AS DOUBLE)) END AS mcc
+    FROM conf
+    """,
+)
+def q_mcc_binary_rule(spark, sf_dir):
+    """Matthews correlation coefficient for a binary rule classifier
+    (predict 'order finalizes' from 'price above the global LOW
+    median') — the confusion-matrix summary that stays honest under
+    class imbalance where accuracy and even F1 mislead (MCC is the
+    φ coefficient: a single number in [−1, 1] symmetric in classes).
+    Confusion counts are exact BIGINTs from one pass with the 1-row
+    median rank-pick attached; MCC divides by the four marginal
+    sqrt's SEPARATELY (left-associated, mirrored) because the
+    product (tp+fp)(tp+fn)(tn+fp)(tn+fn) overflows int64 at ~sf1
+    while each factor alone never does. Completes the eval shelf
+    next to rocchio's precision/recall and cohen_kappa's
+    chance-corrected agreement."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.select(
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100"
+            " AS BIGINT)"
+        ).alias("c"),
+        F.when(F.col("o_orderstatus") == "F", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    w = Window.orderBy("c")
+    wn = Window.partitionBy()
+    med = (
+        c.select(
+            "c",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(n + 1) div 2"), F.col("c")
+                )
+            )
+            .cast("long")
+            .alias("med_c")
+        )
+    )
+    conf = c.crossJoin(broadcast(med)).select(
+        F.when(F.col("c") > F.col("med_c"), 1).otherwise(0).alias("pred"),
+        "y",
+    ).agg(
+        F.sum(F.expr("CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.expr("CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.expr("CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.expr("CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("tn"),
+    )
+    return conf.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr(
+            "CASE WHEN (tp + fp) > 0 AND (tp + fn) > 0"
+            " AND (tn + fp) > 0 AND (tn + fn) > 0 THEN"
+            " (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)"
+            " - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))"
+            " / sqrt(CAST(tp + fp AS DOUBLE))"
+            " / sqrt(CAST(tp + fn AS DOUBLE))"
+            " / sqrt(CAST(tn + fp AS DOUBLE))"
+            " / sqrt(CAST(tn + fn AS DOUBLE)) END"
+        ).alias("mcc"),
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -25919,7 +26272,8 @@ _FRONT: list[str] = [
     # cramers_v_effect, seasonal_residual_outliers,
     # streaming_chained_max_counts, window_funnel_strict,
     # golden_record_merge, percentile_cont_exact,
-    # audio_silence_runs, hellinger_drift, dow_hour_profile.
+    # audio_silence_runs, hellinger_drift, dow_hour_profile,
+    # dtw_distance_regions, cochran_q_test, mcc_binary_rule.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

@@ -6875,3 +6875,171 @@ def test_dow_hour_profile_recompute(spark):
         if (d, h) not in obs
     )
     assert full == 0
+
+
+def test_duckdb_list_accumulator_sound(spark):
+    """Pin the DuckDB capability dtw relies on: list_reduce with a
+    LIST accumulator folds correctly in 1.0 (STRUCT accumulators are
+    broken — the holt_linear probe)."""
+    import duckdb
+
+    con = duckdb.connect()
+    (out,) = con.execute(
+        """
+        WITH t AS (SELECT [2, 3, 4] AS xs)
+        SELECT list_reduce(
+          list_prepend([0]::BIGINT[],
+                       list_transform(xs, x -> [x]::BIGINT[])),
+          (acc, x) -> list_append(acc, x[1] + acc[len(acc)]))
+        FROM t
+        """
+    ).fetchone()
+    assert out == [0, 2, 5, 9]
+
+
+def test_dtw_distance_recompute(spark):
+    """DTW costs equal the O(mn) integer DP replay; DTW <= the
+    lockstep (no-warp) cost when lengths match, and >= |sum diff|
+    lower bound never asserted (not a DTW invariant) — symmetry of
+    the pair table is."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    nat = {
+        x.n_nationkey: x.n_regionkey
+        for x in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    reg = {
+        x.r_regionkey: x.r_name
+        for x in read_table(spark, SF_SMALL, "region").collect()
+    }
+    cust = {
+        c.c_custkey: reg[nat[c.c_nationkey]]
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    m = defaultdict(int)
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        midx = o.o_orderdate.year * 12 + o.o_orderdate.month
+        m[(cust[o.o_custkey], midx)] += int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01"))
+            * 100
+        )
+    ser = defaultdict(list)
+    for (rn, midx), cents in sorted(m.items()):
+        ser[rn].append(cents // 100)
+
+    def dtw(a, b):
+        INF = 1 << 62
+        prev = None
+        for i, ai in enumerate(a):
+            cur = []
+            for j, bj in enumerate(b):
+                c = abs(ai - bj)
+                if i == 0 and j == 0:
+                    cur.append(c)
+                elif i == 0:
+                    cur.append(c + cur[j - 1])
+                elif j == 0:
+                    cur.append(c + prev[0])
+                else:
+                    cur.append(
+                        c + min(prev[j], prev[j - 1], cur[j - 1])
+                    )
+            prev = cur
+        return prev[-1]
+
+    rows = _q(spark, "dtw_distance_regions").collect()
+    names = sorted(ser)
+    assert {(r.region_a, r.region_b) for r in rows} == {
+        (a, b) for i, a in enumerate(names) for b in names[i + 1 :]
+    }
+    for r in rows:
+        a, b = ser[r.region_a], ser[r.region_b]
+        assert (r.m_len, r.n_len) == (len(a), len(b))
+        assert r.dtw_cost == dtw(a, b)
+        if len(a) == len(b):
+            lockstep = sum(abs(x - y) for x, y in zip(a, b))
+            assert r.dtw_cost <= lockstep
+
+
+def test_cochran_q_recompute(spark):
+    """Q equals the complete-block replay with exact integer
+    numerator/denominator."""
+    from collections import defaultdict
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    hits = defaultdict(lambda: defaultdict(int))
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        if o.o_orderstatus == "F":
+            hits[o.o_custkey][o.o_orderpriority] = 1
+        else:
+            hits[o.o_custkey].setdefault(o.o_orderpriority, 0)
+    blocks = {c: d for c, d in hits.items() if len(d) == 5}
+    cj = defaultdict(int)
+    ris = []
+    for c, d in blocks.items():
+        ris.append(sum(d.values()))
+        for p, h in d.items():
+            cj[p] += h
+    n = sum(cj.values())
+    sc2 = sum(v * v for v in cj.values())
+    sr = sum(ris)
+    sr2 = sum(v * v for v in ris)
+    r = _q(spark, "cochran_q_test").collect()[0]
+    assert (r.b, r.n) == (len(blocks), n)
+    assert r.q_num == 5 * 4 * (5 * sc2 - n * n)
+    assert r.q_den == 5 * (5 * sr - sr2)
+    if r.q_den > 0:
+        assert r.q_stat == float(r.q_num) / float(r.q_den)
+
+
+def test_mcc_binary_rule_recompute(spark):
+    """Confusion counts and MCC equal the rule replay with the LOW
+    median threshold; |MCC| <= 1."""
+    import math
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    rows_ = read_table(spark, SF_SMALL, "orders").collect()
+    cs = sorted(
+        int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01"))
+            * 100
+        )
+        for o in rows_
+    )
+    med = cs[(len(cs) + 1) // 2 - 1]
+    tp = fp = fn = tn = 0
+    for o in rows_:
+        c = int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01"))
+            * 100
+        )
+        pred = c > med
+        y = o.o_orderstatus == "F"
+        if pred and y:
+            tp += 1
+        elif pred:
+            fp += 1
+        elif y:
+            fn += 1
+        else:
+            tn += 1
+    r = _q(spark, "mcc_binary_rule").collect()[0]
+    assert (r.tp, r.fp, r.fn, r.tn) == (tp, fp, fn, tn)
+    want = (
+        (float(tp) * float(tn) - float(fp) * float(fn))
+        / math.sqrt(float(tp + fp))
+        / math.sqrt(float(tp + fn))
+        / math.sqrt(float(tn + fp))
+        / math.sqrt(float(tn + fn))
+    )
+    assert r.mcc == want
+    assert -1.0 <= r.mcc <= 1.0

@@ -90,6 +90,9 @@ WHITELIST = {
     "cramers_v_effect": "1-row (n, rdim, cdim) totals attach onto the tiny contingency cell table (the chi2_priority_status attach + fold)",
     "hellinger_drift": "1-row date-bounds aggregate broadcast onto the fact scan for the half split (single attach)",
     "dow_hour_profile": "1-row grand-total aggregate broadcast onto the <=168-cell calendar grid (the chi2 attach)",
+    "dtw_distance_regions": "|regions|=5-row series table self-paired by inequality (10 pairs, constant; the DP runs inside per-row folds)",
+    "cochran_q_test": "three 1-row moment aggregates (b / column / row totals) cross-attached for the Q ratio",
+    "mcc_binary_rule": "1-row global LOW-median rank pick broadcast onto the fact rows (the mcnemar_test attach)",
     "levene_brown_forsythe": "1-row grand-totals aggregate broadcast onto the |groups|-row deviation-moment table (the anova_oneway attach on |x-median|)",
     "jackknife_group_means": "1-row grand-total aggregate broadcast onto the |groups|-row moment table (the leave-out algebra)",
     "cart_tree_depth2": "1-row root-decision broadcast re-tags the cohort (the tree-iteration attach); cart_root_split's scalar threshold attach likewise",
