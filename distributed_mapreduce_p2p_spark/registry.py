@@ -26092,6 +26092,219 @@ def q_mcc_binary_rule(spark, sf_dir):
     )
 
 
+@register(
+    "price_index_fisher",
+    oracle="""
+    WITH yr AS (
+      SELECT CAST(MIN(YEAR(CAST(l_shipdate AS DATE))) AS BIGINT)
+               AS base_y
+      FROM lineitem
+    ), pq AS (
+      SELECT l_partkey AS pk,
+             CAST(YEAR(CAST(l_shipdate AS DATE)) AS BIGINT) AS y,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+                           * 100 AS BIGINT)) AS BIGINT) AS spend,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1, 2
+    ), base AS (
+      SELECT pk, spend AS spend0, qty AS qty0,
+             spend // qty AS p0_c
+      FROM pq CROSS JOIN yr WHERE y = base_y AND qty > 0
+    ), cur AS (
+      SELECT pk, y, spend // qty AS p1_c, qty AS qty1
+      FROM pq WHERE qty > 0
+    ), joined AS (
+      SELECT c.y,
+             CAST(SUM(c.p1_c * b.qty0) AS BIGINT) AS l_num,
+             CAST(SUM(b.p0_c * b.qty0) AS BIGINT) AS l_den,
+             CAST(SUM(c.p1_c * c.qty1) AS BIGINT) AS p_num,
+             CAST(SUM(b.p0_c * c.qty1) AS BIGINT) AS p_den,
+             CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM cur c JOIN base b ON b.pk = c.pk
+      GROUP BY 1
+    )
+    SELECT y AS year, n_parts,
+           CAST(l_num * 1000000 // l_den AS BIGINT) AS laspeyres_ppm,
+           CAST(p_num * 1000000 // p_den AS BIGINT) AS paasche_ppm,
+           sqrt((CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE))
+                * (CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE)))
+             AS fisher
+    FROM joined
+    """,
+)
+def q_price_index_fisher(spark, sf_dir):
+    """Laspeyres / Paasche / Fisher price indices per year against
+    the first observed year as base — the national-accounts
+    machinery (Fisher 1922, public) applied to part-level unit
+    prices: Laspeyres weights price relatives by BASE-year
+    quantities (overstates inflation under substitution), Paasche by
+    CURRENT-year quantities (understates), Fisher is their geometric
+    mean. Unit prices are pinned integer CENTS (spend DIV qty —
+    sub-cent remainders truncate identically on both engines;
+    micro-cent units would push the ppm numerators past int64); both index numerators/denominators are exact BIGINT
+    basket sums over parts present in base AND current year (the
+    matched-basket convention, documented), the two ppm indices are
+    integer DIVs, and Fisher is the one mirrored sqrt of their
+    product. One fact agg to (part, year) cells; everything after is
+    cell-sized."""
+    li = _t(spark, sf_dir, "lineitem")
+    yr = li.agg(
+        F.min(F.year(F.col("l_shipdate").cast("date")))
+        .cast("long")
+        .alias("base_y")
+    )
+    pq = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.year(F.col("l_shipdate").cast("date")).cast("long").alias("y"),
+    ).agg(
+        F.sum(
+            F.expr(
+                "CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100"
+                " AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("spend"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+    ).localCheckpoint(eager=False)
+    base = (
+        pq.crossJoin(broadcast(yr))
+        .where((F.col("y") == F.col("base_y")) & (F.col("qty") > 0))
+        .select(
+            "pk",
+            F.expr("spend DIV qty").alias("p0_c"),
+            F.col("qty").alias("qty0"),
+        )
+    )
+    cur = pq.where(F.col("qty") > 0).select(
+        "pk",
+        "y",
+        F.expr("spend DIV qty").alias("p1_c"),
+        F.col("qty").alias("qty1"),
+    )
+    joined = (
+        cur.join(base, "pk")
+        .groupBy("y")
+        .agg(
+            F.sum(F.col("p1_c") * F.col("qty0"))
+            .cast("long")
+            .alias("l_num"),
+            F.sum(F.col("p0_c") * F.col("qty0"))
+            .cast("long")
+            .alias("l_den"),
+            F.sum(F.col("p1_c") * F.col("qty1"))
+            .cast("long")
+            .alias("p_num"),
+            F.sum(F.col("p0_c") * F.col("qty1"))
+            .cast("long")
+            .alias("p_den"),
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+        )
+    )
+    return joined.select(
+        F.col("y").alias("year"),
+        "n_parts",
+        F.expr("CAST(l_num * 1000000 DIV l_den AS BIGINT)").alias(
+            "laspeyres_ppm"
+        ),
+        F.expr("CAST(p_num * 1000000 DIV p_den AS BIGINT)").alias(
+            "paasche_ppm"
+        ),
+        F.expr(
+            "sqrt((CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE))"
+            " * (CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE)))"
+        ).alias("fisher"),
+    )
+
+
+@register(
+    "value_tier_migration",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey AS cust,
+             CAST(YEAR(CAST(o_orderdate AS DATE)) AS BIGINT) AS y,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ), ranked AS (
+      SELECT cust, y, cents,
+             ROW_NUMBER() OVER (PARTITION BY y
+                                ORDER BY cents, cust) AS rn,
+             COUNT(*) OVER (PARTITION BY y) AS n
+      FROM spend
+    ), tiered AS (
+      SELECT cust, y,
+             CAST(((rn - 1) * 4) // n + 1 AS BIGINT) AS tier
+      FROM ranked
+    )
+    SELECT a.tier AS tier_from, b.tier AS tier_to,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM tiered a JOIN tiered b
+      ON a.cust = b.cust AND b.y = a.y + 1
+    GROUP BY 1, 2
+    """,
+)
+def q_value_tier_migration(spark, sf_dir):
+    """Customer value-tier migration matrix — the credit-risk
+    roll-rate report applied to revenue: customers are quartiled by
+    annual spend WITHIN each year (rank-derived tier ((rn−1)·4) DIV
+    n + 1 with a pinned (cents, cust) tie-break — NTILE's remainder
+    placement is engine-defined, the explicit formula is not), and
+    the matrix counts year-over-year transitions. The diagonal is
+    retention-of-value, below-diagonal is decay, absent-next-year
+    customers simply don't join (churn is churn_hazard_by_tenure's
+    job). Per-year rank windows on customer-year cells; the
+    transition join is keyed on customer — two cell shuffles
+    total."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy(
+        F.col("o_custkey").alias("cust"),
+        F.year(F.col("o_orderdate").cast("date")).cast("long").alias("y"),
+    ).agg(
+        F.sum(
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100"
+                " AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.partitionBy("y").orderBy("cents", "cust")
+    wn = Window.partitionBy("y")
+    tiered = (
+        spend.select(
+            "cust",
+            "y",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .select(
+            "cust",
+            "y",
+            F.expr(
+                "CAST(((rn - 1) * 4) DIV n + 1 AS BIGINT)"
+            ).alias("tier"),
+        )
+        # cell-sized; both sides of the transition self-join read it
+        .localCheckpoint(eager=False)
+    )
+    a = tiered.alias("a")
+    b = tiered.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cust") == F.col("b.cust"))
+            & (F.col("b.y") == F.col("a.y") + 1),
+        )
+        .groupBy(
+            F.col("a.tier").alias("tier_from"),
+            F.col("b.tier").alias("tier_to"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -26273,7 +26486,8 @@ _FRONT: list[str] = [
     # streaming_chained_max_counts, window_funnel_strict,
     # golden_record_merge, percentile_cont_exact,
     # audio_silence_runs, hellinger_drift, dow_hour_profile,
-    # dtw_distance_regions, cochran_q_test, mcc_binary_rule.
+    # dtw_distance_regions, cochran_q_test, mcc_binary_rule,
+    # price_index_fisher, value_tier_migration.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

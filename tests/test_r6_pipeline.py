@@ -7043,3 +7043,93 @@ def test_mcc_binary_rule_recompute(spark):
     )
     assert r.mcc == want
     assert -1.0 <= r.mcc <= 1.0
+
+
+def test_price_index_fisher_recompute(spark):
+    """L/P/F indices equal the matched-basket replay; base-year
+    indices are exactly 1e6/1.0 and Fisher lies between L and P."""
+    import math
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    pq = defaultdict(lambda: [0, 0])
+    for li in read_table(spark, SF_SMALL, "lineitem").collect():
+        cents = int(
+            Decimal(str(li.l_extendedprice)).quantize(Decimal("0.01"))
+            * 100
+        )
+        a = pq[(li.l_partkey, li.l_shipdate.year)]
+        a[0] += cents
+        a[1] += int(li.l_quantity)
+    base_y = min(y for _, y in pq)
+    p0 = {
+        pk: (s // q, q)
+        for (pk, y), (s, q) in pq.items()
+        if y == base_y and q > 0
+    }
+    per_year = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for (pk, y), (s, q) in pq.items():
+        if q <= 0 or pk not in p0:
+            continue
+        p1 = s // q
+        b_p, b_q = p0[pk]
+        a = per_year[y]
+        a[0] += p1 * b_q
+        a[1] += b_p * b_q
+        a[2] += p1 * q
+        a[3] += b_p * q
+        a[4] += 1
+    rows = {r.year: r for r in _q(spark, "price_index_fisher").collect()}
+    assert set(rows) == set(per_year)
+    for y, (ln, ld, pn, pd, np_) in per_year.items():
+        r = rows[y]
+        assert r.n_parts == np_
+        assert r.laspeyres_ppm == ln * 1_000_000 // ld
+        assert r.paasche_ppm == pn * 1_000_000 // pd
+        want_f = math.sqrt((float(ln) / float(ld)) * (float(pn) / float(pd)))
+        assert r.fisher == want_f
+        lo = min(float(ln) / ld, float(pn) / pd)
+        hi = max(float(ln) / ld, float(pn) / pd)
+        assert lo - 1e-9 <= r.fisher <= hi + 1e-9
+    assert rows[base_y].laspeyres_ppm == 1_000_000
+    assert rows[base_y].paasche_ppm == 1_000_000
+
+
+def test_value_tier_migration_recompute(spark):
+    """The migration matrix equals the rank-quartile replay with the
+    pinned (cents, cust) tie-break, and column sums equal the
+    retained-customer counts per target year tier."""
+    from collections import Counter, defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    spend = defaultdict(int)
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        spend[(o.o_custkey, o.o_orderdate.year)] += int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01"))
+            * 100
+        )
+    by_year = defaultdict(list)
+    for (cust, y), cents in spend.items():
+        by_year[y].append((cents, cust))
+    tier = {}
+    for y, lst in by_year.items():
+        lst.sort()
+        n = len(lst)
+        for i, (cents, cust) in enumerate(lst, start=1):
+            tier[(cust, y)] = (i - 1) * 4 // n + 1
+    want = Counter()
+    for (cust, y), t in tier.items():
+        t2 = tier.get((cust, y + 1))
+        if t2 is not None:
+            want[(t, t2)] += 1
+    got = {
+        (r.tier_from, r.tier_to): r.n_customers
+        for r in _q(spark, "value_tier_migration").collect()
+    }
+    assert got == dict(want)
