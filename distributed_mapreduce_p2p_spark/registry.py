@@ -26305,6 +26305,244 @@ def q_value_tier_migration(spark, sf_dir):
     )
 
 
+@register(
+    "sequential_pairs_support",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id, event_type,
+             CAST(MIN(epoch_us(ts)) AS BIGINT) AS t_min,
+             CAST(MAX(epoch_us(ts)) AS BIGINT) AS t_max
+      FROM events GROUP BY 1, 2
+    ), users AS (
+      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events
+    ), pairs AS (
+      SELECT a.event_type AS t_first, b.event_type AS t_then,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM spans a JOIN spans b
+        ON a.user_id = b.user_id
+       AND a.event_type <> b.event_type
+       AND a.t_min < b.t_max
+      GROUP BY 1, 2
+    )
+    SELECT t_first, t_then, support,
+           CAST(support * 1000000 // u.n_users AS BIGINT)
+             AS support_ppm
+    FROM pairs CROSS JOIN users u
+    """,
+)
+def q_sequential_pairs_support(spark, sf_dir):
+    """Sequential-pattern support for ordered type pairs (the depth-2
+    slice of PrefixSpan/GSP, public): how many users exhibit 'some A
+    happens before some B' — which event_transition_matrix (ADJACENT
+    steps only) structurally undercounts, because an interleaved C
+    breaks adjacency but not sequence. The existence test 'any A
+    before any B' reduces EXACTLY to min_ts(A) < max_ts(B), so the
+    whole pattern mine is one (user, type) span aggregation and a
+    per-user |types|²-bounded self-join — no per-event pair blowup,
+    no sequence explode. Support in pinned ppm of all users. At
+    100 TB the span table is |users|·|types| rows; the fact pass is
+    one keyed agg."""
+    ev = _t(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id", "event_type").agg(
+        F.min(_epoch_us("ts")).cast("long").alias("t_min"),
+        F.max(_epoch_us("ts")).cast("long").alias("t_max"),
+    )
+    users = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    a = spans.alias("a")
+    b = spans.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") != F.col("b.event_type"))
+            & (F.col("a.t_min") < F.col("b.t_max")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("t_first"),
+            F.col("b.event_type").alias("t_then"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    return pairs.crossJoin(broadcast(users)).select(
+        "t_first",
+        "t_then",
+        "support",
+        F.expr(
+            "CAST(support * 1000000 DIV n_users AS BIGINT)"
+        ).alias("support_ppm"),
+    )
+
+
+@register(
+    "monthly_ohlc_bars",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(YEAR(CAST(o_orderdate AS DATE)) * 12
+                  + MONTH(CAST(o_orderdate AS DATE)) AS BIGINT)
+               AS midx,
+             date_diff('day', DATE '1990-01-01',
+                       CAST(o_orderdate AS DATE)) AS d,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT midx,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(arg_min(cents, d) AS DOUBLE) / 100.0 AS open,
+           CAST(MAX(cents) AS DOUBLE) / 100.0 AS high,
+           CAST(MIN(cents) AS DOUBLE) / 100.0 AS low,
+           CAST(arg_max(cents, d) AS DOUBLE) / 100.0 AS close
+    FROM daily GROUP BY 1
+    """,
+)
+def q_monthly_ohlc_bars(spark, sf_dir):
+    """Monthly OHLC bars over the daily revenue series — the
+    downsampling primitive every time-series store ships (candlestick
+    charts, coarse-grained anomaly triage): open = first day's value,
+    close = last day's, high/low the extremes, all from ONE grouped
+    pass using min_by/max_by keyed on the integer epoch day (days
+    within a month are unique, so no tie-break is needed — unlike
+    golden_record_merge's composite keys). Values are exact cents
+    with the display division last. The cell table is
+    days-of-history-sized at any fact scale."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr(
+            "CAST(YEAR(CAST(o_orderdate AS DATE)) * 12"
+            " + MONTH(CAST(o_orderdate AS DATE)) AS BIGINT)"
+        ).alias("midx"),
+        F.expr(
+            "date_diff(CAST(o_orderdate AS DATE), DATE '1990-01-01')"
+        ).alias("d"),
+    ).agg(
+        F.sum(
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100"
+                " AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    return daily.groupBy("midx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (F.expr("min_by(cents, d)").cast("double") / 100.0).alias(
+            "open"
+        ),
+        (F.max("cents").cast("double") / 100.0).alias("high"),
+        (F.min("cents").cast("double") / 100.0).alias("low"),
+        (F.expr("max_by(cents, d)").cast("double") / 100.0).alias(
+            "close"
+        ),
+    )
+
+
+@register(
+    "trade_reciprocity",
+    oracle="""
+    WITH trade AS MATERIALIZED (
+      SELECT c_nationkey AS cn, s_nationkey AS sn,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1 - l_discount AS DECIMAL(4,2))) AS vol
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2
+    ), dir_e AS MATERIALIZED (
+      SELECT cn, sn FROM trade
+      WHERE cn <> sn
+        AND CAST(vol AS DOUBLE)
+              * (SELECT COUNT(*) FROM trade WHERE cn <> sn)
+            > (SELECT CAST(SUM(vol) AS DOUBLE) FROM trade
+               WHERE cn <> sn)
+    ), stats AS (
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM dir_e) AS n_edges,
+        (SELECT CAST(COUNT(*) AS BIGINT)
+         FROM dir_e a JOIN dir_e b
+           ON a.cn = b.sn AND a.sn = b.cn) AS n_recip
+    )
+    SELECT n_edges, n_recip,
+           CAST(n_recip * 1000000 // n_edges AS BIGINT)
+             AS reciprocity_ppm
+    FROM stats
+    """,
+)
+def q_trade_reciprocity(spark, sf_dir):
+    """Reciprocity of the DIRECTED trade graph — what fraction of
+    above-mean buyer→seller relationships flow back the other way
+    (Newman's reciprocity, public): the one number separating a
+    hub-and-spoke trade structure from mutual trading blocs, and a
+    DIRECTED metric the undirected _trade_und family (triangles,
+    truss, components) cannot express — so this entry derives its
+    edge set from the directed (cn, sn) volumes with the same
+    above-mean rule, NOT from the undirected memo. n_recip counts
+    ordered edges whose transpose exists (each mutual pair counts
+    twice — the standard convention, so reciprocity_ppm is directly
+    r = |E ∩ Eᵀ|/|E|). One fact-scale agg; the transpose join runs
+    on ≤|nations|² cells."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    trade = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("cn"),
+            F.col("s_nationkey").alias("sn"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+            ).alias("vol")
+        )
+        .localCheckpoint(eager=True)
+    )
+    totals = trade.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("vol").cast("double").alias("total_vol"),
+    )
+    dir_e = (
+        trade.crossJoin(broadcast(totals))
+        .where(
+            F.col("vol").cast("double") * F.col("n_pairs")
+            > F.col("total_vol")
+        )
+        .select("cn", "sn")
+        .localCheckpoint(eager=True)
+    )
+    a = dir_e.alias("a")
+    b = dir_e.alias("b")
+    recip = a.join(
+        b,
+        (F.col("a.cn") == F.col("b.sn")) & (F.col("a.sn") == F.col("b.cn")),
+    )
+    stats = dir_e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    ).crossJoin(
+        broadcast(
+            recip.agg(F.count(F.lit(1)).cast("long").alias("n_recip"))
+        )
+    )
+    return stats.select(
+        "n_edges",
+        "n_recip",
+        F.expr(
+            "CAST(n_recip * 1000000 DIV n_edges AS BIGINT)"
+        ).alias("reciprocity_ppm"),
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -26487,7 +26725,8 @@ _FRONT: list[str] = [
     # golden_record_merge, percentile_cont_exact,
     # audio_silence_runs, hellinger_drift, dow_hour_profile,
     # dtw_distance_regions, cochran_q_test, mcc_binary_rule,
-    # price_index_fisher, value_tier_migration.
+    # price_index_fisher, value_tier_migration,
+    # sequential_pairs_support, monthly_ohlc_bars, trade_reciprocity.
     # ngram_lm_next_token, tokenizer_apply_bpe, equidepth_bins,
     # audio_resample_checksum, image_channel_stats,
     # kmeans_assign_iter, event_path_topk,

@@ -7133,3 +7133,122 @@ def test_value_tier_migration_recompute(spark):
         for r in _q(spark, "value_tier_migration").collect()
     }
     assert got == dict(want)
+
+
+def test_sequential_pairs_recompute(spark):
+    """Support equals the per-user any-A-before-any-B replay, and is
+    always >= the adjacent-transition user count for the same pair
+    ordering logic (sequence subsumes adjacency)."""
+    from collections import defaultdict
+    from datetime import datetime
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    epoch = datetime(1970, 1, 1)
+
+    def us(ts):
+        d = ts - epoch
+        return (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+
+    spans = {}
+    users = set()
+    for e in read_table(spark, SF_SMALL, "events").collect():
+        users.add(e.user_id)
+        k = (e.user_id, e.event_type)
+        t = us(e.ts)
+        lo, hi = spans.get(k, (t, t))
+        spans[k] = (min(lo, t), max(hi, t))
+    want = defaultdict(int)
+    by_user = defaultdict(dict)
+    for (u, t), (lo, hi) in spans.items():
+        by_user[u][t] = (lo, hi)
+    for u, d in by_user.items():
+        for ta, (lo_a, _) in d.items():
+            for tb, (_, hi_b) in d.items():
+                if ta != tb and lo_a < hi_b:
+                    want[(ta, tb)] += 1
+    rows = _q(spark, "sequential_pairs_support").collect()
+    assert {(r.t_first, r.t_then): r.support for r in rows} == dict(
+        want
+    )
+    for r in rows:
+        assert r.support_ppm == r.support * 1_000_000 // len(users)
+
+
+def test_monthly_ohlc_recompute(spark):
+    """OHLC equals the daily replay; low <= open/close <= high."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    daily = defaultdict(int)
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        daily[
+            (
+                o.o_orderdate.year * 12 + o.o_orderdate.month,
+                o.o_orderdate.date(),
+            )
+        ] += int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01"))
+            * 100
+        )
+    per_m = defaultdict(list)
+    for (midx, d), cents in daily.items():
+        per_m[midx].append((d, cents))
+    rows = {r.midx: r for r in _q(spark, "monthly_ohlc_bars").collect()}
+    assert set(rows) == set(per_m)
+    for midx, lst in per_m.items():
+        lst.sort()
+        r = rows[midx]
+        assert r.n_days == len(lst)
+        assert r.open == lst[0][1] / 100.0
+        assert r.close == lst[-1][1] / 100.0
+        assert r.high == max(c for _, c in lst) / 100.0
+        assert r.low == min(c for _, c in lst) / 100.0
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+
+
+def test_trade_reciprocity_recompute(spark):
+    """Reciprocity equals the directed above-mean edge replay; the
+    reciprocated count is even by symmetry."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    okey = {
+        o.o_orderkey: o.o_custkey
+        for o in read_table(spark, SF_SMALL, "orders").collect()
+    }
+    cnat = {
+        c.c_custkey: c.c_nationkey
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    snat = {
+        s.s_suppkey: s.s_nationkey
+        for s in read_table(spark, SF_SMALL, "supplier").collect()
+    }
+    vol = defaultdict(Decimal)
+    for li in read_table(spark, SF_SMALL, "lineitem").collect():
+        cn = cnat[okey[li.l_orderkey]]
+        sn = snat[li.l_suppkey]
+        if cn == sn:
+            continue
+        p = Decimal(str(li.l_extendedprice)).quantize(Decimal("0.01"))
+        d = Decimal(str(li.l_discount)).quantize(Decimal("0.01"))
+        vol[(cn, sn)] += p * (1 - d)
+    n_pairs = len(vol)
+    total = sum(vol.values())
+    edges = {
+        k for k, v in vol.items() if float(v) * n_pairs > float(total)
+    }
+    recip = sum(1 for (a, b) in edges if (b, a) in edges)
+    r = _q(spark, "trade_reciprocity").collect()[0]
+    assert (r.n_edges, r.n_recip) == (len(edges), recip)
+    assert recip % 2 == 0
+    assert r.reciprocity_ppm == recip * 1_000_000 // len(edges)
