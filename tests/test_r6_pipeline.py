@@ -7252,3 +7252,24 @@ def test_trade_reciprocity_recompute(spark):
     assert (r.n_edges, r.n_recip) == (len(edges), recip)
     assert recip % 2 == 0
     assert r.reciprocity_ppm == recip * 1_000_000 // len(edges)
+
+
+def test_dedup_detector_agreement_recompute(spark):
+    """Confusion counts equal the set algebra over the two registered
+    detectors' own outputs — the entry can never disagree with what
+    it evaluates."""
+    sim = {
+        (r.doc_a, r.doc_b)
+        for r in _q(spark, "simhash_pairs").collect()
+    }
+    mh = {
+        (r.doc_a, r.doc_b)
+        for r in _q(spark, "minhash_lsh_pairs").collect()
+    }
+    r = _q(spark, "dedup_detector_agreement").collect()[0]
+    tp, fp, fn = len(sim & mh), len(sim - mh), len(mh - sim)
+    assert (r.tp, r.fp, r.fn) == (tp, fp, fn)
+    if tp + fp > 0:
+        assert r.precision_ppm == tp * 1_000_000 // (tp + fp)
+    if tp + fn > 0:
+        assert r.recall_ppm == tp * 1_000_000 // (tp + fn)
