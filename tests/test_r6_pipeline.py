@@ -7273,3 +7273,108 @@ def test_dedup_detector_agreement_recompute(spark):
         assert r.precision_ppm == tp * 1_000_000 // (tp + fp)
     if tp + fn > 0:
         assert r.recall_ppm == tp * 1_000_000 // (tp + fn)
+
+
+def test_ratio_metric_delta_recompute(spark):
+    """Ratio and delta-method variance equal the customer-level
+    replay; variance is non-negative."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    nat = {
+        x.n_nationkey: x.n_name
+        for x in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    nation_of = {
+        c.c_custkey: nat[c.c_nationkey]
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    per = defaultdict(lambda: [0, 0])
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        a = per[(nation_of[o.o_custkey], o.o_custkey)]
+        a[0] += (
+            int(
+                Decimal(str(o.o_totalprice)).quantize(Decimal("0.01"))
+                * 100
+            )
+        )
+        a[1] += 1
+    groups = defaultdict(list)
+    for (name, cust), (cents, y) in per.items():
+        groups[name].append((cents // 100, y))
+    rows = {r.n_name: r for r in _q(spark, "ratio_metric_delta_ci").collect()}
+    for name, lst in groups.items():
+        n = len(lst)
+        if n <= 1:
+            continue
+        sx = sum(x for x, _ in lst)
+        sy = sum(y for _, y in lst)
+        sxx = sum(x * x for x, _ in lst)
+        syy = sum(y * y for _, y in lst)
+        sxy = sum(x * y for x, y in lst)
+        r = rows[name]
+        assert r.n == n
+        ratio = float(sx) / float(sy)
+        assert r.ratio == ratio
+        num = (
+            (float(sxx) - float(sx) * float(sx) / float(n))
+            + ratio * ratio * (float(syy) - float(sy) * float(sy) / float(n))
+            - 2.0 * ratio * (float(sxy) - float(sx) * float(sy) / float(n))
+        )
+        want = (
+            num
+            / (float(n) - 1.0)
+            / ((float(sy) / float(n)) * (float(sy) / float(n)))
+            / float(n)
+        )
+        assert r.var_ratio == want
+        assert r.var_ratio >= 0.0
+
+
+def test_cuped_adjustment_recompute(spark):
+    """theta/rho² equal the pre-post replay and the identity
+    var_adj = var_post·(1 − ρ²) holds exactly in the n²-scaled
+    doubles."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    orders = read_table(spark, SF_SMALL, "orders").collect()
+    y0 = min(o.o_orderdate.year for o in orders)
+    y1 = max(o.o_orderdate.year for o in orders)
+    mid = (y0 + y1) // 2
+    per = defaultdict(lambda: [0, 0])
+    for o in orders:
+        d = int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01"))
+            * 100
+        ) // 100
+        if o.o_orderdate.year <= mid:
+            per[o.o_custkey][0] += d
+        else:
+            per[o.o_custkey][1] += d
+    n = len(per)
+    sp = sum(p for p, _ in per.values())
+    sq = sum(q for _, q in per.values())
+    spp = sum(p * p for p, _ in per.values())
+    sqq = sum(q * q for _, q in per.values())
+    spq = sum(p * q for p, q in per.values())
+    cov = float(n) * float(spq) - float(sp) * float(sq)
+    varp = float(n) * float(spp) - float(sp) * float(sp)
+    varq = float(n) * float(sqq) - float(sq) * float(sq)
+    r = _q(spark, "cuped_adjustment").collect()[0]
+    assert r.n == n
+    assert r.theta == cov / varp
+    assert r.var_post_n2 == varq
+    assert r.var_adj_n2 == varq - cov * cov / varp
+    assert r.rho2 == 1.0 - (1.0 - (cov * cov) / (varp * varq))
+    assert 0.0 <= r.rho2 <= 1.0
+    # the CUPED identity, up to the two expressions' shared algebra
+    assert abs(r.var_adj_n2 - r.var_post_n2 * (1.0 - r.rho2)) <= max(
+        1e-9 * r.var_post_n2, 1e-6
+    )

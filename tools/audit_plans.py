@@ -95,6 +95,7 @@ WHITELIST = {
     "mcc_binary_rule": "1-row global LOW-median rank pick broadcast onto the fact rows (the mcnemar_test attach)",
     "sequential_pairs_support": "1-row distinct-user total attached to the |types|^2-bounded pair support table",
     "trade_reciprocity": "1-row volume-totals attach gating the directed edge rule (the trade_graph_triangles shape) + 1-row reciprocal-count attach",
+    "cuped_adjustment": "1-row year-bounds aggregate broadcast onto the fact scan for the pre/post split (the hellinger_drift attach)",
     "levene_brown_forsythe": "1-row grand-totals aggregate broadcast onto the |groups|-row deviation-moment table (the anova_oneway attach on |x-median|)",
     "jackknife_group_means": "1-row grand-total aggregate broadcast onto the |groups|-row moment table (the leave-out algebra)",
     "cart_tree_depth2": "1-row root-decision broadcast re-tags the cohort (the tree-iteration attach); cart_root_split's scalar threshold attach likewise",
