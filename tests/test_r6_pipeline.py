@@ -7378,3 +7378,58 @@ def test_cuped_adjustment_recompute(spark):
     assert abs(r.var_adj_n2 - r.var_post_n2 * (1.0 - r.rho2)) <= max(
         1e-9 * r.var_post_n2, 1e-6
     )
+
+
+def test_month_end_lift_recompute(spark):
+    """Shares and length-aware expectations equal the calendar
+    replay, including a manual February check (dim = 28/29)."""
+    import calendar
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    nat = {
+        x.n_nationkey: x.n_name
+        for x in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    nation_of = {
+        c.c_custkey: nat[c.c_nationkey]
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    agg = defaultdict(lambda: [0, 0, 0])
+    feb_seen = False
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        cents = int(
+            Decimal(str(o.o_totalprice)).quantize(Decimal("0.01"))
+            * 100
+        )
+        d = o.o_orderdate.date()
+        dim = calendar.monthrange(d.year, d.month)[1]
+        if d.month == 2:
+            feb_seen = True
+            assert dim in (28, 29)
+        last3 = cents if dim - d.day <= 2 else 0
+        a = agg[nation_of[o.o_custkey]]
+        a[0] += cents
+        a[1] += last3
+        a[2] += cents * 3 * 1_000_000 // dim
+    assert feb_seen
+    rows = {r.n_name: r for r in _q(spark, "month_end_lift").collect()}
+    want_names = {
+        n
+        for n, (t, _, e) in agg.items()
+        if t > 0 and e // t > 0
+    }
+    assert set(rows) == want_names
+    for name in want_names:
+        total, last3, exp_scaled = agg[name]
+        r = rows[name]
+        assert r.last3_revenue == last3 / 100.0
+        assert r.share_ppm == last3 * 1_000_000 // total
+        assert r.expected_share_ppm == exp_scaled // total
+        assert r.lift_ppm == (
+            (last3 * 1_000_000 // total) * 1_000_000
+            // (exp_scaled // total)
+        )
