@@ -239,6 +239,47 @@ SHOWCASE: list[tuple[str, str]] = [
         "single-partition row_number over a dimension); accidental "
         "positives removed by a LeftAnti hash join on (cust, part).",
     ),
+    (
+        "jonckheere_terpstra",
+        "All 10 ordered-group-pair 2U statistics from ONE cumulative "
+        "cell window (a_i = 2·lt_i + ct_i lanes per value cell, pair "
+        "sum telescoped to c_j·Σa_i) — k-sample rank machinery at the "
+        "mann_whitney_u shuffle count.",
+    ),
+    (
+        "trending_brands_weekly",
+        "Trailing-4-week base via a 4-element OFFSET-EXPLODE on sparse "
+        "week cells (each cell re-keyed to the weeks it serves) — no "
+        "range join, no dense calendar; rank window partitioned by "
+        "week only.",
+    ),
+    (
+        "embedding_pair_sim_histogram",
+        "TakeOrderedAndProject hash-rank sample (128 ids) bounds the "
+        "pair join at 8128 rows at ANY corpus size; exact integer "
+        "signed-cos² buckets — the calibration histogram's cost is "
+        "scale-invariant by construction.",
+    ),
+    (
+        "dtw_distance_regions",
+        "Pure-BIGINT DTW: the DP runs INSIDE per-row aggregate() folds "
+        "over the 5-row series table (broadcast inequality pair join, "
+        "10 pairs) — zero shuffles at DP time; integer costs make any "
+        "evaluation strategy bit-identical.",
+    ),
+    (
+        "window_funnel_strict",
+        "Greedy 4-step funnel as a per-user sorted-array fold "
+        "(state = 4 completion timestamps) after one user-keyed "
+        "shuffle — the batch twin of a transformWithState machine, "
+        "with exact epoch-us comparisons.",
+    ),
+    (
+        "nearest_event_join",
+        "Bidirectional nearest-neighbor via IGNORE NULLS last/first "
+        "flanking lanes in ONE user-keyed window — the purchases × "
+        "clicks range join never materializes; epoch-us integer gaps.",
+    ),
 ]
 
 

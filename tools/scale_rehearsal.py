@@ -142,6 +142,22 @@ QUERIES = [
     "image_phash_buckets",
     "longest_daily_streak",
     "feature_hash_vectors",
+    # r6 session 2 close: the remaining novel shapes — per-user funnel
+    # fold, span-reduction sequence mining, bounded-DP DTW, truss
+    # peel rounds, offset-explode decomposition, seasonal HW fold,
+    # minimax isotonic, tier-migration rank cells, matched-basket
+    # index, composed detector eval, real-byte audio runs
+    "window_funnel_strict",
+    "sequential_pairs_support",
+    "dtw_distance_regions",
+    "truss_peel_rounds",
+    "seasonal_decompose_ratio",
+    "holt_winters_forecast",
+    "isotonic_regression_monthly",
+    "value_tier_migration",
+    "price_index_fisher",
+    "dedup_detector_agreement",
+    "audio_silence_runs",
 ]
 
 
