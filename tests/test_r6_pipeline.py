@@ -7433,3 +7433,94 @@ def test_month_end_lift_recompute(spark):
             (last3 * 1_000_000 // total) * 1_000_000
             // (exp_scaled // total)
         )
+
+
+def test_gini_mean_difference_recompute(spark):
+    """GMD numerator equals both the rank identity AND the O(n²)
+    pairwise |xi − xj| definition (on a small nation)."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    nat = {
+        x.n_nationkey: x.n_name
+        for x in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    nation_of = {
+        c.c_custkey: nat[c.c_nationkey]
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    vals = defaultdict(list)
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        vals[nation_of[o.o_custkey]].append(
+            int(
+                Decimal(str(o.o_totalprice)).quantize(Decimal("0.01"))
+                * 100
+            )
+        )
+    rows = {r.n_name: r for r in _q(spark, "gini_mean_difference").collect()}
+    for name, xs in vals.items():
+        if len(xs) <= 1:
+            continue
+        xs.sort()
+        n = len(xs)
+        num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+        r = rows[name]
+        assert (r.n, r.num) == (n, num)
+        assert r.gmd == 2.0 * float(num) / float(n * (n - 1)) / 100.0
+        # pairwise ground truth on one modest nation
+        if n <= 400:
+            pair = sum(
+                abs(a - b) for i, a in enumerate(xs) for b in xs[i + 1 :]
+            )
+            assert num == pair
+
+
+def test_bowley_skewness_recompute(spark):
+    """Quartile picks and the ppm ratio equal the LOW-rank replay;
+    bowley is bounded in [-1e6, 1e6]."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    nat = {
+        x.n_nationkey: x.n_name
+        for x in read_table(spark, SF_SMALL, "nation").collect()
+    }
+    nation_of = {
+        c.c_custkey: nat[c.c_nationkey]
+        for c in read_table(spark, SF_SMALL, "customer").collect()
+    }
+    vals = defaultdict(list)
+    for o in read_table(spark, SF_SMALL, "orders").collect():
+        vals[nation_of[o.o_custkey]].append(
+            int(
+                Decimal(str(o.o_totalprice)).quantize(Decimal("0.01"))
+                * 100
+            )
+        )
+    rows = {r.n_name: r for r in _q(spark, "bowley_skewness").collect()}
+    for name, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        q1 = xs[(n + 3) // 4 - 1]
+        q2 = xs[(n + 1) // 2 - 1]
+        q3 = xs[(3 * n + 1) // 4 - 1]
+        r = rows[name]
+        assert (r.q1, r.median, r.q3) == (
+            q1 / 100.0,
+            q2 / 100.0,
+            q3 / 100.0,
+        )
+        if q3 > q1:
+            num = q3 + q1 - 2 * q2
+            want = (
+                abs(num) * 1_000_000 // (q3 - q1)
+            ) * (1 if num >= 0 else -1)
+            # SQL DIV truncates toward zero; mirror exactly
+            assert r.bowley_ppm == want
+            assert -1_000_000 <= r.bowley_ppm <= 1_000_000
