@@ -211,6 +211,7 @@ def build_scaled(spark, out_dir: str) -> None:
         "part": ("p_partkey",),
     }
     read_table(spark, SF, "nation").write.parquet(f"{out_dir}/nation.parquet")
+    read_table(spark, SF, "region").write.parquet(f"{out_dir}/region.parquet")
     for tname, keys in rekey.items():
         t = read_table(spark, SF, tname)
         t.crossJoin(reps).select(
