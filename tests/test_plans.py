@@ -755,6 +755,56 @@ def test_abc_cumsum_no_single_partition_exchange(spark):
     assert simple.count("SinglePartition") <= 1, simple
 
 
+def test_sequence_packing_no_single_partition_exchange(spark):
+    """sequence_packing's corpus-wide running token sum must run as
+    the two-phase global_cumsum (range-repartition + per-pid windows +
+    broadcast offsets), NOT a partition-less Window.orderBy that
+    serializes the whole corpus through one task (the r6 verdict's
+    one scale-killer finding). At most the n_parts-row offsets table
+    passes through a SinglePartition exchange."""
+    from distributed_mapreduce_p2p_spark.plans.explain import explain_str
+
+    simple = explain_str(_q("sequence_packing", spark), "simple")
+    assert "BroadcastHashJoin" in simple
+    assert simple.count("SinglePartition") <= 1, simple
+
+
+def test_mcc_median_pick_no_fact_scale_single_partition(spark):
+    """mcc_binary_rule's global median comes from distinct-value
+    cells through global_cumsum — the full-fact unpartitioned
+    row_number sort of the first draft (r6 ADVICE) must not return.
+    Exactly two SinglePartition exchanges are structural and tiny:
+    the final merge of the 4-cell confusion scalar aggregate
+    (partial-aggregated rows, one per task) and the n_parts-row
+    offsets table inside global_cumsum. The fact table itself flows
+    only through hash/range exchanges, and the only window is the
+    per-_pid one."""
+    from distributed_mapreduce_p2p_spark.plans.explain import explain_str
+
+    simple = explain_str(_q("mcc_binary_rule", spark), "simple")
+    assert simple.count("SinglePartition") <= 2, simple
+    # no fact-scale partition-less window: any unpartitioned Window
+    # in the plan may only be global_cumsum's n_parts-row offsets
+    # roll-up (operates on _psum, the per-partition totals)
+    import re
+
+    for m in re.finditer(r"Window \[[^\n]*", simple):
+        spec = m.group(0)
+        unpartitioned = "windowspecdefinition(specifiedwindowframe" in spec
+        assert not unpartitioned or "_psum" in spec, spec
+
+
+def test_gini_mean_difference_only_per_nation_windows(spark):
+    """gini_mean_difference must carry no unpartitioned window at all:
+    the rank identity is tie-invariant, so the per-nation rank window
+    is the only one (the dropped o_rk lane was a global fact-table
+    sort — r6 ADVICE)."""
+    from distributed_mapreduce_p2p_spark.plans.explain import explain_str
+
+    simple = explain_str(_q("gini_mean_difference", spark), "simple")
+    assert simple.count("SinglePartition") == 0, simple
+
+
 def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     """Hive-style partitioned fact + filtered dim join triggers
     dynamic partition pruning: the fact scan carries a
