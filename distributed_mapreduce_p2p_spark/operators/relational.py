@@ -60,19 +60,48 @@ def dedupe_keep_last(df: DataFrame, key: str, order_col: str) -> DataFrame:
 
 # ---------------------------------------------------------- gap healing
 
-def detect_gaps(df: DataFrame, id_col: str, max_id: int | None = None) -> DataFrame:
+def detect_gaps(
+    df: DataFrame,
+    id_col: str,
+    max_id: int | None = None,
+    n_parts: int = 8,
+) -> DataFrame:
     """J3/R4: find missing ids in 1..max (CheckAndDump, replication/
     replication.go:344-407 scans for absent id ranges).
 
-    Window-lag formulation — O(n log n) sort, no materialized
-    ``sequence(1, max_id)`` explode (which blows up at scale,
-    SURVEY.md §7). Returns (gap_start, gap_end) rows.
+    Window-lag formulation — no materialized ``sequence(1, max_id)``
+    explode (which blows up at scale, SURVEY.md §7) — run as a
+    TWO-PHASE boundary-stitched lag (the global_cumsum discipline,
+    r7): range-repartition on id, per-partition lag windows in
+    parallel, then each partition's first row takes its predecessor
+    from a broadcast n_parts-row per-partition-max table (lag over
+    partition ids — empty range partitions simply don't appear and
+    the pid order of the survivors still ascends with the ranges).
+    The original single ``Window.orderBy(id)`` serialized the whole
+    distinct-id stream through one task. Returns (gap_start, gap_end)
+    rows.
     """
-    w = Window.orderBy("id")
-    gaps = (
+    d = (
         df.select(F.col(id_col).alias("id"))
         .distinct()
-        .withColumn("prev", F.lag("id").over(w))
+        .repartitionByRange(n_parts, "id")
+        .withColumn("_pid", F.spark_partition_id())
+        # lineage guard: _pid must not be recomputed under a
+        # different plan (same reason as global_cumsum)
+        .localCheckpoint()
+    )
+    bounds = d.groupBy("_pid").agg(F.max("id").alias("_pmax"))
+    off_w = Window.orderBy("_pid")
+    prev_max = bounds.select(
+        "_pid", F.lag("_pmax").over(off_w).alias("_prev_pmax")
+    )
+    in_part = Window.partitionBy("_pid").orderBy("id")
+    gaps = (
+        d.join(F.broadcast(prev_max), "_pid")
+        .withColumn(
+            "prev",
+            F.coalesce(F.lag("id").over(in_part), F.col("_prev_pmax")),
+        )
         .where(
             (F.col("prev").isNotNull() & (F.col("id") - F.col("prev") > 1))
             | (F.col("prev").isNull() & (F.col("id") > 1))

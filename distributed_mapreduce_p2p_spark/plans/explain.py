@@ -89,3 +89,57 @@ def shuffle_count(df: DataFrame) -> int:
         if "Exchange" in line and "BroadcastExchange" not in line
         and "ReusedExchange" not in line
     )
+
+
+def unpartitioned_window_nodes(plan: str) -> list[str]:
+    """Window operators with NO partition spec — each moves its whole
+    input through ONE task ("No Partition Defined for Window"), the
+    plan shape that serializes a fact table at 100 TB (the r6 verdict's
+    sequence_packing finding survived the old audit precisely because
+    only cartesian/BNLJ were swept).
+
+    Physical ``Window`` nodes print 1-3 top-level bracket groups:
+    ``Window [exprs], [partitionCols], [orderSpec]`` when fully
+    specified, ``Window [exprs], [G2]`` when one of the two specs is
+    empty, ``Window [exprs]`` when both are. At 2 groups the node is
+    unpartitioned only when G2 is an ORDER spec (its entries carry
+    ``ASC``/``DESC``); a bare column list is a partition-no-order
+    window, which shuffles by key and is fine. Bracket depth is
+    tracked (window exprs may nest lambdas); AQE's Initial Plan
+    section is excluded like shuffle_count does.
+    """
+    if "== Initial Plan ==" in plan:
+        plan = plan.split("== Initial Plan ==")[0]
+    out = []
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-: ").strip()
+        # WindowGroupLimit prints only (partition, order) groups and
+        # always rides with a Window node, so only Window is checked.
+        if not s.startswith("Window "):
+            continue
+        depth = 0
+        groups: list[str] = []
+        cur: list[str] = []
+        for ch in s:
+            if ch == "[":
+                if depth == 0:
+                    cur = []
+                else:
+                    cur.append(ch)
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append("".join(cur))
+                else:
+                    cur.append(ch)
+            elif depth > 0:
+                cur.append(ch)
+        if len(groups) >= 3:
+            continue  # partition + order both present
+        if len(groups) == 2 and not (
+            " ASC" in groups[1] or " DESC" in groups[1]
+        ):
+            continue  # partitioned, no order spec
+        out.append(s)
+    return out

@@ -24,10 +24,41 @@ from distributed_mapreduce_p2p_spark import registry  # noqa: E402
 from distributed_mapreduce_p2p_spark.plans.explain import (  # noqa: E402
     explain_str,
     shuffle_count,
+    unpartitioned_window_nodes,
 )
 from distributed_mapreduce_p2p_spark.session import get_spark  # noqa: E402
 
 SF = "/root/testdata/sf0.001"
+
+# name -> reason an UNPARTITIONED (order-only / empty-frame) window is
+# deliberate and bounded. Added r7 after the r6 verdict: the audit's
+# cartesian/BNLJ-only sweep was blind to single-partition WindowExec,
+# which is how sequence_packing's fact-scale global window slipped
+# through. Windows whose input is constant-bounded (calendar cells,
+# model grids, top-k TakeOrdered output, n_parts offset tables) are
+# fine — the hazard is a fact-scale input. global_cumsum's _psum /
+# _pid offset roll-ups are auto-allowed in code below.
+WINDOW_WHITELIST = {
+    "wordcount_numbered": "documented reference-faithful demo (26k-row result; plan-pinned contrast with the scalable twin)",
+    "log_rank_test": "calendar-bounded month-cell table (<= months x 2 cohorts)",
+    "cart_root_split": "bounded model grid (features x thresholds) for the best-split argmax",
+    "cart_tree_depth2": "bounded model grid per tree node (features x thresholds)",
+    "mixture_reweight": "post-agg bucket table (sources x langs cells; docstring documents why the empty-frame window beats agg+crossJoin here)",
+    "pagerank_parts": "rank attach over TakeOrdered(limit=20) output — 20 rows",
+    "bm25_scores": "rank attach over TakeOrdered(limit=k) df-probe output",
+    "vocab_coverage_curve": "rank attach over TakeOrdered(limit=250) top-vocab slice",
+    "event_path_topk": "rank attach over TakeOrdered(limit=k) path output",
+    "key_skew_report": "rank attach over TakeOrdered(limit=10) top-key output",
+    "als_rank1_scores": "rank attach over TakeOrdered(limit=k) item output",
+    "weekly_growth": "calendar-bounded week-cell series",
+    "equidepth_bins": "documented toy-scale demo; docstring names the 100 TB rewrite (global_cumsum rank form)",
+    "embedding_norm_outliers": "documented toy-scale demo; docstring names the 100 TB rewrite",
+    "cumulative_distinct_users": "calendar-bounded day-cell series",
+    "cusum_changepoint": "calendar-bounded day-cell series",
+    "gains_table_deciles": "10-row decile cell table (ranks themselves come from global_cumsum)",
+    "churn_hazard_by_tenure": "tenure-month cells (bounded by max account age in months)",
+    "isotonic_regression_monthly": "calendar-bounded month-cell table (PAVA intervals over <=~84 cells)",
+}
 
 # name -> reason a nested-loop/cross node is deliberate and bounded
 WHITELIST = {
@@ -112,6 +143,15 @@ def main() -> None:
         plan = explain_str(df, "simple")
         cart = plan.count("CartesianProduct")
         bnlj = plan.count("BroadcastNestedLoopJoin")
+        # offset roll-ups of the two-phase patterns (global_cumsum's
+        # _psum, detect_gaps'/numbered_scalable's per-pid bounds) run
+        # on n_parts rows by construction — auto-allowed
+        upwin = [
+            n
+            for n in unpartitioned_window_nodes(plan)
+            if "_psum" not in n and "_pmax" not in n
+            and "pid#" not in n and "_pid#" not in n
+        ]
         shuffles = shuffle_count(df)
         note = ""
         if cart:
@@ -123,7 +163,14 @@ def main() -> None:
             else:
                 note = "BNLJ UNEXPECTED"
                 bad.append(name)
-        rows.append((name, shuffles, cart, bnlj, note))
+        if upwin:
+            if name in WINDOW_WHITELIST:
+                w_note = f"1p-window ok: {WINDOW_WHITELIST[name]}"
+            else:
+                w_note = "1P-WINDOW UNEXPECTED"
+                bad.append(name)
+            note = f"{note}; {w_note}" if note else w_note
+        rows.append((name, shuffles, cart, bnlj, len(upwin), note))
 
     out = [
         "# AUDIT — full-registry physical-plan sweep (sf0.001, shuffle=8)",
@@ -131,14 +178,20 @@ def main() -> None:
         "Generated by `tools/audit_plans.py`. Every `queries()` entry is",
         "planned and scanned for scale anti-patterns. `BNLJ ok` rows are",
         "deliberate 1-row scalar attaches (constant-cost, not a hazard).",
-        "Streaming queries execute through the SS engine during",
-        "construction; their reported plan is the final batch read.",
+        "`1p-window` counts UNPARTITIONED (order-only/empty-frame) Window",
+        "operators — each funnels its whole input through one task, the",
+        "shape that killed sequence_packing at r6; `1p-window ok` rows",
+        "are constant-bounded inputs (calendar cells, model grids,",
+        "TakeOrdered top-k, n_parts offset tables — the latter",
+        "auto-allowed). Streaming queries execute through the SS engine",
+        "during construction; their reported plan is the final batch",
+        "read.",
         "",
-        "| query | shuffles | cartesian | nested-loop | note |",
-        "|---|---|---|---|---|",
+        "| query | shuffles | cartesian | nested-loop | 1p-window | note |",
+        "|---|---|---|---|---|---|",
     ]
-    for name, sh, cart, bnlj, note in rows:
-        out.append(f"| {name} | {sh} | {cart} | {bnlj} | {note} |")
+    for name, sh, cart, bnlj, upw, note in rows:
+        out.append(f"| {name} | {sh} | {cart} | {bnlj} | {upw} | {note} |")
     out += [
         "",
         f"**{len(rows)} queries audited; "
