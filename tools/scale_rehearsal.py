@@ -300,8 +300,27 @@ def main() -> None:
             " ms/row IMPROVES — the fixed box is still absorbing"
             " the linear work, not hitting a super-linear term).",
         ]
-        (REPO / "SCALE_REHEARSAL.md").write_text("\n".join(lines) + "\n")
-        print("wrote SCALE_REHEARSAL.md")
+        # APPEND-PRESERVING rewrite (r7, after the r6 round-close
+        # regeneration silently clobbered the Zipf and hub-user skew
+        # sections): the base report owns everything up to the first
+        # `## ` heading; any `## `-sections in the existing file
+        # (skew rehearsals, targeted close-waves) are carried over
+        # verbatim below the regenerated base.
+        path = REPO / "SCALE_REHEARSAL.md"
+        preserved = ""
+        if path.exists():
+            prev = path.read_text()
+            idx = prev.find("\n## ")
+            if idx != -1:
+                preserved = prev[idx:].lstrip("\n")
+        text = "\n".join(lines) + "\n"
+        if preserved:
+            text = text.rstrip() + "\n\n" + preserved.rstrip() + "\n"
+        path.write_text(text)
+        print(
+            "wrote SCALE_REHEARSAL.md"
+            + (" (appended sections preserved)" if preserved else "")
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
