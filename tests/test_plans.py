@@ -794,6 +794,39 @@ def test_mcc_median_pick_no_fact_scale_single_partition(spark):
         assert not unpartitioned or "_psum" in spec, spec
 
 
+def test_gap_detect_no_fact_scale_single_partition(spark):
+    """detect_gaps must run the two-phase boundary-stitched lag
+    (range-repartition + per-pid windows + broadcast prev-partition
+    max), not the single Window.orderBy(id) it shipped with until r7:
+    at most the n_parts-row bounds table is unpartitioned."""
+    from distributed_mapreduce_p2p_spark.plans.explain import (
+        explain_str,
+        unpartitioned_window_nodes,
+    )
+
+    df = _q("gap_detect", spark)
+    simple = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in simple
+    for node in unpartitioned_window_nodes(simple):
+        assert "_pmax" in node, node
+
+
+def test_vocab_growth_cumsum_is_two_phase(spark):
+    """vocab_growth's running vocabulary sum must be global_cumsum
+    (vocab-bounded is not constant-bounded at 100 TB): any
+    unpartitioned window in the plan is the n_parts-row _psum offsets
+    roll-up."""
+    from distributed_mapreduce_p2p_spark.plans.explain import (
+        explain_str,
+        unpartitioned_window_nodes,
+    )
+
+    simple = explain_str(_q("vocab_growth", spark), "simple")
+    assert "BroadcastHashJoin" in simple
+    for node in unpartitioned_window_nodes(simple):
+        assert "_psum" in node, node
+
+
 def test_gini_mean_difference_only_per_nation_windows(spark):
     """gini_mean_difference must carry no unpartitioned window at all:
     the rank identity is tie-invariant, so the per-nation rank window

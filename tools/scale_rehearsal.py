@@ -158,6 +158,15 @@ QUERIES = [
     "price_index_fisher",
     "dedup_detector_agreement",
     "audio_silence_runs",
+    # r7: the plan-changed shapes (single-partition-window kills) and
+    # the new chunked-source read; mcc/gini added per r6 ADVICE (both
+    # were whitelisted-but-unrehearsed)
+    "sequence_packing",
+    "gap_detect",
+    "vocab_growth",
+    "mcc_binary_rule",
+    "gini_mean_difference",
+    "wordcount_chunked_source",
 ]
 
 
@@ -239,11 +248,46 @@ def time_query(spark, name: str, sf_dir: str) -> tuple[float, int]:
     return best, n
 
 
+def run_targeted(spark, tmp: str, names: list[str]) -> None:
+    """Measure the named queries at 1x/10x and append a dated
+    close-wave section to SCALE_REHEARSAL.md."""
+    lines = [
+        f"## Targeted run: {', '.join(names)}",
+        "",
+        "| query | 1x s | 10x s | ratio | exponent | rows 1x | rows 10x |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    import math
+
+    for name in names:
+        t1, n1r = time_query(spark, name, SF)
+        t10, n10r = time_query(spark, name, tmp)
+        ratio = t10 / t1
+        exp = math.log(max(ratio, 1e-9)) / math.log(REPLICAS)
+        lines.append(
+            f"| {name} | {t1:.2f} | {t10:.2f} | {ratio:.1f}x"
+            f" | {exp:.2f} | {n1r:,} | {n10r:,} |"
+        )
+        print(lines[-1], flush=True)
+    path = REPO / "SCALE_REHEARSAL.md"
+    path.write_text(
+        path.read_text().rstrip() + "\n\n" + "\n".join(lines) + "\n"
+    )
+    print("appended targeted section to SCALE_REHEARSAL.md")
+
+
 def main() -> None:
+    # --only name1 name2 ...  => targeted run: measure just those
+    # queries and APPEND a close-wave section instead of rewriting
+    # the base report (the base stays owned by full runs).
+    only = sys.argv[2:] if len(sys.argv) > 2 and sys.argv[1] == "--only" else None
     spark = get_spark(app_name="scale_rehearsal")
     tmp = tempfile.mkdtemp(prefix="scale10x_")
     try:
         build_scaled(spark, tmp)
+        if only is not None:
+            run_targeted(spark, tmp, only)
+            return
         n1 = read_table(spark, SF, "events").count()
         n10 = read_table(spark, tmp, "events").count()
         lines = [
