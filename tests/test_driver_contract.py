@@ -53,30 +53,31 @@ def test_first_50_window_composition():
     """The driver verifies exactly the first 50 queries() entries;
     that window must contain every entry that has never earned a
     driver CORRECTNESS row and every query whose plan/oracle changed
-    since its last sampled row (the standing rule, round-6 window)."""
+    since its last sampled row (the standing rule, round-7 window)."""
     mod = _load_entry()
     head = list(mod.queries())[:50]
     must_cover = {
-        # never driver-sampled (landed after the r5 window froze)
-        "fm_sketch_windowed",
-        "mad_by_group",
-        "streaming_cdc_apply",
-        "source_dataset_card",
-        "trade_graph_bfs_levels",
-        "priority_mix_drift",
-        "basket_pairs_lift",
-        # plan/oracle changed in r6 (ADVICE fixes, standing rule)
-        "merge_upsert_batch",
-        "table_profile",
-        # new in r6 — first driver sample
-        "tpch_q11_important_parts",
-        "tpch_q20_part_promotion",
-        "cusum_changepoint",
-        "pareto_frontier_daily",
-        "key_skew_report",
-        "char_class_stats",
-        "fm_sketch_set_ops",
-        "source_ngram_novelty",
+        # plan changed in r7 (global_cumsum rewrite, standing rule)
+        "sequence_packing",
+        # new in r7 — S2 chunktext DataSource end-to-end
+        "wordcount_chunked_source",
+        # plan/oracle changed in r7 (ADVICE fixes) AND never-sampled
+        "mcc_binary_rule",
+        "gini_mean_difference",
+        # the r6 verdict's named priority slice of the never-sampled
+        # backlog (heaviest/most novel plans first)
+        "pca_power_iteration",
+        "hits_hubs_authorities",
+        "winnow_fingerprints",
+        "winnow_plagiarism_pairs",
+        "kcore_decomposition",
+        "markov_absorption",
+        "label_propagation_communities",
+        "kaplan_meier_survival",
+        "log_rank_test",
+        "kruskal_wallis",
+        "dedup_detector_agreement",
+        "audio_silence_runs",
     }
     missing = must_cover - set(head)
     assert not missing, f"driver window lost priority entries: {missing}"

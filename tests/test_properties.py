@@ -35,6 +35,29 @@ def test_split_range_properties(start, length, n):
     assert max(sizes) - min(sizes) <= 1
 
 
+def test_detect_gaps_boundary_stitch_deterministic(spark):
+    """The r7 two-phase lag must stitch gaps ACROSS range-partition
+    boundaries: with ids 1..9000 minus every 3rd id, every one of the
+    n_parts partitions both opens and closes on a gap, so every
+    partition's first row depends on the broadcast prev-partition max
+    (not its local lag). Also exercises a run of missing ids at the
+    very start (1..10 absent)."""
+    from distributed_mapreduce_p2p_spark.operators.relational import (
+        detect_gaps,
+    )
+
+    ids = [i for i in range(11, 9001) if i % 3 != 0]
+    df = spark.createDataFrame([(i,) for i in ids], ["id"])
+    got = set()
+    for r in detect_gaps(df, "id").collect():
+        got |= set(range(r.gap_start, r.gap_end + 1))
+    # gaps are reported within [1, max(present)] — a trailing run of
+    # missing ids has no successor row to anchor it (CheckAndDump
+    # semantics: the max id defines the known range)
+    expected = set(range(1, max(ids) + 1)) - set(ids)
+    assert got == expected
+
+
 @given(
     ids=st.sets(st.integers(min_value=1, max_value=60), min_size=1, max_size=40)
 )
