@@ -481,3 +481,31 @@ def test_generic_profile_counts_nulls_and_distincts(spark):
     assert approx.columns == ["col", "n_nulls", "n_distinct"]
     ga = {r.col: r.n_nulls for r in approx.collect()}
     assert ga == {"x": 2, "s": 2}
+
+
+def test_scale_rehearsal_merge_preserves_appended_sections():
+    """Regression for the r6 round-close clobber: regenerating the
+    rehearsal base report must carry over every appended `## ` section
+    (skew rehearsals, targeted close waves) verbatim."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from scale_rehearsal import merge_preserving
+
+    base = "# SCALE REHEARSAL\n\n| q | t |\n|---|---|\n| a | 1 |\n"
+    existing = (
+        "# SCALE REHEARSAL (old)\n\nold table\n\n"
+        "## Zipf skew rehearsal\n\nzipf numbers\n\n"
+        "## Hub-user skew rehearsal\n\nhub numbers\n"
+    )
+    merged = merge_preserving(base, existing)
+    assert merged.startswith("# SCALE REHEARSAL\n")
+    assert "old table" not in merged
+    assert "## Zipf skew rehearsal" in merged
+    assert "zipf numbers" in merged
+    assert "## Hub-user skew rehearsal" in merged
+    assert "hub numbers" in merged
+    # no existing sections -> base unchanged
+    assert merge_preserving(base, "# old\nnothing else\n") == base
+    assert merge_preserving(base, "") == base

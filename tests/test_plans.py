@@ -862,3 +862,57 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     got = j.count()
     want = li.where("l_returnflag = 'R'").count()
     assert got == want and got > 0
+
+
+def test_unpartitioned_window_parser_fixtures():
+    """The audit's 1p-window detector must classify the three physical
+    Window spellings correctly on pinned plan-text fixtures (the
+    sweep's integrity rests on this parse): 3 bracket groups =
+    partitioned; 2 groups with ASC/DESC = order-only (flag); 2 groups
+    without = partition-no-order (fine); 1 group = empty frame (flag);
+    AQE Initial Plan section ignored; nested brackets inside window
+    exprs don't break group counting."""
+    from distributed_mapreduce_p2p_spark.plans.explain import (
+        unpartitioned_window_nodes,
+    )
+
+    part = (
+        "+- Window [sum(id#0L) windowspecdefinition(g#1L, id#0L ASC"
+        " NULLS FIRST, specifiedwindowframe(RangeFrame,"
+        " unboundedpreceding$(), currentrow$())) AS s#2L], [g#1L],"
+        " [id#0L ASC NULLS FIRST]"
+    )
+    order_only = (
+        "+- Window [sum(id#0L) windowspecdefinition(id#0L ASC NULLS"
+        " FIRST, specifiedwindowframe(RangeFrame,"
+        " unboundedpreceding$(), currentrow$())) AS s#4L],"
+        " [id#0L ASC NULLS FIRST]"
+    )
+    part_no_order = (
+        "+- Window [count(1) windowspecdefinition(n_name#1,"
+        " specifiedwindowframe(RowFrame, unboundedpreceding$(),"
+        " unboundedfollowing$())) AS n#2L], [n_name#1]"
+    )
+    empty = (
+        "+- Window [sum(id#0L) windowspecdefinition("
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(),"
+        " unboundedfollowing$())) AS s#6L]"
+    )
+    nested = (
+        "+- Window [aggregate(arr#3, 0, lambdafunction((acc#4 +"
+        " x#5), acc#4, x#5)) AS f#6], [k#7], [o#8 ASC NULLS FIRST]"
+    )
+    assert unpartitioned_window_nodes(part) == []
+    assert len(unpartitioned_window_nodes(order_only)) == 1
+    assert unpartitioned_window_nodes(part_no_order) == []
+    assert len(unpartitioned_window_nodes(empty)) == 1
+    assert unpartitioned_window_nodes(nested) == []
+    # AQE: only the final plan is scanned
+    aqe = (
+        "== Physical Plan ==\nfinal stuff\n== Initial Plan ==\n"
+        + order_only
+    )
+    assert unpartitioned_window_nodes(aqe) == []
+    # multi-node plan counts each flagged node once
+    both = part + "\n" + order_only + "\n" + empty
+    assert len(unpartitioned_window_nodes(both)) == 2

@@ -410,6 +410,77 @@ def test_chunktext_datasource_matches_mapinpandas_scan(spark, tmp_path):
     assert n_words > 0
 
 
+def test_chunktext_directory_and_delimiter_branches(spark, tmp_path):
+    """chunktext over a DIRECTORY grids every file inside (sorted,
+    per-file chunk ids), and a custom single-byte delimiter realigns
+    at that byte instead of space. Both branches reconstruct every
+    byte exactly once."""
+    from distributed_mapreduce_p2p_spark.sources.chunk_source import (
+        ChunkTextDataSource,
+    )
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    texts = {
+        "a.txt": "alpha beta gamma " * 40,
+        "b.txt": "delta epsilon " * 55,
+    }
+    for fn, t in texts.items():
+        (d / fn).write_text(t, encoding="utf-8")
+
+    spark.dataSource.register(ChunkTextDataSource)
+    ds = (
+        spark.read.format("chunktext")
+        .option("chunk_bytes", 97)
+        .load(str(d))
+    )
+    rows = ds.collect()
+    # both files present; per-file byte reconstruction is exact
+    by_path = {}
+    for r in rows:
+        by_path.setdefault(r.path, []).append(r)
+    assert len(by_path) == 2
+    for path, rs in by_path.items():
+        fn = path.rsplit("/", 1)[-1]
+        rs = sorted(rs, key=lambda r: r.chunk_id)
+        # space-aligned chunks: joining on single spaces must give
+        # back the token sequence exactly
+        toks = [w for r in rs for w in r.text.split(" ") if w]
+        want = [w for w in texts[fn].split(" ") if w]
+        assert toks == want, fn
+    # one Spark partition per chunk across BOTH files
+    assert ds.rdd.getNumPartitions() == len(rows)
+
+    # custom delimiter: newline-aligned chunks must never split a line
+    nl = tmp_path / "lines.txt"
+    lines = [f"line{i} with words" for i in range(100)]
+    nl.write_text("\n".join(lines), encoding="utf-8")
+    ds2 = (
+        spark.read.format("chunktext")
+        .option("chunk_bytes", 131)
+        .option("delimiter", "\n")
+        .load(str(nl))
+    )
+    got_lines = [
+        ln
+        for r in sorted(ds2.collect(), key=lambda r: r.chunk_id)
+        for ln in r.text.split("\n")
+        if ln
+    ]
+    assert got_lines == lines
+
+    # multi-byte delimiter is rejected loudly
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="single byte"):
+        (
+            spark.read.format("chunktext")
+            .option("delimiter", "ab")
+            .load(str(nl))
+            .collect()
+        )
+
+
 def test_read_table_normalizes_time_encodings(spark, tmp_path):
     """The harness has shipped event-time columns as timestamp[us],
     timestamp[ns] (legacy nanos-BIGINT read) and could ship

@@ -248,6 +248,20 @@ def time_query(spark, name: str, sf_dir: str) -> tuple[float, int]:
     return best, n
 
 
+def merge_preserving(base_text: str, existing_text: str) -> str:
+    """APPEND-PRESERVING rewrite (r7, after the r6 round-close
+    regeneration silently clobbered the Zipf and hub-user skew
+    sections): the regenerated base report owns everything up to the
+    first `## ` heading; any `## `-sections in the existing file
+    (skew rehearsals, targeted close-waves) carry over verbatim below
+    the new base. Unit-tested in tests/test_ops.py."""
+    idx = existing_text.find("\n## ")
+    if idx == -1:
+        return base_text
+    preserved = existing_text[idx:].lstrip("\n")
+    return base_text.rstrip() + "\n\n" + preserved.rstrip() + "\n"
+
+
 def run_targeted(spark, tmp: str, names: list[str]) -> None:
     """Measure the named queries at 1x/10x and append a dated
     close-wave section to SCALE_REHEARSAL.md."""
@@ -344,26 +358,13 @@ def main() -> None:
             " ms/row IMPROVES — the fixed box is still absorbing"
             " the linear work, not hitting a super-linear term).",
         ]
-        # APPEND-PRESERVING rewrite (r7, after the r6 round-close
-        # regeneration silently clobbered the Zipf and hub-user skew
-        # sections): the base report owns everything up to the first
-        # `## ` heading; any `## `-sections in the existing file
-        # (skew rehearsals, targeted close-waves) are carried over
-        # verbatim below the regenerated base.
         path = REPO / "SCALE_REHEARSAL.md"
-        preserved = ""
-        if path.exists():
-            prev = path.read_text()
-            idx = prev.find("\n## ")
-            if idx != -1:
-                preserved = prev[idx:].lstrip("\n")
-        text = "\n".join(lines) + "\n"
-        if preserved:
-            text = text.rstrip() + "\n\n" + preserved.rstrip() + "\n"
+        existing = path.read_text() if path.exists() else ""
+        text = merge_preserving("\n".join(lines) + "\n", existing)
         path.write_text(text)
         print(
             "wrote SCALE_REHEARSAL.md"
-            + (" (appended sections preserved)" if preserved else "")
+            + (" (appended sections preserved)" if text != "\n".join(lines) + "\n" else "")
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
