@@ -509,3 +509,24 @@ def test_scale_rehearsal_merge_preserves_appended_sections():
     # no existing sections -> base unchanged
     assert merge_preserving(base, "# old\nnothing else\n") == base
     assert merge_preserving(base, "") == base
+
+
+def test_audit_whitelists_reference_registered_queries_only():
+    """Both audit whitelists (BNLJ scalar attaches and 1p-window
+    bounded forms) must key REGISTERED query names — a renamed or
+    dropped query must not leave a stale whitelist entry that could
+    silently re-admit the anti-pattern under a new query of the same
+    name's intent."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import audit_plans
+
+    from distributed_mapreduce_p2p_spark import registry
+
+    registered = set(registry.QUERIES)
+    stale_bnlj = set(audit_plans.WHITELIST) - registered
+    stale_win = set(audit_plans.WINDOW_WHITELIST) - registered
+    assert not stale_bnlj, f"stale BNLJ whitelist keys: {stale_bnlj}"
+    assert not stale_win, f"stale 1p-window whitelist keys: {stale_win}"
