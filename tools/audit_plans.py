@@ -60,6 +60,20 @@ WINDOW_WHITELIST = {
     "isotonic_regression_monthly": "calendar-bounded month-cell table (PAVA intervals over <=~84 cells)",
 }
 
+# Whitelist entries whose boundedness claim is a PLAN property, not a
+# data property: the claimed limit operator must actually be present,
+# otherwise the whitelist is stale and the row is flagged (a future
+# edit that drops the .limit(k) would otherwise silently ship an
+# unbounded single-task window under an approved name).
+WINDOW_WHITELIST_REQUIRES = {
+    "pagerank_parts": "TakeOrderedAndProject",
+    "bm25_scores": "TakeOrderedAndProject",
+    "vocab_coverage_curve": "TakeOrderedAndProject",
+    "event_path_topk": "TakeOrderedAndProject",
+    "key_skew_report": "TakeOrderedAndProject",
+    "als_rank1_scores": "TakeOrderedAndProject",
+}
+
 # name -> reason a nested-loop/cross node is deliberate and bounded
 WHITELIST = {
     "scalar_subquery_above_avg": "1-row aggregate attached to every row (decorrelated scalar)",
@@ -165,7 +179,12 @@ def main() -> None:
                 bad.append(name)
         if upwin:
             if name in WINDOW_WHITELIST:
-                w_note = f"1p-window ok: {WINDOW_WHITELIST[name]}"
+                req = WINDOW_WHITELIST_REQUIRES.get(name)
+                if req and req not in plan:
+                    w_note = f"1P-WINDOW WHITELIST INVALID (no {req})"
+                    bad.append(name)
+                else:
+                    w_note = f"1p-window ok: {WINDOW_WHITELIST[name]}"
             else:
                 w_note = "1P-WINDOW UNEXPECTED"
                 bad.append(name)
