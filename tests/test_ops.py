@@ -530,3 +530,39 @@ def test_audit_whitelists_reference_registered_queries_only():
     stale_win = set(audit_plans.WINDOW_WHITELIST) - registered
     assert not stale_bnlj, f"stale BNLJ whitelist keys: {stale_bnlj}"
     assert not stale_win, f"stale 1p-window whitelist keys: {stale_win}"
+
+
+def test_upsert_section_preserves_later_sections():
+    """Regression for the second clobber class: a tool re-writing ITS
+    marker section must not truncate sections after it (the old
+    text[:index(MARKER)] write path deleted them)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from md_sections import upsert_section
+
+    doc = (
+        "# base\n\nbase table\n\n"
+        "## Alpha\n\nold alpha\n\n"
+        "## Beta\n\nbeta stays\n\n"
+        "## Gamma\n\ngamma stays\n"
+    )
+    new = "## Alpha\n\nNEW alpha"
+    out = upsert_section(doc, "## Alpha", new)
+    assert "NEW alpha" in out and "old alpha" not in out
+    assert "beta stays" in out and "gamma stays" in out
+    assert out.index("NEW alpha") < out.index("beta stays")
+    # replacing the LAST section keeps everything before it
+    out2 = upsert_section(doc, "## Gamma", "## Gamma\n\nNEW gamma")
+    assert "NEW gamma" in out2 and "gamma stays" not in out2
+    assert "old alpha" in out2 and "beta stays" in out2
+    # absent marker appends
+    out3 = upsert_section(doc, "## Delta", "## Delta\n\nfresh")
+    assert out3.endswith("## Delta\n\nfresh\n")
+    assert "gamma stays" in out3
+    # section must start with its marker
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        upsert_section(doc, "## Alpha", "not the marker")
