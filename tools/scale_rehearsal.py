@@ -283,11 +283,14 @@ def run_targeted(spark, tmp: str, names: list[str]) -> None:
             f" | {exp:.2f} | {n1r:,} | {n10r:,} |"
         )
         print(lines[-1], flush=True)
+    sys.path.insert(0, str(REPO / "tools"))
+    from md_sections import upsert_section
+
     path = REPO / "SCALE_REHEARSAL.md"
     path.write_text(
-        path.read_text().rstrip() + "\n\n" + "\n".join(lines) + "\n"
+        upsert_section(path.read_text(), lines[0], "\n".join(lines))
     )
-    print("appended targeted section to SCALE_REHEARSAL.md")
+    print("upserted targeted section in SCALE_REHEARSAL.md")
 
 
 def main() -> None:
