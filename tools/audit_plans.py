@@ -44,6 +44,7 @@ WINDOW_WHITELIST = {
     "cart_root_split": "bounded model grid (features x thresholds) for the best-split argmax",
     "cart_tree_depth2": "bounded model grid per tree node (features x thresholds)",
     "mixture_reweight": "post-agg bucket table (sources x langs cells; docstring documents why the empty-frame window beats agg+crossJoin here)",
+    "temperature_mixture": "post-agg |sources|-row bucket table (the mixture_reweight convention)",
     "pagerank_parts": "rank attach over TakeOrdered(limit=20) output — 20 rows",
     "bm25_scores": "rank attach over TakeOrdered(limit=k) df-probe output",
     "vocab_coverage_curve": "rank attach over TakeOrdered(limit=250) top-vocab slice",

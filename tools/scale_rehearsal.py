@@ -167,6 +167,10 @@ QUERIES = [
     "mcc_binary_rule",
     "gini_mean_difference",
     "wordcount_chunked_source",
+    # r7 additions (post-freeze, queued for the r8 window): the
+    # bigram/trigram double-explode is the heaviest new text shape
+    "gopher_repetition_flags",
+    "temperature_mixture",
 ]
 
 
