@@ -333,6 +333,111 @@ def ivf_topk(
     )
 
 
+def ivf_recall_curve(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    n_cells: int = IVF_CELLS,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+) -> DataFrame:
+    """Recall@k vs candidate cost for IVF at several ``nprobe``
+    settings — the evaluation twin of ``ivf_topk`` (the
+    ``dedup_threshold_curve`` precedent applied to ANN): before
+    committing an nprobe at 100 TB you measure the recall/cost curve
+    on a bounded query sample, and this query IS that measurement.
+
+    One pass pays for the whole curve: the centroid assignment and
+    the candidate join run ONCE at max(nprobes); each candidate
+    carries ``probe_rank`` (the rank of its cell in the query's cell
+    ordering), so the nprobe=p candidate set is just the
+    ``probe_rank <= p`` filter of the max-nprobe set — smaller
+    nprobes are free. Ground truth is the brute-force top-k over the
+    same bounded query set (O(|Q| x n), the standard eval cost; |Q|
+    fixed, so it broadcasts at any corpus size). Output is
+    |nprobes| rows: hits, exact recall in ppm (one pinned DIV), and
+    the candidate count actually scanned — the cost axis.
+
+    All similarities use the shared left-to-right double fold, so the
+    curve is bit-comparable with the DuckDB oracle.
+    """
+    base = with_norm2(emb)
+    cent = base.where(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm2").alias("c_n2"),
+    )
+    asg = (
+        base.select(
+            "vec_id",
+            F.col("embedding").alias("q_emb"),
+            F.col("norm2").alias("q_n2"),
+        )
+        .crossJoin(broadcast(cent))
+        .select("vec_id", "cent_id", _sim_col())
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cent_id")
+    ranked = asg.withColumn("rnk", F.row_number().over(w))
+    cells = ranked.where(F.col("rnk") == 1).select(
+        "vec_id", F.col("cent_id").alias("cell")
+    )
+    max_np = max(nprobes)
+    probes = ranked.where(
+        (F.col("vec_id") < n_queries) & (F.col("rnk") <= max_np)
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("cent_id").alias("cell"),
+        F.col("rnk").alias("probe_rank"),
+    )
+    # every vector lives in exactly one cell (rnk == 1), so (qid, cid)
+    # appears at most once and probe_rank is well-defined per pair
+    cand = broadcast(probes).join(cells, "cell").select(
+        "qid", F.col("vec_id").alias("cid"), "probe_rank"
+    )
+    q = base.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm2").alias("q_n2"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm2").alias("c_n2"),
+    )
+    sims = cand.join(broadcast(q), "qid").join(c, "cid").select(
+        "qid", "cid", "probe_rank", _sim_col()
+    )
+    exact = cosine_topk(emb, n_queries, k).select("qid", "cid")
+    denom = n_queries * k
+    out = None
+    for np_ in nprobes:
+        wk = Window.partitionBy("qid").orderBy(
+            F.col("sim").desc(), F.col("cid")
+        )
+        topk = (
+            sims.where(F.col("probe_rank") <= np_)
+            .withColumn("rank", F.row_number().over(wk))
+            .where(F.col("rank") <= k)
+            .select("qid", "cid")
+        )
+        hits = topk.join(exact, ["qid", "cid"]).agg(
+            F.count(F.lit(1)).cast("long").alias("hits")
+        )
+        ncand = cand.where(F.col("probe_rank") <= np_).agg(
+            F.count(F.lit(1)).cast("long").alias("candidates")
+        )
+        row = hits.crossJoin(broadcast(ncand)).select(
+            F.lit(np_).cast("long").alias("nprobe"),
+            F.lit(n_queries).cast("long").alias("n_queries"),
+            "hits",
+            F.expr(f"CAST(hits * 1000000 DIV {denom} AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+            "candidates",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 # ------------------------------------------------- blocked all-pairs
 
 def neardup_pairs_blocked(

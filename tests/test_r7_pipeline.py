@@ -97,3 +97,135 @@ def test_temperature_mixture_recompute_and_invariants(spark):
             assert r.sample_ppm > r.share_ppm, r
         if r.share_ppm > uniform + n_src:
             assert r.sample_ppm < r.share_ppm, r
+
+
+def test_dsir_importance_weights_recompute(spark):
+    """The full DSIR-surrogate pipeline recomputed in pure Python on
+    the same parquet (hashed-bigram buckets, add-one smoothing, the
+    two-factor cross-multiplied ppm ratio, length-normalized doc
+    weight, top-2 per source with the (weight DESC, doc_id) tie
+    break) must match the Spark output row for row — independent of
+    both Spark and DuckDB."""
+    import hashlib
+
+    from distributed_mapreduce_p2p_spark import registry
+
+    rows = _docs(spark).select(
+        "doc_id", "source", "lang", "text"
+    ).collect()
+
+    def bucket(bgm: str) -> int:
+        h = hashlib.md5(("ds:" + bgm).encode()).hexdigest()[:10]
+        return int(h, 16) % 128
+
+    per_doc: dict[int, tuple[str, list[int]]] = {}
+    ct = {b: 1 for b in range(128)}
+    cr = {b: 1 for b in range(128)}
+    seen = set()
+    for r in rows:
+        wl = [x for x in re.split(r"[^a-z]+", r.text.lower()) if x != ""]
+        bs = [bucket(wl[i] + " " + wl[i + 1]) for i in range(len(wl) - 1)]
+        if bs:
+            per_doc[r.doc_id] = (r.source, bs)
+        for b in bs:
+            seen.add(b)
+            cr[b] += 1
+            if r.lang == "en":
+                ct[b] += 1
+    # only buckets that occur exist in the engines' feature table
+    t_tot = sum(v for b, v in ct.items() if b in seen)
+    r_tot = sum(v for b, v in cr.items() if b in seen)
+    ratio = {
+        b: (ct[b] * 1_000_000 // cr[b])
+        * (r_tot * 1_000_000 // t_tot)
+        // 1_000_000
+        for b in seen
+    }
+    scored: dict[str, list[tuple[int, int, int]]] = {}
+    for doc_id, (source, bs) in per_doc.items():
+        score = sum(ratio[b] for b in bs)
+        w = score // len(bs)
+        scored.setdefault(source, []).append((-w, doc_id, len(bs)))
+    expected = set()
+    for source, lst in scored.items():
+        for rn, (negw, doc_id, nb) in enumerate(sorted(lst)[:2], 1):
+            expected.add((source, doc_id, nb, -negw, rn))
+
+    got = {
+        (r.source, r.doc_id, r.n_bigrams, r.weight_ppm, r.rn)
+        for r in registry.QUERIES["dsir_importance_weights"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert got == expected
+    # fixture must exercise the math: weights are positive and NOT
+    # all equal (otherwise the ranking proves nothing)
+    weights = {w for (_, _, _, w, _) in got}
+    assert all(w > 0 for w in weights)
+    assert len(weights) > 1, "degenerate fixture: all weights equal"
+
+
+def test_ivf_recall_curve_recompute_and_monotonicity(spark):
+    """The recall curve recomputed in pure Python (same left-to-right
+    double fold — Python floats ARE IEEE doubles, so the fold
+    sequence is bit-identical) must match Spark, and the curve must
+    be monotone: more probes never lose recall and never scan fewer
+    candidates."""
+    from distributed_mapreduce_p2p_spark import registry
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+
+    import math as _m
+
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in read_table(spark, SF_SMALL, "embeddings").collect()
+    }
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    n2 = {i: dot(v, v) for i, v in emb.items()}
+
+    def sim(qi, ci):
+        return dot(emb[qi], emb[ci]) / (_m.sqrt(n2[qi]) * _m.sqrt(n2[ci]))
+
+    cents = [i for i in sorted(emb) if i < 16]
+    # rank of every cell per vector (sim DESC, cent_id ASC)
+    cell_rank = {
+        v: sorted(cents, key=lambda c: (-sim(v, c), c)) for v in emb
+    }
+    home = {v: cell_rank[v][0] for v in emb}
+    queries = [v for v in sorted(emb) if v < 8]
+    exact = {
+        q: set(
+            sorted(emb, key=lambda c: (-sim(q, c), c))[:10]
+        )
+        for q in queries
+    }
+    expected = {}
+    for np_ in (1, 2, 4):
+        hits = 0
+        n_cand = 0
+        for q in queries:
+            probed = set(cell_rank[q][:np_])
+            cand = [c for c in emb if home[c] in probed]
+            n_cand += len(cand)
+            top = sorted(cand, key=lambda c: (-sim(q, c), c))[:10]
+            hits += len(set(top) & exact[q])
+        expected[np_] = (8, hits, hits * 1_000_000 // 80, n_cand)
+
+    got = {
+        r.nprobe: (r.n_queries, r.hits, r.recall_ppm, r.candidates)
+        for r in registry.QUERIES["ivf_recall_curve"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert got == expected
+    # monotone recall and cost in nprobe
+    assert got[1][1] <= got[2][1] <= got[4][1]
+    assert got[1][3] <= got[2][3] <= got[4][3]
+    # every query finds itself (sim=1 in its own home cell)
+    assert got[1][1] >= 8

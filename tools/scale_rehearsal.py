@@ -171,6 +171,8 @@ QUERIES = [
     # bigram/trigram double-explode is the heaviest new text shape
     "gopher_repetition_flags",
     "temperature_mixture",
+    "dsir_importance_weights",
+    "ivf_recall_curve",
 ]
 
 
