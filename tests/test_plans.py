@@ -916,3 +916,36 @@ def test_unpartitioned_window_parser_fixtures():
     # multi-node plan counts each flagged node once
     both = part + "\n" + order_only + "\n" + empty
     assert len(unpartitioned_window_nodes(both)) == 2
+
+
+def test_dsir_ratio_join_broadcasts_feature_table(spark):
+    """dsir_importance_weights must broadcast the 128-row smoothed
+    ratio table back onto the bigram stream (BroadcastHashJoin — the
+    fact-scale side is never shuffled for the feature join), and its
+    only windows are per-source: no fact-scale partition-less window
+    may appear."""
+    from distributed_mapreduce_p2p_spark.plans.explain import (
+        explain_str,
+        unpartitioned_window_nodes,
+    )
+
+    simple = explain_str(_q("dsir_importance_weights", spark), "simple")
+    assert "BroadcastHashJoin" in simple
+    assert not unpartitioned_window_nodes(simple), simple
+
+
+def test_ivf_recall_curve_shares_one_candidate_pass(spark):
+    """The recall curve must pay the corpus only once: the centroid
+    attach is the bounded broadcast BNLJ (never a CartesianProduct),
+    and every ranking window is partitioned (per qid / vec_id) — the
+    three nprobe points are filters of one candidate table, not three
+    corpus passes."""
+    from distributed_mapreduce_p2p_spark.plans.explain import (
+        explain_str,
+        unpartitioned_window_nodes,
+    )
+
+    simple = explain_str(_q("ivf_recall_curve", spark), "simple")
+    assert "CartesianProduct" not in simple
+    assert "BroadcastNestedLoopJoin" in simple
+    assert not unpartitioned_window_nodes(simple), simple

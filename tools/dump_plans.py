@@ -305,6 +305,25 @@ SHOWCASE: list[tuple[str, str]] = [
         "partial/final count — proof the reference's chunk contract "
         "composes with ordinary DataFrame operators.",
     ),
+    (
+        "dsir_importance_weights",
+        "Data selection without a vocabulary: one narrow bigram "
+        "explode feeds (a) a 128-row hashed-feature aggregate whose "
+        "smoothed ratio table BROADCASTS back onto the same stream "
+        "and (b) a doc_id groupBy with map-side partial aggregation; "
+        "the selection window is partitioned per source — no "
+        "single-task stage anywhere, so the plan is corpus-size "
+        "independent except for the two fact-scale hash shuffles.",
+    ),
+    (
+        "ivf_recall_curve",
+        "The whole recall/cost curve from ONE assignment pass: the "
+        "broadcast centroid BNLJ scores every vector once at "
+        "max-nprobe, and each curve point is a probe_rank filter of "
+        "the shared candidate table (three windows over "
+        "candidate-sized inputs, never the corpus) — evaluating the "
+        "ANN knob costs the same as running it once.",
+    ),
 ]
 
 
