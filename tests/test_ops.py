@@ -566,3 +566,31 @@ def test_upsert_section_preserves_later_sections():
 
     with _pytest.raises(ValueError):
         upsert_section(doc, "## Alpha", "not the marker")
+
+
+def test_rehearsal_tool_query_lists_reference_registered_queries():
+    """Every query name a rehearsal tool measures must be a
+    registered query — a rename/drop must fail here, not silently
+    shrink the measured evidence."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import scale_rehearsal
+    import skew_rehearsal
+    import skew_rehearsal_doclen
+    import skew_rehearsal_joins
+    import skew_rehearsal_users
+
+    from distributed_mapreduce_p2p_spark import registry
+
+    registered = set(registry.QUERIES)
+    for tool in (
+        scale_rehearsal,
+        skew_rehearsal,
+        skew_rehearsal_doclen,
+        skew_rehearsal_joins,
+        skew_rehearsal_users,
+    ):
+        stale = set(tool.QUERIES) - registered
+        assert not stale, f"{tool.__name__}: unregistered {stale}"
