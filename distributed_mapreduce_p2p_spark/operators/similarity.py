@@ -438,6 +438,112 @@ def ivf_recall_curve(
     return out
 
 
+def semdedup_prune(
+    emb: DataFrame,
+    n_cells: int = IVF_CELLS,
+    tau: float = 0.4,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): semantic deduplication
+    inside coarse embedding clusters — assign every vector to its
+    nearest centroid cell, compare pairs ONLY within a cell, and for
+    every pair above the cosine threshold keep the member with the
+    LOWER similarity to its centroid (the paper's keep-the-edge-
+    example rule; ties break on vec_id). Returns the per-cell prune
+    census: population, dropped count, kept ppm.
+
+    Scale design: the cell equi-join is the only fact-scale shuffle;
+    the within-cell comparison is quadratic ONLY in cell population —
+    exactly the paper's reason for clustering first. n_cells is the
+    knob: it grows with the corpus so cell size (and the per-task
+    pair fan-out) stays constant; a hot cell is an AQE skew-join
+    split, not a plan change. The keep rule is purely local (pair →
+    loser), so no connected-components iteration is needed — one
+    distinct over losers replaces it, which is what makes SemDeDup
+    cheaper than MinHash-cluster dedup at the same scale.
+
+    The centroid set is the deterministic ivf_topk stand-in (first
+    n_cells vectors); all similarities use the shared left-to-right
+    double fold, so the census is bit-comparable with the DuckDB
+    oracle.
+    """
+    base = with_norm2(emb)
+    cent = base.where(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm2").alias("c_n2"),
+    )
+    asg = (
+        base.select(
+            "vec_id",
+            F.col("embedding").alias("q_emb"),
+            F.col("norm2").alias("q_n2"),
+        )
+        .crossJoin(broadcast(cent))
+        .select("vec_id", "cent_id", _sim_col())
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cent_id")
+    # home is referenced three times (both pair sides + the census);
+    # localCheckpoint materializes the assignment pass ONCE (the
+    # pca_power_iteration lesson) — 3 narrow columns, linear storage
+    home = (
+        asg.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"), F.col("sim").alias("csim"))
+        .localCheckpoint(eager=False)
+    )
+    assigned = home.join(base.select("vec_id", "embedding", "norm2"), "vec_id")
+    a = assigned.select(
+        F.col("cell"),
+        F.col("vec_id").alias("va"),
+        F.col("csim").alias("ca"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm2").alias("q_n2"),
+    )
+    b = assigned.select(
+        F.col("cell"),
+        F.col("vec_id").alias("vb"),
+        F.col("csim").alias("cb"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm2").alias("c_n2"),
+    )
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("va") < F.col("vb"))
+        .select("cell", "va", "vb", "ca", "cb", _sim_col())
+        .where(F.col("sim") > tau)
+    )
+    losers = pairs.select(
+        "cell",
+        F.expr(
+            "CASE WHEN ca > cb OR (ca = cb AND va > vb)"
+            " THEN va ELSE vb END"
+        ).alias("dropped_id"),
+    ).distinct()
+    pop = home.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    drp = losers.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dropped")
+    )
+    return (
+        pop.join(drp, "cell", "left")
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "n_vecs",
+            F.coalesce(F.col("n_dropped"), F.lit(0))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .withColumn(
+            "kept_ppm",
+            F.expr(
+                "CAST((n_vecs - n_dropped) * 1000000 DIV n_vecs"
+                " AS BIGINT)"
+            ),
+        )
+    )
+
+
 # ------------------------------------------------- blocked all-pairs
 
 def neardup_pairs_blocked(

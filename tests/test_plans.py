@@ -949,3 +949,25 @@ def test_ivf_recall_curve_shares_one_candidate_pass(spark):
     assert "CartesianProduct" not in simple
     assert "BroadcastNestedLoopJoin" in simple
     assert not unpartitioned_window_nodes(simple), simple
+
+
+def test_semdedup_pair_join_is_cell_equijoin(spark):
+    """SemDeDup's within-cell comparison must ride an equi-join on
+    the cell key (SortMergeJoin — quadratic only in cell
+    population), every window partitioned, and the assignment pass
+    computed ONCE: home is localCheckpointed (it feeds both pair
+    sides and the census), so the centroid BNLJ lives inside the
+    checkpoint materialization and the visible plan reads the
+    materialized RDD three times instead of recomputing the
+    corpus-wide assignment three times."""
+    from distributed_mapreduce_p2p_spark.plans.explain import (
+        explain_str,
+        unpartitioned_window_nodes,
+    )
+
+    simple = explain_str(_q("semdedup_prune", spark), "simple")
+    assert "CartesianProduct" not in simple
+    assert "BroadcastNestedLoopJoin" not in simple, simple
+    assert "SortMergeJoin [cell#" in simple, simple
+    assert "Scan ExistingRDD" in simple, simple
+    assert not unpartitioned_window_nodes(simple), simple

@@ -229,3 +229,71 @@ def test_ivf_recall_curve_recompute_and_monotonicity(spark):
     assert got[1][3] <= got[2][3] <= got[4][3]
     # every query finds itself (sim=1 in its own home cell)
     assert got[1][1] >= 8
+
+
+def test_semdedup_prune_recompute(spark):
+    """The SemDeDup census recomputed in pure Python (same
+    left-to-right double fold, same nearest-centroid assignment,
+    same keep-the-edge-example rule) must match Spark cell for
+    cell; at least one vector must survive per cell (the cell's
+    minimal (csim, vec_id) element can never lose a pair), and the
+    fixture must actually drop something."""
+    from distributed_mapreduce_p2p_spark import registry
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+
+    import math as _m
+
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in read_table(spark, SF_SMALL, "embeddings").collect()
+    }
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    n2 = {i: dot(v, v) for i, v in emb.items()}
+
+    def sim(qi, ci):
+        return dot(emb[qi], emb[ci]) / (_m.sqrt(n2[qi]) * _m.sqrt(n2[ci]))
+
+    cents = [i for i in sorted(emb) if i < 16]
+    home = {}
+    csim = {}
+    for v in emb:
+        best = min(cents, key=lambda c: (-sim(v, c), c))
+        home[v] = best
+        csim[v] = sim(v, best)
+    cells: dict[int, list[int]] = {}
+    for v, cell in home.items():
+        cells.setdefault(cell, []).append(v)
+    expected = {}
+    total_dropped = 0
+    for cell, members in cells.items():
+        dropped = set()
+        ms = sorted(members)
+        for i, va in enumerate(ms):
+            for vb in ms[i + 1:]:
+                if sim(va, vb) > 0.4:
+                    loser = (
+                        va
+                        if (csim[va], va) > (csim[vb], vb)
+                        else vb
+                    )
+                    dropped.add(loser)
+        n = len(members)
+        d = len(dropped)
+        expected[cell] = (n, d, (n - d) * 1_000_000 // n)
+        total_dropped += d
+
+    got = {
+        r.cell: (r.n_vecs, r.n_dropped, r.kept_ppm)
+        for r in registry.QUERIES["semdedup_prune"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert got == expected
+    assert all(d < n for _, (n, d, _) in expected.items())
+    assert total_dropped > 0, "degenerate fixture: nothing dropped"

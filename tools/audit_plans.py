@@ -88,6 +88,7 @@ WHITELIST = {
     "embedding_topk": "k-row broadcast query set scored against every vector (brute-force baseline by design)",
     "ann_ivf_topk": "small broadcast centroid table for nearest-cell + nprobe probing (bounded by n_cells)",
     "ivf_recall_curve": "broadcast centroid table (the ann_ivf_topk shape), the brute ground-truth's broadcast 8-query set, and per-nprobe 1-row hits x candidates scalar attaches (3 output rows)",
+    "semdedup_prune": "broadcast centroid table for the nearest-cell assignment (the ann_ivf_topk shape); the within-cell pair join itself is an equi-join on cell",
     "dsir_importance_weights": "1-row smoothing-totals aggregate broadcast onto the 128-row hashed-feature table",
     "embedding_neardup": "block-pair id generation over the bounded block grid (cogrouped tiling)",
     "source_token_drift": "per-source totals (|sources| rows) and 1-row corpus total broadcast onto the vocab grid",

@@ -316,6 +316,15 @@ SHOWCASE: list[tuple[str, str]] = [
         "independent except for the two fact-scale hash shuffles.",
     ),
     (
+        "semdedup_prune",
+        "SemDeDup's quadratic is caged twice: the nearest-centroid "
+        "assignment materializes ONCE (localCheckpoint — the plan "
+        "reads the 3-column RDD three times instead of recomputing "
+        "the corpus pass), and the pair comparison is a SortMergeJoin "
+        "on the cell key, so per-task fan-out is bounded by cell "
+        "population, the knob that scales with the corpus.",
+    ),
+    (
         "ivf_recall_curve",
         "The whole recall/cost curve from ONE assignment pass: the "
         "broadcast centroid BNLJ scores every vector once at "

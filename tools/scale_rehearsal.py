@@ -173,6 +173,7 @@ QUERIES = [
     "temperature_mixture",
     "dsir_importance_weights",
     "ivf_recall_curve",
+    "semdedup_prune",
 ]
 
 
