@@ -91,6 +91,12 @@ QUERIES = [
     "funnel_time_to_convert",
     "mcnemar_test",
     "cohen_kappa",
+    # r7 session-2: integer outputs DERIVED from double comparisons
+    # (cosine rankings / thresholds / centroid-sim tie-breaks) — the
+    # derivation must not depend on row arrival order
+    "dsir_importance_weights",
+    "ivf_recall_curve",
+    "semdedup_prune",
 ]
 
 
