@@ -262,6 +262,49 @@ IVF_CELLS = 16
 IVF_NPROBE = 2
 
 
+def _centroids(base: DataFrame, n_cells: int) -> DataFrame:
+    """The deterministic centroid set shared by ``ivf_topk``,
+    ``ivf_recall_curve`` and ``semdedup_prune``: the first
+    ``n_cells`` vectors by id — the trained-quantizer stand-in (a
+    real pipeline swaps in k-means centroids with the identical plan
+    shape). One definition across the three ops, so a centroid-rule
+    change cannot desynchronize them (their oracles share the same
+    rule). ``base`` must carry ``norm2`` (``with_norm2``)."""
+    return base.where(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm2").alias("c_n2"),
+    )
+
+
+def _rank_cells(vectors: DataFrame, cent: DataFrame) -> DataFrame:
+    """Rank ``vectors`` (projected like ``base``) by similarity
+    against the broadcast centroid table: returns (vec_id, cent_id,
+    sim, rnk) with rnk 1 = nearest cell. A vector's ranking depends
+    only on itself and the centroids, so callers may pre-filter
+    ``vectors`` to the slice they need (e.g. the query set for probe
+    lists) without changing any row that survives — that is what
+    keeps the corpus-scale assignment pass SINGLE even when probes
+    and cells are both derived."""
+    asg = (
+        vectors.select(
+            "vec_id",
+            F.col("embedding").alias("q_emb"),
+            F.col("norm2").alias("q_n2"),
+        )
+        .crossJoin(broadcast(cent))
+        .select("vec_id", "cent_id", _sim_col())
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cent_id")
+    return asg.withColumn("rnk", F.row_number().over(w))
+
+
+def _cell_ranked(base: DataFrame, n_cells: int) -> DataFrame:
+    """Corpus-wide nearest-centroid assignment:
+    ``_rank_cells(base, _centroids(base, n_cells))``."""
+    return _rank_cells(base, _centroids(base, n_cells))
+
+
 def ivf_topk(
     emb: DataFrame,
     n_queries: int = 8,
@@ -283,36 +326,28 @@ def ivf_topk(
     against ``n_cells`` rows (embarrassingly parallel, one scan); the
     candidate join is an equi-join on cell id whose fan-in per query
     is ~n*nprobe/n_cells rather than n; exact ranking touches only
-    candidates. All sims use the shared left-to-right double fold, so
-    results are bit-comparable with the DuckDB oracle.
+    candidates. The query-vector attach broadcasts the FILTERED
+    ``vec_id < n_queries`` slice (|Q| rows at any corpus size), never
+    the full table. All sims use the shared left-to-right double
+    fold, so results are bit-comparable with the DuckDB oracle.
     """
     base = with_norm2(emb)
-    cent = base.where(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("norm2").alias("c_n2"),
-    )
-    asg = (
-        base.select(
-            "vec_id",
-            F.col("embedding").alias("q_emb"),
-            F.col("norm2").alias("q_n2"),
-        )
-        .crossJoin(broadcast(cent))
-        .select("vec_id", "cent_id", _sim_col())
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cent_id")
-    ranked = asg.withColumn("rnk", F.row_number().over(w))
-    cells = ranked.where(F.col("rnk") == 1).select(
+    cent = _centroids(base, n_cells)
+    cells = _rank_cells(base, cent).where(F.col("rnk") == 1).select(
         "vec_id", F.col("cent_id").alias("cell")
     )
-    probes = ranked.where(
-        (F.col("vec_id") < n_queries) & (F.col("rnk") <= nprobe)
-    ).select(F.col("vec_id").alias("qid"), F.col("cent_id").alias("cell"))
+    # probe ranking touches only the |Q| query vectors (a vector's
+    # cell ranking is independent of other vectors), so the
+    # corpus-scale assignment BNLJ runs exactly once (cells)
+    probes = _rank_cells(
+        base.where(F.col("vec_id") < n_queries), cent
+    ).where(F.col("rnk") <= nprobe).select(
+        F.col("vec_id").alias("qid"), F.col("cent_id").alias("cell")
+    )
     cand = broadcast(probes).join(cells, "cell").select(
         "qid", F.col("vec_id").alias("cid")
     )
-    q = base.select(
+    q = base.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("q_emb"),
         F.col("norm2").alias("q_n2"),
@@ -339,6 +374,7 @@ def ivf_recall_curve(
     k: int = 10,
     n_cells: int = IVF_CELLS,
     nprobes: tuple[int, ...] = (1, 2, 4),
+    materialize: bool = True,
 ) -> DataFrame:
     """Recall@k vs candidate cost for IVF at several ``nprobe``
     settings — the evaluation twin of ``ivf_topk`` (the
@@ -346,44 +382,39 @@ def ivf_recall_curve(
     committing an nprobe at 100 TB you measure the recall/cost curve
     on a bounded query sample, and this query IS that measurement.
 
-    One pass pays for the whole curve: the centroid assignment and
-    the candidate join run ONCE at max(nprobes); each candidate
-    carries ``probe_rank`` (the rank of its cell in the query's cell
+    One pass pays for the whole curve — structurally enforced: the
+    centroid assignment and the candidate join run ONCE at
+    max(nprobes) and the scored candidate table is
+    ``localCheckpoint(eager=False)``-materialized (the semdedup_prune
+    home convention) before the per-nprobe loop, so the six aggregates
+    read the one materialized RDD instead of re-running the
+    corpus-wide assignment subplan (exchange reuse cannot bridge its
+    broadcast vs shuffle forms — measured r8). Each candidate carries
+    ``probe_rank`` (the rank of its cell in the query's cell
     ordering), so the nprobe=p candidate set is just the
     ``probe_rank <= p`` filter of the max-nprobe set — smaller
-    nprobes are free. Ground truth is the brute-force top-k over the
-    same bounded query set (O(|Q| x n), the standard eval cost; |Q|
-    fixed, so it broadcasts at any corpus size). Output is
-    |nprobes| rows: hits, exact recall in ppm (one pinned DIV), and
-    the candidate count actually scanned — the cost axis.
+    nprobes are free, and the per-nprobe candidate COUNT (the cost
+    axis) is the same filter aggregated. Ground truth is the
+    brute-force top-k over the same bounded query set (O(|Q| x n),
+    the standard eval cost; the broadcast side is the FILTERED
+    ``vec_id < n_queries`` slice — |Q| rows at any corpus size).
+    Output is |nprobes| rows: hits, exact recall in ppm (one pinned
+    DIV), and the candidate count actually scanned.
 
     All similarities use the shared left-to-right double fold, so the
     curve is bit-comparable with the DuckDB oracle.
     """
     base = with_norm2(emb)
-    cent = base.where(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("norm2").alias("c_n2"),
-    )
-    asg = (
-        base.select(
-            "vec_id",
-            F.col("embedding").alias("q_emb"),
-            F.col("norm2").alias("q_n2"),
-        )
-        .crossJoin(broadcast(cent))
-        .select("vec_id", "cent_id", _sim_col())
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cent_id")
-    ranked = asg.withColumn("rnk", F.row_number().over(w))
-    cells = ranked.where(F.col("rnk") == 1).select(
+    cent = _centroids(base, n_cells)
+    cells = _rank_cells(base, cent).where(F.col("rnk") == 1).select(
         "vec_id", F.col("cent_id").alias("cell")
     )
     max_np = max(nprobes)
-    probes = ranked.where(
-        (F.col("vec_id") < n_queries) & (F.col("rnk") <= max_np)
-    ).select(
+    # probe ranking touches only the |Q| query vectors — the
+    # corpus-scale assignment BNLJ runs exactly once (cells)
+    probes = _rank_cells(
+        base.where(F.col("vec_id") < n_queries), cent
+    ).where(F.col("rnk") <= max_np).select(
         F.col("vec_id").alias("qid"),
         F.col("cent_id").alias("cell"),
         F.col("rnk").alias("probe_rank"),
@@ -393,7 +424,7 @@ def ivf_recall_curve(
     cand = broadcast(probes).join(cells, "cell").select(
         "qid", F.col("vec_id").alias("cid"), "probe_rank"
     )
-    q = base.select(
+    q = base.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("q_emb"),
         F.col("norm2").alias("q_n2"),
@@ -403,10 +434,22 @@ def ivf_recall_curve(
         F.col("embedding").alias("c_emb"),
         F.col("norm2").alias("c_n2"),
     )
-    sims = cand.join(broadcast(q), "qid").join(c, "cid").select(
-        "qid", "cid", "probe_rank", _sim_col()
+    # 4 narrow columns, |cand| rows (~n * max_np / n_cells) — linear
+    # storage; referenced 2x per nprobe point below.
+    # materialize=False (tests only) keeps the subplans visible so
+    # plan pins can assert the broadcast sides are |Q|-filtered —
+    # checkpointing hides them behind Scan ExistingRDD.
+    sims = (
+        cand.join(broadcast(q), "qid")
+        .join(c, "cid")
+        .select("qid", "cid", "probe_rank", _sim_col())
     )
+    # |Q| x k rows, referenced by every nprobe point's hits join —
+    # materialized once for the same reason as sims
     exact = cosine_topk(emb, n_queries, k).select("qid", "cid")
+    if materialize:
+        sims = sims.localCheckpoint(eager=False)
+        exact = exact.localCheckpoint(eager=False)
     denom = n_queries * k
     out = None
     for np_ in nprobes:
@@ -422,7 +465,9 @@ def ivf_recall_curve(
         hits = topk.join(exact, ["qid", "cid"]).agg(
             F.count(F.lit(1)).cast("long").alias("hits")
         )
-        ncand = cand.where(F.col("probe_rank") <= np_).agg(
+        # sims is 1:1 with cand (both joins are key-preserving), so
+        # the cost axis reads the same checkpointed table
+        ncand = sims.where(F.col("probe_rank") <= np_).agg(
             F.count(F.lit(1)).cast("long").alias("candidates")
         )
         row = hits.crossJoin(broadcast(ncand)).select(
@@ -461,32 +506,18 @@ def semdedup_prune(
     distinct over losers replaces it, which is what makes SemDeDup
     cheaper than MinHash-cluster dedup at the same scale.
 
-    The centroid set is the deterministic ivf_topk stand-in (first
-    n_cells vectors); all similarities use the shared left-to-right
-    double fold, so the census is bit-comparable with the DuckDB
-    oracle.
+    The centroid rule is the shared ``_cell_ranked`` stand-in (first
+    n_cells vectors — one definition across ivf_topk /
+    ivf_recall_curve / semdedup_prune); all similarities use the
+    shared left-to-right double fold, so the census is bit-comparable
+    with the DuckDB oracle.
     """
     base = with_norm2(emb)
-    cent = base.where(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("norm2").alias("c_n2"),
-    )
-    asg = (
-        base.select(
-            "vec_id",
-            F.col("embedding").alias("q_emb"),
-            F.col("norm2").alias("q_n2"),
-        )
-        .crossJoin(broadcast(cent))
-        .select("vec_id", "cent_id", _sim_col())
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cent_id")
     # home is referenced three times (both pair sides + the census);
     # localCheckpoint materializes the assignment pass ONCE (the
     # pca_power_iteration lesson) — 3 narrow columns, linear storage
     home = (
-        asg.withColumn("rnk", F.row_number().over(w))
+        _cell_ranked(base, n_cells)
         .where(F.col("rnk") == 1)
         .select("vec_id", F.col("cent_id").alias("cell"), F.col("sim").alias("csim"))
         .localCheckpoint(eager=False)

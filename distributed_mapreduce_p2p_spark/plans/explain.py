@@ -91,6 +91,41 @@ def shuffle_count(df: DataFrame) -> int:
     )
 
 
+def node_subtrees(plan: str, match) -> list[list[str]]:
+    """For every node line of a 'simple'-mode plan tree satisfying
+    ``match(stripped_line)``, return its INPUT SUBTREE as a list of
+    stripped node lines — parsed from Spark's tree-drawing
+    indentation (each level is a 3-char group of ``'   '`` or
+    ``':  '`` followed by ``'+- '`` / ``':- '``). This is what lets
+    checks reason about *which* operator feeds a node ("is this
+    unpartitioned window's input post-aggregate?", "is this broadcast
+    side filtered?") instead of grepping the whole plan. AQE's
+    Initial Plan section is excluded like shuffle_count does."""
+    import re
+
+    if "== Initial Plan ==" in plan:
+        plan = plan.split("== Initial Plan ==")[0]
+    mark = re.compile(r"^((?:   |:  )*)(?:[+:]- )(.*)$")
+    nodes: list[tuple[int, str]] = []
+    for line in plan.splitlines():
+        m = mark.match(line)
+        if m:
+            nodes.append((len(m.group(1)) // 3 + 1, m.group(2).strip()))
+        elif line.strip():
+            nodes.append((0, line.strip()))
+    out: list[list[str]] = []
+    for i, (depth, text) in enumerate(nodes):
+        if not match(text):
+            continue
+        sub = []
+        for d2, t2 in nodes[i + 1 :]:
+            if d2 <= depth:
+                break
+            sub.append(t2)
+        out.append(sub)
+    return out
+
+
 def unpartitioned_window_nodes(plan: str) -> list[str]:
     """Window operators with NO partition spec — each moves its whole
     input through ONE task ("No Partition Defined for Window"), the

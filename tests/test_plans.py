@@ -769,6 +769,44 @@ def test_sequence_packing_no_single_partition_exchange(spark):
     assert simple.count("SinglePartition") <= 1, simple
 
 
+def test_equidepth_bins_no_single_partition_ntile(spark):
+    """equidepth_bins must derive NTILE from the two-phase
+    global_cumsum rank (range-repartition + per-pid windows +
+    broadcast offsets) — the single-partition NTILE window of the
+    r1-r7 form serialized the whole orders table through one task
+    (r7 verdict item 2). At most the n_parts-row offsets table plus
+    the final tiny merge pass through SinglePartition; no
+    unpartitioned window may touch fact rows (the only one allowed
+    operates on _psum, the n_parts per-partition totals)."""
+    from distributed_mapreduce_p2p_spark.plans.explain import (
+        explain_str,
+        unpartitioned_window_nodes,
+    )
+
+    simple = explain_str(_q("equidepth_bins", spark), "simple")
+    assert "BroadcastHashJoin" in simple
+    assert simple.count("SinglePartition") <= 1, simple
+    for node in unpartitioned_window_nodes(simple):
+        assert "_psum" in node, node
+
+
+def test_embedding_norm_outliers_no_single_partition_rank(spark):
+    """embedding_norm_outliers must compute its global percentile
+    rank via the two-phase global_cumsum (r7 verdict item 2 — the
+    old single-partition row_number serialized the embeddings
+    table). Same pin shape as equidepth_bins."""
+    from distributed_mapreduce_p2p_spark.plans.explain import (
+        explain_str,
+        unpartitioned_window_nodes,
+    )
+
+    simple = explain_str(_q("embedding_norm_outliers", spark), "simple")
+    assert "BroadcastHashJoin" in simple
+    assert simple.count("SinglePartition") <= 1, simple
+    for node in unpartitioned_window_nodes(simple):
+        assert "_psum" in node, node
+
+
 def test_mcc_median_pick_no_fact_scale_single_partition(spark):
     """mcc_binary_rule's global median comes from distinct-value
     cells through global_cumsum — the full-fact unpartitioned
@@ -935,11 +973,16 @@ def test_dsir_ratio_join_broadcasts_feature_table(spark):
 
 
 def test_ivf_recall_curve_shares_one_candidate_pass(spark):
-    """The recall curve must pay the corpus only once: the centroid
-    attach is the bounded broadcast BNLJ (never a CartesianProduct),
-    and every ranking window is partitioned (per qid / vec_id) — the
-    three nprobe points are filters of one candidate table, not three
-    corpus passes."""
+    """The recall curve must pay the corpus only once — structurally
+    (r8 ADVICE): the scored candidate table and the brute ground
+    truth are localCheckpoint-materialized before the nprobe loop, so
+    the visible plan reads ``Scan ExistingRDD`` for all six
+    per-nprobe aggregates (3 hits + 3 candidate counts) and 3 hits
+    joins instead of re-running the corpus-wide assignment/brute
+    subplans (exchange reuse cannot bridge their broadcast vs shuffle
+    forms). The only BNLJs left visible are the three 1-row
+    hits x candidates scalar attaches; no CartesianProduct, every
+    ranking window partitioned."""
     from distributed_mapreduce_p2p_spark.plans.explain import (
         explain_str,
         unpartitioned_window_nodes,
@@ -948,7 +991,121 @@ def test_ivf_recall_curve_shares_one_candidate_pass(spark):
     simple = explain_str(_q("ivf_recall_curve", spark), "simple")
     assert "CartesianProduct" not in simple
     assert "BroadcastNestedLoopJoin" in simple
+    # 6 reads of the checkpointed sims + 3 of the checkpointed exact
+    assert simple.count("Scan ExistingRDD") >= 6, simple
     assert not unpartitioned_window_nodes(simple), simple
+
+
+def _is_filter_node(line: str) -> bool:
+    """A Filter PLAN NODE (not a FileScan whose DataFilters text also
+    mentions the predicate), with or without a codegen marker."""
+    import re
+
+    return re.match(r"^(\*\(\d+\) )?Filter ", line) is not None
+
+
+def _assert_hinted_embedding_broadcasts_sliced(simple: str) -> None:
+    """Every BroadcastExchange subtree that scans the embeddings
+    parquet must carry one vec_id SLICE filter (``vec_id# < n``) per
+    scan — isnotnull alone doesn't bound anything. Call with
+    autoBroadcastJoinThreshold=-1 so only HINTED broadcasts remain in
+    the plan (a size-based auto-broadcast of a small side is fine —
+    it degrades to SMJ at scale; a hinted full-table broadcast OOMs
+    executors regardless of size, the r8 ADVICE finding)."""
+    from distributed_mapreduce_p2p_spark.plans.explain import node_subtrees
+
+    import re
+
+    subs = node_subtrees(simple, lambda s: s.startswith("BroadcastExchange"))
+    assert subs, simple
+    agg = re.compile(r"^(\*\(\d+\) )?(Hash|Sort|ObjectHash)Aggregate")
+    for sub in subs:
+        if sub and agg.match(sub[0]):
+            # a broadcast OF AN AGGREGATE ships only the aggregated
+            # rows (the 1-row candidate-count attach) — its subtree
+            # may scan the corpus, but the corpus never ships
+            continue
+        scans = [
+            l for l in sub
+            if "embeddings" in l and "FileScan parquet" in l
+        ]
+        if not scans:
+            continue  # 1-row literal attaches etc.
+        slice_filters = [
+            l for l in sub
+            if _is_filter_node(l) and "vec_id#" in l and "< " in l
+        ]
+        assert len(slice_filters) >= len(scans), "\n".join(sub)
+
+
+def _no_auto_broadcast(spark):
+    import contextlib
+
+    @contextlib.contextmanager
+    def ctx():
+        key = "spark.sql.autoBroadcastJoinThreshold"
+        old = spark.conf.get(key)
+        spark.conf.set(key, "-1")
+        try:
+            yield
+        finally:
+            spark.conf.set(key, old)
+
+    return ctx()
+
+
+def test_ivf_recall_curve_broadcast_sides_filtered(spark):
+    """No fact-scale hinted broadcast (r8 ADVICE): the r7 draft
+    broadcast the ENTIRE base before the qid join (correct results,
+    OOM at scale). Asserted on the materialize=False form where the
+    checkpointed subplans stay visible; the registered query wraps
+    the same construction."""
+    from distributed_mapreduce_p2p_spark.operators import similarity as SIM
+    from distributed_mapreduce_p2p_spark.plans.explain import explain_str
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    with _no_auto_broadcast(spark):
+        df = SIM.ivf_recall_curve(emb, materialize=False)
+        simple = explain_str(df, "simple")
+    _assert_hinted_embedding_broadcasts_sliced(simple)
+
+
+def test_ann_ivf_topk_single_assignment_pass_and_filtered_broadcasts(spark):
+    """ivf_topk's corpus-scale centroid-assignment BNLJ must appear
+    exactly once (probe lists rank only the |Q| query slice — r8
+    split: a vector's cell ranking is independent of other vectors),
+    and every hinted embeddings-scanning broadcast side carries a
+    vec_id slice filter (never a full-base broadcast — r8 ADVICE)."""
+    from distributed_mapreduce_p2p_spark.plans.explain import (
+        explain_str,
+        node_subtrees,
+    )
+
+    with _no_auto_broadcast(spark):
+        simple = explain_str(_q("ann_ivf_topk", spark), "simple")
+    assert "CartesianProduct" not in simple
+    bnlj_subs = node_subtrees(
+        simple, lambda s: "BroadcastNestedLoopJoin" in s
+    )
+    assert bnlj_subs, simple
+    # exactly one BNLJ streams the unfiltered corpus (the cell
+    # assignment); the probe-list BNLJ ranks only the query slice —
+    # an embeddings scan without a matching vec_id SLICE filter
+    # (isnotnull doesn't bound anything) marks an unfiltered stream
+    unfiltered_stream = 0
+    for sub in bnlj_subs:
+        scans = [
+            l for l in sub if "embeddings" in l and "FileScan parquet" in l
+        ]
+        slice_filters = [
+            l for l in sub
+            if _is_filter_node(l) and "vec_id#" in l and "< " in l
+        ]
+        if len(scans) > len(slice_filters):
+            unfiltered_stream += 1
+    assert unfiltered_stream == 1, simple
+    _assert_hinted_embedding_broadcasts_sliced(simple)
 
 
 def test_semdedup_pair_join_is_cell_equijoin(spark):
