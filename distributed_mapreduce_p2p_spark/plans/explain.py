@@ -126,6 +126,33 @@ def node_subtrees(plan: str, match) -> list[list[str]]:
     return out
 
 
+def window_input_bounded(plan: str, node: str) -> bool:
+    """Mechanical boundedness check for a whitelisted UNPARTITIONED
+    window (r8, closing the r7 verdict's "prose adjudication alone"
+    gap): the window's INPUT SUBTREE must contain an Aggregate or a
+    TakeOrderedAndProject node — the two plan shapes that collapse a
+    fact-scale input to a bounded row set (calendar/grid/post-agg
+    cells are aggregate outputs; top-k rank attaches sit on
+    TakeOrdered). A whitelist entry whose window feeds directly off a
+    fact scan (the sequence_packing r6 shape) fails this even if its
+    prose reason still reads plausibly — a renamed column or an
+    upstream join can't silently grow a "bounded" input back to fact
+    scale. Heuristic, not a proof: an aggregate BY A FACT-SCALE KEY
+    also passes — the audit pairs this with the human-reviewed reason
+    string. ``node`` is a stripped plan line as returned by
+    ``unpartitioned_window_nodes``; all occurrences must be bounded."""
+    import re
+
+    subs = node_subtrees(plan, lambda s: s == node or s.endswith(node))
+    marker = re.compile(
+        r"^(\*\(\d+\) )?((Hash|Sort|ObjectHash)Aggregate"
+        r"|TakeOrderedAndProject)"
+    )
+    return bool(subs) and all(
+        any(marker.match(line) for line in sub) for sub in subs
+    )
+
+
 def unpartitioned_window_nodes(plan: str) -> list[str]:
     """Window operators with NO partition spec — each moves its whole
     input through ONE task ("No Partition Defined for Window"), the

@@ -769,6 +769,46 @@ def test_sequence_packing_no_single_partition_exchange(spark):
     assert simple.count("SinglePartition") <= 1, simple
 
 
+def test_window_whitelist_self_verification(spark):
+    """The audit's bounded-window whitelist must be mechanical, not
+    prose (r7 verdict item 4): window_input_bounded flags a
+    hand-broken entry — an unpartitioned window fed straight off a
+    fact scan, the sequence_packing r6 shape — and accepts a genuine
+    post-agg cell window. tools/audit_plans.py routes every
+    WINDOW_WHITELIST row through this check, so a whitelisted name
+    whose input quietly grows back to fact scale turns the audit red
+    instead of printing ok."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_p2p_spark.plans.explain import (
+        explain_str,
+        unpartitioned_window_nodes,
+        window_input_bounded,
+    )
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+
+    ev = read_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id"
+    )
+    bad = ev.withColumn(
+        "rn", F.row_number().over(Window.orderBy("event_id"))
+    )
+    plan = explain_str(bad, "simple")
+    nodes = unpartitioned_window_nodes(plan)
+    assert nodes, plan
+    assert not window_input_bounded(plan, nodes[0]), plan
+
+    cells = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    good = cells.withColumn(
+        "rn", F.row_number().over(Window.orderBy("n", "user_id"))
+    )
+    plan2 = explain_str(good, "simple")
+    nodes2 = unpartitioned_window_nodes(plan2)
+    assert nodes2, plan2
+    assert window_input_bounded(plan2, nodes2[0]), plan2
+
+
 def test_equidepth_bins_no_single_partition_ntile(spark):
     """equidepth_bins must derive NTILE from the two-phase
     global_cumsum rank (range-repartition + per-pid windows +
