@@ -499,12 +499,19 @@ def semdedup_prune(
     Scale design: the cell equi-join is the only fact-scale shuffle;
     the within-cell comparison is quadratic ONLY in cell population —
     exactly the paper's reason for clustering first. n_cells is the
-    knob: it grows with the corpus so cell size (and the per-task
-    pair fan-out) stays constant; a hot cell is an AQE skew-join
-    split, not a plan change. The keep rule is purely local (pair →
-    loser), so no connected-components iteration is needed — one
-    distinct over losers replaces it, which is what makes SemDeDup
-    cheaper than MinHash-cluster dedup at the same scale.
+    knob, and its growth rule matters (measured, SCALE_REHEARSAL.md
+    "SemDeDup nominal scaling"): the assignment pass costs
+    O(n x n_cells), so growing n_cells LINEARLY with the corpus keeps
+    cells flat but sends assignment quadratic — the production rule
+    is n_cells ~ sqrt(n) (the FAISS coarse-quantizer heuristic),
+    which balances assignment against within-cell pairs at O(n^1.5)
+    each; past that, assignment itself goes through an ANN index over
+    the centroid table (the plan shape is unchanged — the broadcast
+    table is just pre-pruned). A hot cell is an AQE skew-join split,
+    not a plan change. The keep rule is purely local (pair → loser),
+    so no connected-components iteration is needed — one distinct
+    over losers replaces it, which is what makes SemDeDup cheaper
+    than MinHash-cluster dedup at the same scale.
 
     The centroid rule is the shared ``_cell_ranked`` stand-in (first
     n_cells vectors — one definition across ivf_topk /

@@ -174,6 +174,12 @@ QUERIES = [
     "dsir_importance_weights",
     "ivf_recall_curve",
     "semdedup_prune",
+    # r8: the plan-changed shapes — global_cumsum rewrites of the
+    # last two single-partition window demos, plus the IVF pair after
+    # the filtered-broadcast/single-assignment-pass ADVICE fixes
+    "equidepth_bins",
+    "embedding_norm_outliers",
+    "ann_ivf_topk",
 ]
 
 
