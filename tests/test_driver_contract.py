@@ -53,31 +53,34 @@ def test_first_50_window_composition():
     """The driver verifies exactly the first 50 queries() entries;
     that window must contain every entry that has never earned a
     driver CORRECTNESS row and every query whose plan/oracle changed
-    since its last sampled row (the standing rule, round-7 window)."""
+    since its last sampled row (the standing rule, round-8 window)."""
     mod = _load_entry()
     head = list(mod.queries())[:50]
     must_cover = {
-        # plan changed in r7 (global_cumsum rewrite, standing rule)
-        "sequence_packing",
-        # new in r7 — S2 chunktext DataSource end-to-end
-        "wordcount_chunked_source",
-        # plan/oracle changed in r7 (ADVICE fixes) AND never-sampled
-        "mcc_binary_rule",
-        "gini_mean_difference",
-        # the r6 verdict's named priority slice of the never-sampled
-        # backlog (heaviest/most novel plans first)
-        "pca_power_iteration",
-        "hits_hubs_authorities",
-        "winnow_fingerprints",
-        "winnow_plagiarism_pairs",
-        "kcore_decomposition",
-        "markov_absorption",
-        "label_propagation_communities",
-        "kaplan_meier_survival",
-        "log_rank_test",
-        "kruskal_wallis",
-        "dedup_detector_agreement",
-        "audio_silence_runs",
+        # plan changed in r7 AFTER the window froze — their old green
+        # rows describe dead plans (r7 audit-sweep rewrites)
+        "gap_detect",
+        "vocab_growth",
+        # new in r7 post-freeze (wordcount_chunked_source excepted —
+        # already green in the r7 window)
+        "gopher_repetition_flags",
+        "temperature_mixture",
+        "dsir_importance_weights",
+        "ivf_recall_curve",
+        "semdedup_prune",
+        # head of the never-sampled backlog in its queued order (the
+        # r7 verdict: 43 of 88 this round, r9 finishes)
+        "sax_symbols",
+        "quantile_normalize",
+        "knn_classify",
+        "mcnemar_test",
+        "cohen_kappa",
+        "markov_stationary",
+        "token_cooccurrence_lift",
+        # tail of the 43-slice — pins that the window actually
+        # retired the full prescribed count, not just the head
+        "nrr_by_cohort",
+        "acf_multi_lag",
     }
     missing = must_cover - set(head)
     assert not missing, f"driver window lost priority entries: {missing}"

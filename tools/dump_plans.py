@@ -326,12 +326,34 @@ SHOWCASE: list[tuple[str, str]] = [
     ),
     (
         "ivf_recall_curve",
-        "The whole recall/cost curve from ONE assignment pass: the "
-        "broadcast centroid BNLJ scores every vector once at "
-        "max-nprobe, and each curve point is a probe_rank filter of "
-        "the shared candidate table (three windows over "
-        "candidate-sized inputs, never the corpus) — evaluating the "
-        "ANN knob costs the same as running it once.",
+        "The whole recall/cost curve from ONE assignment pass, "
+        "structurally since r8: the scored candidate table and the "
+        "brute ground truth are localCheckpoint-materialized before "
+        "the nprobe loop, so the visible plan reads Scan ExistingRDD "
+        "nine times (6 sims + 3 exact) instead of re-running the "
+        "corpus subplans; every hinted broadcast is the filtered |Q| "
+        "or n_cells slice (the r8 ADVICE fix) and each curve point "
+        "is a probe_rank filter — evaluating the ANN knob costs the "
+        "same as running it once.",
+    ),
+    (
+        "equidepth_bins",
+        "NTILE(10) DERIVED from a rank instead of computed by a "
+        "window: the two-phase global_cumsum (range-repartition, "
+        "per-pid running sums, broadcast n_parts-row offsets) gives "
+        "the global rank and total, and the first-r-buckets-take-q+1 "
+        "integer arithmetic reproduces NTILE exactly — the r1-r7 "
+        "single-partition NTILE sort is gone; the only "
+        "SinglePartition exchange left carries the 8-row offsets "
+        "table.",
+    ),
+    (
+        "embedding_norm_outliers",
+        "Global percentile screen without a global sort: the same "
+        "two-phase global_cumsum rank replaces the r5 "
+        "single-partition row_number over the embeddings table; the "
+        "p1/p99 filter then reads _cum/_total as ordinary columns — "
+        "fact-scale stages are all range/hash exchanges.",
     ),
 ]
 
