@@ -262,6 +262,24 @@ IVF_CELLS = 16
 IVF_NPROBE = 2
 
 
+def semdedup_cells(n: int) -> int:
+    """The SemDeDup cell-count rule, MEASURED not asserted
+    (SCALE_REHEARSAL.md "SemDeDup nominal scaling", r8): growing
+    n_cells linearly with the corpus keeps cells flat but sends the
+    O(n x n_cells) assignment pass quadratic (measured 100x exponent
+    0.93); n_cells ~ sqrt(n) (the FAISS coarse-quantizer heuristic)
+    balances assignment against within-cell pairs at O(n^1.5) each
+    (measured 0.77). Floored at IVF_CELLS so tiny corpora keep a
+    non-degenerate cell structure. ``math.isqrt`` is exact-integer;
+    the DuckDB oracle mirrors it as FLOOR(SQRT(n)) — identical for
+    every n below 2^52 (IEEE sqrt is correctly rounded and the
+    fixture counts are nowhere near a perfect-square boundary where
+    double rounding could differ from isqrt)."""
+    import math
+
+    return max(IVF_CELLS, math.isqrt(n))
+
+
 def _centroids(base: DataFrame, n_cells: int) -> DataFrame:
     """The deterministic centroid set shared by ``ivf_topk``,
     ``ivf_recall_curve`` and ``semdedup_prune``: the first
@@ -465,8 +483,12 @@ def ivf_recall_curve(
         hits = topk.join(exact, ["qid", "cid"]).agg(
             F.count(F.lit(1)).cast("long").alias("hits")
         )
-        # sims is 1:1 with cand (both joins are key-preserving), so
-        # the cost axis reads the same checkpointed table
+        # sims is 1:1 with cand (both joins are key-preserving while
+        # embeddings vec_id is unique — the module-wide assumption,
+        # pinned by tests/test_r9_pipeline.py::
+        # test_ivf_recall_curve_sims_cand_key_preserving, which
+        # compares the two counts on real data), so the cost axis
+        # reads the same checkpointed table
         ncand = sims.where(F.col("probe_rank") <= np_).agg(
             F.count(F.lit(1)).cast("long").alias("candidates")
         )
@@ -485,7 +507,7 @@ def ivf_recall_curve(
 
 def semdedup_prune(
     emb: DataFrame,
-    n_cells: int = IVF_CELLS,
+    n_cells: int | None = None,
     tau: float = 0.4,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, public): semantic deduplication
@@ -499,13 +521,15 @@ def semdedup_prune(
     Scale design: the cell equi-join is the only fact-scale shuffle;
     the within-cell comparison is quadratic ONLY in cell population —
     exactly the paper's reason for clustering first. n_cells is the
-    knob, and its growth rule matters (measured, SCALE_REHEARSAL.md
-    "SemDeDup nominal scaling"): the assignment pass costs
-    O(n x n_cells), so growing n_cells LINEARLY with the corpus keeps
-    cells flat but sends assignment quadratic — the production rule
-    is n_cells ~ sqrt(n) (the FAISS coarse-quantizer heuristic),
-    which balances assignment against within-cell pairs at O(n^1.5)
-    each; past that, assignment itself goes through an ANN index over
+    knob, and since r9 the measured rule IS the default: when
+    ``n_cells`` is None it derives as ``semdedup_cells(count)`` =
+    max(IVF_CELLS, isqrt(n)) — the sqrt rule the r8 nominal rehearsal
+    (SCALE_REHEARSAL.md "SemDeDup nominal scaling") proved out after
+    it CORRECTED the docstring's original linear prescription
+    (assignment goes quadratic under linear growth, 100x exponent
+    0.93 vs 0.77). The derivation costs one metadata-cheap count of
+    the embedding table at plan-build time. Past ~1e9 vectors,
+    assignment itself goes through an ANN index over
     the centroid table (the plan shape is unchanged — the broadcast
     table is just pre-pruned). A hot cell is an AQE skew-join split,
     not a plan change. The keep rule is purely local (pair → loser),
@@ -520,6 +544,8 @@ def semdedup_prune(
     with the DuckDB oracle.
     """
     base = with_norm2(emb)
+    if n_cells is None:
+        n_cells = semdedup_cells(emb.count())
     # home is referenced three times (both pair sides + the census);
     # localCheckpoint materializes the assignment pass ONCE (the
     # pca_power_iteration lesson) — 3 narrow columns, linear storage

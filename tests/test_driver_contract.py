@@ -53,34 +53,34 @@ def test_first_50_window_composition():
     """The driver verifies exactly the first 50 queries() entries;
     that window must contain every entry that has never earned a
     driver CORRECTNESS row and every query whose plan/oracle changed
-    since its last sampled row (the standing rule, round-8 window)."""
+    since its last sampled row (the standing rule, round-9 window —
+    the one that FINISHES the backlog retirement: after it samples,
+    every registered query has a driver row on its shipped plan)."""
     mod = _load_entry()
     head = list(mod.queries())[:50]
     must_cover = {
-        # plan changed in r7 AFTER the window froze — their old green
-        # rows describe dead plans (r7 audit-sweep rewrites)
-        "gap_detect",
-        "vocab_growth",
-        # new in r7 post-freeze (wordcount_chunked_source excepted —
-        # already green in the r7 window)
-        "gopher_repetition_flags",
-        "temperature_mixture",
-        "dsir_importance_weights",
-        "ivf_recall_curve",
+        # plan changed in r8 AFTER the window froze — their old green
+        # rows describe dead plans
+        "ann_ivf_topk",
+        "equidepth_bins",
+        "embedding_norm_outliers",
+        # plan changed in r9 pre-freeze: n_cells now derives by the
+        # measured sqrt rule (oracle updated too)
         "semdedup_prune",
-        # head of the never-sampled backlog in its queued order (the
-        # r7 verdict: 43 of 88 this round, r9 finishes)
-        "sax_symbols",
-        "quantile_normalize",
-        "knn_classify",
-        "mcnemar_test",
-        "cohen_kappa",
-        "markov_stationary",
-        "token_cooccurrence_lift",
-        # tail of the 43-slice — pins that the window actually
-        # retired the full prescribed count, not just the head
-        "nrr_by_cohort",
-        "acf_multi_lag",
+        # new in r9 (1 of the <=2 addition budget)
+        "hll_distinct_estimate",
+        # head of the LAST 45 never-sampled backlog names, queued
+        # order (registry._FRONT comment)
+        "feature_hash_vectors",
+        "flesch_reading_ease",
+        "candidate_key_discovery",
+        "linear_mmd_labels",
+        "l_diversity_audit",
+        # tail of the 45-slice — pins that the window retired the
+        # full backlog, not just the head
+        "cuped_adjustment",
+        "month_end_lift",
+        "bowley_skewness",
     }
     missing = must_cover - set(head)
     assert not missing, f"driver window lost priority entries: {missing}"

@@ -594,3 +594,22 @@ def test_rehearsal_tool_query_lists_reference_registered_queries():
     ):
         stale = set(tool.QUERIES) - registered
         assert not stale, f"{tool.__name__}: unregistered {stale}"
+
+
+def test_semdedup_cells_sqrt_rule():
+    """The r8 nominal rehearsal's finding, enforced: n_cells derives
+    as max(IVF_CELLS, isqrt(n)) — linear growth measured quadratic
+    in the assignment pass (SCALE_REHEARSAL.md "SemDeDup nominal
+    scaling"), sqrt is the prescribed production rule. The fixture
+    sizes pin that the rule actually engages at every driver SF
+    (500 -> 22, 2000 -> 44), not just in prose."""
+    from distributed_mapreduce_p2p_spark.operators.similarity import (
+        IVF_CELLS,
+        semdedup_cells,
+    )
+
+    assert semdedup_cells(0) == IVF_CELLS
+    assert semdedup_cells(255) == IVF_CELLS  # isqrt(255)=15 < floor
+    assert semdedup_cells(500) == 22   # sf0.001 / sf0.01 embeddings
+    assert semdedup_cells(2000) == 44  # sf0.1 embeddings
+    assert semdedup_cells(10**12) == 10**6

@@ -259,7 +259,12 @@ def test_semdedup_prune_recompute(spark):
     def sim(qi, ci):
         return dot(emb[qi], emb[ci]) / (_m.sqrt(n2[qi]) * _m.sqrt(n2[ci]))
 
-    cents = [i for i in sorted(emb) if i < 16]
+    # r9: the registered call site derives n_cells by the measured
+    # sqrt rule (similarity.semdedup_cells); the recompute derives
+    # it independently so a silent fallback to fixed 16 fails.
+    k = max(16, _m.isqrt(len(emb)))
+    assert k == 22, "fixture drifted: sqrt rule not exercised"
+    cents = [i for i in sorted(emb) if i < k]
     home = {}
     csim = {}
     for v in emb:

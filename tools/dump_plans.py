@@ -355,6 +355,14 @@ SHOWCASE: list[tuple[str, str]] = [
         "p1/p99 filter then reads _cum/_total as ordinary columns — "
         "fact-scale stages are all range/hash exchanges.",
     ),
+    (
+        "hll_distinct_estimate",
+        "r9: supplier joins UNHINTED yet lands BroadcastHashJoin "
+        "(size-based planning — the de-hint policy's proof-by-plan); "
+        "every aggregate partial+final; the alpha*2^57 constant is "
+        "folded to one literal; scan pruned to 2 of 16 lineitem "
+        "columns.",
+    ),
 ]
 
 
