@@ -1168,3 +1168,30 @@ def test_semdedup_pair_join_is_cell_equijoin(spark):
     assert "SortMergeJoin [cell#" in simple, simple
     assert "Scan ExistingRDD" in simple, simple
     assert not unpartitioned_window_nodes(simple), simple
+
+
+def test_hll_distinct_estimate_plan(spark):
+    """r9 HLL sketch plan pins: no hint anywhere (supplier must still
+    land as a size-based BroadcastHashJoin at fixture scale — the
+    de-hint policy's proof-by-plan), every aggregate partial+final,
+    at most 3 shuffles (distinct, register groupBy, nation reduce),
+    lineitem scan pruned to exactly its 2 needed columns."""
+    from distributed_mapreduce_p2p_spark.plans.explain import (
+        explain_str,
+        read_schemas,
+        shuffle_count,
+    )
+
+    df = _q("hll_distinct_estimate", spark)
+    simple = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in simple
+    assert "CartesianProduct" not in simple
+    assert "BroadcastNestedLoopJoin" not in simple
+    assert shuffle_count(df) <= 3, simple
+    assert "partial_max" in simple and "partial_sum" in simple
+    li_schemas = [
+        s for s in read_schemas(df) if "l_orderkey" in s
+    ]
+    assert li_schemas and all(
+        s.count(",") == 1 for s in li_schemas
+    ), li_schemas

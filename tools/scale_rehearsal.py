@@ -208,10 +208,23 @@ def build_scaled(spark, out_dir: str) -> None:
         .write.parquet(f"{out_dir}/documents.parquet")
     )
     emb = read_table(spark, SF, "embeddings")
+    # REPLICA-MAJOR re-keying (rep * n + vec_id), unlike the other
+    # tables' interleaved (id * REPLICAS + rep): the similarity
+    # operators' quantizer/query stand-in is "the first k vec_ids",
+    # so interleaved re-keying silently collapses it — at 10x,
+    # vec_id < 141 under interleaving selects only ceil(141/10)=15
+    # DISTINCT vectors (each orig id appears 10x), and the r9
+    # semdedup_prune rehearsal measured a 15-cell census instead of
+    # the 141-cell nominal shape (output rows DROPPED 44 -> 15, the
+    # tell). Replica-major keeps rep=0 as the exact original table,
+    # so first-k means the same k distinct vectors at every scale.
+    n_emb = emb.count()
     (
         emb.crossJoin(reps)
         .select(
-            (F.col("vec_id") * REPLICAS + F.col("rep")).alias("vec_id"),
+            (F.col("rep") * F.lit(n_emb) + F.col("vec_id")).alias(
+                "vec_id"
+            ),
             *[c for c in emb.columns if c != "vec_id"],
         )
         .write.parquet(f"{out_dir}/embeddings.parquet")
