@@ -613,3 +613,56 @@ def test_semdedup_cells_sqrt_rule():
     assert semdedup_cells(500) == 22   # sf0.001 / sf0.01 embeddings
     assert semdedup_cells(2000) == 44  # sf0.1 embeddings
     assert semdedup_cells(10**12) == 10**6
+
+
+def test_plan_identity_normalize_and_equivalent():
+    """The r9 plan-identity tool's pure functions, pinned: (1)
+    normalize strips exprIds / plan ids / codegen stage ids /
+    ExistingRDD attr lists / tmp paths but NEVER operator names or
+    join strategies; (2) equivalent() accepts a pure gid-permutation
+    diff and rejects a join-strategy change, an added exchange, and
+    any diff touching a gid-free line."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(
+        0, str(Path(__file__).resolve().parent.parent / "tools")
+    )
+    from plan_identity import equivalent, normalize
+
+    a = (
+        "*(2) Project [a#123L]\n"
+        "+- BroadcastHashJoin [k#12], [k#45], Inner, BuildRight, false\n"
+        "   +- Exchange hashpartitioning(k#12, 8), [plan_id=77]\n"
+        "      +- Scan ExistingRDD[a#123L,k#12]\n"
+        "         +- FileScan parquet Location: [/tmp/abc_x1/out]"
+    )
+    b = (
+        "*(7) Project [a#9L]\n"
+        "+- BroadcastHashJoin [k#1], [k#2], Inner, BuildRight, false\n"
+        "   +- Exchange hashpartitioning(k#1, 8), [plan_id=3]\n"
+        "      +- Scan ExistingRDD[a#9L,k#1]\n"
+        "         +- FileScan parquet Location: [/tmp/abc_z9/out]"
+    )
+    assert normalize(a) == normalize(b)
+    smj = normalize(a).replace("BroadcastHashJoin", "SortMergeJoin")
+    assert normalize(a) != smj and not equivalent(normalize(a), smj)
+
+    g1 = (
+        "HashAggregate(keys=[k#], functions=[count(x#) FILTER "
+        "(WHERE (gid# = 1)), count(y#) FILTER (WHERE (gid# = 2))])\n"
+        "+- Expand [[k#, x#, null, 1], [k#, null, y#, 2]], "
+        "[k#, x#, y#, gid#]"
+    )
+    g2 = (
+        "HashAggregate(keys=[k#], functions=[count(x#) FILTER "
+        "(WHERE (gid# = 2)), count(y#) FILTER (WHERE (gid# = 1))])\n"
+        "+- Expand [[k#, x#, null, 2], [k#, null, y#, 1]], "
+        "[k#, x#, y#, gid#]"
+    )
+    assert equivalent(g1, g2)  # pure gid renumbering
+    # a gid-free differing line blocks equivalence even when gid
+    # lines also differ
+    g3 = g2.replace("HashAggregate(keys=[k#]", "HashAggregate(keys=[j#]")
+    g3 = g3.replace("gid#]", "gid#]\n+- Exchange rangepartitioning(k#)")
+    assert not equivalent(g1, g3)

@@ -114,7 +114,24 @@ def plan_all(names: list[str] | None) -> dict[str, str]:
 
 def equivalent(p1: str, p2: str) -> bool:
     """Exact normalized equality, or gid-permutation equivalence:
-    every differing line in the unified diff mentions `gid#`."""
+    every differing line in the unified diff mentions `gid#`.
+
+    Why a line-level heuristic and not a canonicalization: Spark's
+    RewriteDistinctAggregates / grouping-sets planner permutes not
+    just the gid NUMBERS but the whole column-to-slot LAYOUT of the
+    Expand (rows, output attribute order, hashpartitioning key
+    order) consistently across the subtree — an r9 attempt to
+    canonicalize by neutralizing gid literals and sorting bracket/
+    paren elements still false-flagged slot-permuted plans
+    (table_profile, source_dataset_card), so undoing it textually
+    would need real structural matching against the output schema.
+    The heuristic's only mask risk is a same-line token change on an
+    all-gid-line diff (e.g. a shuffle partition count inside
+    `Exchange hashpartitioning(..., gid#, 8)`); this tool pins
+    spark.sql.shuffle.partitions for every snapshot, so that token
+    cannot drift between the runs being compared, and any strategy/
+    build-side change always alters a gid-free line (the join node
+    itself)."""
     if p1 == p2:
         return True
     import difflib
