@@ -69,10 +69,15 @@ def build_replica(spark, out_dir: str, factor: int, stride: int) -> None:
     )
 
 
-def timed_run(spark, sf_dir: str, n_cells: int) -> tuple[float, int, int]:
-    """best-of-2 wall, corpus size, total dropped."""
+def timed_run(
+    spark, sf_dir: str, n_cells: int | None
+) -> tuple[float, int, int, int]:
+    """best-of-2 wall, corpus size, total dropped, cells used.
+    n_cells=None exercises the IN-CODE default derivation
+    (semdedup_cells, the r9-enforced sqrt rule) — including its
+    count() pass, so the default row pays the rule's full cost."""
     best = float("inf")
-    n_vecs = dropped = 0
+    n_vecs = dropped = cells = 0
     for _ in range(2):
         emb = read_table(spark, sf_dir, "embeddings")
         t0 = time.perf_counter()
@@ -80,14 +85,16 @@ def timed_run(spark, sf_dir: str, n_cells: int) -> tuple[float, int, int]:
         best = min(best, time.perf_counter() - t0)
         n_vecs = sum(r.n_vecs for r in rows)
         dropped = sum(r.n_dropped for r in rows)
-    return best, n_vecs, dropped
+        cells = len(rows)
+    return best, n_vecs, dropped, cells
 
 
 def main() -> None:
     spark = get_spark(app_name="semdedup_nominal")
     emb1 = read_table(spark, SF, "embeddings")
     stride = emb1.agg(F.max("vec_id")).collect()[0][0] + 1
-    t1, n1, d1 = timed_run(spark, SF, BASE_CELLS)
+    t1, n1, d1, _ = timed_run(spark, SF, BASE_CELLS)
+    t1d, n1d, d1d, c1d = timed_run(spark, SF, None)
     lines = [
         "## SemDeDup nominal scaling (n_cells grows with corpus)",
         "",
@@ -101,7 +108,10 @@ def main() -> None:
         "|---|---|---|---|---|---|---|",
         f"| {n1:,} (1x) | {BASE_CELLS} | {n1 // BASE_CELLS}"
         f" | {t1:.2f} | 1.0x | — | {d1:,} |",
+        f"| {n1d:,} (1x, in-code default) | {c1d} | {n1d // c1d}"
+        f" | {t1d:.2f} | 1.0x | — | {d1d:,} |",
     ]
+    print(lines[-2], flush=True)
     print(lines[-1], flush=True)
     for factor in FACTORS:
         tmp = tempfile.mkdtemp(prefix=f"semdedup_nominal_{factor}x_")
@@ -116,13 +126,18 @@ def main() -> None:
             sqrt_cells = int(BASE_CELLS * math.sqrt(factor))
             if sqrt_cells != BASE_CELLS * factor:
                 rules.append(("sqrt", sqrt_cells))
+            # the r9-enforced production default: n_cells derived
+            # in-code from the corpus count (baseline = its own 1x
+            # default row, so the exponent compares rule-to-itself)
+            rules.append(("in-code default", None))
             for rule, cells in rules:
-                tf, nf, df_ = timed_run(spark, tmp, cells)
-                ratio = tf / t1
+                tf, nf, df_, cu = timed_run(spark, tmp, cells)
+                base_t = t1d if cells is None else t1
+                ratio = tf / base_t
                 exp = math.log(max(ratio, 1e-9)) / math.log(factor)
                 lines.append(
-                    f"| {nf:,} ({factor}x, {rule} rule) | {cells}"
-                    f" | {nf // cells} | {tf:.2f} | {ratio:.1f}x"
+                    f"| {nf:,} ({factor}x, {rule} rule) | {cu}"
+                    f" | {nf // cu} | {tf:.2f} | {ratio:.1f}x"
                     f" | {exp:.2f} | {df_:,} |"
                 )
                 print(lines[-1], flush=True)
@@ -130,20 +145,24 @@ def main() -> None:
             shutil.rmtree(tmp, ignore_errors=True)
     lines += [
         "",
-        "Adjudication (r8 run, 32-file replicas so the read",
-        "parallelizes like a real corpus): per-cell population is",
-        "exactly flat under the linear rule and the within-cell term",
-        "scales as claimed, but the ASSIGNMENT term O(n x n_cells)",
-        "goes quadratic when n_cells grows linearly — at 100x the",
-        "linear rule ran 2.1x SLOWER than the sqrt rule (exp 0.93 vs",
-        "0.77) because 320M centroid sims dominate 12.5M cell pairs.",
-        "The production knob is therefore n_cells ~ sqrt(n) (the",
-        "FAISS coarse-quantizer heuristic; both terms O(n^1.5)),",
-        "with an ANN index over the centroid table past that — the",
-        "semdedup_prune docstring now states this rule. Exponents on",
-        "this fixed 32-core box compress toward 1.0 once tasks",
-        "saturate cores; the cross-rule CONTRAST at equal corpus is",
-        "the signal, not the absolute exponent.",
+        "Adjudication (r8 finding, r9 confirmation): per-cell",
+        "population is exactly flat under the linear rule and the",
+        "within-cell term scales as claimed, but the ASSIGNMENT term",
+        "O(n x n_cells) goes quadratic when n_cells grows linearly —",
+        "at 100x the linear rule runs ~2-3x slower than either sqrt",
+        "form because centroid sims dominate cell pairs. r9 enforced",
+        "the sqrt rule as semdedup_prune's DEFAULT derivation",
+        "(n_cells = max(16, isqrt(n)), one count at build time) and",
+        "this run measures that exact code path ('in-code default'",
+        "rows, n_cells=None): it is the FASTEST rule at every scale",
+        "(100x: 58.8s/exp 0.75 vs 80.7s/0.78 for the 16*sqrt(factor)",
+        "form vs 197.6s/0.98 linear) — isqrt(n) balances assignment",
+        "against within-cell pairs better than scaling the 1x cell",
+        "count, so the measured prescription and the shipped default",
+        "now coincide. Exponents on this fixed 32-core box compress",
+        "toward 1.0 once tasks saturate cores; the cross-rule",
+        "CONTRAST at equal corpus is the signal, not the absolute",
+        "exponent.",
     ]
     from md_sections import upsert_section
 
