@@ -23,6 +23,14 @@ de-hinted in r9 with plan-identity proof (tools/plan_identity.py).
 
 KNOWN HEURISTIC GAPS (shared with plans/explain.py's
 window_input_bounded, documented there too):
+  * A hint inside a localCheckpoint'ed subtree is INVISIBLE to this
+    sweep — the checkpoint executes at plan-build time and the
+    visible plan reads `Scan ExistingRDD`. The r9 wave-2 sweep found
+    two such hidden hinted fact broadcasts this way (promo_diff_in_
+    diff's unfiltered part projection, tpch_q11's supplier slice) by
+    SOURCE inspection, not planning; the closed-set source guard
+    tests/test_plans.py::test_broadcast_hint_args_closed_set is the
+    mechanical cover for this gap.
   * An Aggregate grouped by a FACT-SCALE key (e.g. groupBy custkey)
     bounds nothing — output cardinality still scales with the data —
     yet (a) above treats any Aggregate as bounding.  Today every
