@@ -666,3 +666,46 @@ def test_plan_identity_normalize_and_equivalent():
     g3 = g2.replace("HashAggregate(keys=[k#]", "HashAggregate(keys=[j#]")
     g3 = g3.replace("gid#]", "gid#]\n+- Exchange rangepartitioning(k#)")
     assert not equivalent(g1, g3)
+
+
+def test_plan_identity_judge_and_compare_modes(tmp_path):
+    """r10 ADVICE pins on the tool's MODE semantics, not just the
+    pure functions: (1) judge reports a query present in BEFORE but
+    missing from the AFTER snapshots as GONE and exits nonzero —
+    a deleted/renamed query can no longer silently escape the
+    identity check; (2) compare re-normalizes the snapshot via
+    _load and accepts gid-permuted plans via equivalent(), so the
+    two modes share one equivalence definition (previously compare
+    used raw json + exact equality)."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo / "tools"))
+    from plan_identity import _load, equivalent  # noqa: F401
+
+    g1 = (
+        "HashAggregate(functions=[count(x#123) FILTER "
+        "(WHERE (gid#7 = 1))])"
+    )
+    g2 = (
+        "HashAggregate(functions=[count(x#9) FILTER "
+        "(WHERE (gid#2 = 1))])"
+    )
+    before = tmp_path / "before.json"
+    after = tmp_path / "after.json"
+    before.write_text(json.dumps({"q_a": g1, "q_b": g1}))
+    after.write_text(json.dumps({"q_a": g2}))
+    r = subprocess.run(
+        [sys.executable, str(repo / "tools" / "plan_identity.py"),
+         "judge", str(before), str(after), str(after)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 1, r.stdout + r.stderr
+    assert "GONE (in before, missing from after): q_b" in r.stdout
+    assert "CHANGED" not in r.stdout  # q_a: raw-text differs only in
+    # exprIds — _load's re-normalization must make it identical
+    # compare-mode equivalence: loader must renormalize raw snapshots
+    assert _load(before)["q_a"] == _load(after)["q_a"]

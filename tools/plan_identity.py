@@ -157,6 +157,11 @@ def judge(before_p: Path, a1_p: Path, a2_p: Path) -> None:
     before = _load(before_p)
     a1 = _load(a1_p)
     a2 = _load(a2_p)
+    # r10 ADVICE: a query present in BEFORE but absent from the AFTER
+    # snapshots (deleted / renamed / failed to plan) must be reported,
+    # not silently skipped — a rename would otherwise escape the
+    # identity check entirely.
+    gone = sorted(n for n in before if n not in a1 or n not in a2)
     unstable = sorted(
         n for n in a1 if not equivalent(a1[n], a2.get(n, ""))
     )
@@ -165,17 +170,19 @@ def judge(before_p: Path, a1_p: Path, a2_p: Path) -> None:
         if n not in unstable
         and not equivalent(before.get(n, ""), a1[n])
     )
+    for n in gone:
+        print(f"GONE (in before, missing from after): {n}")
     for n in unstable:
         print(f"UNSTABLE (same-code session variance): {n}")
     for n in changed:
         print(f"CHANGED: {n}")
     print(
         f"judged {len(a1)} plans: {len(changed)} changed, "
-        f"{len(unstable)} unstable, "
+        f"{len(unstable)} unstable, {len(gone)} gone, "
         f"{len(a1) - len(changed) - len(unstable)} "
         f"identical-or-gid-permuted"
     )
-    sys.exit(1 if changed else 0)
+    sys.exit(1 if changed or gone else 0)
 
 
 def main() -> None:
@@ -189,20 +196,33 @@ def main() -> None:
         path.write_text(json.dumps(plans, indent=0))
         print(f"snapshot: {len(plans)} plans -> {path}")
         return
-    before = json.loads(path.read_text())
+    # r10 ADVICE: compare shares judge's _load (idempotent
+    # re-normalize, so snapshots written before a normalization rule
+    # landed stay comparable) and equivalent() (gid-permutation
+    # tolerance) instead of raw json + exact equality — the two modes
+    # previously disagreed on gid-permuted same-code plans.
+    before = _load(path)
     changed = sorted(
-        n for n, p in plans.items() if before.get(n) != p
+        n for n, p in plans.items()
+        if not equivalent(before.get(n, ""), p)
     )
     missing = sorted(set(plans) - set(before))
+    # only a FULL compare can adjudicate snapshot keys that were not
+    # re-planned; with a names filter the remainder is intentionally
+    # absent, not deleted
+    gone = sorted(set(before) - set(plans)) if not names else []
     for n in changed:
         print(f"CHANGED: {n}")
     if missing:
         print(f"not in snapshot: {missing}")
+    for n in gone:
+        print(f"GONE (in snapshot, not registered now): {n}")
     print(
         f"compared {len(plans)} plans: {len(changed)} changed, "
-        f"{len(plans) - len(changed)} identical"
+        f"{len(gone)} gone, {len(plans) - len(changed)} "
+        f"identical-or-gid-permuted"
     )
-    sys.exit(1 if changed else 0)
+    sys.exit(1 if changed or gone else 0)
 
 
 if __name__ == "__main__":

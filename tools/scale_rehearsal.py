@@ -218,7 +218,11 @@ def build_scaled(spark, out_dir: str) -> None:
     # the 141-cell nominal shape (output rows DROPPED 44 -> 15, the
     # tell). Replica-major keeps rep=0 as the exact original table,
     # so first-k means the same k distinct vectors at every scale.
-    n_emb = emb.count()
+    # stride = max(vec_id)+1, not count(): the two coincide only while
+    # vec_ids are contiguous from 0 — a gapped fixture would collide
+    # replicas under count() (r10 ADVICE; matches
+    # semdedup_nominal_rehearsal.py's derivation)
+    n_emb = emb.agg(F.max("vec_id")).collect()[0][0] + 1
     (
         emb.crossJoin(reps)
         .select(
