@@ -529,9 +529,12 @@ def semdedup_prune(
     (assignment goes quadratic under linear growth, 100x exponent
     0.93 vs 0.77). The derivation costs one metadata-cheap count of
     the embedding table at plan-build time. Past ~1e9 vectors,
-    assignment itself goes through an ANN index over
-    the centroid table (the plan shape is unchanged — the broadcast
-    table is just pre-pruned). A hot cell is an AQE skew-join split,
+    assignment itself goes through ``semdedup_prune_ann`` (r10): the
+    registered twin routes vectors through a second-level coarse
+    quantizer (~n^1.25 sims instead of this path's n^1.5; measured
+    crossover between 10x and 100x of sf0.1 — SCALE_REHEARSAL.md
+    "SemDeDup ANN assignment scaling"), so this exact path stays the
+    default below the crossover. A hot cell is an AQE skew-join split,
     not a plan change. The keep rule is purely local (pair → loser),
     so no connected-components iteration is needed — one distinct
     over losers replaces it, which is what makes SemDeDup cheaper
@@ -555,6 +558,22 @@ def semdedup_prune(
         .select("vec_id", F.col("cent_id").alias("cell"), F.col("sim").alias("csim"))
         .localCheckpoint(eager=False)
     )
+    return _semdedup_census(base, home, tau)
+
+
+def _semdedup_census(
+    base: DataFrame, home: DataFrame, tau: float
+) -> DataFrame:
+    """The SemDeDup downstream shared by ``semdedup_prune`` (exact
+    nearest-centroid assignment) and ``semdedup_prune_ann``
+    (two-level ANN assignment): within-cell pairs above ``tau`` drop
+    the member MORE similar to its centroid (vec_id tie-break), one
+    distinct over losers, per-cell census. ``home`` must be the
+    materialized (vec_id, cell, csim) assignment; ``base`` the
+    ``with_norm2`` projection. Extracted r10 so the two assignment
+    strategies cannot drift in prune semantics — the census is the
+    same DataFrame composition either way (semdedup_prune's plan is
+    unchanged by the refactor; tools/plan_identity.py verified)."""
     assigned = home.join(base.select("vec_id", "embedding", "norm2"), "vec_id")
     a = assigned.select(
         F.col("cell"),
@@ -606,6 +625,224 @@ def semdedup_prune(
             ),
         )
     )
+
+
+SEMDEDUP_SUPER_FLOOR = 4
+SEMDEDUP_ANN_NPROBE = 2
+
+
+def semdedup_super_cells(n_cells: int) -> int:
+    """Super-cell count for the two-level SemDeDup assignment: the
+    sqrt rule applied once more (n_super = max(4, isqrt(n_cells)) =
+    ~n^(1/4)), floored low enough that tiny fixtures still exercise
+    a real two-level routing (4 supers over 16+ cells). The oracle
+    mirrors it as GREATEST(4, FLOOR(SQRT(k))) — exact for every
+    n_cells below 2^52, same argument as ``semdedup_cells``."""
+    import math
+
+    return max(SEMDEDUP_SUPER_FLOOR, math.isqrt(n_cells))
+
+
+def semdedup_prune_ann(
+    emb: DataFrame,
+    n_cells: int | None = None,
+    tau: float = 0.4,
+    nprobe: int = SEMDEDUP_ANN_NPROBE,
+) -> DataFrame:
+    """SemDeDup census with ANN-over-centroids assignment — the scale
+    form ``semdedup_prune``'s docstring prescribes past ~1e9 vectors
+    (r9 verdict's last named scale-killer, implemented r10).
+
+    The exact path ranks every vector against ALL n_cells = isqrt(n)
+    centroids: an O(n·√n) broadcast-nested-loop — at n = 1e11 that is
+    ~3e16 sims, the one remaining fact-scale term that does not
+    survive the 100 TB north star. This twin routes the assignment
+    through a second-level coarse quantizer (the standard IVF-over-
+    IVF / FAISS coarse-probe shape, applied to the centroid table
+    itself):
+
+    1. n_super = max(4, isqrt(n_cells)) ~ n^(1/4) SUPER-centroids
+       (the shared first-k stand-in rule, one more level down).
+    2. centroid -> super home: rank the n_cells centroids against
+       the supers (O(√n · n^(1/4)) sims — off the fact scale).
+    3. vector -> super probes: rank every vector against the SUPERS
+       only (O(n · n^(1/4)) sims, vs O(n · √n) exact), keep the top
+       ``nprobe`` super-cells.
+    4. candidate centroids = the probed supers' member centroids
+       (broadcast ``cent_home``: n_cells rows × 2 longs — ~5 MB at
+       n = 1e11); exact-rank each vector against only those
+       (~nprobe · n_cells / n_super = O(n^(1/4)) candidates each).
+
+    Total assignment sims drop from n·√n to ~n·(1 + nprobe)·n^(1/4)
+    — at n = 1e11, ~180x fewer — while steps 2-4 stay equi-joins /
+    bounded broadcasts (the only BNLJ left is against the n^(1/4)-row
+    super table). Assignment is APPROXIMATE (a vector's true nearest
+    centroid may live outside its probed supers), so this is a
+    registered twin with its own oracle, not a silent swap: the
+    DuckDB oracle mirrors the same deterministic two-level routing
+    bit-for-bit (shared left-to-right fold), and
+    ``semdedup_ann_assignment_recall`` measures the agreement with
+    the exact assignment on the same corpus. Downstream prune
+    semantics are byte-shared with the exact path
+    (``_semdedup_census``).
+    """
+    base = with_norm2(emb)
+    if n_cells is None:
+        n_cells = semdedup_cells(emb.count())
+    n_super = semdedup_super_cells(n_cells)
+    sup = _centroids(base, n_super)
+    cent = _centroids(base, n_cells)
+    # centroid -> super routing table: n_cells rows of 2 longs,
+    # broadcast-bounded at any corpus size (isqrt growth)
+    cent_home = (
+        _rank_cells(base.where(F.col("vec_id") < n_cells), sup)
+        .where(F.col("rnk") == 1)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("cent_id").alias("sup"),
+        )
+    )
+    # the ONLY fact-scale pass: rank vectors against n^(1/4) supers
+    probes = (
+        _rank_cells(base, sup)
+        .where(F.col("rnk") <= nprobe)
+        .select("vec_id", F.col("cent_id").alias("sup"))
+    )
+    cand = broadcast(cent_home).join(probes, "sup").select(
+        "vec_id", "cent_id"
+    )
+    # exact-rank candidates: equi-joins only — the vector re-attach
+    # shuffles on vec_id (reused by the window right after), the
+    # centroid side is size-estimable UNHINTED (broadcast at fixture
+    # SFs, shuffle fallback at scale — the r9 de-hint policy)
+    q = base.select(
+        "vec_id",
+        F.col("embedding").alias("q_emb"),
+        F.col("norm2").alias("q_n2"),
+    )
+    c = cent.select(
+        "cent_id",
+        F.col("c_emb"),
+        F.col("c_n2"),
+    )
+    scored = cand.join(q, "vec_id").join(c, "cent_id").select(
+        "vec_id", "cent_id", _sim_col()
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cent_id")
+    home = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select(
+            "vec_id",
+            F.col("cent_id").alias("cell"),
+            F.col("sim").alias("csim"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    return _semdedup_census(base, home, tau)
+
+
+def semdedup_ann_assignment_recall(
+    emb: DataFrame,
+    n_cells: int | None = None,
+    nprobe: int = SEMDEDUP_ANN_NPROBE,
+) -> DataFrame:
+    """Agreement between the ANN two-level assignment and the exact
+    nearest-centroid assignment, with the measured cost axis — the
+    evaluation that justifies shipping ``semdedup_prune_ann`` at a
+    given nprobe (the ``ivf_recall_curve`` precedent applied to the
+    assignment stage): one row per probe depth 1..nprobe with the
+    number of vectors whose ANN home cell equals the exact home
+    cell, agreement in exact integer ppm, and the candidate-centroid
+    count actually scored (vs the exact path's n · n_cells).
+
+    One corpus-scale probe ranking pays for the whole curve: the
+    depth-p assignment is the ``probe_rank <= p`` filter of the
+    depth-max candidate set (localCheckpoint-materialized, the
+    recall-curve convention), so smaller depths are free."""
+    base = with_norm2(emb)
+    if n_cells is None:
+        n_cells = semdedup_cells(emb.count())
+    n_super = semdedup_super_cells(n_cells)
+    sup = _centroids(base, n_super)
+    cent = _centroids(base, n_cells)
+    cent_home = (
+        _rank_cells(base.where(F.col("vec_id") < n_cells), sup)
+        .where(F.col("rnk") == 1)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("cent_id").alias("sup"),
+        )
+    )
+    probes = (
+        _rank_cells(base, sup)
+        .where(F.col("rnk") <= nprobe)
+        .select(
+            "vec_id",
+            F.col("cent_id").alias("sup"),
+            F.col("rnk").alias("probe_rank"),
+        )
+    )
+    cand = broadcast(cent_home).join(probes, "sup").select(
+        "vec_id", "cent_id", "probe_rank"
+    )
+    q = base.select(
+        "vec_id",
+        F.col("embedding").alias("q_emb"),
+        F.col("norm2").alias("q_n2"),
+    )
+    scored = (
+        cand.join(q, "vec_id")
+        .join(cent, "cent_id")
+        .select("vec_id", "cent_id", "probe_rank", _sim_col())
+        .localCheckpoint(eager=False)
+    )
+    exact = (
+        _cell_ranked(base, n_cells)
+        .where(F.col("rnk") == 1)
+        .select("vec_id", F.col("cent_id").alias("exact_cell"))
+    )
+    n_total = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    out = None
+    for p in range(1, nprobe + 1):
+        wp = Window.partitionBy("vec_id").orderBy(
+            F.col("sim").desc(), "cent_id"
+        )
+        ann = (
+            scored.where(F.col("probe_rank") <= p)
+            .withColumn("rnk", F.row_number().over(wp))
+            .where(F.col("rnk") == 1)
+            .select("vec_id", F.col("cent_id").alias("ann_cell"))
+        )
+        agree = ann.join(exact, "vec_id").agg(
+            F.sum(
+                F.when(
+                    F.col("ann_cell") == F.col("exact_cell"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_agree")
+        )
+        ncand = scored.where(F.col("probe_rank") <= p).agg(
+            F.count(F.lit(1)).cast("long").alias("candidates")
+        )
+        row = (
+            agree.crossJoin(broadcast(n_total))
+            .crossJoin(broadcast(ncand))
+            .select(
+                F.lit(p).cast("long").alias("nprobe"),
+                "n_vecs",
+                "n_agree",
+                F.expr(
+                    "CAST(n_agree * 1000000 DIV n_vecs AS BIGINT)"
+                ).alias("agree_ppm"),
+                "candidates",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 # ------------------------------------------------- blocked all-pairs

@@ -228,3 +228,40 @@ def test_coverage_doc_names_exist_in_registry():
     }
     missing = sorted(n for n in names if not known(n))
     assert not missing, f"COVERAGE.md names not in code: {missing}"
+
+
+def test_plan_snapshot_baseline_structure():
+    """The committed plan-identity baseline (PLAN_SNAPSHOT.json,
+    written by `tools/plan_gate.py refresh` at every round close —
+    the r10 standing gate) must exist, parse, and contain only
+    CURRENTLY registered query names: a renamed or deleted query
+    whose old snapshot key lingers would make the gate's GONE check
+    fire forever. Additions mid-round are allowed to be absent here
+    (the gate reports them as NEW and requires them windowed; the
+    close-checklist refresh re-syncs the file), so this asserts
+    subset, not equality."""
+    import json
+    from pathlib import Path
+
+    from distributed_mapreduce_p2p_spark import registry
+
+    p = Path(__file__).resolve().parent.parent / "PLAN_SNAPSHOT.json"
+    assert p.exists(), (
+        "PLAN_SNAPSHOT.json missing — run `python tools/plan_gate.py "
+        "refresh` and commit it (the r10 plan-identity close gate's "
+        "baseline)"
+    )
+    snap = json.loads(p.read_text())
+    assert isinstance(snap, dict) and len(snap) >= 350
+    stale = sorted(set(snap) - set(registry.QUERIES))
+    assert not stale, (
+        f"PLAN_SNAPSHOT.json keys not registered (rename/delete "
+        f"without refresh): {stale}"
+    )
+    # every plan entry is a non-empty normalized plan string, never a
+    # silent planning error
+    errs = sorted(
+        n for n, v in snap.items()
+        if not isinstance(v, str) or not v or v.startswith("PLAN ERROR")
+    )
+    assert not errs, f"baseline contains failed plans: {errs}"

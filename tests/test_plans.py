@@ -1303,6 +1303,7 @@ def test_broadcast_hint_args_closed_set():
             "ncand",  # 1-row candidate count
             "cent_home",  # centroid->supercell map: n_cells rows of
             # 2 longs (~5 MB at n=1e11) — the semdedup ANN router
+            "n_total",  # 1-row corpus count (recall denominator)
         },
         "operators/dedup.py": {
             "bsh",  # band-shift grid
