@@ -97,6 +97,14 @@ QUERIES = [
     "dsir_importance_weights",
     "ivf_recall_curve",
     "semdedup_prune",
+    # r10: the ANN twin's two-level routing and the recall curve are
+    # double-comparison-derived integer outputs like the above; the
+    # quantile sketch's stride/target snap is pure integer but its
+    # kept set rides a (cents, o_orderkey) sort — all must be
+    # arrival-order independent
+    "semdedup_prune_ann",
+    "semdedup_ann_assignment_recall",
+    "quantile_sketch_ranks",
 ]
 
 

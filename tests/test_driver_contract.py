@@ -51,36 +51,32 @@ def test_entry_contract(spark):
 
 def test_first_50_window_composition():
     """The driver verifies exactly the first 50 queries() entries;
-    that window must contain every entry that has never earned a
-    driver CORRECTNESS row and every query whose plan/oracle changed
-    since its last sampled row (the standing rule, round-9 window —
-    the one that FINISHES the backlog retirement: after it samples,
-    every registered query has a driver row on its shipped plan)."""
+    that window must contain every query whose plan/oracle changed
+    since its last sampled row and every brand-new entry (the
+    standing rule; round-10 window — with the never-sampled backlog
+    retired at r9, the free slots refresh the OLDEST driver
+    evidence: the 45 queries whose latest green row is r1-r3, all
+    proven plan-stable by PLAN_SNAPSHOT.json / tools/plan_gate.py).
+    HEAD must be tpch_q2_min_cost_supplier — the one r9 wave-2 plan
+    change whose green row described the superseded plan."""
     mod = _load_entry()
     head = list(mod.queries())[:50]
+    assert head[0] == "tpch_q2_min_cost_supplier"
     must_cover = {
-        # plan changed in r8 AFTER the window froze — their old green
-        # rows describe dead plans
-        "ann_ivf_topk",
-        "equidepth_bins",
-        "embedding_norm_outliers",
-        # plan changed in r9 pre-freeze: n_cells now derives by the
-        # measured sqrt rule (oracle updated too)
-        "semdedup_prune",
-        # new in r9 (1 of the <=2 addition budget)
-        "hll_distinct_estimate",
-        # head of the LAST 45 never-sampled backlog names, queued
-        # order (registry._FRONT comment)
-        "feature_hash_vectors",
-        "flesch_reading_ease",
-        "candidate_key_discovery",
-        "linear_mmd_labels",
-        "l_diversity_audit",
-        # tail of the 45-slice — pins that the window retired the
-        # full backlog, not just the head
-        "cuped_adjustment",
-        "month_end_lift",
-        "bowley_skewness",
+        # the r9 post-freeze plan change (stale green row)
+        "tpch_q2_min_cost_supplier",
+        # new in r10 (4 of the <=10 addition budget)
+        "semdedup_prune_ann",
+        "semdedup_ann_assignment_recall",
+        "quantile_sketch_ranks",
+        "streaming_dedup_ttl",
+        # head and tail of the oldest-evidence refresh slice (r1 and
+        # r3 ends) — pins that the refresh composition survived
+        "wordcount",
+        "wordcount_topk",
+        "agg_pricing",
+        "range_filter",
+        "staleness_filter",
     }
     missing = must_cover - set(head)
     assert not missing, f"driver window lost priority entries: {missing}"

@@ -1270,6 +1270,8 @@ def test_broadcast_hint_args_closed_set():
             # hits_hubs iteration: 1-row norm stats + <=25-row
             # localCheckpointed node state per half-round
             "stats", "state",
+            # quantile sketch: |keys|-row (n, stride) map-side agg
+            "kstats",
             # bounded grids / vocab / calendar / config cells
             "qs", "yr", "moys", "rm", "nb", "freq", "bounds",
             "bits", "vocab", "lists", "idx", "fences", "fb",

@@ -153,3 +153,147 @@ def test_semdedup_ann_assignment_recall_recompute(spark):
         "exact n x n_cells assignment"
     )
     assert got[1][1] <= got[2][1], "agreement must grow with depth"
+
+
+def test_quantile_sketch_ranks_recompute(spark):
+    """The deterministic rank-sample quantile sketch recomputed in
+    pure Python: same cents cast, same (cents, o_orderkey) sort,
+    same power-of-two stride via bit_length, same target-rank snap.
+    Also pins the guarantee the docstring sells: every estimate's
+    TRUE rank is within stride of the target rank."""
+    from distributed_mapreduce_p2p_spark import registry
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+
+    rows = read_table(spark, SF_SMALL, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    ).collect()
+    per_key: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        per_key.setdefault(r.o_orderpriority, []).append(
+            (int(math.floor(r.o_totalprice * 100)), r.o_orderkey)
+        )
+    expected = {}
+    for key, vals in per_key.items():
+        vals.sort()
+        n = len(vals)
+        m = (n + 31) // 32
+        stride = 1 if m <= 1 else 1 << (m - 1).bit_length()
+        for q in (50, 90, 99):
+            target = max(1, n * q // 100)
+            kept_rank = (target - 1) // stride * stride + 1
+            est = vals[kept_rank - 1][0]
+            expected[(key, q)] = (n, stride, target, est)
+            assert abs(kept_rank - target) < stride
+
+    got = {
+        (r.priority, r.q): (r.n, r.stride, r.target_rank, r.est_cents)
+        for r in registry.QUERIES["quantile_sketch_ranks"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert got == expected
+    assert len(got) == 15 and any(s > 1 for _, s, _, _ in got.values())
+
+
+def test_quantile_sketch_merge_bound():
+    """The MERGEABILITY claim demonstrated end-to-end in pure
+    Python (no Spark needed — this is the sketch algebra itself):
+    split each key's stream into two arbitrary halves, build each
+    half's systematic rank sample independently (own n, own stride,
+    per-element weight = covered rank span), merge the two weighted
+    samples, and answer quantiles from cumulative weight. The
+    merged estimate's TRUE rank in the full sorted stream must be
+    within stride1 + stride2 of the target — rank errors add under
+    merge, the deterministic-mergeable-sketch guarantee."""
+    import random
+
+    rng = random.Random(10)
+    vals = sorted(rng.randrange(10**6) for _ in range(3000))
+
+    def sketch(stream):
+        stream = sorted(stream)
+        n = len(stream)
+        m = (n + 31) // 32
+        stride = 1 if m <= 1 else 1 << (m - 1).bit_length()
+        out = []
+        for i in range(0, n, stride):
+            out.append((stream[i], min(stride, n - i)))
+        return out, stride
+
+    # adversarial split: interleaved, so both halves span the range
+    h1, h2 = vals[::2], vals[1::2]
+    s1, stride1 = sketch(h1)
+    s2, stride2 = sketch(h2)
+    merged = sorted(s1 + s2)
+    n = len(vals)
+    for q in (50, 90, 99):
+        target = max(1, n * q // 100)
+        cum = 0
+        est = None
+        for v, wt in merged:
+            cum += wt
+            if cum >= target:
+                est = v
+                break
+        assert est is not None
+        # true rank span of est in the full stream
+        lo = 1 + sum(1 for v in vals if v < est)
+        hi = sum(1 for v in vals if v <= est)
+        err = 0 if lo <= target <= hi else min(
+            abs(lo - target), abs(hi - target)
+        )
+        assert err <= stride1 + stride2, (q, err, stride1, stride2)
+
+
+def test_streaming_dedup_ttl_expiry(spark, tmp_path):
+    """The semantics the registered streaming_dedup_ttl query cannot
+    show on its own fixture (its 35-day delay outlives the stream):
+    dropDuplicatesWithinWatermark state really EXPIRES. Three
+    checkpointed availableNow runs against the same source dir give
+    deterministic batch boundaries: (1) key a@t0 emits and enters
+    state; (2) a@t0+2h arrives while state is alive (watermark was
+    still t0-30m) -> DROPPED, then the advancing watermark
+    (t0+90m) evicts a's state; (3) a@t0+3h finds no state ->
+    RE-EMITTED. Emitted set = {a@t0, b@t0, a@t0+3h} — the
+    TTL-bounded-state contract: duplicates inside the horizon are
+    exact, state is bounded by arrival-rate x TTL, and a re-arrival
+    after expiry is a fresh key."""
+    import datetime as dt
+
+    from distributed_mapreduce_p2p_spark.sources.io import scoped_conf
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def run_batch(idx, rows):
+        df = spark.createDataFrame(rows, "k string, ts timestamp")
+        df.coalesce(1).write.parquet(str(src / f"b{idx}"))
+        with scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
+            q = (
+                spark.readStream.schema("k string, ts timestamp")
+                .option("recursiveFileLookup", "true")
+                .parquet(str(src))
+                .withWatermark("ts", "30 minutes")
+                .dropDuplicatesWithinWatermark(["k"])
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(60)
+
+    run_batch(1, [("a", t0), ("b", t0)])
+    run_batch(2, [("a", t0 + dt.timedelta(hours=2))])
+    run_batch(3, [("a", t0 + dt.timedelta(hours=3))])
+    got = {
+        (r.k, r.ts) for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        ("a", t0),
+        ("b", t0),
+        ("a", t0 + dt.timedelta(hours=3)),
+    }, got

@@ -101,6 +101,7 @@ WHITELIST = {
     "ivf_recall_curve": "broadcast centroid table (the ann_ivf_topk shape), the brute ground-truth's broadcast 8-query set, and per-nprobe 1-row hits x candidates scalar attaches (3 output rows)",
     "semdedup_prune": "broadcast centroid table for the nearest-cell assignment (the ann_ivf_topk shape); the within-cell pair join itself is an equi-join on cell",
     "semdedup_ann_assignment_recall": "the exact-assignment ground truth's broadcast centroid table (the semdedup_prune shape — the baseline being measured), the ANN path's n^(1/4)-row super-table rankings, and per-depth 1-row n_agree/candidates/n_vecs scalar attaches (2 output rows)",
+    "quantile_sketch_ranks": "3-row quantile probe grid cross-joined onto the |keys|-row map-side (n, stride) aggregate (bounded grid attach; the fact-scale pass is the equi-keyed sort window)",
     "dsir_importance_weights": "1-row smoothing-totals aggregate broadcast onto the 128-row hashed-feature table",
     "embedding_neardup": "block-pair id generation over the bounded block grid (cogrouped tiling)",
     "source_token_drift": "per-source totals (|sources| rows) and 1-row corpus total broadcast onto the vocab grid",

@@ -180,6 +180,12 @@ QUERIES = [
     "equidepth_bins",
     "embedding_norm_outliers",
     "ann_ivf_topk",
+    # r10 additions (the semdedup ANN pair has its own dedicated
+    # 1x/10x/100x section via tools/semdedup_ann_rehearsal.py)
+    "quantile_sketch_ranks",
+    "streaming_dedup_ttl",
+    "semdedup_prune_ann",
+    "semdedup_ann_assignment_recall",
 ]
 
 
