@@ -1371,3 +1371,101 @@ def test_broadcast_hint_args_closed_set():
         "the (file, arg) here with its reason; SF-scaled tables must "
         "NOT be hinted (tools/audit_hinted_broadcasts.py header)"
     )
+
+
+def test_quantile_sketch_ranks_plan(spark):
+    """r10 quantile sketch plan pins: the per-key (n, stride) stats
+    come from a MAP-SIDE-COMBINED groupBy (partial_count before its
+    exchange — never a count-over-window shuffling every fact row,
+    the first-draft shape), at most 3 shuffles total (sort window,
+    stats agg, AQE slack), no cartesian product, and the orders scan
+    pruned to exactly the 3 needed columns."""
+    from distributed_mapreduce_p2p_spark.plans.explain import (
+        explain_str,
+        read_schemas,
+        shuffle_count,
+    )
+
+    df = _q("quantile_sketch_ranks", spark)
+    simple = explain_str(df, "simple")
+    assert "partial_count" in simple
+    assert "CartesianProduct" not in simple
+    assert shuffle_count(df) <= 3, simple
+    schemas = read_schemas(df)
+    assert schemas and all(s.count(",") <= 2 for s in schemas), schemas
+
+
+def test_semdedup_ann_assignment_plan(spark):
+    """r10 semdedup ANN assignment pins (the subtree the visible
+    census plan hides behind localCheckpoint): every
+    BroadcastNestedLoopJoin in the assignment builds against a
+    vec_id-bounded SLICE scan (the n^(1/4)-row super table or the
+    isqrt(n)-row centroid table — LessThan pushed to parquet), never
+    an unfiltered embeddings scan; WindowGroupLimit prunes the probe
+    ranking to nprobe rows per vector BEFORE its shuffle; and the
+    centroid re-rank lands as an UNHINTED equi-join."""
+    import re
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    from distributed_mapreduce_p2p_spark.operators import (
+        similarity as S,
+    )
+    from distributed_mapreduce_p2p_spark.plans.explain import (
+        explain_str,
+        node_subtrees,
+    )
+    from distributed_mapreduce_p2p_spark.sources.io import read_table
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    base = S.with_norm2(emb)
+    n_cells = S.semdedup_cells(emb.count())
+    n_super = S.semdedup_super_cells(n_cells)
+    sup = S._centroids(base, n_super)
+    cent = S._centroids(base, n_cells)
+    cent_home = (
+        S._rank_cells(base.where(F.col("vec_id") < n_cells), sup)
+        .where(F.col("rnk") == 1)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("cent_id").alias("sup"),
+        )
+    )
+    probes = (
+        S._rank_cells(base, sup)
+        .where(F.col("rnk") <= S.SEMDEDUP_ANN_NPROBE)
+        .select("vec_id", F.col("cent_id").alias("sup"))
+    )
+    cand = broadcast(cent_home).join(probes, "sup").select(
+        "vec_id", "cent_id"
+    )
+    q = base.select(
+        "vec_id",
+        F.col("embedding").alias("q_emb"),
+        F.col("norm2").alias("q_n2"),
+    )
+    scored = cand.join(q, "vec_id").join(
+        cent.select("cent_id", "c_emb", "c_n2"), "cent_id"
+    ).select("vec_id", "cent_id", S._sim_col())
+    simple = explain_str(scored, "simple")
+    assert "CartesianProduct" not in simple
+    assert "WindowGroupLimit" in simple
+    assert "BroadcastNestedLoopJoin" in simple, (
+        "assignment must rank via the broadcast super table"
+    )
+    # the BNLJ's STREAM side is legitimately the full corpus; only
+    # the BUILD sides (IdentityBroadcastMode exchanges) must be
+    # vec_id-bounded slices
+    builds = node_subtrees(
+        simple, lambda l: "IdentityBroadcastMode" in l
+    )
+    assert builds, simple
+    for sub in builds:
+        scans = [l for l in sub if "Scan parquet" in l or "FileScan" in l]
+        assert scans and all(
+            re.search(r"LessThan\(vec_id,\d+\)", l) for l in scans
+        ), (
+            "a BNLJ builds against an UNBOUNDED embeddings scan:\n"
+            + "\n".join(sub[:5])
+        )

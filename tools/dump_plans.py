@@ -363,6 +363,30 @@ SHOWCASE: list[tuple[str, str]] = [
         "folded to one literal; scan pruned to 2 of 16 lineitem "
         "columns.",
     ),
+    (
+        "semdedup_prune_ann",
+        "r10: the ANN-over-centroids assignment — the only "
+        "BroadcastNestedLoopJoin in the (checkpointed) assignment "
+        "subtree builds against the n^(1/4)-row SUPER table "
+        "(vec_id < n_super pushed to the scan), with WindowGroupLimit "
+        "partial+final keeping only nprobe rows per vector BEFORE the "
+        "shuffle; the centroid re-rank is an UNHINTED size-estimable "
+        "equi-join (broadcast at fixture SF, shuffle fallback at "
+        "scale); the census downstream is plan-identical to "
+        "semdedup_prune's. Note: the visible plan shows the census "
+        "over the checkpointed home RDD — the assignment subtree is "
+        "pinned by test_plans instead.",
+    ),
+    (
+        "quantile_sketch_ranks",
+        "r10: the per-key (n, stride) table is a map-side-combined "
+        "partial_count groupBy (5 rows shuffled, never the fact "
+        "rows) broadcast back onto the ONE fact-scale exchange (the "
+        "per-key sort window for row_number); the kept systematic "
+        "sample collapses to ~32 x |keys| rows; the 3-quantile probe "
+        "grid rides a bounded BNLJ attach; orders scan pruned to 3 "
+        "columns.",
+    ),
 ]
 
 
