@@ -70,13 +70,16 @@ def test_first_50_window_composition():
         "semdedup_ann_assignment_recall",
         "quantile_sketch_ranks",
         "streaming_dedup_ttl",
+        # plan changed in r10: the 100x wave's explode-broadcast find
+        # and the audit sweep's second instance of the same class
+        "token_cooccurrence_lift",
+        "grid_neighbor_join",
         # head and tail of the oldest-evidence refresh slice (r1 and
         # r3 ends) — pins that the refresh composition survived
         "wordcount",
         "wordcount_topk",
         "agg_pricing",
         "range_filter",
-        "staleness_filter",
     }
     missing = must_cover - set(head)
     assert not missing, f"driver window lost priority entries: {missing}"

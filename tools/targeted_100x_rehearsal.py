@@ -48,10 +48,14 @@ TARGETS = [
 def main() -> None:
     spark = get_spark(app_name="targeted_100x")
     SR.REPLICAS = 100  # build_scaled and re-keying read the global
-    tmp = tempfile.mkdtemp(prefix="rehearse_100x_")
+    # pass an existing fixture dir to skip the (expensive) build and
+    # keep it for follow-up probes; without one, build fresh + clean
+    keep = len(sys.argv) > 1
+    tmp = sys.argv[1] if keep else tempfile.mkdtemp(prefix="rehearse_100x_")
     try:
-        print("building 100x fixture...", flush=True)
-        SR.build_scaled(spark, tmp)
+        if not (Path(tmp) / "documents.parquet").exists():
+            print("building 100x fixture...", flush=True)
+            SR.build_scaled(spark, tmp)
         lines = [
             "## 100x targeted wave (r10)",
             "",
@@ -80,7 +84,8 @@ def main() -> None:
             )
             print(lines[-1], flush=True)
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        if not keep:
+            shutil.rmtree(tmp, ignore_errors=True)
     from md_sections import upsert_section
 
     path = REPO / "SCALE_REHEARSAL.md"
