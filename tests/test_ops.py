@@ -709,3 +709,47 @@ def test_plan_identity_judge_and_compare_modes(tmp_path):
     # exprIds — _load's re-normalization must make it identical
     # compare-mode equivalence: loader must renormalize raw snapshots
     assert _load(before)["q_a"] == _load(after)["q_a"]
+
+
+def test_audit_explode_broadcasts_flag_plan():
+    """The r10 explode-broadcast audit's classifier, pinned on
+    synthetic plan shapes: a BroadcastExchange containing a Generate
+    over a fact scan with no bounding aggregate is FLAGGED (the
+    token_cooccurrence_lift 100x failure); an Aggregate above the
+    explode (vocab/grid shape) passes; a Generate over a literal
+    array with no fact scan passes; a plain bounded-dim broadcast
+    passes."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(
+        0, str(Path(__file__).resolve().parent.parent / "tools")
+    )
+    from audit_explode_broadcasts import flag_plan
+
+    bad = (
+        "BroadcastExchange HashedRelationBroadcastMode, [plan_id=1]\n"
+        "+- Project [doc2#19L, pos2#20, w2r#21]\n"
+        "   +- Generate explode([1,2,3]), false, [dd#23]\n"
+        "      +- Generate posexplode(ws#29), [1], false, [pos#30]\n"
+        "         +- FileScan parquet [doc_id#24L,text#25] Batched: "
+        "true, Location: [/x/documents.parquet]"
+    )
+    assert flag_plan(bad), "exploded fact side must be flagged"
+    vocab = bad.replace(
+        "+- Project [doc2#19L, pos2#20, w2r#21]",
+        "+- HashAggregate(keys=[w#55], functions=[count(1)])",
+    )
+    assert not flag_plan(vocab), "aggregate above the explode bounds it"
+    grid = (
+        "BroadcastExchange IdentityBroadcastMode, [plan_id=2]\n"
+        "+- Generate explode([50,90,99]), false, [q#17L]\n"
+        "   +- Scan OneRowRelation[]"
+    )
+    assert not flag_plan(grid), "literal grid explode has no fact scan"
+    dim = (
+        "BroadcastExchange HashedRelationBroadcastMode, [plan_id=3]\n"
+        "+- FileScan parquet [n_nationkey#0L] Location: "
+        "[/x/nation.parquet]"
+    )
+    assert not flag_plan(dim), "plain dim broadcast is not this class"
