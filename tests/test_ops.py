@@ -753,3 +753,12 @@ def test_audit_explode_broadcasts_flag_plan():
         "[/x/nation.parquet]"
     )
     assert not flag_plan(dim), "plain dim broadcast is not this class"
+    # Python-eval nodes share the estimate freeze (r10 extension):
+    # a broadcast over a mapInPandas output of a fact scan flags too
+    py = (
+        "BroadcastExchange HashedRelationBroadcastMode, [plan_id=4]\n"
+        "+- MapInPandas _candidates(vec_id#0L, embedding#1)\n"
+        "   +- FileScan parquet [vec_id#0L,embedding#1] Location: "
+        "[/x/embeddings.parquet]"
+    )
+    assert flag_plan(py), "mapInPandas-fed fact broadcast must flag"

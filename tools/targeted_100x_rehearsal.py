@@ -34,14 +34,17 @@ import scale_rehearsal as SR  # noqa: E402
 
 from distributed_mapreduce_p2p_spark.session import get_spark  # noqa: E402
 
-# the 5 worst 10x exponents among flat-output queries in the base
-# table (r9 refresh), with their recorded 10x exponents
+# the worst 10x exponents among flat-output queries in the base
+# table (r9 refresh), with their recorded 10x exponents. Wave 1 =
+# the top 5; wave 2 (same round) extends to the next pair.
 TARGETS = [
     ("winnow_fingerprints", 0.83),
     ("token_cooccurrence_lift", 0.83),
     ("dsir_importance_weights", 0.83),
     ("kmv_distinct_estimate", 0.79),
     ("xyz_demand_variability", 0.74),
+    ("price_index_fisher", 0.74),
+    ("feature_hash_vectors", 0.74),
 ]
 
 
