@@ -38,8 +38,12 @@ def main() -> None:
     if unknown:
         sys.exit(f"not registered: {unknown}")
     sampled: set[str] = set()
+    last: dict[str, int] = {}
     for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
-        sampled |= set(json.loads(f.read_text()))
+        rnd = int(re.search(r"r(\d+)", f.name).group(1))
+        for n in json.loads(f.read_text()):
+            sampled.add(n)
+            last[n] = max(last.get(n, 0), rnd)
     backlog = [n for n in registered if n not in sampled]
     window = list(dict.fromkeys(changed))
     for n in backlog:
@@ -50,14 +54,30 @@ def main() -> None:
     leftover = [n for n in backlog if n not in window]
     print(f"registered: {len(registered)}  driver-sampled ever: "
           f"{len(sampled & reg_set)}  backlog: {len(backlog)}")
+    # post-backlog composition (r10 precedent): free slots REFRESH
+    # the OLDEST driver evidence — fill with the registered queries
+    # whose latest green row is oldest (registration order breaks
+    # ties), so cumulative evidence age keeps shrinking. Only
+    # plan-stable entries belong here; plan-changed ones must come
+    # in via --changed (tools/plan_gate.py enforces that side).
+    if len(window) < 50:
+        refresh = sorted(
+            (n for n in registered if n not in window),
+            key=lambda n: (last.get(n, 0), registered.index(n)),
+        )
+        fill = refresh[: 50 - len(window)]
+        window += fill
+        print(
+            f"\noldest-evidence refresh fill ({len(fill)}; last green "
+            f"rows r{last.get(fill[0], 0)}-r{last.get(fill[-1], 0)}):"
+        )
     print(f"\nwindow ({len(window)}):")
     for n in window:
-        print(f'    "{n}",')
-    print(f"\nleftover backlog for the round after ({len(leftover)}):")
-    print("  " + ", ".join(leftover))
-    if len(window) < 50:
-        print(f"\nNOTE: only {len(window)} candidates — pad with "
-              "plan-stable holdovers (they keep their green rows).")
+        tag = f"  # last green r{last[n]}" if n in last else "  # new/changed"
+        print(f'    "{n}",{tag}')
+    if leftover:
+        print(f"\nleftover backlog for the round after ({len(leftover)}):")
+        print("  " + ", ".join(leftover))
 
 
 if __name__ == "__main__":
