@@ -74,12 +74,18 @@ def test_first_50_window_composition():
         # and the audit sweep's second instance of the same class
         "token_cooccurrence_lift",
         "grid_neighbor_join",
+        # plan changed in the r10 OPTIMIZATION round (pca subplan
+        # checkpoint, boilerplate map-side dedup, markov states
+        # checkpoint — see OPTIMIZATION_r10.md)
+        "pca_power_iteration",
+        "boilerplate_ngrams",
+        "markov_absorption",
         # head and tail of the oldest-evidence refresh slice (r1 and
-        # r3 ends) — pins that the refresh composition survived
+        # r2 ends) — pins that the refresh composition survived
         "wordcount",
         "wordcount_topk",
         "agg_pricing",
-        "range_filter",
+        "tfidf_top_terms",
     }
     missing = must_cover - set(head)
     assert not missing, f"driver window lost priority entries: {missing}"
@@ -162,7 +168,14 @@ def test_bench_json_contract():
         [sys.executable, str(REPO / "bench.py")],
         capture_output=True,
         text=True,
-        timeout=1200,
+        # 1200s flaked at r10-opt open (~21 min on an idle host) and
+        # the bumped 2400s flaked AGAIN later in the same round
+        # (>40 min, still idle — ambient throughput halved between
+        # the two sessions with zero code change; the same drift is
+        # documented at the r8/r9 closes). The timeout is a hang
+        # guard, not a perf bar — the perf bar is the driver's sf0.1
+        # bench — so keep it far above the worst observed idle run.
+        timeout=5400,
         env=env,
         cwd=str(REPO),
     )
