@@ -131,3 +131,61 @@ def test_markov_absorption_states_checkpointed_once():
     assert body.index("localCheckpoint") < body.index("for _ in range"), (
         "states checkpoint must precede the iteration loop"
     )
+
+
+# ---------------------------------------------------------------------
+# Second pass: the bounded-state conf scope (see _bounded_state_conf).
+
+#: Queries whose bounded-state sections must run under the scope —
+#: each was measured individually (numbers at the call sites and in
+#: OPTIMIZATION_r10.md). trade_graph_components measured the scope
+#: and REJECTED it (adjudicated at its call site), so it is absent.
+SCOPED_LOOP_QUERIES = [
+    "q_markov_stationary",
+    "q_markov_absorption",
+    "q_hits_hubs_authorities",
+    "q_label_propagation_communities",
+    "q_trade_graph_shortest_cost",
+    "q_trade_graph_bfs_levels",
+    "q_kcore_decomposition",
+    "q_ipf_raking",
+    "q_closeness_centrality",
+]
+
+
+def _body(fn_name: str) -> str:
+    src = (
+        REPO / "distributed_mapreduce_p2p_spark" / "registry.py"
+    ).read_text()
+    return src.split(f"def {fn_name}(", 1)[1].split("\ndef ", 1)[0]
+
+
+def test_bounded_state_scope_applied():
+    """Source-level pin: every adjudicated bounded-state loop query
+    enters _bounded_state_conf (a refactor that silently drops the
+    scope reverts the measured job-count wins), and the REJECTED
+    site (trade_graph_components) stays out."""
+    for fn in SCOPED_LOOP_QUERIES:
+        assert "with _bounded_state_conf(spark):" in _body(fn), fn
+    assert "_bounded_state_conf" not in _body("q_trade_graph_components")
+
+
+def test_bounded_state_scope_restores_session_conf(spark):
+    """The scope must not leak: constructing a scoped query (which
+    runs its eager loop actions under AQE-off / 1 shuffle partition)
+    must leave the ambient session conf untouched — the returned
+    lineage and every other query must plan under ambient conf."""
+    before = (
+        spark.conf.get("spark.sql.adaptive.enabled"),
+        spark.conf.get("spark.sql.shuffle.partitions"),
+    )
+    df = registry.QUERIES["markov_stationary"](spark, SF_SMALL)
+    after = (
+        spark.conf.get("spark.sql.adaptive.enabled"),
+        spark.conf.get("spark.sql.shuffle.partitions"),
+    )
+    assert before == after, (before, after)
+    # and the returned lineage is the checkpoint-backed select: no
+    # Exchange, no parquet scan — the loop ran at construction time.
+    plan = explain_str(df)
+    assert "Scan ExistingRDD" in plan and "Exchange" not in plan, plan
