@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Ambient host-throughput calibration (pure CPU, no Spark).
+
+Rounds 8-10 each hit the same adjudication problem: the bench's
+absolute seconds move 1.1-2x between sessions because the sandbox
+host's throughput drifts (bursty stalls + level shifts), and the only
+way to separate host drift from code-attributable change has been
+cross-run per-query set comparisons. This tool gives the missing
+direct measurement: a fixed, deterministic CPU workload timed
+single-threaded and at nproc parallelism. Record both numbers next to
+every bench pair; the ratio between two sessions' calibrations is the
+ambient correction factor for their bench totals.
+
+The workload is sha256 over a fixed buffer — branch-free, cache-small,
+allocation-free — so the number reflects CPU availability (steal,
+throttling, contention), not memory or disk.
+
+Usage: python tools/ambient_calib.py
+Prints one JSON line: {"single_mbps": ..., "parallel_mbps": ..., "nproc": N}
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from concurrent.futures import ProcessPoolExecutor
+
+BUF = b"\xa5" * (1 << 20)  # 1 MiB
+SINGLE_ITERS = 200  # ~200 MB hashed single-thread
+PAR_ITERS = 2000  # per worker: ~1.5 s of work so pool spawn is noise
+
+
+def _hash_mb(iters: int) -> float:
+    h = hashlib.sha256()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        h.update(BUF)
+    dt = time.perf_counter() - t0
+    return iters / dt  # MB/s
+
+
+def main() -> None:
+    # Best-of-3 single-thread: stalls only ever slow a rep down, so
+    # max throughput is the least-contended estimate.
+    single = max(_hash_mb(SINGLE_ITERS) for _ in range(3))
+    n = os.cpu_count() or 1
+    t0 = time.perf_counter()
+    with ProcessPoolExecutor(max_workers=n) as ex:
+        list(ex.map(_hash_mb, [PAR_ITERS] * n))
+    parallel = n * PAR_ITERS / (time.perf_counter() - t0)
+    print(
+        json.dumps(
+            {
+                "single_mbps": round(single, 1),
+                "parallel_mbps": round(parallel, 1),
+                "nproc": n,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -153,7 +153,17 @@ def refresh() -> int:
 
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "check"
-    sys.exit(check() if mode == "check" else refresh())
+    if mode == "check":
+        sys.exit(check())
+    if mode == "refresh":
+        sys.exit(refresh())
+    # Anything else (a typo, --help) must NOT fall through to refresh:
+    # refresh rewrites the committed baseline, and an accidental
+    # rewrite from a stale .plan_gate_last.json would silently blind
+    # the next round's drift check.
+    print(__doc__.strip().splitlines()[-3].strip())
+    print("usage: plan_gate.py [check|refresh]  (default: check)")
+    sys.exit(2)
 
 
 if __name__ == "__main__":
