@@ -54,10 +54,40 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # Ambient host-throughput calibration (r11, from the r10 ADVICE):
+    # a fixed no-Spark CPU workload timed BEFORE the session starts,
+    # embedded in the detail file so every bench artifact carries the
+    # host state it was measured under — the correction factor rounds
+    # 8-10 had to reconstruct from per-query set overlaps. Never
+    # allowed to break the bench (driver contract): any failure
+    # records null. Runs outside every timed region; the metric value
+    # is untouched.
+    try:
+        import subprocess as _sp
+
+        _cal = _sp.run(
+            [sys.executable, str(REPO / "tools" / "ambient_calib.py")],
+            capture_output=True,
+            text=True,
+            timeout=120,
+        )
+        ambient = json.loads(_cal.stdout.strip().splitlines()[-1])
+    except Exception:  # noqa: BLE001 - calibration is best-effort
+        ambient = None
+
     spark = get_spark(app_name="bench")
 
     names = [n for n in HEADLINE if n in registry.QUERIES]
     names += [n for n in registry.QUERIES if n not in names]
+
+    # Opt-in subset for the test suite's smoke run ONLY
+    # (tests/test_driver_contract.py): SPARK_GRAFT_BENCH_SUBSET=N
+    # keeps the first N names (headline-first order). The driver
+    # never sets it — the full sweep is and stays the default.
+    subset = int(os.environ.get("SPARK_GRAFT_BENCH_SUBSET", "0") or "0")
+    if subset > 0:
+        names = names[:subset]
 
     # Warmup: force session + codegen init on a tiny plan.
     registry.QUERIES["wordcount"](spark, sf_dir).limit(1).count()
@@ -66,14 +96,38 @@ def main() -> None:
     # JVM JIT/codegen compilation (hundreds of ms to seconds for wide
     # generated code) and is sensitive to transient host load; the
     # minimum reflects the engine's steady-state throughput.
+    #
+    # Per-query Spark JOB COUNTS (r11, additions-only): each rep runs
+    # under its own job group and the rep's job count is read from the
+    # statusTracker right after it; the count recorded beside the
+    # seconds is the BEST (min-time) rep's. Job counts are
+    # ambient-noise-immune evidence for the loop-query optimizations
+    # (r10 cut hits_hubs_authorities 133 -> ~34 jobs) that host stalls
+    # cannot fake or mask. Streaming queries execute their
+    # micro-batches on engine threads outside the job group, so their
+    # counts cover only the driver-thread jobs (staging + final read)
+    # — directionally useful, documented here. The timed action and
+    # methodology are unchanged (same .count(), same best-of-2).
+    sc = spark.sparkContext
     timings: dict[str, float] = {}
+    job_counts: dict[str, int] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        best_jobs = 0
+        for rep in range(2):
+            group = f"bench:{name}#{rep}"
+            sc.setJobGroup(group, name)
             t0 = time.perf_counter()
             registry.QUERIES[name](spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            n_jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+            if dt < best:
+                best = dt
+                best_jobs = n_jobs
         timings[name] = round(best, 4)
+        job_counts[name] = best_jobs
+    sc.setLocalProperty("spark.jobGroup.id", None)
+    sc.setLocalProperty("spark.job.description", None)
 
     # Head-to-head with the reference's own workload: word count of
     # its 3.4 MB Gutenberg corpus (BASELINE.md: the reference schedules
@@ -184,6 +238,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # additions-only (r11): per-query Spark job counts of
+                # the best rep — see the job-group comment above —
+                # and the pre-run ambient calibration reading.
+                "jobs": job_counts,
+                "ambient": ambient,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             },
             indent=1,

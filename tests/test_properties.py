@@ -4,6 +4,8 @@ operator logic — the reference has zero automated tests (SURVEY.md
 
 from __future__ import annotations
 
+import os
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -98,7 +100,13 @@ def _ed(a: str, b: str) -> int:
         unique=True,
     )
 )
-@settings(max_examples=8, deadline=None)
+# 8 adversarial examples x 2 operators cost 45 s of the default suite
+# (each example runs two Spark joins); the r11 budget gate keeps 2 by
+# default and restores 8 under SPARK_GRAFT_FULL_SUITE=1 (round close).
+@settings(
+    max_examples=8 if os.environ.get("SPARK_GRAFT_FULL_SUITE") else 2,
+    deadline=None,
+)
 def test_edjoin_variants_match_bruteforce_dp(spark, strings):
     """Both complete ed-join operators must emit EXACTLY the
     brute-force DP pair set on adversarial inputs: tiny alphabet

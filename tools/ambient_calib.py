@@ -41,24 +41,31 @@ def _hash_mb(iters: int) -> float:
     return iters / dt  # MB/s
 
 
-def main() -> None:
+def calibrate() -> dict:
+    """One calibration reading (importable; main() prints it)."""
     # Best-of-3 single-thread: stalls only ever slow a rep down, so
     # max throughput is the least-contended estimate.
     single = max(_hash_mb(SINGLE_ITERS) for _ in range(3))
     n = os.cpu_count() or 1
-    t0 = time.perf_counter()
     with ProcessPoolExecutor(max_workers=n) as ex:
+        # Warm the pool OUTSIDE the timed window (r10 ADVICE): under a
+        # spawn start method per-worker interpreter startup would
+        # otherwise deflate parallel_mbps and skew cross-environment
+        # correction ratios (Linux fork makes it negligible, but the
+        # figure should be start-method-independent).
+        list(ex.map(_hash_mb, [1] * n))
+        t0 = time.perf_counter()
         list(ex.map(_hash_mb, [PAR_ITERS] * n))
-    parallel = n * PAR_ITERS / (time.perf_counter() - t0)
-    print(
-        json.dumps(
-            {
-                "single_mbps": round(single, 1),
-                "parallel_mbps": round(parallel, 1),
-                "nproc": n,
-            }
-        )
-    )
+        parallel = n * PAR_ITERS / (time.perf_counter() - t0)
+    return {
+        "single_mbps": round(single, 1),
+        "parallel_mbps": round(parallel, 1),
+        "nproc": n,
+    }
+
+
+def main() -> None:
+    print(json.dumps(calibrate()))
 
 
 if __name__ == "__main__":

@@ -75,8 +75,14 @@ def check() -> int:
         _fresh_snapshot(a1_p)
         _fresh_snapshot(a2_p)
         before, a1, a2 = _load(SNAPSHOT), _load(a1_p), _load(a2_p)
-        # keep the freshest stable snapshot for a subsequent refresh
-        (REPO / ".plan_gate_last.json").write_text(a2_p.read_text())
+        # keep the freshest stable snapshot for a subsequent refresh,
+        # stamped with the HEAD sha so refresh can refuse a snapshot
+        # taken before the code changed (r10 ADVICE: a lingering
+        # .plan_gate_last.json from an older tree would silently
+        # become the committed baseline)
+        (REPO / ".plan_gate_last.json").write_text(
+            json.dumps({"head": _head_sha(), "plans": json.loads(a2_p.read_text())})
+        )
     from distributed_mapreduce_p2p_spark import registry
 
     front = set(registry._FRONT)
@@ -132,17 +138,46 @@ def check() -> int:
     return 1 if violations else 0
 
 
+def _head_sha() -> str:
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            capture_output=True,
+            text=True,
+            cwd=str(REPO),
+        ).stdout.strip()
+    except OSError:
+        return ""
+
+
 def refresh() -> int:
     last = REPO / ".plan_gate_last.json"
     if last.exists():
-        SNAPSHOT.write_text(last.read_text())
+        cached = json.loads(last.read_text())
+        # Provenance check (r10 ADVICE): only reuse the cached
+        # snapshot when it was taken at the CURRENT head — a snapshot
+        # from before the last code change describes a dead tree and
+        # must not become the committed baseline. Legacy stampless
+        # files (a bare plans dict) are treated as stale.
+        head = _head_sha()
+        if (
+            isinstance(cached, dict)
+            and cached.get("head")
+            and cached["head"] == head
+        ):
+            SNAPSHOT.write_text(json.dumps(cached["plans"], indent=1))
+            last.unlink()
+            print(
+                f"PLAN_SNAPSHOT.json refreshed from the last gate "
+                f"check at HEAD {head[:10]} "
+                f"({len(cached['plans'])} plans) — commit it"
+            )
+            return 0
         last.unlink()
         print(
-            f"PLAN_SNAPSHOT.json refreshed from the last gate check "
-            f"({len(json.loads(SNAPSHOT.read_text()))} plans) — "
-            f"commit it"
+            "stale .plan_gate_last.json (taken at a different HEAD or "
+            "unstamped) — discarded; taking a fresh snapshot"
         )
-        return 0
     _fresh_snapshot(SNAPSHOT)
     print(
         f"PLAN_SNAPSHOT.json written fresh "
@@ -161,7 +196,10 @@ def main() -> None:
     # refresh rewrites the committed baseline, and an accidental
     # rewrite from a stale .plan_gate_last.json would silently blind
     # the next round's drift check.
-    print(__doc__.strip().splitlines()[-3].strip())
+    print(
+        "plan_gate: round-close plan-identity gate "
+        "(see module docstring for the check/refresh protocol)"
+    )
     print("usage: plan_gate.py [check|refresh]  (default: check)")
     sys.exit(2)
 
