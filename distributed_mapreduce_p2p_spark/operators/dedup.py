@@ -494,8 +494,26 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming via
     pigeonhole banding (no cross join): distance <= 3 over 4 bands
-    implies >= 1 band equal. Output (doc_a, doc_b, hamming)."""
-    sigs = simhash_signatures(docs)
+    implies >= 1 band equal. Output (doc_a, doc_b, hamming).
+
+    The signature table is localCheckpointed (r11 optimization,
+    guide §2.4/§5): the banded candidate join references it on BOTH
+    sides (probe + broadcast build), and Catalyst cannot reuse a
+    shuffle exchange as a broadcast exchange, so the lazy form ran
+    the whole fact pipeline (corpus scan → token explode → two
+    exchanges) twice per action — exactly the doubled-subtree shape
+    the r10 pca fix removed. sigs is one (doc_id, simhash) row per
+    doc (two longs), so the checkpoint materializes ~16 B/doc while
+    dropping a full corpus scan + tokenize + 2 exchanges from the
+    plan; on a cluster this is persist(MEMORY_AND_DISK)/a staging
+    table (the minhash_lsh_pairs `wide` precedent). Interleaved
+    same-host A/B at sf0.1 (result equality asserted first): the
+    checkpointed form wins all 4 adjacent pairs standalone (min
+    1.49 vs 1.50 s — fixture-scale tie, the copies previously ran as
+    concurrent stages) and all 4 composed into
+    dedup_detector_agreement (min 2.52 vs 3.03 s, −17% — under a
+    busier plan the concurrency no longer hides the recompute)."""
+    sigs = simhash_signatures(docs).localCheckpoint()
     banded = sigs.select(
         "doc_id",
         "simhash",

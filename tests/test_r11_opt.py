@@ -80,6 +80,34 @@ def test_window_source_classifier_pins():
     ) == []
 
 
+# ------------------------------------------------------ verdict item 5
+# simhash_pairs signature checkpoint: the banded candidate join must
+# consume the checkpointed (doc_id, simhash) table on BOTH sides —
+# one fact-pipeline execution per action instead of two (probe +
+# broadcast build re-running the corpus scan → token explode → two
+# exchanges). dedup_detector_agreement composes this detector, so the
+# same pin protects its plan.
+
+
+def test_simhash_pairs_reads_checkpointed_signatures(spark):
+    import re
+
+    from distributed_mapreduce_p2p_spark import registry
+    from distributed_mapreduce_p2p_spark.plans.explain import explain_str
+
+    SF_SMALL = "/root/testdata/sf0.001"
+    plan = explain_str(registry.QUERIES["simhash_pairs"](spark, SF_SMALL))
+    assert "Scan parquet" not in plan and "FileScan" not in plan, (
+        "simhash_pairs' returned plan re-grew a fact scan — the "
+        "signature checkpoint (dedup.py::simhash_pairs) was dropped"
+    )
+    rdd_ids = re.findall(r"MapPartitionsRDD\[(\d+)\]", plan)
+    assert len(rdd_ids) >= 2 and len(set(rdd_ids)) == 1, (
+        f"both candidate-join sides must read the SAME checkpointed "
+        f"signature RDD; saw ids {rdd_ids}"
+    )
+
+
 def test_window_source_audit_is_green():
     """The package's unpartitioned-window source sites are a CLOSED,
     adjudicated set: every site whitelisted with a structural bound,
